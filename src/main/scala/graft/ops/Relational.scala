@@ -1,0 +1,524 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.QueryDef
+import graft.warehouse.Tables
+
+/** Tier B of SURVEY.md §2 — the relational surface a `read_snowflake` caller
+  * reaches through the verbatim SQL pass-through (dask_snowflake/core.py:143),
+  * re-expressed as native Spark DataFrame plans so Catalyst/Tungsten (not a
+  * remote warehouse) do pushdown, join selection, codegen and AQE.
+  *
+  * Determinism rules for the DuckDB oracle (SURVEY.md §5.2 / FIXTURES.md):
+  * total ORDER BY on a unique key, BIGINT for derived ints on both sides,
+  * DECIMAL(38,6) for money sums on both sides, explicit NULLS FIRST/LAST.
+  */
+object Relational {
+
+  private val D386 = DecimalType(38, 6)
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------- scans
+    QueryDef("q_scan",
+      (s, d) => t(s, d, "customer").orderBy("c_custkey"),
+      Some("SELECT * FROM customer ORDER BY c_custkey")),
+
+    QueryDef("q_projection",
+      (s, d) => t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        // (l_orderkey, l_linenumber) is NOT unique in this synthetic
+        // lineitem (FIXTURES.md) — order over ALL output columns so the
+        // sort is total and the oracle hash is deterministic.
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin)),
+
+    // parameterized query — the reference's execute_params
+    // (dask_snowflake/core.py:143, tests/test_core.py:73-74) maps to Spark's
+    // named-parameter SQL API; binding happens in the engine, not by string
+    // interpolation.
+    QueryDef("q_filter_param",
+      (s, d) => {
+        Tables.register(s, d)
+        s.sql(
+          """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            |WHERE o_totalprice > :target ORDER BY o_orderkey""".stripMargin,
+          Map("target" -> 150000.0))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_totalprice > 150000.0 ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef("q_predicates",
+      (s, d) => t(s, d, "orders").filter(
+          col("o_orderstatus").isin("F", "P") &&
+          col("o_totalprice").between(50000.0, 200000.0) &&
+          (col("o_orderpriority").like("1%") || col("o_orderpriority").like("5%")) &&
+          col("o_custkey").isNotNull &&
+          !(col("o_orderkey") < 0))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+             |FROM orders
+             |WHERE o_orderstatus IN ('F','P')
+             |  AND o_totalprice BETWEEN 50000.0 AND 200000.0
+             |  AND (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '5%')
+             |  AND o_custkey IS NOT NULL
+             |  AND NOT (o_orderkey < 0)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef("q_case_when",
+      (s, d) => t(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          when(col("l_quantity") < 10, "small")
+            .when(col("l_quantity") < 30, "mid")
+            .otherwise("large").as("bucket"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("returned"))
+        .orderBy("l_orderkey", "l_linenumber", "bucket", "returned"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CASE WHEN l_quantity < 10 THEN 'small'
+             |       WHEN l_quantity < 30 THEN 'mid'
+             |       ELSE 'large' END AS bucket,
+             |  CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT) AS returned
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, bucket, returned""".stripMargin)),
+
+    // empty-result path (dask_snowflake/core.py:277-278): stays a valid,
+    // schema-carrying empty DataFrame end-to-end.
+    QueryDef("q_empty_result",
+      (s, d) => t(s, d, "customer")
+        .filter(col("c_custkey") < 0)
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey < 0 ORDER BY c_custkey""".stripMargin)),
+
+    // ---------------------------------------------------------- joins
+    QueryDef("q_join_inner",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "inner")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""SELECT c_custkey, c_name, o_orderkey, o_totalprice
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // explicit broadcast of the small dim side — at 100 TB the fact table
+    // never shuffles for this join; the dim ships to every executor.
+    QueryDef("q_join_broadcast",
+      (s, d) => t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(col("p_size") > 40)
+        .select("l_orderkey", "l_linenumber", "p_partkey", "p_size", "p_brand")
+        .orderBy("l_orderkey", "l_linenumber", "p_partkey"),
+      Some("""SELECT l_orderkey, l_linenumber, p_partkey, p_size, p_brand
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_size > 40
+             |ORDER BY l_orderkey, l_linenumber, p_partkey""".stripMargin)),
+
+    // large-large: force sort-merge (the 100 TB-safe strategy — both sides
+    // shuffle-sort on the key, no single-executor hash table).
+    QueryDef("q_join_sortmerge",
+      (s, d) => t(s, d, "lineitem").hint("merge")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_linenumber", "o_orderdate", "o_orderstatus")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, o_orderdate, o_orderstatus
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef("q_join_outer",
+      (s, d) => {
+        val big = t(s, d, "orders").filter(col("o_totalprice") > 300000.0)
+        t(s, d, "customer")
+          .join(big, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select("c_custkey", "o_orderkey", "o_totalprice")
+          .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))
+      },
+      Some("""SELECT c_custkey, o_orderkey, o_totalprice
+             |FROM customer
+             |FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+             |  ON c_custkey = o_custkey
+             |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin)),
+
+    QueryDef("q_join_semi",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef("q_join_anti",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef("q_join_cross",
+      (s, d) => t(s, d, "region")
+        .crossJoin(t(s, d, "nation"))
+        .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+        .orderBy("r_regionkey", "n_nationkey"),
+      Some("""SELECT r_regionkey, r_name, n_nationkey, n_name
+             |FROM region CROSS JOIN nation
+             |ORDER BY r_regionkey, n_nationkey""".stripMargin)),
+
+    // equi + range (interval) join: the equi key keeps it a shuffled
+    // hash/merge join at scale; the range predicate is applied post-match.
+    QueryDef("q_join_range",
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL '90' DAY"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+        .orderBy("l_orderkey", "l_linenumber", "l_shipdate"),
+      Some("""SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate
+             |FROM lineitem JOIN orders
+             |  ON l_orderkey = o_orderkey
+             | AND l_shipdate >= o_orderdate
+             | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+             |ORDER BY l_orderkey, l_linenumber, l_shipdate""".stripMargin)),
+
+    // ---------------------------------------------------------- aggregates
+    // TPC-H Q1 shape. Money sums via DECIMAL(38,6) on BOTH sides so the
+    // parallel (order-nondeterministic) summation is still exact.
+    QueryDef("q_agg_groupby",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          // decimal INSIDE the agg = order-independent exact parallel sum;
+          // DOUBLE on the way out = identical representation in DuckDB's
+          // pandas export (which turns DECIMAL into float64).
+          sum(col("l_quantity").cast(D386)).cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(D386)).cast(DoubleType).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D386))
+            .cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .filter(col("count_order") > 0)
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(count(1) AS BIGINT) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |HAVING count(1) > 0
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QueryDef("q_agg_global",
+      (s, d) => t(s, d, "orders").agg(
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_totalprice")).as("min_price"),
+        count(lit(1)).as("n_orders")),
+      Some("""SELECT max(o_totalprice) AS max_price,
+             |       min(o_totalprice) AS min_price,
+             |       CAST(count(1) AS BIGINT) AS n_orders
+             |FROM orders""".stripMargin)),
+
+    QueryDef("q_agg_distinct",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+             |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // HLL sketches differ between engines — no value oracle possible;
+    // driver records the weaker rows-only check (SURVEY.md §2 note).
+    QueryDef("q_agg_approx_distinct",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag"),
+      None),
+
+    QueryDef("q_agg_rollup",
+      (s, d) => t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast(D386)).cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+             |  CAST(count(1) AS BIGINT) AS n
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // ---------------------------------------------------------- windows
+    QueryDef("q_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(s, d, "customer").select(
+            col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+            row_number().over(w).cast(LongType).as("rn"),
+            rank().over(w).cast(LongType).as("rnk"),
+            dense_rank().over(w).cast(LongType).as("drnk"),
+            ntile(4).over(w).cast(LongType).as("quartile"))
+          .orderBy("c_mktsegment", "rn")
+      },
+      Some("""SELECT c_mktsegment, c_custkey, c_acctbal,
+             |  CAST(row_number() OVER w AS BIGINT) AS rn,
+             |  CAST(rank() OVER w AS BIGINT) AS rnk,
+             |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment
+             |             ORDER BY c_acctbal DESC, c_custkey)
+             |ORDER BY c_mktsegment, rn""".stripMargin)),
+
+    QueryDef("q_window_lag",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders").select(
+            col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(w).as("next_price"),
+            first(col("o_orderkey")).over(w).as("first_ok"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |  lag(o_totalprice, 1) OVER w AS prev_price,
+             |  lead(o_totalprice, 1) OVER w AS next_price,
+             |  first_value(o_orderkey) OVER w AS first_ok
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    QueryDef("q_window_running_sum",
+      (s, d) => {
+        // lineitem has no unique key (FIXTURES.md): include l_quantity in
+        // the frame ordering so tied rows are value-identical, and include
+        // running_qty in the final sort so the output order is total.
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "lineitem").select(
+            col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            sum(col("l_quantity").cast(D386)).over(w).cast(DoubleType).as("running_qty"))
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) OVER w AS DOUBLE) AS running_qty
+             |FROM lineitem
+             |WINDOW w AS (PARTITION BY l_suppkey
+             |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin)),
+
+    // ---------------------------------------------------------- sort / limit
+    QueryDef("q_sort",
+      (s, d) => t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin)),
+
+    QueryDef("q_limit",
+      (s, d) => t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100),
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin)),
+
+    // orderBy().limit() compiles to TakeOrderedAndProject — per-partition
+    // top-k then a k-row merge on the driver; never a full sort at scale.
+    QueryDef("q_topk",
+      (s, d) => t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // ---------------------------------------------------------- set ops
+    QueryDef("q_union_all",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        c.filter(col("c_nationkey") === 1).select("c_custkey", "c_name")
+          .unionByName(
+            c.filter(col("c_nationkey") === 2).select("c_custkey", "c_name"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer WHERE c_nationkey = 1
+             |UNION ALL
+             |SELECT c_custkey, c_name FROM customer WHERE c_nationkey = 2
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef("q_union_distinct",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        c.filter(col("c_nationkey") <= 5).select("c_mktsegment")
+          .union(c.filter(col("c_nationkey") > 5).select("c_mktsegment"))
+          .distinct()
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment FROM customer WHERE c_nationkey <= 5
+             |UNION
+             |SELECT c_mktsegment FROM customer WHERE c_nationkey > 5
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    QueryDef("q_intersect",
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        l.filter(col("l_returnflag") === "A").select("l_suppkey")
+          .intersect(l.filter(col("l_returnflag") === "R").select("l_suppkey"))
+          .orderBy("l_suppkey")
+      },
+      Some("""SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+             |INTERSECT
+             |SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+             |ORDER BY l_suppkey""".stripMargin)),
+
+    QueryDef("q_except",
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        l.filter(col("l_returnflag") === "A").select("l_partkey")
+          .except(l.filter(col("l_returnflag") === "R").select("l_partkey"))
+          .orderBy("l_partkey")
+      },
+      Some("""SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+             |EXCEPT
+             |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+             |ORDER BY l_partkey""".stripMargin)),
+
+    // ---------------------------------------------------------- scalar fns
+    QueryDef("q_scalar_string",
+      (s, d) => t(s, d, "customer").select(
+          col("c_custkey"),
+          upper(col("c_name")).as("u"),
+          lower(col("c_mktsegment")).as("lo"),
+          substring(col("c_name"), 1, 8).as("pre"),
+          trim(col("c_name")).as("tr"),
+          concat_ws("-", col("c_mktsegment"), col("c_name")).as("cw"),
+          size(split(col("c_name"), "#")).cast(LongType).as("nparts"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |  upper(c_name) AS u,
+             |  lower(c_mktsegment) AS lo,
+             |  substring(c_name, 1, 8) AS pre,
+             |  trim(c_name) AS tr,
+             |  concat_ws('-', c_mktsegment, c_name) AS cw,
+             |  CAST(len(string_split(c_name, '#')) AS BIGINT) AS nparts,
+             |  regexp_extract(c_name, '([0-9]+)', 1) AS digits
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef("q_scalar_date",
+      (s, d) => t(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          date_trunc("month", col("l_shipdate")).as("ship_month"),
+          year(col("l_shipdate")).cast(LongType).as("y"),
+          month(col("l_shipdate")).cast(LongType).as("m"),
+          dayofmonth(col("l_shipdate")).cast(LongType).as("dom"),
+          datediff(col("l_shipdate").cast(DateType),
+            lit("1995-01-01").cast(DateType)).cast(LongType).as("days_since"),
+          (col("l_shipdate") + expr("INTERVAL '30' DAY")).as("ship_plus_30"))
+        // days_since is injective in l_shipdate → total order despite
+        // duplicate (l_orderkey, l_linenumber) pairs
+        .orderBy("l_orderkey", "l_linenumber", "days_since"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  date_trunc('month', l_shipdate) AS ship_month,
+             |  CAST(year(l_shipdate) AS BIGINT) AS y,
+             |  CAST(month(l_shipdate) AS BIGINT) AS m,
+             |  CAST(day(l_shipdate) AS BIGINT) AS dom,
+             |  CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS days_since,
+             |  l_shipdate + INTERVAL 30 DAY AS ship_plus_30
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, days_since""".stripMargin)),
+
+    QueryDef("q_scalar_math",
+      (s, d) => t(s, d, "orders").select(
+          col("o_orderkey"),
+          abs(col("o_totalprice") - 100000.0).as("a"),
+          floor(col("o_totalprice")).cast(LongType).as("f"),
+          ceil(col("o_totalprice")).cast(LongType).as("c"),
+          sqrt(col("o_totalprice")).as("sq"),
+          round(log(col("o_totalprice")), 4).as("ln4"),
+          (col("o_orderkey") % 7).cast(LongType).as("m7"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  abs(o_totalprice - 100000.0) AS a,
+             |  CAST(floor(o_totalprice) AS BIGINT) AS f,
+             |  CAST(ceil(o_totalprice) AS BIGINT) AS c,
+             |  sqrt(o_totalprice) AS sq,
+             |  round(ln(o_totalprice), 4) AS ln4,
+             |  CAST(o_orderkey % 7 AS BIGINT) AS m7
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef("q_scalar_array",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        t(s, d, "documents").select(
+            col("doc_id"),
+            size(toks).cast(LongType).as("n_tokens"),
+            array_contains(toks, "spark").as("has_spark"),
+            element_at(toks, 1).as("first_tok"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+             |  string_split(text, ' ')[1] AS first_tok
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // map construct + lookup; oracle checks the looked-up values (map
+    // key-order is engine-dependent, so the map itself is never output).
+    QueryDef("q_scalar_map",
+      (s, d) => {
+        val m = map(lit("lang"), col("lang"), lit("source"), col("source"))
+        t(s, d, "documents").select(
+            col("doc_id"),
+            element_at(m, "lang").as("m_lang"),
+            element_at(m, "source").as("m_source"),
+            map_keys(m)(0).as("first_key"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang AS m_lang, source AS m_source,
+             |  'lang' AS first_key
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q_cast",
+      (s, d) => t(s, d, "customer").select(
+          col("c_custkey"),
+          // decimal cast demonstrated, then to double for engine-neutral
+          // output representation (DuckDB pandas export: DECIMAL → float64)
+          col("c_acctbal").cast(DecimalType(12, 2)).cast(DoubleType).as("bal_dec"),
+          col("c_nationkey").cast(LongType).as("nk"),
+          col("c_custkey").cast(StringType).as("ck_str"),
+          col("c_acctbal").cast(FloatType).as("bal_f32"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal_dec,
+             |  CAST(c_nationkey AS BIGINT) AS nk,
+             |  CAST(c_custkey AS VARCHAR) AS ck_str,
+             |  CAST(c_acctbal AS REAL) AS bal_f32
+             |FROM customer ORDER BY c_custkey""".stripMargin))
+  )
+}
