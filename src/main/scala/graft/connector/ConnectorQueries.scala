@@ -1,0 +1,61 @@
+package graft.connector
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.warehouse.Tables
+
+/** Oracle-checked query keys exercising the connector surface (SURVEY §2
+  * Tier A/B scan-and-sink rows). Partition sizing never changes row
+  * content, so each key's oracle is the plain relational result; the
+  * partition-count/size *behavior* itself is asserted in ScalaTest
+  * (ConnectorSpec), mirroring the reference's own partition tests
+  * (dask_snowflake/tests/test_core.py:285-321). */
+object ConnectorQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // npartitions mode (core.py:169-171): exact partition count, rows intact
+    QueryDef("q_read_npartitions",
+      (s, d) => Read.readTable(s, d,
+          "SELECT c_custkey, c_name, c_acctbal FROM customer",
+          npartitions = Some(8))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // partition_size mode with the reference's 100 MiB-style size target
+    // (core.py:259-260); small target so multiple partitions exist even at
+    // sf0.001
+    QueryDef("q_read_partition_size",
+      (s, d) => Read.readTable(s, d,
+          "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+          partitionSize = Some("256 KiB"))
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin)),
+
+    // write → read-back roundtrip (the reference's dominant test pattern,
+    // test_core.py:54-65): parallel parquet sink, then scan the sink
+    QueryDef("q_roundtrip_write",
+      (s, d) => {
+        val out = Files.createTempDirectory("graft_roundtrip").toString
+        Write.toParquet(Tables.table(s, d, "supplier"), out, overwrite = true)
+        s.read.parquet(out).orderBy("s_suppkey")
+      },
+      Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+
+    // column-rename surface (columns.str.upper(), test_core.py:59-60) —
+    // schema-only operation, no data movement
+    QueryDef("q_rename_upper",
+      (s, d) => {
+        val df = Tables.table(s, d, "region")
+        df.toDF(df.columns.map(_.toUpperCase).toIndexedSeq: _*)
+          .orderBy("R_REGIONKEY")
+      },
+      Some("""SELECT r_regionkey AS R_REGIONKEY, r_name AS R_NAME
+             |FROM region ORDER BY R_REGIONKEY""".stripMargin))
+  )
+}

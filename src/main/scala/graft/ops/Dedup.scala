@@ -1,0 +1,260 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.QueryDef
+import graft.warehouse.Tables
+
+/** Deduplication operators over `documents` / `embeddings` (SURVEY §2
+  * Tier D; north-star "dedup" block: exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard, embedding-cosine near-dup).
+  *
+  * Scale design (the part that matters at 100 TB):
+  *   - exact dedup = hash-groupBy on the content key — one shuffle,
+  *     map-side combine;
+  *   - MinHash/LSH = shingle → K minhashes → band buckets → shuffle BY
+  *     BAND and self-join inside buckets. Candidate generation is never
+  *     O(n²); only same-bucket pairs are compared;
+  *   - n-gram Jaccard verification runs ONLY on LSH candidates;
+  *   - SimHash = one shuffle (token explode → per-doc bit aggregation),
+  *     duplicate buckets found by grouping on the 16-bit signature;
+  *   - embedding near-dup = exact cosine INSIDE coarse partitions (the
+  *     `label` column plays the IVF-cell role) — shuffle by cell, never a
+  *     global cross join.
+  *
+  * All hashing is md5-derived (engine-portable); the DuckDB oracle
+  * replicates every pipeline step exactly, constants included.
+  */
+object Dedup {
+
+  // fixed MinHash permutation constants (primes; seeded randomness is
+  // banned — SURVEY §7.3)
+  private val A = Seq(1299721L, 15485863L, 32452843L, 49979687L,
+    67867967L, 86028121L, 104395301L, 122949823L)
+  private val B = Seq(104729L, 1299709L, 15485867L, 32452867L,
+    49979693L, 67867979L, 86028157L, 104395303L)
+  private val P = 2147483647L // 2^31 - 1
+  private val Bands = 4 // 8 minhashes → 4 bands of 2
+
+  // ---- Spark-dialect expression fragments --------------------------------
+
+  /** distinct 3-token shingles of `text` (documents all have ≥ 10 tokens) */
+  private val shinglesSpark =
+    """array_distinct(transform(
+      |  sequence(1, size(split(text,' ')) - 2),
+      |  i -> concat(element_at(split(text,' '), i), ' ',
+      |              element_at(split(text,' '), i + 1), ' ',
+      |              element_at(split(text,' '), i + 2))))""".stripMargin
+
+  /** md5-int shingle hashes (column `sh` must hold the shingle array) */
+  private val hashesSpark =
+    s"transform(sh, s0 -> ${Text.md5i("s0")})"
+
+  /** the 8 minhash values as an array (column `hs` holds hashes) */
+  private val minhashSpark: String =
+    A.zip(B).map { case (a, b) =>
+      s"array_min(transform(hs, h -> ($a * h + $b) % $P))"
+    }.mkString("array(", ", ", ")")
+
+  // ---- DuckDB-dialect twins ---------------------------------------------
+
+  private val shinglesDuck =
+    """list_distinct(list_transform(
+      |  generate_series(1, len(string_split(text,' ')) - 2),
+      |  i -> concat(string_split(text,' ')[i], ' ',
+      |              string_split(text,' ')[i+1], ' ',
+      |              string_split(text,' ')[i+2])))""".stripMargin
+
+  private val hashesDuck =
+    s"list_transform(sh, s0 -> ${Text.md5iDuck("s0")})"
+
+  private val minhashDuck: String =
+    A.zip(B).map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $P))"
+    }.mkString("[", ", ", "]")
+
+  /** Common CTE prefix computing per-doc band buckets in DuckDB. */
+  private def duckBandsCte: String =
+    s"""WITH sh_t AS (
+       |  SELECT doc_id, $shinglesDuck AS sh FROM documents
+       |), hs_t AS (
+       |  SELECT doc_id, $hashesDuck AS hs FROM sh_t
+       |), mh_t AS (
+       |  SELECT doc_id, $minhashDuck AS mh FROM hs_t
+       |), bands AS (
+       |  SELECT doc_id, band_idx,
+       |    mh[2*band_idx + 1] * $P + mh[2*band_idx + 2] AS band_val
+       |  FROM mh_t, (SELECT unnest(generate_series(0, ${Bands - 1})) AS band_idx)
+       |)""".stripMargin
+
+  /** Spark-side per-doc band buckets: (doc_id, band_idx, band_val). */
+  private def sparkBands(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val bandStructs = (0 until Bands).map { bi =>
+      s"struct(CAST($bi AS INT) AS band_idx, " +
+        s"element_at(mh, ${2 * bi + 1}) * $P + element_at(mh, ${2 * bi + 2}) AS band_val)"
+    }.mkString("array(", ", ", ")")
+    Tables.table(s, d, "documents")
+      .select(col("doc_id"), expr(shinglesSpark).as("sh"))
+      .select(col("doc_id"), expr(hashesSpark).as("hs"))
+      .select(col("doc_id"), expr(minhashSpark).as("mh"))
+      .select(col("doc_id"), explode(expr(bandStructs)).as("b"))
+      .select(col("doc_id"), col("b.band_idx"), col("b.band_val"))
+  }
+
+  /** Spark-side distinct LSH candidate pairs (doc_a < doc_b). */
+  private def sparkCandidates(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val bands = sparkBands(s, d)
+    val l = bands.toDF("doc_a", "band_idx", "band_val")
+    val r = bands.toDF("doc_b", "band_idx", "band_val")
+    l.join(r, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  private val duckCandidates =
+    s"""$duckBandsCte
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b USING (band_idx, band_val)
+       |WHERE a.doc_id < b.doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------ exact dedup
+    // hash-groupBy on a normalized content key; survivor = min doc_id
+    // (deterministic, unlike dropDuplicates' arbitrary winner)
+    QueryDef("q_dedup_exact",
+      (s, d) => Tables.table(s, d, "documents")
+        .groupBy(substring(col("text"), 1, 50).as("content_key"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        .select("keep_id", "n_dups")
+        .orderBy("keep_id"),
+      Some("""SELECT min(doc_id) AS keep_id, CAST(count(1) AS BIGINT) AS n_dups
+             |FROM documents GROUP BY substr(text, 1, 50)
+             |ORDER BY keep_id""".stripMargin)),
+
+    // ------------------------------------------------ MinHash + LSH
+    // candidate near-dup pairs sharing ≥1 of 4 LSH bands over 8 minhashes
+    QueryDef("q_dedup_minhash",
+      (s, d) => sparkCandidates(s, d).orderBy("doc_a", "doc_b"),
+      Some(s"$duckCandidates\nORDER BY doc_a, doc_b")),
+
+    // ------------------------------------------------ n-gram Jaccard
+    // exact 3-shingle Jaccard, verified ONLY on the LSH candidates
+    QueryDef("q_dedup_ngram",
+      (s, d) => {
+        val sh = Tables.table(s, d, "documents")
+          .select(col("doc_id"), expr(shinglesSpark).as("sh"))
+        val cand = sparkCandidates(s, d)
+        cand
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            round(size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
+              / size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+          .filter(col("jaccard") >= 0.3)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""$duckBandsCte, cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM bands a JOIN bands b USING (band_idx, band_val)
+              |  WHERE a.doc_id < b.doc_id
+              |)
+              |SELECT doc_a, doc_b,
+              |  round(len(list_intersect(x.sh, y.sh))::DOUBLE
+              |        / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+              |FROM cand
+              |JOIN sh_t x ON x.doc_id = doc_a
+              |JOIN sh_t y ON y.doc_id = doc_b
+              |WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+              |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.3
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ------------------------------------------------ SimHash
+    // 16-bit frequency-weighted simhash; bucket size surfaces exact-ish
+    // duplicates (identical signatures). One explode + one hash-agg.
+    QueryDef("q_dedup_simhash",
+      (s, d) => {
+        val th = Tables.table(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .withColumn("h", expr(Text.md5i("token")))
+        val bitSums = (0 until 16).map(i =>
+          sum(when(expr(s"(h div ${1L << i}) % 2") === 1, 1).otherwise(-1)).as(s"s_$i"))
+        val simhash = (0 until 16).map(i =>
+          s"(CASE WHEN s_$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+          .mkString(" + ")
+        th.groupBy("doc_id")
+          .agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"), expr(simhash).as("simhash"))
+          .withColumn("n_bucket",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy("simhash")).cast(LongType))
+          .orderBy("doc_id")
+      },
+      Some {
+        val bitSums = (0 until 16).map(i =>
+          s"sum(CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END) AS s_$i")
+          .mkString(", ")
+        val simhash = (0 until 16).map(i =>
+          s"(CASE WHEN s_$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+          .mkString(" + ")
+        s"""WITH th AS (
+           |  SELECT doc_id, ${Text.md5iDuck("token")} AS h
+           |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token
+           |        FROM documents)
+           |), bits AS (
+           |  SELECT doc_id, $bitSums FROM th GROUP BY doc_id
+           |)
+           |SELECT doc_id, $simhash AS simhash,
+           |  CAST(count(1) OVER (PARTITION BY $simhash) AS BIGINT) AS n_bucket
+           |FROM bits ORDER BY doc_id""".stripMargin
+      }),
+
+    // ------------------------------------------------ embedding near-dup
+    // exact cosine within coarse cells (`label` = the IVF-cell stand-in):
+    // pairs shuffle by cell, never a global cross join. Fold order is the
+    // element order in both engines → bit-identical doubles.
+    QueryDef("q_dedup_embedding",
+      (s, d) => {
+        val e = Tables.table(s, d, "embeddings").select(
+          col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .withColumn("nrm",
+            sqrt(expr("aggregate(v, CAST(0.0 AS DOUBLE), (s0, x) -> s0 + x * x)")))
+        val a = e.select(col("vec_id").as("vec_a"), col("label"),
+          col("v").as("va"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("vec_b"), col("label"),
+          col("v").as("vb"), col("nrm").as("nb"))
+        a.join(b, Seq("label"))
+          .filter(col("vec_a") < col("vec_b"))
+          .withColumn("cosine", round(
+            expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s0, x) -> s0 + x)")
+              / (col("na") * col("nb")), 6))
+          .filter(col("cosine") >= 0.45)
+          .select("vec_a", "vec_b", "cosine")
+          .orderBy("vec_a", "vec_b")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings
+             |), n AS (
+             |  SELECT vec_id, label, v,
+             |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+             |  FROM e
+             |)
+             |, pairs AS (
+             |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list_transform(generate_series(1, len(a.v)),
+             |          i -> a.v[i] * b.v[i])), (s0, x) -> s0 + x)
+             |      / (a.nrm * b.nrm), 6) AS cosine
+             |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+             |)
+             |SELECT vec_a, vec_b, cosine FROM pairs
+             |WHERE cosine >= 0.45
+             |ORDER BY vec_a, vec_b""".stripMargin))
+  )
+}

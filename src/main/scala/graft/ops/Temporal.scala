@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.QueryDef
+import graft.warehouse.Tables
+
+/** Time/JSON/event-stream operators over the `events` table (SURVEY §2:
+  * `q_scalar_json`, `q_join_asof`, and the batch-checkable analogues of the
+  * Structured Streaming windows — time `window()`/`session_window()` are
+  * identical expressions in batch mode, so the oracle validates the exact
+  * aggregation a stream would run; true `readStream` execution is covered
+  * in StreamingSpec).
+  */
+object Temporal {
+
+  private val D386 = DecimalType(38, 6)
+
+  /** Exact sum of a double column that is reproducible across engines and
+    * partition orders: decimal inside the agg, double on the way out. */
+  private def dsum(c: String) = sum(col(c).cast(D386)).cast(DoubleType)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // JSON / VARIANT path extraction (events.props is a JSON object string
+    // — the arrival shape of Snowflake VARIANT through Arrow, SURVEY §1.1)
+    QueryDef("q_scalar_json",
+      (s, d) => Tables.table(s, d, "events").select(
+          col("event_id"),
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, event_type,
+             |  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // AS-OF join (Snowflake ASOF JOIN): for every click, the most recent
+    // purchase by the same user at or before the click. No Spark built-in;
+    // the scale-safe pattern is union + last(..., ignoreNulls) over a
+    // window — ONE shuffle on user_id, no range explosion, no O(n²)
+    // (SURVEY §2 q_join_asof). DuckDB's native ASOF JOIN is the oracle.
+    QueryDef("q_join_asof",
+      (s, d) => {
+        val ev = Tables.table(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("side"),
+            lit(null).cast(LongType).as("p_id"), lit(null).cast(DoubleType).as("p_value"))
+        // dedupe the right side to one purchase per (user, ts) so the
+        // as-of match is deterministic under ts ties
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts")
+          .agg(max("event_id").as("p_id"), max_by(col("value"), col("event_id")).as("p_value"))
+          .select(col("user_id"), col("ts"), lit(null).cast(LongType).as("event_id"),
+            lit(0).as("side"), col("p_id"), col("p_value"))
+        // at equal ts the purchase (side=0) sorts first, so a click at the
+        // same instant sees it — matching ASOF's l.ts >= r.ts semantics
+        val w = Window.partitionBy("user_id").orderBy("ts", "side")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionByName(purchases)
+          .withColumn("asof_p_id", last(when(col("side") === 0, col("p_id")), ignoreNulls = true).over(w))
+          .withColumn("asof_p_value", last(when(col("side") === 0, col("p_value")), ignoreNulls = true).over(w))
+          .filter(col("side") === 1)
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("asof_p_id"), col("asof_p_value"))
+          .orderBy("click_id")
+      },
+      Some("""WITH clicks AS (
+             |  SELECT event_id AS click_id, user_id, ts
+             |  FROM events WHERE event_type = 'click'
+             |), purchases AS (
+             |  SELECT user_id, ts, max(event_id) AS p_id,
+             |         arg_max(value, event_id) AS p_value
+             |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+             |)
+             |SELECT c.click_id, c.user_id,
+             |       p.p_id AS asof_p_id, p.p_value AS asof_p_value
+             |FROM clicks c
+             |ASOF LEFT JOIN purchases p
+             |  ON c.user_id = p.user_id AND c.ts >= p.ts
+             |ORDER BY c.click_id""".stripMargin)),
+
+    // tumbling window (streaming: groupBy(window($"ts","1 hour"))) — the
+    // epoch-aligned 1h window start equals date_trunc('hour')
+    QueryDef("q_stream_tumbling",
+      (s, d) => Tables.table(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum("value").as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+             |  CAST(count(1) AS BIGINT) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin)),
+
+    // sliding window (1h window, 15min slide): every event lands in 4
+    // overlapping windows; oracle replays that expansion with a 0..3 series
+    QueryDef("q_stream_sliding",
+      (s, d) => Tables.table(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), dsum("value").as("sum_value"))
+        .select(col("w.start").as("window_start"), col("n"), col("sum_value"))
+        .orderBy("window_start"),
+      Some("""SELECT time_bucket(INTERVAL '15 minutes', ts)
+             |         - k * INTERVAL '15 minutes' AS window_start,
+             |  CAST(count(1) AS BIGINT) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+             |FROM events, (SELECT unnest(generate_series(0, 3)) AS k)
+             |GROUP BY 1 ORDER BY window_start""".stripMargin)),
+
+    // session window (30-min inactivity gap per user). Streaming form:
+    // groupBy(session_window($"ts","30 minutes"), $"user_id"); the batch
+    // oracle is the classic gaps-and-islands rewrite.
+    QueryDef("q_stream_session",
+      (s, d) => Tables.table(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum("value").as("sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |              >= INTERVAL '30 minutes'
+             |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |), islands AS (
+             |  SELECT user_id, ts, value,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             |  FROM flagged
+             |)
+             |SELECT user_id, min(ts) AS session_start,
+             |  CAST(count(1) AS BIGINT) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+             |FROM islands GROUP BY user_id, sess
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // watermark / late-data batch analogue: keep events within 1 day of the
+    // observed max ts. The scalar max is broadcast — no single-partition
+    // window, no second scan of a sorted stream.
+    QueryDef("q_stream_late_filter",
+      (s, d) => {
+        val ev = Tables.table(s, d, "events")
+        val maxTs = ev.agg(max("ts").as("max_ts"))
+        ev.join(broadcast(maxTs))
+          .filter(col("ts") >= col("max_ts") - expr("INTERVAL '1' DAY"))
+          .select("event_id", "ts", "event_type", "value")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, ts, event_type, value FROM events
+             |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL '1' DAY
+             |ORDER BY event_id""".stripMargin))
+  )
+}

@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.QueryDef
+import graft.warehouse.Tables
+
+/** Text-analysis operators over `documents` (SURVEY §2 Tier D; north-star
+  * "text analysis" block: token counting, tf-idf, language-ID heuristic,
+  * quality scoring, document fingerprinting).
+  *
+  * Everything is built from codegen-friendly built-ins (`split`, `explode`,
+  * higher-order array functions) — no UDFs — so Catalyst keeps the plans
+  * whole-stage-compiled and the aggregations are ordinary partial+final
+  * hash aggregates that scale by shuffle on the grouping key.
+  *
+  * Cross-engine determinism: token hashing uses md5 (identical bytes in
+  * any engine) folded to a 32-bit int; float outputs are rounded;
+  * exact sums go through DECIMAL internally.
+  */
+object Text {
+
+  /** Tokens of a document — whitespace tokenization on the word-soup
+    * corpus (FIXTURES.md: text is space-separated). */
+  def toks: Column = split(col("text"), " ")
+
+  /** 32-bit deterministic string hash both engines can compute
+    * identically: first 8 hex chars of md5, parsed as an integer.
+    * Spark: conv(hex,16,10); DuckDB: CAST('0x'||hex AS BIGINT). */
+  def md5i(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 8), 16, 10) AS BIGINT)"
+
+  /** DuckDB twin of [[md5i]]. */
+  def md5iDuck(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------ token counting
+    // corpus-wide token frequencies: explode → hash-agg (map-side partial
+    // combine keeps the shuffle tiny — vocabulary-sized, not corpus-sized)
+    QueryDef("q_text_tokens",
+      (s, d) => Tables.table(s, d, "documents")
+        .select(explode(toks).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(30),
+      Some("""SELECT token, CAST(count(1) AS BIGINT) AS n
+             |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin)),
+
+    // per-document token stats
+    QueryDef("q_text_token_stats",
+      (s, d) => Tables.table(s, d, "documents").select(
+          col("doc_id"),
+          size(toks).cast(LongType).as("n_tokens"),
+          size(array_distinct(toks)).cast(LongType).as("n_distinct"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------ tf-idf
+    // two aggregations + a broadcast-able join: term counts per doc,
+    // document frequency per term (computed over ALL docs), N as a
+    // broadcast scalar. Output restricted to doc_id < 20 to keep the
+    // verify dump small; the aggregates themselves run over the full table.
+    QueryDef("q_text_tfidf",
+      (s, d) => {
+        val docs = Tables.table(s, d, "documents")
+        val term = docs.select(col("doc_id"), explode(toks).as("token"))
+        val tf = term.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val df_ = term.groupBy("token")
+          .agg(countDistinct("doc_id").as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        tf.join(broadcast(df_), "token")
+          .join(broadcast(n))
+          .filter(col("doc_id") < 20)
+          .select(col("doc_id"), col("token"), col("tf").cast(LongType).as("tf"),
+            round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6)
+              .as("tfidf"))
+          .orderBy("doc_id", "token")
+      },
+      Some("""WITH term AS (
+             |  SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents
+             |), tf AS (
+             |  SELECT doc_id, token, count(1) AS tf FROM term GROUP BY 1, 2
+             |), df AS (
+             |  SELECT token, count(DISTINCT doc_id) AS df FROM term GROUP BY 1
+             |)
+             |SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+             |  round(tf.tf * ln((SELECT count(1) FROM documents)::DOUBLE / df.df), 6) AS tfidf
+             |FROM tf JOIN df USING (token)
+             |WHERE tf.doc_id < 20
+             |ORDER BY doc_id, token""".stripMargin)),
+
+    // ------------------------------------------------ language ID
+    // n-gram/stopword-profile heuristic: score each language by hits
+    // against a fixed marker-word profile, argmax with a deterministic
+    // tie order. (The real corpus vocabulary is the profile source;
+    // the mechanism — profile scoring entirely inside codegen'd array
+    // expressions, no shuffle at all — is the 100 TB-relevant part.)
+    QueryDef("q_text_langid",
+      (s, d) => Tables.table(s, d, "documents").select(
+          col("doc_id"),
+          expr("CAST(size(filter(split(text,' '), x -> x IN ('the','a','data'))) AS BIGINT)").as("s_en"),
+          expr("CAST(size(filter(split(text,' '), x -> x IN ('table','row','column'))) AS BIGINT)").as("s_de"),
+          expr("CAST(size(filter(split(text,' '), x -> x IN ('query','join','merge'))) AS BIGINT)").as("s_fr"))
+        .withColumn("pred_lang",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_fr"), "de")
+            .otherwise("fr"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','data'], x))) AS BIGINT) AS s_en,
+             |  CAST(len(list_filter(string_split(text,' '), x -> list_contains(['table','row','column'], x))) AS BIGINT) AS s_de,
+             |  CAST(len(list_filter(string_split(text,' '), x -> list_contains(['query','join','merge'], x))) AS BIGINT) AS s_fr,
+             |  CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+             |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------ quality scoring
+    // length / type-token-ratio / mean-token-length heuristics folded into
+    // one score; per-row only (maps over the scan, zero shuffle)
+    QueryDef("q_text_quality",
+      (s, d) => {
+        val nTok = size(toks).cast(DoubleType)
+        val nDis = size(array_distinct(toks)).cast(DoubleType)
+        val ttr = nDis / nTok
+        val avgLen = (length(col("text")) - (nTok - 1)) / nTok
+        // outputs are floor-scaled to integers, not round()ed: these
+        // ratios of small ints land exactly on decimal rounding
+        // boundaries, where Spark's and DuckDB's round() disagree by an
+        // ulp. floor of the SAME double is engine-identical.
+        Tables.table(s, d, "documents").select(
+            col("doc_id"),
+            nTok.cast(LongType).as("n_tokens"),
+            floor(ttr * 1e6).cast(LongType).as("ttr_e6"),
+            floor(avgLen * 1e6).cast(LongType).as("avg_token_len_e6"),
+            floor((ttr * lit(0.3)
+              + least(nTok / 100.0, lit(1.0)) * lit(0.4)
+              + least(avgLen / 10.0, lit(1.0)) * lit(0.3)) * 1e6)
+              .cast(LongType).as("quality_e6"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH q AS (
+             |  SELECT doc_id,
+             |    len(string_split(text,' '))::DOUBLE AS n_tokens,
+             |    len(list_distinct(string_split(text,' ')))::DOUBLE AS n_distinct,
+             |    length(text) AS n_chars
+             |  FROM documents
+             |)
+             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(floor(n_distinct / n_tokens * 1000000.0) AS BIGINT) AS ttr_e6,
+             |  CAST(floor((n_chars - (n_tokens - 1)) / n_tokens * 1000000.0) AS BIGINT) AS avg_token_len_e6,
+             |  CAST(floor((n_distinct / n_tokens * 0.3
+             |    + least(n_tokens / 100.0, 1.0) * 0.4
+             |    + least((n_chars - (n_tokens - 1)) / n_tokens / 10.0, 1.0) * 0.3) * 1000000.0) AS BIGINT) AS quality_e6
+             |FROM q ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------ fingerprinting
+    // order-sensitive rolling polynomial hash over the token stream
+    // (content fingerprint: same tokens in a different order → different
+    // print). Left fold with identical integer arithmetic in both engines.
+    QueryDef("q_text_fingerprint",
+      (s, d) => Tables.table(s, d, "documents").select(
+          col("doc_id"),
+          expr(s"""aggregate(
+                  |  transform(split(text, ' '), t -> ${md5i("t")}),
+                  |  CAST(0 AS BIGINT),
+                  |  (acc, h) -> (acc * 31 + h) % 1000000007)""".stripMargin)
+            .as("fingerprint"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  list_reduce(
+              |    list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(string_split(text, ' '), t -> ${md5iDuck("t")})),
+              |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+              |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

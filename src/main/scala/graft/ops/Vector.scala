@@ -1,0 +1,218 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.QueryDef
+import graft.warehouse.Tables
+
+/** Similarity search and multimodal-column operators over `embeddings` /
+  * `documents` (SURVEY §2 Tier D; north-star "similarity search" and
+  * "multimodal columns" blocks).
+  *
+  * Two search paths, per the north-star mandate:
+  *   - [[q_similarity_topk]]: brute-force cosine top-k — the exactness
+  *     baseline. Query set is broadcast; the big side streams through one
+  *     scan; per-query top-k via window rank. At 100 TB this is the
+  *     pattern for SMALL query batches (cost = one pass over the corpus
+  *     per batch, no shuffle of the corpus itself).
+  *   - [[q_similarity_lsh]]: random-hyperplane LSH — the scale path.
+  *     Corpus vectors hash to sign-bit band buckets; candidates are
+  *     same-bucket only (shuffle by band bucket, never O(n·q) dot
+  *     products). Hyperplane coefficients are a fixed integer-arithmetic
+  *     formula so both engines derive bit-identical planes.
+  *
+  * Dot products / norms use sequential left folds over the array in both
+  * engines (Spark `aggregate`, DuckDB `list_reduce`) → bit-identical
+  * doubles; outputs are additionally rounded to 6 digits.
+  */
+object Vector {
+
+  /** embeddings cast float→double once: (vec_id, label, v, nrm) */
+  private def vecs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.table(s, d, "embeddings").select(
+        col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm",
+        sqrt(expr("aggregate(v, CAST(0.0 AS DOUBLE), (s0, x) -> s0 + x * x)")))
+
+  private val duckVecs =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, label, v,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+      |  FROM e
+      |)""".stripMargin
+
+  private val duckDot =
+    """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(q.v)),
+      |        i -> q.v[i] * c.v[i])), (s0, x) -> s0 + x)""".stripMargin
+
+  // 16 hyperplanes × 4-bit bands: coefficient c(p,j) from a fixed integer
+  // recurrence — exact in BIGINT, identical in both engines
+  private val Planes = 16
+  private val BandBits = 4
+  private val NBands = Planes / BandBits
+
+  /** signature bit p of vector column `v` (Spark dialect) */
+  private def sigSpark: String = {
+    val bits = (0 until Planes).map { p =>
+      s"""(CASE WHEN aggregate(
+         |  zip_with(v,
+         |    transform(sequence(0, ${63}),
+         |      j -> (($p * 64 + j) * 2654435761 % 1000003) / 1000003.0 - 0.5),
+         |    (x, c0) -> x * c0),
+         |  CAST(0.0 AS DOUBLE), (s0, x) -> s0 + x) >= 0 THEN 1 ELSE 0 END)""".stripMargin
+    }
+    bits.mkString("array(", ", ", ")")
+  }
+
+  private def sigDuck: String = {
+    val bits = (0 until Planes).map { p =>
+      s"""(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(generate_series(1, 64),
+         |    i -> v[i] * ((($p * 64 + (i - 1)) * 2654435761 % 1000003) / 1000003.0 - 0.5))),
+         |  (s0, x) -> s0 + x) >= 0 THEN 1 ELSE 0 END)""".stripMargin
+    }
+    bits.mkString("[", ", ", "]")
+  }
+
+  /** band values from the signature array column `sig` (1-indexed both) */
+  private def bandExprs(arr: String => String): Seq[String] =
+    (0 until NBands).map { b =>
+      val bits = (0 until BandBits).map { i =>
+        s"${arr((b * BandBits + i + 1).toString)} * ${1 << (BandBits - 1 - i)}"
+      }.mkString(" + ")
+      s"(($bits) + ${b * 16})" // namespace each band's 4-bit value by band idx
+    }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------- brute-force cosine top-k
+    QueryDef("q_similarity_topk",
+      (s, d) => {
+        val e = vecs(s, d)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        val c = e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+        val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+        c.join(broadcast(q), col("cid") =!= col("qid"))
+          .withColumn("cosine", round(
+            expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s0, x) -> s0 + x)")
+              / (col("qn") * col("cn")), 6))
+          .withColumn("rank", row_number().over(w).cast(LongType))
+          .filter(col("rank") <= 5)
+          .select("qid", "rank", "cid", "cosine")
+          .orderBy("qid", "rank")
+      },
+      Some(s"""$duckVecs, scored AS (
+              |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+              |    round($duckDot / (q.nrm * c.nrm), 6) AS cosine
+              |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+              |), ranked AS (
+              |  SELECT qid, cid, cosine,
+              |    CAST(row_number() OVER (PARTITION BY qid
+              |      ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+              |  FROM scored
+              |)
+              |SELECT qid, rank, cid, cosine FROM ranked
+              |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // ---------------------------------------- LSH-bucketed ANN top-k
+    // same query set, but candidates are vectors sharing ≥1 hyperplane
+    // band with the query — the recall/cost dial is (Planes, BandBits)
+    QueryDef("q_similarity_lsh",
+      (s, d) => {
+        val e = vecs(s, d).withColumn("sig", expr(sigSpark))
+          .withColumn("band", explode(expr(
+            bandExprs(i => s"element_at(sig, $i)").mkString("array(", ", ", ")"))))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nrm").as("qn"), col("band"))
+        val c = e.select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("nrm").as("cn"), col("band"))
+        val cand = c.join(q, Seq("band"))
+          .filter(col("cid") =!= col("qid"))
+          .select("qid", "qv", "qn", "cid", "cv", "cn")
+          .distinct()
+        val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+        cand
+          .withColumn("cosine", round(
+            expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s0, x) -> s0 + x)")
+              / (col("qn") * col("cn")), 6))
+          .withColumn("rank", row_number().over(w).cast(LongType))
+          .filter(col("rank") <= 5)
+          .select("qid", "rank", "cid", "cosine")
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val duckBands = bandExprs(i => s"sig[$i]").mkString("[", ", ", "]")
+        s"""$duckVecs, sigs AS (
+           |  SELECT vec_id, v, nrm, $sigDuck AS sig FROM n
+           |), banded AS (
+           |  SELECT vec_id, v, nrm, unnest($duckBands) AS band FROM sigs
+           |), cand AS (
+           |  SELECT DISTINCT q.vec_id AS qid, q.v AS qv, q.nrm AS qn,
+           |    c.vec_id AS cid, c.v AS cv, c.nrm AS cn
+           |  FROM banded q JOIN banded c USING (band)
+           |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+           |), scored AS (
+           |  SELECT qid, cid,
+           |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        list_transform(generate_series(1, len(qv)),
+           |          i -> qv[i] * cv[i])), (s0, x) -> s0 + x)
+           |      / (qn * cn), 6) AS cosine
+           |  FROM cand
+           |), ranked AS (
+           |  SELECT qid, cid, cosine,
+           |    CAST(row_number() OVER (PARTITION BY qid
+           |      ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+           |  FROM scored
+           |)
+           |SELECT qid, rank, cid, cosine FROM ranked
+           |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+      }),
+
+    // ---------------------------------------- multimodal join
+    // text modality ⋈ vector modality on the shared id; ArrayType(Float)
+    // is a first-class column — no serialization detour
+    QueryDef("q_multimodal_join",
+      (s, d) => {
+        val e = vecs(s, d)
+        Tables.table(s, d, "documents")
+          .join(e, col("doc_id") === col("vec_id"))
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("label"),
+            round(col("nrm"), 6).as("embedding_norm"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$duckVecs
+              |SELECT doc_id, lang, n_chars, label,
+              |  round(nrm, 6) AS embedding_norm
+              |FROM documents JOIN n ON doc_id = vec_id
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------- multimodal binary plumbing
+    // opaque binary payload + typed metadata: the oracle-checkable half of
+    // the binary-column pipeline (lengths + content hash + a
+    // deterministic "decoded feature" stub — see ops.Multimodal for the
+    // mapPartitions decode plumbing)
+    QueryDef("q_multimodal_binary",
+      (s, d) => Tables.table(s, d, "documents").select(
+          col("doc_id"),
+          octet_length(col("text")).cast(LongType).as("payload_bytes"),
+          md5(col("text").cast(BinaryType)).as("payload_md5"),
+          expr(Text.md5i("text")).as("feature_stub"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+              |  md5(text) AS payload_md5,
+              |  ${Text.md5iDuck("text")} AS feature_stub
+              |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}
