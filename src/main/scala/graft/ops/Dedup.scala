@@ -39,13 +39,16 @@ object Dedup {
 
   // ---- Spark-dialect expression fragments --------------------------------
 
-  /** distinct 3-token shingles of `text` (documents all have ≥ 10 tokens) */
+  /** distinct 3-token shingles from a pre-split token array column `tk`
+    * (tokenizing once matters: Spark does NOT eliminate the common
+    * `split()` subexpression inside lambda bodies, and re-running the
+    * regex split per shingle element dominated the minhash plan) */
   private val shinglesSpark =
     """array_distinct(transform(
-      |  sequence(1, size(split(text,' ')) - 2),
-      |  i -> concat(element_at(split(text,' '), i), ' ',
-      |              element_at(split(text,' '), i + 1), ' ',
-      |              element_at(split(text,' '), i + 2))))""".stripMargin
+      |  sequence(1, size(tk) - 2),
+      |  i -> concat(element_at(tk, i), ' ',
+      |              element_at(tk, i + 1), ' ',
+      |              element_at(tk, i + 2))))""".stripMargin
 
   /** md5-int shingle hashes (column `sh` must hold the shingle array) */
   private val hashesSpark =
@@ -61,10 +64,8 @@ object Dedup {
 
   private val shinglesDuck =
     """list_distinct(list_transform(
-      |  generate_series(1, len(string_split(text,' ')) - 2),
-      |  i -> concat(string_split(text,' ')[i], ' ',
-      |              string_split(text,' ')[i+1], ' ',
-      |              string_split(text,' ')[i+2])))""".stripMargin
+      |  generate_series(1, len(tk) - 2),
+      |  i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])))""".stripMargin
 
   private val hashesDuck =
     s"list_transform(sh, s0 -> ${Text.md5iDuck("s0")})"
@@ -76,8 +77,10 @@ object Dedup {
 
   /** Common CTE prefix computing per-doc band buckets in DuckDB. */
   private def duckBandsCte: String =
-    s"""WITH sh_t AS (
-       |  SELECT doc_id, $shinglesDuck AS sh FROM documents
+    s"""WITH tk_t AS (
+       |  SELECT doc_id, string_split(text,' ') AS tk FROM documents
+       |), sh_t AS (
+       |  SELECT doc_id, $shinglesDuck AS sh FROM tk_t
        |), hs_t AS (
        |  SELECT doc_id, $hashesDuck AS hs FROM sh_t
        |), mh_t AS (
@@ -95,6 +98,7 @@ object Dedup {
         s"element_at(mh, ${2 * bi + 1}) * $P + element_at(mh, ${2 * bi + 2}) AS band_val)"
     }.mkString("array(", ", ", ")")
     Tables.table(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), expr(shinglesSpark).as("sh"))
       .select(col("doc_id"), expr(hashesSpark).as("hs"))
       .select(col("doc_id"), expr(minhashSpark).as("mh"))
@@ -102,9 +106,11 @@ object Dedup {
       .select(col("doc_id"), col("b.band_idx"), col("b.band_val"))
   }
 
-  /** Spark-side distinct LSH candidate pairs (doc_a < doc_b). */
+  /** Spark-side distinct LSH candidate pairs (doc_a < doc_b). The band
+    * table is persisted so the self-join's two sides don't re-run the
+    * shingle+md5 pipeline (tiny: ~4 rows/doc). */
   private def sparkCandidates(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val bands = sparkBands(s, d)
+    val bands = sparkBands(s, d).persist()
     val l = bands.toDF("doc_a", "band_idx", "band_val")
     val r = bands.toDF("doc_b", "band_idx", "band_val")
     l.join(r, Seq("band_idx", "band_val"))
@@ -145,6 +151,7 @@ object Dedup {
     QueryDef("q_dedup_ngram",
       (s, d) => {
         val sh = Tables.table(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
           .select(col("doc_id"), expr(shinglesSpark).as("sh"))
         val cand = sparkCandidates(s, d)
         cand

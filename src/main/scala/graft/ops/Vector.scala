@@ -60,14 +60,23 @@ object Vector {
   private val BandBits = 4
   private val NBands = Planes / BandBits
 
+  /** Hyperplane coefficients, precomputed once in Scala from the fixed
+    * integer recurrence and embedded as E-notation literals (parsed as
+    * DOUBLE by both engines; 17 significant digits round-trip exactly).
+    * Deriving them per row inside a lambda defeated constant folding and
+    * dominated the LSH plan. */
+  private def coef(p: Int, j: Int): Double =
+    ((p.toLong * 64 + j) * 2654435761L % 1000003L) / 1000003.0 - 0.5
+
+  private def planeLits(p: Int): Seq[String] =
+    (0 until 64).map(j => "%.17e".format(coef(p, j)))
+
   /** signature bit p of vector column `v` (Spark dialect) */
   private def sigSpark: String = {
     val bits = (0 until Planes).map { p =>
+      val plane = planeLits(p).mkString("array(", ", ", ")")
       s"""(CASE WHEN aggregate(
-         |  zip_with(v,
-         |    transform(sequence(0, ${63}),
-         |      j -> (($p * 64 + j) * 2654435761 % 1000003) / 1000003.0 - 0.5),
-         |    (x, c0) -> x * c0),
+         |  zip_with(v, $plane, (x, c0) -> x * c0),
          |  CAST(0.0 AS DOUBLE), (s0, x) -> s0 + x) >= 0 THEN 1 ELSE 0 END)""".stripMargin
     }
     bits.mkString("array(", ", ", ")")
@@ -75,9 +84,10 @@ object Vector {
 
   private def sigDuck: String = {
     val bits = (0 until Planes).map { p =>
+      val plane = planeLits(p).mkString("[", ", ", "]")
       s"""(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |  list_transform(generate_series(1, 64),
-         |    i -> v[i] * ((($p * 64 + (i - 1)) * 2654435761 % 1000003) / 1000003.0 - 0.5))),
+         |    i -> v[i] * ($plane)[i])),
          |  (s0, x) -> s0 + x) >= 0 THEN 1 ELSE 0 END)""".stripMargin
     }
     bits.mkString("[", ", ", "]")
