@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY §2 Tier D "multimodal columns"):
+  * image/audio/video travel as opaque `BinaryType` columns next to a typed
+  * metadata struct; decode / feature-extraction runs partition-wise so a
+  * real decoder processes a batch of payloads per task without any
+  * driver-side materialization.
+  *
+  * The decode step itself is STUBBED (this container has no image/audio
+  * codecs): [[stubDecode]] derives a deterministic fake feature vector
+  * from the payload bytes. Everything around it — the binary schema, the
+  * metadata struct, the `mapPartitions` batch shape, partition-preserving
+  * execution — is the real 100 TB-scale plumbing: payloads never leave
+  * executors, the feature pass is a narrow (shuffle-free) transformation,
+  * and the output schema is a first-class `ArrayType(FloatType)` column
+  * ready for the [[Vector]] similarity operators.
+  */
+object Multimodal {
+
+  val FeatureDim = 8
+
+  /** media-record schema: id + opaque payload + typed metadata */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("source", StringType, nullable = true))), nullable = false)))
+
+  /** Attach an opaque binary payload + metadata struct to `documents`.
+    * (Here the payload is the utf-8 text bytes standing in for real media;
+    * a production pipeline reads the binary column straight from parquet.) */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast(BinaryType).as("payload"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        octet_length(col("text")).cast(LongType).as("n_bytes"),
+        col("source").as("source")).as("meta"))
+
+  /** STUB decoder: a real implementation would decode the payload
+    * (image/audio frame) and run a feature extractor. The fake is
+    * deterministic — a rolling byte hash seeds each feature dimension —
+    * so tests and re-runs are stable. */
+  def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
+    var h = 1125899906842597L // fixed FNV-ish seed
+    var i = 0
+    while (i < payload.length) {
+      h = h * 31 + (payload(i) & 0xff)
+      i += 1
+    }
+    val out = new Array[Float](dim)
+    var j = 0
+    var x = h
+    while (j < dim) {
+      x = x * 6364136223846793005L + 1442695040888963407L // splitmix-style
+      out(j) = ((x >>> 11).toDouble / (1L << 53).toDouble).toFloat - 0.5f
+      j += 1
+    }
+    out
+  }
+
+  /** queries() surface: decode plumbing end-to-end (no SQL oracle — the
+    * stub features aren't SQL-expressible; driver records the rows-only
+    * check, the deterministic values are asserted in MultimodalSpec). */
+  val defs: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef("q_multimodal_decode",
+      (s, d) => extractFeatures(withPayload(
+          graft.warehouse.Tables.table(s, d, "documents")))
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+          col("features"))
+        .orderBy("doc_id"),
+      None))
+
+  /** Partition-wise feature extraction over the binary column: one
+    * iterator pass per task (the batch shape a vectorized decoder wants),
+    * no shuffle, payload dropped after decode so only the small feature
+    * vector flows downstream. */
+  def extractFeatures(media: DataFrame, dim: Int = FeatureDim): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("meta", media.schema("meta").dataType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select("doc_id", "payload", "meta").mapPartitions { rows =>
+      rows.map { r =>
+        val feats = stubDecode(r.getAs[Array[Byte]]("payload"), dim)
+        Row(r.getLong(0), r.getStruct(2), feats.toSeq)
+      }
+    }(enc)
+  }
+}

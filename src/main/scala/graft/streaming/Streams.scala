@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2 streaming block). The reference
+  * has no streaming (Dask-side streams unused; Snowflake streams/tasks
+  * untouched) — this is north-star scope: the same aggregations the batch
+  * oracle validates in [[graft.ops.Temporal]], expressed over unbounded
+  * input with watermarks and state.
+  *
+  * Each transform takes ANY events-shaped DataFrame — batch or streaming —
+  * because `window`/`session_window` aggregations are identical in both
+  * modes; StreamingSpec runs them on a MemoryStream, the oracle keys run
+  * them on the parquet table. At scale these are shuffle-by-key stateful
+  * aggregations whose state is bounded by the watermark, exactly the
+  * Structured Streaming execution model.
+  */
+object Streams {
+
+  /** events-shaped row for typed state ops */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** a closed user session produced by the custom state machine */
+  case class Session(user_id: Long, start: java.sql.Timestamp,
+      end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  private case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+
+  /** 1-hour tumbling counts with late-data bound. */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** sliding 1h/15m windows with late-data bound. */
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("n"))
+
+  /** built-in session windows (30-minute gap) per user. */
+  def sessionCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n"))
+
+  /** stateful exact dedup on event_id, state GC'd by the watermark —
+    * streaming twin of `q_dedup_exact`. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom sessionization via arbitrary state (`flatMapGroupsWithState`):
+    * emits a [[Session]] when a user goes quiet for `gapMs`. This is the
+    * escape hatch for semantics `session_window` can't express (e.g.
+    * value-dependent gaps); state per key is O(1). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          // batch-mode contract: each group's full event set arrives once
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[Session]
+          var cur: Option[SessionState] = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last < gapMs =>
+                cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+              case Some(s) =>
+                out += Session(userId, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.last), s.n, s.sum)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          // flush the trailing open session (batch semantics; a true
+          // stream would keep it in state until timeout)
+          cur.foreach(s => out += Session(userId, new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.last), s.n, s.sum))
+          state.remove()
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,96 @@
+package graft.connector
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.warehouse.Tables
+
+/** Connector behavior tests mirroring the reference's own suite shape
+  * (dask_snowflake/tests/test_core.py): write/read roundtrip with
+  * canonical compare, empty results, deferred writes, partition sizing
+  * tolerances, parameterized queries. */
+class ConnectorSpec extends SparkSpec {
+
+  test("roundtrip: write then read back preserves content (test_core.py:54-65)") {
+    val df = Tables.table(spark, sfDir, "customer")
+    val out = Files.createTempDirectory("graft_rt").toString
+    Write.toParquet(df, out, overwrite = true)
+    val back = spark.read.parquet(out)
+    assertSameRows(df, back)
+  }
+
+  test("overwrite mode replaces prior content (test_core.py:126-146)") {
+    val out = Files.createTempDirectory("graft_ow").toString
+    val a = Tables.table(spark, sfDir, "nation")
+    Write.toParquet(a, out, overwrite = true)
+    Write.toParquet(a, out, overwrite = true)
+    assert(spark.read.parquet(out).count() == a.count())
+    // append mode doubles it
+    Write.toParquet(a, out)
+    assert(spark.read.parquet(out).count() == 2 * a.count())
+  }
+
+  test("empty result keeps its schema (core.py:277-278, test_core.py:68-80)") {
+    val df = Read.readTable(spark, sfDir,
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey < 0")
+    assert(df.count() == 0)
+    assert(df.schema.fieldNames.toSeq == Seq("c_custkey", "c_name"))
+  }
+
+  test("npartitions mode hits the requested count ±2 (test_core.py:305-310)") {
+    val df = Read.readTable(spark, sfDir,
+      "SELECT * FROM lineitem", npartitions = Some(4))
+    assert(math.abs(df.rdd.getNumPartitions - 4) <= 2)
+    assert(df.count() > 0)
+  }
+
+  test("partition_size mode: small target yields more partitions than large") {
+    val small = Read.readTable(spark, sfDir,
+      "SELECT * FROM lineitem", partitionSize = Some("64 KiB"))
+    val large = Read.readTable(spark, sfDir,
+      "SELECT * FROM lineitem", partitionSize = Some("1 GiB"))
+    assert(small.rdd.getNumPartitions > large.rdd.getNumPartitions)
+    assert(large.rdd.getNumPartitions == 1)
+    assert(small.count() == large.count())
+  }
+
+  test("exactly-one-of raises (test_core.py:312-319)") {
+    intercept[IllegalArgumentException] {
+      Read.readTable(spark, sfDir, "SELECT 1",
+        npartitions = Some(2), partitionSize = Some("1 MiB"))
+    }
+  }
+
+  test("parameterized query binds engine-side (test_core.py:73-74, 267-272)") {
+    val maxBal = Tables.table(spark, sfDir, "customer")
+      .agg(max("c_acctbal")).head.getDouble(0)
+    val df = Read.readTable(spark, sfDir,
+      "SELECT c_custkey FROM customer WHERE c_acctbal = :target",
+      params = Map("target" -> maxBal))
+    assert(df.count() >= 1)
+    val none = Read.readTable(spark, sfDir,
+      "SELECT c_custkey FROM customer WHERE c_acctbal > :target",
+      params = Map("target" -> maxBal))
+    assert(none.count() == 0)
+  }
+
+  test("deferred write: DDL eager, rows only on compute (core.py:116-124)") {
+    val df = Tables.table(spark, sfDir, "region")
+    val name = s"t_deferred_${System.nanoTime()}"
+    val thunk = Write.toTableDeferred(df, name)
+    // table exists (the reference's compute=False wart: DDL ran eagerly)
+    assert(spark.catalog.tableExists(name.toUpperCase))
+    assert(spark.table(name.toUpperCase).count() == 0)
+    thunk()
+    assert(spark.table(name.toUpperCase).count() == df.count())
+  }
+
+  test("table names are uppercased (core.py:37)") {
+    val df = Tables.table(spark, sfDir, "region")
+    val name = s"t_case_${System.nanoTime()}"
+    Write.toTable(df, name)
+    assert(spark.catalog.tableExists(name.toUpperCase))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.Streams.{Event, Session}
+
+/** True Structured Streaming execution (readStream → transform →
+  * writeStream) over a MemoryStream — the streaming half of SURVEY §2's
+  * streaming block; the batch analogues are oracle-checked as
+  * q_stream_* keys. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  private def runToCompletion(
+      stream: org.apache.spark.sql.DataFrame,
+      mode: String, name: String): org.apache.spark.sql.DataFrame = {
+    val q = stream.writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling window counts over a real stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(10), 1, "click", 1.0),
+      Event(2, ts(20), 1, "click", 2.0),
+      Event(3, ts(70), 2, "view", 3.0))
+    val out = runToCompletion(
+      Streams.tumblingCounts(mem.toDF()), "complete", "t_tumbling")
+    val rows = out.orderBy("window_start", "event_type").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n") == 2) // two clicks in hour 0
+    assert(rows(1).getAs[Long]("n") == 1) // one view in hour 1
+  }
+
+  test("watermark drops late rows once the watermark passes them") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val stream = Streams.tumblingCounts(mem.toDF(), watermark = "10 minutes")
+    val q = stream.writeStream
+      .format("memory").queryName("t_late").outputMode("append").start()
+    // batch 1: hour-0 data, then advance event time far ahead
+    mem.addData(Event(1, ts(5), 1, "click", 1.0), Event(2, ts(30), 1, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(3, ts(300), 1, "click", 1.0)) // watermark → 290min
+    q.processAllAvailable()
+    // batch 3: a VERY late hour-0 event — behind the watermark, dropped
+    mem.addData(Event(4, ts(6), 1, "click", 99.0))
+    q.processAllAvailable()
+    q.stop()
+    val hour0 = spark.table("t_late")
+      .filter(col("window_start") === ts(0)).collect()
+    assert(hour0.length == 1)
+    assert(hour0(0).getAs[Long]("n") == 2, "late row must not be counted")
+  }
+
+  test("stateful dedup within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(1, ts(1), 1, "click", 1.0), // dup id in same batch
+      Event(2, ts(2), 1, "click", 1.0))
+    val out = runToCompletion(
+      Streams.dedupWithinWatermark(mem.toDF()), "append", "t_dedup")
+    assert(out.count() == 2)
+  }
+
+  test("custom sessionization via flatMapGroupsWithState (batch mode)") {
+    import spark.implicits._
+    // batch Dataset through the same state function: two sessions for
+    // user 1 (40-min gap), one for user 2
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(50), 1, "click", 3.0),
+      Event(4, ts(0), 2, "view", 4.0)).toDS()
+    val sessions = Streams.sessionize(events).collect()
+      .sortBy(s => (s.user_id, s.start.getTime))
+    assert(sessions.length == 3)
+    assert(sessions(0) == Session(1, ts(0), ts(10), 2, 3.0))
+    assert(sessions(1) == Session(1, ts(50), ts(50), 1, 3.0))
+    assert(sessions(2) == Session(2, ts(0), ts(0), 1, 4.0))
+  }
+
+  test("streaming session_window matches the batch oracle shape") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 1.0),
+      Event(3, ts(120), 1, "click", 1.0))
+    val out = runToCompletion(
+      Streams.sessionCounts(mem.toDF()), "complete", "t_session")
+    val rows = out.orderBy("session_start").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n") == 2)
+    assert(rows(1).getAs[Long]("n") == 1)
+  }
+}
