@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan assertions — the 100 TB design contract (SURVEY §4,
+  * BASELINE.json north star). Correct results with a wrong plan fail at
+  * scale; these tests pin the plan shape Catalyst must produce:
+  * pruned scans, pushed filters, broadcast for small dims, partial
+  * aggregation before the shuffle, top-k without a global sort. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(key: String): String = {
+    val df: DataFrame = SparkEntry.queries(key)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_projection prunes the scan to selected columns") {
+    val p = plan("q_projection")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double>"),
+      s"scan should read exactly 3 columns:\n$p")
+  }
+
+  test("q_predicates pushes every filter into the parquet scan") {
+    val p = plan("q_predicates")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(p.contains("In(o_orderstatus"), s"IN should push down:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_t"), s"BETWEEN should push down:\n$p")
+  }
+
+  test("q_agg_groupby pushes the date filter and aggregates partially before the shuffle") {
+    val p = plan("q_agg_groupby")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), s"filter must reach the scan:\n$p")
+    assert(p.contains("partial_sum"), s"map-side combine missing:\n$p")
+  }
+
+  test("q_join_broadcast broadcasts the dim side, fact side never shuffles for the join") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("GreaterThan(p_size,40)"), s"dim filter must push into its scan:\n$p")
+    // the only Exchange allowed before the join is the broadcast itself
+    val beforeJoin = p.split("BroadcastHashJoin").head
+    assert(!beforeJoin.contains("Exchange hashpartitioning"),
+      s"fact side must not shuffle for a broadcast join:\n$p")
+  }
+
+  test("q_join_sortmerge uses a sort-merge join (both large sides shuffle, no giant hash table)") {
+    val p = plan("q_join_sortmerge")
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_topk runs as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"top-k must not range-shuffle the whole table:\n$p")
+  }
+
+  test("q_scan reads all columns only when all are selected") {
+    val p = plan("q_scan")
+    assert(p.contains("c_custkey") && p.contains("c_mktsegment"), p)
+  }
+
+  test("whole-stage codegen covers the scalar pipelines") {
+    // codegen stage ids only appear in the AQE *final* plan — execute first
+    // (collect() on THIS df — count() would spawn a separate execution and
+    // leave this plan unfinalized)
+    val df = SparkEntry.queries("q_case_when")(spark, sfDir)
+    df.collect()
+    // codegen'd operators print with the "*(id)" prefix in the final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"scalar pipeline fell out of codegen:\n$p")
+  }
+}
