@@ -107,15 +107,16 @@ object Vector {
     // ---------------------------------------- brute-force cosine top-k
     QueryDef("q_similarity_topk",
       (s, d) => {
+        // native codegen'd expression (graft.functions.CosineSimilarity):
+        // one fused pass per pair, bit-identical to the fold the oracle runs
+        graft.functions.CosineSimilarity.register(s)
         val e = vecs(s, d)
         val q = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-        val c = e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val c = e.select(col("vec_id").as("cid"), col("v").as("cv"))
         val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
         c.join(broadcast(q), col("cid") =!= col("qid"))
-          .withColumn("cosine", round(
-            expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s0, x) -> s0 + x)")
-              / (col("qn") * col("cn")), 6))
+          .withColumn("cosine", round(expr("cosine_similarity(qv, cv)"), 6))
           .withColumn("rank", row_number().over(w).cast(LongType))
           .filter(col("rank") <= 5)
           .select("qid", "rank", "cid", "cosine")
@@ -139,23 +140,20 @@ object Vector {
     // band with the query — the recall/cost dial is (Planes, BandBits)
     QueryDef("q_similarity_lsh",
       (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
         val e = vecs(s, d).withColumn("sig", expr(sigSpark))
           .withColumn("band", explode(expr(
             bandExprs(i => s"element_at(sig, $i)").mkString("array(", ", ", ")"))))
         val q = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("v").as("qv"),
-            col("nrm").as("qn"), col("band"))
-        val c = e.select(col("vec_id").as("cid"), col("v").as("cv"),
-          col("nrm").as("cn"), col("band"))
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("band"))
+        val c = e.select(col("vec_id").as("cid"), col("v").as("cv"), col("band"))
         val cand = c.join(q, Seq("band"))
           .filter(col("cid") =!= col("qid"))
-          .select("qid", "qv", "qn", "cid", "cv", "cn")
+          .select("qid", "qv", "cid", "cv")
           .distinct()
         val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
         cand
-          .withColumn("cosine", round(
-            expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s0, x) -> s0 + x)")
-              / (col("qn") * col("cn")), 6))
+          .withColumn("cosine", round(expr("cosine_similarity(qv, cv)"), 6))
           .withColumn("rank", row_number().over(w).cast(LongType))
           .filter(col("rank") <= 5)
           .select("qid", "rank", "cid", "cosine")
