@@ -91,17 +91,21 @@ object Dedup {
        |  FROM mh_t, (SELECT unnest(generate_series(0, ${Bands - 1})) AS band_idx)
        |)""".stripMargin
 
+  /** Spark-side per-doc minhash signatures: (doc_id, mh: array of 8). */
+  private def sparkMinhash(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.table(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), expr(shinglesSpark).as("sh"))
+      .select(col("doc_id"), expr(hashesSpark).as("hs"))
+      .select(col("doc_id"), expr(minhashSpark).as("mh"))
+
   /** Spark-side per-doc band buckets: (doc_id, band_idx, band_val). */
   private def sparkBands(s: org.apache.spark.sql.SparkSession, d: String) = {
     val bandStructs = (0 until Bands).map { bi =>
       s"struct(CAST($bi AS INT) AS band_idx, " +
         s"element_at(mh, ${2 * bi + 1}) * $P + element_at(mh, ${2 * bi + 2}) AS band_val)"
     }.mkString("array(", ", ", ")")
-    Tables.table(s, d, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), expr(shinglesSpark).as("sh"))
-      .select(col("doc_id"), expr(hashesSpark).as("hs"))
-      .select(col("doc_id"), expr(minhashSpark).as("mh"))
+    sparkMinhash(s, d)
       .select(col("doc_id"), explode(expr(bandStructs)).as("b"))
       .select(col("doc_id"), col("b.band_idx"), col("b.band_val"))
   }
@@ -139,6 +143,30 @@ object Dedup {
       Some("""SELECT min(doc_id) AS keep_id, CAST(count(1) AS BIGINT) AS n_dups
              |FROM documents GROUP BY substr(text, 1, 50)
              |ORDER BY keep_id""".stripMargin)),
+
+    // ------------------------------------------------ MinHash sketch agg
+    // custom typed Aggregator (graft.functions.MinHashSketch): per-source
+    // signature = element-wise min union of member sketches. Mergeable →
+    // partial aggregation ships K longs per group to the shuffle.
+    QueryDef("q_minhash_sketch",
+      (s, d) => {
+        val union = graft.functions.MinHashSketch.udaf(8)
+        val docs = Tables.table(s, d, "documents").select("doc_id", "source")
+        val sketches = sparkMinhash(s, d)
+          .join(docs, "doc_id")
+          .groupBy("source")
+          .agg(union(col("mh")).as("sketch"))
+        val cols = (0 until 8).map(i =>
+          element_at(col("sketch"), i + 1).as(s"mh_$i"))
+        sketches.select(col("source") +: cols: _*).orderBy("source")
+      },
+      Some {
+        val mins = (0 until 8).map(i => s"min(mh[${i + 1}]) AS mh_$i").mkString(", ")
+        s"""$duckBandsCte
+           |SELECT source, $mins
+           |FROM mh_t JOIN documents USING (doc_id)
+           |GROUP BY source ORDER BY source""".stripMargin
+      }),
 
     // ------------------------------------------------ MinHash + LSH
     // candidate near-dup pairs sharing ≥1 of 4 LSH bands over 8 minhashes
