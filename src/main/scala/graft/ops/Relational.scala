@@ -268,6 +268,69 @@ object Relational {
              |GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
 
+    QueryDef("q_agg_cube",
+      (s, d) => t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(D386)).cast(DoubleType).as("sum_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(count(1) AS BIGINT) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+             |FROM orders
+             |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // avg/stddev: explicit sum/count arithmetic so both engines divide the
+    // same exact decimal sum — engine avg() scale/rounding semantics differ
+    QueryDef("q_agg_stats",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          (sum(col("l_quantity").cast(D386)).cast(DoubleType) / count(lit(1)))
+            .as("avg_qty"),
+          round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(1) AS avg_qty,
+             |  round(stddev_samp(l_discount), 6) AS sd_disc,
+             |  round(var_samp(l_discount), 6) AS var_disc
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // the skew pattern, semantics-preserving: two-phase salted aggregation
+    // (partial by (key, salt), final by key). At 100 TB a hot key's rows
+    // spread over `salts` reducers in phase 1; phase 2 merges `salts` tiny
+    // partials. Equality with the plain GROUP BY is the oracle.
+    QueryDef("q_agg_salted",
+      (s, d) => {
+        val salts = 8
+        t(s, d, "lineitem")
+          .withColumn("salt", pmod(col("l_orderkey"), lit(salts)))
+          .groupBy("l_returnflag", "salt")
+          .agg(sum(col("l_quantity").cast(D386)).as("part_qty"),
+            count(lit(1)).as("part_n"))
+          .groupBy("l_returnflag")
+          .agg(sum(col("part_qty")).cast(DoubleType).as("sum_qty"),
+            sum(col("part_n")).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+             |  CAST(count(1) AS BIGINT) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // DISTINCT on a column subset with a deterministic survivor
+    QueryDef("q_distinct_subset",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(min("o_orderkey").as("first_orderkey"))
+        .orderBy("o_orderstatus", "o_orderpriority"),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  min(o_orderkey) AS first_orderkey
+             |FROM orders GROUP BY o_orderstatus, o_orderpriority
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+
     // ---------------------------------------------------------- windows
     QueryDef("q_window_rank",
       (s, d) => {
@@ -331,6 +394,28 @@ object Relational {
              |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
              |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin)),
+
+    // RANGE frame (vs the ROWS frame in q_window_running_sum): peers by
+    // VALUE distance on the ordering key
+    QueryDef("q_window_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_orderkey"))
+          .rangeBetween(-100L, 0L)
+        t(s, d, "orders").select(
+            col("o_orderstatus"), col("o_orderkey"),
+            count(lit(1)).over(w).as("n_in_range"),
+            sum(col("o_totalprice").cast(D386)).over(w).cast(DoubleType)
+              .as("sum_in_range"))
+          .orderBy("o_orderstatus", "o_orderkey")
+      },
+      Some("""SELECT o_orderstatus, o_orderkey,
+             |  CAST(count(1) OVER w AS BIGINT) AS n_in_range,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_in_range
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+             |             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_orderstatus, o_orderkey""".stripMargin)),
 
     // ---------------------------------------------------------- sort / limit
     QueryDef("q_sort",
@@ -503,6 +588,29 @@ object Relational {
       Some("""SELECT doc_id, lang AS m_lang, source AS m_source,
              |  'lang' AS first_key
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // null-handling scalar family
+    QueryDef("q_scalar_null",
+      (s, d) => {
+        val filtered = t(s, d, "orders").filter(col("o_totalprice") > 300000.0)
+        t(s, d, "customer")
+          .join(filtered, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"),
+            coalesce(col("o_totalprice"), lit(0.0)).as("price_or_zero"),
+            col("o_orderkey").isNull.as("no_big_order"),
+            nullif(col("c_nationkey"), lit(1)).cast(LongType).as("nk_nullif"),
+            nvl2(col("o_orderkey"), lit("buyer"), lit("quiet")).as("segment"))
+          .orderBy("c_custkey", "price_or_zero")
+      },
+      Some("""SELECT c_custkey,
+             |  coalesce(o_totalprice, 0.0) AS price_or_zero,
+             |  o_orderkey IS NULL AS no_big_order,
+             |  CAST(nullif(c_nationkey, 1) AS BIGINT) AS nk_nullif,
+             |  CASE WHEN o_orderkey IS NOT NULL THEN 'buyer' ELSE 'quiet' END AS segment
+             |FROM customer
+             |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+             |  ON c_custkey = o_custkey
+             |ORDER BY c_custkey, price_or_zero""".stripMargin)),
 
     QueryDef("q_cast",
       (s, d) => t(s, d, "customer").select(

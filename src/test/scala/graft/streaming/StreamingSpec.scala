@@ -94,6 +94,33 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(2) == Session(2, ts(0), ts(0), 1, 4.0))
   }
 
+  test("file-source stream: readStream over the parquet warehouse (Trigger.AvailableNow)") {
+    import org.apache.spark.sql.streaming.Trigger
+    // stream the events table as if files were arriving; one AvailableNow
+    // pass must reproduce the batch tumbling aggregation. events.ts is
+    // ns-precision parquet → read nanos as long, truncate to µs (same
+    // coercion Tables.register applies).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file source wants a directory it can watch — stage the table file
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.toString)
+      .withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val agg = Streams.tumblingCounts(stream, watermark = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("t_file_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("t_file_stream")
+      .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+    val batch = spark.read.parquet(dir.toString).count()
+    assert(streamed == batch, "streamed window counts must cover every event")
+  }
+
   test("streaming session_window matches the batch oracle shape") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
