@@ -47,6 +47,20 @@ object ConnectorQueries {
       },
       Some("SELECT * FROM supplier ORDER BY s_suppkey")),
 
+    // the DSv2 connector end-to-end (graft.sources.BatchSource): stage a
+    // result set as parquet files, then read it back through
+    // spark.read.format("graft") with greedy row-group packing — the
+    // reference's read_snowflake architecture as a real Spark source
+    QueryDef("q_read_dsv2",
+      (s, d) => {
+        val out = Files.createTempDirectory("graft_dsv2").toString
+        Tables.table(s, d, "customer").repartition(3)
+          .write.mode("overwrite").parquet(out)
+        s.read.format("graft").option("partition_size", "256 KiB").load(out)
+          .orderBy("c_custkey")
+      },
+      Some("SELECT * FROM customer ORDER BY c_custkey")),
+
     // column-rename surface (columns.str.upper(), test_core.py:59-60) —
     // schema-only operation, no data movement
     QueryDef("q_rename_upper",

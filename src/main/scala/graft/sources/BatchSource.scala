@@ -1,0 +1,319 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, MessageType, PrimitiveType, Type => PType}
+import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.connector.Partitioner
+
+/** DataSource V2 connector — the literal re-expression of the reference's
+  * read architecture (SURVEY §1.2: `ArrowResultBatch` lazy handle ↔
+  * `InputPartition`):
+  *
+  *   - a staged result set is a directory of parquet files (what
+  *     `write_pandas` uploads to a Snowflake stage, core.py:32-40);
+  *   - the "batches" are parquet ROW GROUPS — lazy handles carrying only
+  *     (path, index, rows, bytes) from the footers, no data, exactly like
+  *     the reference's batch objects carry stage URLs (core.py:144-146);
+  *   - `planInputPartitions` greedy-packs batches into size- or
+  *     count-targeted partitions with the SAME [[Partitioner.pack]]
+  *     algorithm the reference implements (core.py:149-197);
+  *   - each `PartitionReader` opens only its own row groups on the
+  *     executor (`skipNextRowGroup` for the rest) — the parallel
+  *     worker↔stage data plane of SURVEY §3.1 stage 10.
+  *
+  * Options: `partition_size` (default 100 MiB) / `npartitions`, exactly
+  * one (core.py:164-167). Column pruning is pushed into the parquet reads
+  * via `SupportsPushDownRequiredColumns`. Scope: flat relational schemas
+  * (the shape `write_pandas` stages); nested types are rejected at schema
+  * inference.
+  *
+  * Usage: `spark.read.format("graft").option("npartitions", 8).load(dir)`.
+  */
+class BatchSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = BatchSource.listFiles(options)
+    require(files.nonEmpty, s"no parquet files under '${BatchSource.dir(options)}'")
+    BatchSource.toStructType(BatchSource.footerSchema(files.head))
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new BatchTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+private[sources] object BatchSource {
+
+  def dir(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "BatchSource requires a path: spark.read.format(\"graft\").load(dir)")
+    p
+  }
+
+  def listFiles(options: CaseInsensitiveStringMap): Seq[FileStatus] = {
+    val path = new Path(dir(options))
+    val fs = path.getFileSystem(new Configuration())
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toIndexedSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+  }
+
+  def footerSchema(file: FileStatus): MessageType = {
+    val in = HadoopInputFile.fromStatus(file, new Configuration())
+    val reader = ParquetFileReader.open(in)
+    try reader.getFooter.getFileMetaData.getSchema
+    finally reader.close()
+  }
+
+  /** Flat parquet MessageType → Spark StructType (the staged-result shape). */
+  def toStructType(msg: MessageType): StructType = StructType(
+    msg.getFields.asScala.map { f =>
+      require(f.isPrimitive, s"nested field '${f.getName}' unsupported by graft BatchSource")
+      StructField(f.getName, sparkType(f.asPrimitiveType()),
+        f.getRepetition != PType.Repetition.REQUIRED)
+    }.toIndexedSeq)
+
+  private def sparkType(p: PrimitiveType): DataType = p.getPrimitiveTypeName match {
+    case BOOLEAN => BooleanType
+    case FLOAT => FloatType
+    case DOUBLE => DoubleType
+    case INT32 => IntegerType
+    case INT64 => p.getLogicalTypeAnnotation match {
+      // match the native reader's mapping: UTC-adjusted → TimestampType,
+      // wall-clock (isAdjustedToUTC=false) → TimestampNTZType
+      case t: TimestampLogicalTypeAnnotation =>
+        if (t.isAdjustedToUTC) TimestampType else TimestampNTZType
+      case _ => LongType
+    }
+    case BINARY if p.getLogicalTypeAnnotation == LogicalTypeAnnotation.stringType() =>
+      StringType
+    case other =>
+      throw new IllegalArgumentException(s"unsupported parquet type $other")
+  }
+
+  /** One lazy batch handle = one row group (path + index + stats only). */
+  case class BatchHandle(path: String, rowGroup: Int, rows: Long, bytes: Long)
+
+  def discoverBatches(files: Seq[FileStatus]): Seq[BatchHandle] = {
+    val conf = new Configuration()
+    files.flatMap { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
+      try reader.getFooter.getBlocks.asScala.zipWithIndex.map { case (b, i) =>
+        BatchHandle(f.getPath.toString, i, b.getRowCount, b.getCompressedSize)
+      }.toIndexedSeq
+      finally reader.close()
+    }
+  }
+}
+
+private[sources] class BatchTable(
+    tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graft:${BatchSource.dir(options)}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new BatchScanBuilder(tableSchema, options)
+}
+
+private[sources] class BatchScanBuilder(
+    fullSchema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve the file's field order; keep only requested columns
+    required = StructType(fullSchema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new BatchScan(required, options)
+}
+
+private[sources] class BatchScan(
+    required: StructType, options: CaseInsensitiveStringMap)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  private lazy val files = BatchSource.listFiles(options)
+  private lazy val batches = BatchSource.discoverBatches(files)
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftBatchScan(dir=${BatchSource.dir(options)}, cols=[${required.fieldNames.mkString(",")}])"
+
+  override def toBatch: Batch = this
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): util.OptionalLong =
+      util.OptionalLong.of(batches.map(_.bytes).sum)
+    override def numRows(): util.OptionalLong =
+      util.OptionalLong.of(batches.map(_.rows).sum)
+  }
+
+  /** The reference's partition planning (core.py:149-197), verbatim
+    * semantics: count mode → row target total//n; size mode → byte target;
+    * greedy first-fit pack preserving batch order. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val np = Option(options.get("npartitions")).map(_.toInt)
+    val ps = Option(options.get("partition_size"))
+    val (countMode, sizeMode) = Partitioner.resolveSpec(np, ps)
+    val groups: Seq[Seq[Int]] = countMode match {
+      case Some(n) =>
+        val target = Partitioner.rowsPerPartition(batches.map(_.rows).sum, n)
+        Partitioner.pack(batches.map(_.rows), target)
+      case None =>
+        Partitioner.pack(batches.map(_.bytes), sizeMode.get)
+    }
+    groups.map { idxs =>
+      BatchInputPartition(idxs.map(batches).toArray): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BatchReaderFactory(required)
+}
+
+/** Serialized to executors: only the lazy handles, never data. */
+private[sources] case class BatchInputPartition(
+    handles: Array[BatchSource.BatchHandle]) extends InputPartition
+
+private[sources] class BatchReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new BatchPartitionReader(p.asInstanceOf[BatchInputPartition], required)
+}
+
+/** Executor-side materialization (SURVEY §3.1 stage 10): open each file,
+  * read ONLY this partition's row groups (skip the rest without IO),
+  * decode to InternalRow with the pruned schema. */
+private[sources] class BatchPartitionReader(
+    partition: BatchInputPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private val byFile: Seq[(String, Seq[Int])] = partition.handles
+    .groupBy(_.path).view.mapValues(_.map(_.rowGroup).toIndexedSeq)
+    .toSeq.sortBy(_._1)
+
+  private var fileIdx = 0
+  private var reader: ParquetFileReader = _
+  private var prunedMsg: MessageType = _
+  private var wanted: Set[Int] = Set.empty
+  private var groupIdx = 0
+  private var recordIter: Iterator[Group] = Iterator.empty
+  private var current: InternalRow = _
+
+  private def openNextFile(): Boolean = {
+    if (reader != null) { reader.close(); reader = null }
+    if (fileIdx >= byFile.length) return false
+    val (path, groups) = byFile(fileIdx)
+    fileIdx += 1
+    val in = HadoopInputFile.fromPath(new Path(path), conf)
+    reader = ParquetFileReader.open(in)
+    val fileMsg = reader.getFooter.getFileMetaData.getSchema
+    prunedMsg = new MessageType("graft_pruned",
+      required.fieldNames.map(n =>
+        fileMsg.getFields.get(fileMsg.getFieldIndex(n))): _*)
+    reader.setRequestedSchema(prunedMsg)
+    wanted = groups.toSet
+    groupIdx = 0
+    recordIter = Iterator.empty
+    true
+  }
+
+  private def advanceRowGroup(): Boolean = {
+    while (reader != null) {
+      if (groupIdx >= reader.getFooter.getBlocks.size()) {
+        if (!openNextFile()) return false
+      } else if (!wanted.contains(groupIdx)) {
+        reader.skipNextRowGroup()
+        groupIdx += 1
+      } else {
+        val pages = reader.readNextRowGroup()
+        val rows = reader.getFooter.getBlocks.get(groupIdx).getRowCount
+        groupIdx += 1
+        val io = new ColumnIOFactory().getColumnIO(prunedMsg)
+        val rr = io.getRecordReader(pages, new GroupRecordConverter(prunedMsg))
+        recordIter = (0L until rows).iterator.map(_ => rr.read())
+        return true
+      }
+    }
+    false
+  }
+
+  override def next(): Boolean = {
+    while (!recordIter.hasNext) {
+      if (reader == null) {
+        if (!openNextFile()) return false
+      } else if (!advanceRowGroup()) return false
+    }
+    current = convert(recordIter.next())
+    true
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = if (reader != null) reader.close()
+
+  private def convert(g: Group): InternalRow = {
+    val vals = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      vals(i) =
+        if (g.getFieldRepetitionCount(i) == 0) null
+        else required.fields(i).dataType match {
+          case BooleanType => g.getBoolean(i, 0)
+          case IntegerType => g.getInteger(i, 0)
+          case LongType => g.getLong(i, 0)
+          case FloatType => g.getFloat(i, 0)
+          case DoubleType => g.getDouble(i, 0)
+          case StringType => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+          case TimestampType | TimestampNTZType =>
+            // Spark internal = µs since epoch; normalize the parquet unit
+            val raw = g.getLong(i, 0)
+            prunedMsg.getType(i).asPrimitiveType().getLogicalTypeAnnotation match {
+              case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+                case TimeUnit.MILLIS => raw * 1000L
+                case TimeUnit.MICROS => raw
+                case TimeUnit.NANOS => raw / 1000L
+              }
+              case _ => raw
+            }
+          case dt => throw new IllegalArgumentException(s"unsupported type $dt")
+        }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.warehouse.Tables
+
+/** The DSv2 connector end-to-end: schema inference from footers, greedy
+  * row-group packing (count and size modes), column pruning pushdown,
+  * exactly-one-of validation — the reference's read architecture as a real
+  * Spark source. */
+class BatchSourceSpec extends SparkSpec {
+
+  /** stage a table as a multi-file parquet "result set" */
+  private def stage(table: String, files: Int): String = {
+    val dir = Files.createTempDirectory(s"graft_stage_$table").toString
+    Tables.table(spark, sfDir, table)
+      .repartition(files).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("reads a staged result identically to the native parquet reader") {
+    val dir = stage("orders", 3)
+    val viaSource = spark.read.format("graft").load(dir)
+    val viaParquet = spark.read.parquet(dir)
+    assertSameRows(viaSource, viaParquet)
+  }
+
+  test("timestamps survive the roundtrip (µs internal normalization)") {
+    val dir = stage("orders", 2)
+    val src = spark.read.format("graft").load(dir)
+      .select("o_orderkey", "o_orderdate").orderBy("o_orderkey")
+    val ref = spark.read.parquet(dir)
+      .select("o_orderkey", "o_orderdate").orderBy("o_orderkey")
+    assertSameRows(src, ref)
+  }
+
+  test("npartitions option: partition count within the reference's ±2 (test_core.py:305-310)") {
+    val dir = stage("lineitem", 6) // 6 files → ≥6 row-group batches
+    val df = spark.read.format("graft").option("npartitions", 3).load(dir)
+    assert(math.abs(df.rdd.getNumPartitions - 3) <= 2,
+      s"got ${df.rdd.getNumPartitions} partitions")
+    assert(df.count() == spark.read.parquet(dir).count())
+  }
+
+  test("partition_size option packs small batches together") {
+    val dir = stage("lineitem", 6)
+    val coarse = spark.read.format("graft")
+      .option("partition_size", "1 GiB").load(dir)
+    val fine = spark.read.format("graft")
+      .option("partition_size", "16 KiB").load(dir)
+    assert(coarse.rdd.getNumPartitions == 1,
+      s"1 GiB target must pack all batches into one partition, got ${coarse.rdd.getNumPartitions}")
+    assert(fine.rdd.getNumPartitions > coarse.rdd.getNumPartitions)
+    assert(coarse.count() == fine.count())
+  }
+
+  test("exactly-one-of validation applies to the source options") {
+    val dir = stage("region", 1)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft")
+        .option("npartitions", 2).option("partition_size", "1 MiB")
+        .load(dir).count()
+    }
+  }
+
+  test("column pruning pushes into the scan (only requested columns decoded)") {
+    val dir = stage("orders", 2)
+    val df = spark.read.format("graft").load(dir).select("o_orderkey")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=[o_orderkey]"),
+      s"scan description should show pruned columns:\n$plan")
+  }
+
+  test("aggregations and joins work through the source") {
+    val dir = stage("orders", 3)
+    val n = spark.read.format("graft").load(dir)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .count()
+    assert(n >= 2)
+  }
+}
