@@ -206,6 +206,33 @@ object Dedup {
               |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.3
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // ------------------------------------------------ edit distance
+    // levenshtein verification on the LSH candidates (like q_dedup_ngram:
+    // the expensive exact measure runs ONLY on bucketed candidates).
+    // Bounded to 40-char prefixes to cap the O(n·m) DP per pair.
+    QueryDef("q_dedup_levenshtein",
+      (s, d) => {
+        val pfx = Tables.table(s, d, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("pfx"))
+        sparkCandidates(s, d)
+          .join(pfx.select(col("doc_id").as("doc_a"), col("pfx").as("pa")), "doc_a")
+          .join(pfx.select(col("doc_id").as("doc_b"), col("pfx").as("pb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("pa"), col("pb")).cast(LongType).as("edit_dist"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""$duckBandsCte, cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM bands a JOIN bands b USING (band_idx, band_val)
+              |  WHERE a.doc_id < b.doc_id
+              |)
+              |SELECT doc_a, doc_b,
+              |  CAST(levenshtein(substr(x.text, 1, 40), substr(y.text, 1, 40)) AS BIGINT) AS edit_dist
+              |FROM cand
+              |JOIN documents x ON x.doc_id = doc_a
+              |JOIN documents y ON y.doc_id = doc_b
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // ------------------------------------------------ SimHash
     // 16-bit frequency-weighted simhash; bucket size surfaces exact-ish
     // duplicates (identical signatures). One explode + one hash-agg.

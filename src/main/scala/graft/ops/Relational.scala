@@ -331,6 +331,41 @@ object Relational {
              |FROM orders GROUP BY o_orderstatus, o_orderpriority
              |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
 
+    // exact interpolated percentiles (Spark `percentile` and DuckDB
+    // `quantile_cont` share the (1-d)*lo + d*hi definition)
+    QueryDef("q_agg_percentile",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 6).as("p75"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |  round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+             |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+             |  round(quantile_cont(o_totalprice, 0.75), 6) AS p75
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // deterministic train/val/test assignment — the held-out-split
+    // primitive of a training-data pipeline. Hash-based (not rand()):
+    // reproducible across runs, engines, and cluster sizes, and stable
+    // under repartitioning — the only split semantics that survive 100 TB.
+    QueryDef("q_sample_split",
+      (s, d) => t(s, d, "documents")
+        .withColumn("bucket",
+          expr(s"${graft.ops.Text.md5i("CAST(doc_id AS STRING)")} % 10"))
+        .select(col("doc_id"),
+          when(col("bucket") === 0, "test")
+            .when(col("bucket") === 1, "validation")
+            .otherwise("train").as("split"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  CASE ${graft.ops.Text.md5iDuck("CAST(doc_id AS VARCHAR)")} % 10
+              |    WHEN 0 THEN 'test' WHEN 1 THEN 'validation'
+              |    ELSE 'train' END AS split
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---------------------------------------------------------- windows
     QueryDef("q_window_rank",
       (s, d) => {

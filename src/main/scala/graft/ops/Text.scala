@@ -162,6 +162,22 @@ object Text {
              |    + least((n_chars - (n_tokens - 1)) / n_tokens / 10.0, 1.0) * 0.3) * 1000000.0) AS BIGINT) AS quality_e6
              |FROM q ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------------------------ subword tokens
+    // BPE-ish regex segmentation (consonant*-vowel+ chunks): the shape of
+    // subword token counting without a tokenizer model; per-row regex only
+    QueryDef("q_text_subword",
+      (s, d) => Tables.table(s, d, "documents").select(
+          col("doc_id"),
+          size(expr("regexp_extract_all(text, '[a-z]+[aeiou]', 0)"))
+            .cast(LongType).as("n_subwords"),
+          size(array_distinct(expr("regexp_extract_all(text, '[a-z]+[aeiou]', 0)")))
+            .cast(LongType).as("n_distinct_subwords"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[a-z]+[aeiou]')) AS BIGINT) AS n_subwords,
+             |  CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+[aeiou]'))) AS BIGINT) AS n_distinct_subwords
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------------------ fingerprinting
     // order-sensitive rolling polynomial hash over the token stream
     // (content fingerprint: same tokens in a different order → different

@@ -187,6 +187,38 @@ object Vector {
            |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
       }),
 
+    // ---------------------------------------- IVF-bucketed ANN top-k
+    // the third search path: coarse quantization via KMeans centroids
+    // (MLlib), candidates drawn from the query's cell only (nprobe=1).
+    // At 100 TB: centroids train on a sample, assignment is a narrow map,
+    // search shuffles by cell id — the standard IVF layout. No SQL oracle
+    // (KMeans float reductions aren't bit-reproducible across engines);
+    // driver records the rows-only check, VectorSpec asserts recall.
+    QueryDef("q_similarity_ivf",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val e = vecs(s, d)
+          .withColumn("features", array_to_vector(col("v")))
+        val model = new KMeans().setK(8).setSeed(42).setMaxIter(5)
+          .setFeaturesCol("features").setPredictionCol("cell")
+          .fit(e)
+        val cells = model.transform(e).select(col("vec_id"), col("v"), col("cell"))
+        val q = cells.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
+        val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+        cells.select(col("vec_id").as("cid"), col("v").as("cv"), col("cell"))
+          .join(broadcast(q), Seq("cell"))
+          .filter(col("cid") =!= col("qid"))
+          .withColumn("cosine", round(expr("cosine_similarity(qv, cv)"), 6))
+          .withColumn("rank", row_number().over(w).cast(LongType))
+          .filter(col("rank") <= 5)
+          .select("qid", "rank", "cid", "cosine")
+          .orderBy("qid", "rank")
+      },
+      None),
+
     // ---------------------------------------- multimodal join
     // text modality ⋈ vector modality on the shared id; ArrayType(Float)
     // is a first-class column — no serialization detour

@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+
+/** ANN quality/determinism checks for the paths the SQL oracle can't
+  * cover (IVF uses MLlib KMeans, whose float reductions aren't
+  * bit-reproducible in other engines). */
+class VectorSpec extends SparkSpec {
+
+  private def rows(key: String) =
+    SparkEntry.queries(key)(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+  test("IVF results are deterministic within a session (fixed seed)") {
+    val a = rows("q_similarity_ivf")
+    val b = rows("q_similarity_ivf")
+    assert(a.nonEmpty)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("IVF cosines are bounded by the brute-force top-k (it's a subset search)") {
+    val brute = rows("q_similarity_topk")
+      .groupBy(_._1).view.mapValues(_.map(_._4).max).toMap
+    val ivf = rows("q_similarity_ivf")
+    ivf.groupBy(_._1).foreach { case (qid, hits) =>
+      val best = hits.map(_._4).max
+      assert(best <= brute(qid) + 1e-9,
+        s"IVF found a better hit than brute force for query $qid — impossible")
+    }
+  }
+
+  test("LSH top-1 agrees with brute force for most queries (banded recall)") {
+    val brute = rows("q_similarity_topk").filter(_._2 == 1L)
+      .map(r => r._1 -> r._3).toMap
+    val lsh = rows("q_similarity_lsh").filter(_._2 == 1L)
+      .map(r => r._1 -> r._3).toMap
+    val agree = brute.keys.count(q => lsh.get(q).contains(brute(q)))
+    assert(agree >= brute.size / 2,
+      s"LSH top-1 agreed on only $agree/${brute.size} queries")
+  }
+}
