@@ -93,6 +93,20 @@ object Vector {
     bits.mkString("[", ", ", "]")
   }
 
+  /** Shared ranking tail for all three search paths: score the candidate
+    * set (qid, qv, cid, cv) with the native expression, keep the top-k per
+    * query with the cid tie-break, emit (qid, rank, cid, cosine). One copy
+    * so k / rounding / tie-break can never desynchronize between paths. */
+  private def topK(cand: org.apache.spark.sql.DataFrame, k: Int = 5) = {
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    cand
+      .withColumn("cosine", round(expr("cosine_similarity(qv, cv)"), 6))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "cosine")
+      .orderBy("qid", "rank")
+  }
+
   /** band values from the signature array column `sig` (1-indexed both) */
   private def bandExprs(arr: String => String): Seq[String] =
     (0 until NBands).map { b =>
@@ -114,13 +128,7 @@ object Vector {
         val q = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("v").as("qv"))
         val c = e.select(col("vec_id").as("cid"), col("v").as("cv"))
-        val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
-        c.join(broadcast(q), col("cid") =!= col("qid"))
-          .withColumn("cosine", round(expr("cosine_similarity(qv, cv)"), 6))
-          .withColumn("rank", row_number().over(w).cast(LongType))
-          .filter(col("rank") <= 5)
-          .select("qid", "rank", "cid", "cosine")
-          .orderBy("qid", "rank")
+        topK(c.join(broadcast(q), col("cid") =!= col("qid")))
       },
       Some(s"""$duckVecs, scored AS (
               |  SELECT q.vec_id AS qid, c.vec_id AS cid,
@@ -147,17 +155,10 @@ object Vector {
         val q = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("v").as("qv"), col("band"))
         val c = e.select(col("vec_id").as("cid"), col("v").as("cv"), col("band"))
-        val cand = c.join(q, Seq("band"))
+        topK(c.join(q, Seq("band"))
           .filter(col("cid") =!= col("qid"))
           .select("qid", "qv", "cid", "cv")
-          .distinct()
-        val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
-        cand
-          .withColumn("cosine", round(expr("cosine_similarity(qv, cv)"), 6))
-          .withColumn("rank", row_number().over(w).cast(LongType))
-          .filter(col("rank") <= 5)
-          .select("qid", "rank", "cid", "cosine")
-          .orderBy("qid", "rank")
+          .distinct())
       },
       Some {
         val duckBands = bandExprs(i => s"sig[$i]").mkString("[", ", ", "]")
@@ -207,15 +208,10 @@ object Vector {
         val cells = model.transform(e).select(col("vec_id"), col("v"), col("cell"))
         val q = cells.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
-        val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
-        cells.select(col("vec_id").as("cid"), col("v").as("cv"), col("cell"))
+        topK(cells.select(col("vec_id").as("cid"), col("v").as("cv"), col("cell"))
           .join(broadcast(q), Seq("cell"))
           .filter(col("cid") =!= col("qid"))
-          .withColumn("cosine", round(expr("cosine_similarity(qv, cv)"), 6))
-          .withColumn("rank", row_number().over(w).cast(LongType))
-          .filter(col("rank") <= 5)
-          .select("qid", "rank", "cid", "cosine")
-          .orderBy("qid", "rank")
+          .select("qid", "qv", "cid", "cv"))
       },
       None),
 

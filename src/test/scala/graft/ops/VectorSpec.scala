@@ -11,11 +11,19 @@ class VectorSpec extends SparkSpec {
     SparkEntry.queries(key)(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
 
-  test("IVF results are deterministic within a session (fixed seed)") {
+  test("IVF output shape: ≤5 hits per query, contiguous ranks, valid cosines") {
+    // (bitwise run-to-run equality is NOT asserted: KMeans treeAggregate
+    // merges partition float sums in task-completion order, so two fits
+    // with the same seed may differ once the scan has >1 partition)
     val a = rows("q_similarity_ivf")
-    val b = rows("q_similarity_ivf")
     assert(a.nonEmpty)
-    assert(a.toSeq == b.toSeq)
+    a.groupBy(_._1).foreach { case (qid, hits) =>
+      assert(hits.length <= 5, s"query $qid returned ${hits.length} hits")
+      assert(hits.map(_._2).sorted.toSeq == (1L to hits.length).toSeq,
+        s"query $qid ranks not contiguous: ${hits.map(_._2).toSeq}")
+      assert(hits.forall(h => h._4 >= -1.0 && h._4 <= 1.0))
+      assert(hits.forall(_._3 != qid), "a query must not match itself")
+    }
   }
 
   test("IVF cosines are bounded by the brute-force top-k (it's a subset search)") {
