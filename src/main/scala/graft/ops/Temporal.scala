@@ -81,6 +81,45 @@ object Temporal {
              |  ON c.user_id = p.user_id AND c.ts >= p.ts
              |ORDER BY c.click_id""".stripMargin)),
 
+    // The same as-of semantics by a second physical strategy: when the
+    // right side is small, broadcast it and reduce candidate pairs with
+    // max_by instead of sorting a union — no shuffle of the left side at
+    // all. Same DuckDB ASOF oracle as q_join_asof: two plans, one truth.
+    QueryDef("q_join_asof_broadcast",
+      (s, d) => {
+        val ev = Tables.table(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts")
+          .agg(max("event_id").as("p_id"),
+            max_by(col("value"), col("event_id")).as("p_value"))
+          .select(col("user_id"), col("ts").as("p_ts"), col("p_id"), col("p_value"))
+        clicks
+          .join(broadcast(purchases),
+            clicks("user_id") === purchases("user_id") && col("p_ts") <= col("ts"),
+            "left")
+          .groupBy(col("click_id"), clicks("user_id"))
+          .agg(
+            max_by(col("p_id"), col("p_ts")).as("asof_p_id"),
+            max_by(col("p_value"), col("p_ts")).as("asof_p_value"))
+          .orderBy("click_id")
+      },
+      Some("""WITH clicks AS (
+             |  SELECT event_id AS click_id, user_id, ts
+             |  FROM events WHERE event_type = 'click'
+             |), purchases AS (
+             |  SELECT user_id, ts, max(event_id) AS p_id,
+             |         arg_max(value, event_id) AS p_value
+             |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+             |)
+             |SELECT c.click_id, c.user_id,
+             |       p.p_id AS asof_p_id, p.p_value AS asof_p_value
+             |FROM clicks c
+             |ASOF LEFT JOIN purchases p
+             |  ON c.user_id = p.user_id AND c.ts >= p.ts
+             |ORDER BY c.click_id""".stripMargin)),
+
     // tumbling window (streaming: groupBy(window($"ts","1 hour"))) — the
     // epoch-aligned 1h window start equals date_trunc('hour')
     QueryDef("q_stream_tumbling",
