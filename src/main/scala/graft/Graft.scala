@@ -64,4 +64,29 @@ object Graft {
 
   /** `df.npartitions` (test_core.py:88, 310). */
   def npartitions(df: DataFrame): Int = df.rdd.getNumPartitions
+
+  /** Partner-application tagging (core.py:27-30, 49-52; 4 of the
+    * reference's 10 tests): the reference injects
+    * `application=dask.config.get("snowflake.partner", "dask")` into every
+    * warehouse connection, resolved cluster-side. Spark's analogue of a
+    * per-connection tag is the job group/description every task carries;
+    * the config source is `spark.conf` (broadcast to executors), override
+    * beats config beats default — same precedence as the reference. */
+  val PartnerConfKey = "spark.graft.partner"
+  val DefaultPartner = "graft"
+
+  def partnerTag(spark: SparkSession, explicit: Option[String] = None): String =
+    explicit.getOrElse(spark.conf.getOption(PartnerConfKey).getOrElse(DefaultPartner))
+
+  /** Run `body` with every spawned job tagged for the warehouse audit
+    * trail — the observable surface the reference's connection-counting
+    * tests monkeypatch (test_core.py:149-261). */
+  def withPartnerTag[T](spark: SparkSession, explicit: Option[String] = None)
+      (body: => T): T = {
+    val sc = spark.sparkContext
+    val tag = partnerTag(spark, explicit)
+    sc.setJobGroup(s"graft.partner=$tag", s"application=$tag", false)
+    try body
+    finally sc.clearJobGroup()
+  }
 }
