@@ -195,6 +195,77 @@ object Relational {
              | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
              |ORDER BY l_orderkey, l_linenumber, l_shipdate""".stripMargin)),
 
+    // shuffle-hash hint: build a per-partition hash table instead of
+    // sorting both sides — wins when one side is modest but above the
+    // broadcast threshold
+    QueryDef("q_join_shuffle_hash",
+      (s, d) => t(s, d, "orders").hint("shuffle_hash")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, c_name
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // pure theta join (no equi key) → BroadcastNestedLoopJoin; only ever
+    // sane when one side is tiny enough to broadcast
+    QueryDef("q_join_theta",
+      (s, d) => t(s, d, "nation")
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") < col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_regionkey")
+        .orderBy("n_nationkey", "r_regionkey"),
+      Some("""SELECT n_nationkey, n_name, r_regionkey
+             |FROM nation JOIN region ON n_regionkey < r_regionkey
+             |ORDER BY n_nationkey, r_regionkey""".stripMargin)),
+
+    // scalar subquery through the SQL pass-through surface
+    QueryDef("q_subquery_scalar",
+      (s, d) => {
+        Tables.register(s, d)
+        s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+                |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // WITH/CTE through the SQL pass-through surface
+    QueryDef("q_sql_cte",
+      (s, d) => {
+        Tables.register(s, d)
+        s.sql("""WITH big AS (
+                |  SELECT o_custkey, count(1) AS n FROM orders
+                |  GROUP BY o_custkey HAVING count(1) >= 3
+                |)
+                |SELECT c_custkey, c_name, n FROM customer
+                |JOIN big ON c_custkey = o_custkey
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""WITH big AS (
+             |  SELECT o_custkey, CAST(count(1) AS BIGINT) AS n FROM orders
+             |  GROUP BY o_custkey HAVING count(1) >= 3
+             |)
+             |SELECT c_custkey, c_name, n FROM customer
+             |JOIN big ON c_custkey = o_custkey
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // PIVOT: wide conditional aggregation. The oracle uses portable
+    // conditional aggregation — identical semantics, no dialect PIVOT.
+    QueryDef("q_pivot",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast(D386)).cast(DoubleType))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CASE WHEN l_linestatus = 'F'
+             |    THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS qty_f,
+             |  CAST(sum(CASE WHEN l_linestatus = 'O'
+             |    THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS qty_o
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ---------------------------------------------------------- aggregates
     // TPC-H Q1 shape. Money sums via DECIMAL(38,6) on BOTH sides so the
     // parallel (order-nondeterministic) summation is still exact.
