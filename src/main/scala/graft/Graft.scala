@@ -56,10 +56,13 @@ object Graft {
 
   /** Per-partition in-memory size estimate —
     * `df.memory_usage_per_partition()` (test_core.py:301). Distributed:
-    * one estimate per task, only the Long sizes come back. */
+    * one estimate per task, only the Long sizes come back. One
+    * SizeEstimator call per partition, so the shared schema object graph
+    * every GenericRowWithSchema references is counted once per partition
+    * (a per-row estimate would re-count it N times and grossly inflate). */
   def memoryUsagePerPartition(df: DataFrame): Seq[Long] =
     df.rdd.mapPartitions { it =>
-      Iterator.single(it.map(SizeEstimator.estimate(_: AnyRef)).sum)
+      Iterator.single(SizeEstimator.estimate(it.toArray: AnyRef))
     }.collect().toIndexedSeq
 
   /** `df.npartitions` (test_core.py:88, 310). */

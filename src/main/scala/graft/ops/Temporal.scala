@@ -22,6 +22,33 @@ object Temporal {
     * partition orders: decimal inside the agg, double on the way out. */
   private def dsum(c: String) = sum(col(c).cast(D386)).cast(DoubleType)
 
+  /** The right side of both as-of variants: one purchase per (user, ts) —
+    * max event_id wins, with its value — so the as-of match is
+    * deterministic under ts ties. ONE definition shared by the window and
+    * broadcast plans ("two plans, one truth"). */
+  private def purchasesDeduped(ev: org.apache.spark.sql.DataFrame) =
+    ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("p_id"),
+        max_by(col("value"), col("event_id")).as("p_value"))
+
+  /** Shared DuckDB oracle for both as-of variants. */
+  private val asofOracle =
+    """WITH clicks AS (
+      |  SELECT event_id AS click_id, user_id, ts
+      |  FROM events WHERE event_type = 'click'
+      |), purchases AS (
+      |  SELECT user_id, ts, max(event_id) AS p_id,
+      |         arg_max(value, event_id) AS p_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+      |)
+      |SELECT c.click_id, c.user_id,
+      |       p.p_id AS asof_p_id, p.p_value AS asof_p_value
+      |FROM clicks c
+      |ASOF LEFT JOIN purchases p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.click_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // JSON / VARIANT path extraction (events.props is a JSON object string
@@ -47,11 +74,7 @@ object Temporal {
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("side"),
             lit(null).cast(LongType).as("p_id"), lit(null).cast(DoubleType).as("p_value"))
-        // dedupe the right side to one purchase per (user, ts) so the
-        // as-of match is deterministic under ts ties
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .groupBy("user_id", "ts")
-          .agg(max("event_id").as("p_id"), max_by(col("value"), col("event_id")).as("p_value"))
+        val purchases = purchasesDeduped(ev)
           .select(col("user_id"), col("ts"), lit(null).cast(LongType).as("event_id"),
             lit(0).as("side"), col("p_id"), col("p_value"))
         // at equal ts the purchase (side=0) sorts first, so a click at the
@@ -66,20 +89,7 @@ object Temporal {
             col("asof_p_id"), col("asof_p_value"))
           .orderBy("click_id")
       },
-      Some("""WITH clicks AS (
-             |  SELECT event_id AS click_id, user_id, ts
-             |  FROM events WHERE event_type = 'click'
-             |), purchases AS (
-             |  SELECT user_id, ts, max(event_id) AS p_id,
-             |         arg_max(value, event_id) AS p_value
-             |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
-             |)
-             |SELECT c.click_id, c.user_id,
-             |       p.p_id AS asof_p_id, p.p_value AS asof_p_value
-             |FROM clicks c
-             |ASOF LEFT JOIN purchases p
-             |  ON c.user_id = p.user_id AND c.ts >= p.ts
-             |ORDER BY c.click_id""".stripMargin)),
+      Some(asofOracle)),
 
     // The same as-of semantics by a second physical strategy: when the
     // right side is small, broadcast it and reduce candidate pairs with
@@ -90,10 +100,7 @@ object Temporal {
         val ev = Tables.table(s, d, "events")
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .groupBy("user_id", "ts")
-          .agg(max("event_id").as("p_id"),
-            max_by(col("value"), col("event_id")).as("p_value"))
+        val purchases = purchasesDeduped(ev)
           .select(col("user_id"), col("ts").as("p_ts"), col("p_id"), col("p_value"))
         clicks
           .join(broadcast(purchases),
@@ -105,20 +112,7 @@ object Temporal {
             max_by(col("p_value"), col("p_ts")).as("asof_p_value"))
           .orderBy("click_id")
       },
-      Some("""WITH clicks AS (
-             |  SELECT event_id AS click_id, user_id, ts
-             |  FROM events WHERE event_type = 'click'
-             |), purchases AS (
-             |  SELECT user_id, ts, max(event_id) AS p_id,
-             |         arg_max(value, event_id) AS p_value
-             |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
-             |)
-             |SELECT c.click_id, c.user_id,
-             |       p.p_id AS asof_p_id, p.p_value AS asof_p_value
-             |FROM clicks c
-             |ASOF LEFT JOIN purchases p
-             |  ON c.user_id = p.user_id AND c.ts >= p.ts
-             |ORDER BY c.click_id""".stripMargin)),
+      Some(asofOracle)),
 
     // tumbling window (streaming: groupBy(window($"ts","1 hour"))) — the
     // epoch-aligned 1h window start equals date_trunc('hour')

@@ -56,9 +56,10 @@ class BatchSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = BatchSource.listFiles(options)
+    val conf = BatchSource.hadoopConf()
+    val files = BatchSource.listFiles(options, conf)
     require(files.nonEmpty, s"no parquet files under '${BatchSource.dir(options)}'")
-    BatchSource.toStructType(BatchSource.footerSchema(files.head))
+    BatchSource.toStructType(BatchSource.footerSchema(files.head, conf))
   }
 
   override def getTable(
@@ -76,17 +77,24 @@ private[sources] object BatchSource {
     p
   }
 
-  def listFiles(options: CaseInsensitiveStringMap): Seq[FileStatus] = {
+  /** The SESSION's hadoop conf — spark.hadoop.* settings (object-store
+    * credentials etc.) must reach the connector's filesystem access. */
+  def hadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  def listFiles(options: CaseInsensitiveStringMap, conf: Configuration): Seq[FileStatus] = {
     val path = new Path(dir(options))
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(conf)
     if (!fs.exists(path)) Seq.empty
     else fs.listStatus(path).toIndexedSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
   }
 
-  def footerSchema(file: FileStatus): MessageType = {
-    val in = HadoopInputFile.fromStatus(file, new Configuration())
+  def footerSchema(file: FileStatus, conf: Configuration): MessageType = {
+    val in = HadoopInputFile.fromStatus(file, conf)
     val reader = ParquetFileReader.open(in)
     try reader.getFooter.getFileMetaData.getSchema
     finally reader.close()
@@ -100,29 +108,38 @@ private[sources] object BatchSource {
         f.getRepetition != PType.Repetition.REQUIRED)
     }.toIndexedSeq)
 
-  private def sparkType(p: PrimitiveType): DataType = p.getPrimitiveTypeName match {
-    case BOOLEAN => BooleanType
-    case FLOAT => FloatType
-    case DOUBLE => DoubleType
-    case INT32 => IntegerType
-    case INT64 => p.getLogicalTypeAnnotation match {
-      // match the native reader's mapping: UTC-adjusted → TimestampType,
-      // wall-clock (isAdjustedToUTC=false) → TimestampNTZType
-      case t: TimestampLogicalTypeAnnotation =>
-        if (t.isAdjustedToUTC) TimestampType else TimestampNTZType
-      case _ => LongType
+  private def sparkType(p: PrimitiveType): DataType = {
+    val ann = p.getLogicalTypeAnnotation
+    p.getPrimitiveTypeName match {
+      case BOOLEAN => BooleanType
+      case FLOAT => FloatType
+      case DOUBLE => DoubleType
+      // reject DECIMAL/DATE/TIME-annotated ints LOUDLY — decoding them as
+      // raw ints would return silently corrupted values (unscaled decimals,
+      // day numbers), which is worse than failing
+      case INT32 if ann == null ||
+          ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+        IntegerType
+      case INT64 => ann match {
+        // match the native reader's mapping: UTC-adjusted → TimestampType,
+        // wall-clock (isAdjustedToUTC=false) → TimestampNTZType
+        case t: TimestampLogicalTypeAnnotation =>
+          if (t.isAdjustedToUTC) TimestampType else TimestampNTZType
+        case null => LongType
+        case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => LongType
+        case other => throw new IllegalArgumentException(
+          s"unsupported INT64 logical type $other on '${p.getName}'")
+      }
+      case BINARY if ann == LogicalTypeAnnotation.stringType() => StringType
+      case other => throw new IllegalArgumentException(
+        s"unsupported parquet type $other${if (ann != null) s" ($ann)" else ""} on '${p.getName}'")
     }
-    case BINARY if p.getLogicalTypeAnnotation == LogicalTypeAnnotation.stringType() =>
-      StringType
-    case other =>
-      throw new IllegalArgumentException(s"unsupported parquet type $other")
   }
 
   /** One lazy batch handle = one row group (path + index + stats only). */
   case class BatchHandle(path: String, rowGroup: Int, rows: Long, bytes: Long)
 
-  def discoverBatches(files: Seq[FileStatus]): Seq[BatchHandle] = {
-    val conf = new Configuration()
+  def discoverBatches(files: Seq[FileStatus], conf: Configuration): Seq[BatchHandle] =
     files.flatMap { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
       try reader.getFooter.getBlocks.asScala.zipWithIndex.map { case (b, i) =>
@@ -130,6 +147,20 @@ private[sources] object BatchSource {
       }.toIndexedSeq
       finally reader.close()
     }
+}
+
+/** Hadoop Configuration isn't Serializable — ship it to executors with
+  * its own writable protocol. */
+private[sources] class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
   }
 }
 
@@ -164,8 +195,9 @@ private[sources] class BatchScan(
     required: StructType, options: CaseInsensitiveStringMap)
     extends Scan with Batch with SupportsReportStatistics {
 
-  private lazy val files = BatchSource.listFiles(options)
-  private lazy val batches = BatchSource.discoverBatches(files)
+  private val conf = BatchSource.hadoopConf()
+  private lazy val files = BatchSource.listFiles(options, conf)
+  private lazy val batches = BatchSource.discoverBatches(files, conf)
 
   override def readSchema(): StructType = required
 
@@ -201,27 +233,29 @@ private[sources] class BatchScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BatchReaderFactory(required)
+    new BatchReaderFactory(required, new SerializableHadoopConf(conf))
 }
 
 /** Serialized to executors: only the lazy handles, never data. */
 private[sources] case class BatchInputPartition(
     handles: Array[BatchSource.BatchHandle]) extends InputPartition
 
-private[sources] class BatchReaderFactory(required: StructType)
+private[sources] class BatchReaderFactory(
+    required: StructType, conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new BatchPartitionReader(p.asInstanceOf[BatchInputPartition], required)
+    new BatchPartitionReader(p.asInstanceOf[BatchInputPartition], required, conf)
 }
 
 /** Executor-side materialization (SURVEY §3.1 stage 10): open each file,
   * read ONLY this partition's row groups (skip the rest without IO),
   * decode to InternalRow with the pruned schema. */
 private[sources] class BatchPartitionReader(
-    partition: BatchInputPartition, required: StructType)
+    partition: BatchInputPartition, required: StructType,
+    serConf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
-  private val conf = new Configuration()
+  private val conf = serConf.value
   private val byFile: Seq[(String, Seq[Int])] = partition.handles
     .groupBy(_.path).view.mapValues(_.map(_.rowGroup).toIndexedSeq)
     .toSeq.sortBy(_._1)
