@@ -1,0 +1,164 @@
+package graft.sources
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroup
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+/** The write half of the DSv2 connector — `to_snowflake`'s architecture
+  * (SURVEY §3.2): every partition writes its own staged file in parallel
+  * (`write_pandas` per partition, core.py:117-120); names are unique per
+  * (task, attempt) so speculative/retried tasks never collide; `abort`
+  * deletes the attempt's file. Overwrite maps to truncate-at-commit-time
+  * like the reference's `overwrite=True` passthrough (test_core.py:135).
+  *
+  * `df.write.format("graft").mode(...).save(dir)` stages files that
+  * [[BatchSource]] (or any parquet reader) reads back — the two halves
+  * of the connector close the loop.
+  */
+private[sources] class BatchWriteBuilder(
+    schema: StructType, dir: String)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new BatchSinkWrite(schema, dir, doTruncate)
+  }
+}
+
+private[sources] class BatchSinkWrite(
+    schema: StructType, dir: String, truncate: Boolean)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new BatchWriterFactory(schema, dir, new SerializableHadoopConf(BatchSource.hadoopConf()))
+
+  /** Commit: truncate-then-visible. Staged attempt files are invisible to
+    * [[BatchSource]] until renamed to `.parquet` here, so readers never
+    * see a half-written result — the same DDL-before-DML sequencing idea
+    * as the reference's schema-first write (core.py:110-116). */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = BatchSource.hadoopConf()
+    val path = new Path(dir)
+    val fs = path.getFileSystem(conf)
+    if (truncate && fs.exists(path)) {
+      fs.listStatus(path).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .foreach(f => fs.delete(f.getPath, false))
+    }
+    messages.foreach { case BatchFileCommit(staged) =>
+      val p = new Path(staged)
+      fs.rename(p, new Path(p.getParent, p.getName.stripSuffix(".staged") + ".parquet"))
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = BatchSource.hadoopConf()
+    messages.foreach { case BatchFileCommit(staged) =>
+      val p = new Path(staged)
+      p.getFileSystem(conf).delete(p, false)
+    }
+  }
+}
+
+private[sources] case class BatchFileCommit(stagedPath: String)
+    extends WriterCommitMessage
+
+private[sources] class BatchWriterFactory(
+    schema: StructType, dir: String, conf: SerializableHadoopConf)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new BatchDataWriter(schema, dir, partitionId, taskId, conf)
+}
+
+private[sources] class BatchDataWriter(
+    schema: StructType, dir: String, partitionId: Int, taskId: Long,
+    conf: SerializableHadoopConf)
+    extends DataWriter[InternalRow] {
+
+  private val msg: MessageType = BatchSink.toMessageType(schema)
+  // unique per (partition, task attempt): retries never collide
+  private val staged = new Path(dir,
+    f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.staged")
+  private lazy val writer = {
+    val c = new org.apache.hadoop.conf.Configuration(conf.value)
+    ExampleParquetWriter.builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(staged, c))
+      .withType(msg)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val g = new SimpleGroup(msg)
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) schema.fields(i).dataType match {
+        case BooleanType => g.add(i, row.getBoolean(i))
+        case IntegerType => g.add(i, row.getInt(i))
+        case LongType => g.add(i, row.getLong(i))
+        case FloatType => g.add(i, row.getFloat(i))
+        case DoubleType => g.add(i, row.getDouble(i))
+        case StringType => g.add(i, row.getUTF8String(i).toString)
+        case TimestampType | TimestampNTZType => g.add(i, row.getLong(i)) // µs
+        case dt => throw new IllegalArgumentException(s"unsupported type $dt")
+      }
+      i += 1
+    }
+    writer.write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    BatchFileCommit(staged.toString)
+  }
+
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Throwable => () }
+    staged.getFileSystem(conf.value).delete(staged, false)
+  }
+
+  override def close(): Unit = ()
+}
+
+private[sources] object BatchSink {
+
+  /** Spark StructType → flat parquet MessageType (inverse of
+    * [[BatchSource.toStructType]]). */
+  def toMessageType(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val rep = if (f.nullable) org.apache.parquet.schema.Type.Repetition.OPTIONAL
+        else org.apache.parquet.schema.Type.Repetition.REQUIRED
+      val prim = f.dataType match {
+        case BooleanType => Types.primitive(PrimitiveTypeName.BOOLEAN, rep)
+        case IntegerType => Types.primitive(PrimitiveTypeName.INT32, rep)
+        case LongType => Types.primitive(PrimitiveTypeName.INT64, rep)
+        case FloatType => Types.primitive(PrimitiveTypeName.FLOAT, rep)
+        case DoubleType => Types.primitive(PrimitiveTypeName.DOUBLE, rep)
+        case StringType => Types.primitive(PrimitiveTypeName.BINARY, rep)
+          .as(LogicalTypeAnnotation.stringType())
+        case TimestampType => Types.primitive(PrimitiveTypeName.INT64, rep)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case TimestampNTZType => Types.primitive(PrimitiveTypeName.INT64, rep)
+          .as(LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case dt => throw new IllegalArgumentException(
+          s"unsupported type $dt for column '${f.name}'")
+      }
+      b.addField(prim.named(f.name))
+    }
+    b.named("graft_staged")
+  }
+}

@@ -62,6 +62,10 @@ class BatchSource extends TableProvider with DataSourceRegister {
     BatchSource.toStructType(BatchSource.footerSchema(files.head, conf))
   }
 
+  /** Writes arrive with the DataFrame's schema — don't force inference
+    * (the target dir may not exist yet). */
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
@@ -139,14 +143,74 @@ private[sources] object BatchSource {
   /** One lazy batch handle = one row group (path + index + stats only). */
   case class BatchHandle(path: String, rowGroup: Int, rows: Long, bytes: Long)
 
-  def discoverBatches(files: Seq[FileStatus], conf: Configuration): Seq[BatchHandle] =
+  /** Driver-only per-column row-group statistics for batch pruning:
+    * (min, max, nullCount) as comparable values; None when the footer has
+    * no usable stats for the column. */
+  type ColStats = Map[String, (Any, Any, Long)]
+
+  def discoverBatches(
+      files: Seq[FileStatus], conf: Configuration,
+      statCols: Set[String] = Set.empty): Seq[(BatchHandle, ColStats)] =
     files.flatMap { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
       try reader.getFooter.getBlocks.asScala.zipWithIndex.map { case (b, i) =>
-        BatchHandle(f.getPath.toString, i, b.getRowCount, b.getCompressedSize)
+        val stats: ColStats =
+          if (statCols.isEmpty) Map.empty
+          else b.getColumns.asScala.flatMap { c =>
+            val name = c.getPath.toDotString
+            val s = c.getStatistics
+            if (statCols.contains(name) && s != null && s.hasNonNullValue)
+              Some(name -> ((comparable(s.genericGetMin),
+                comparable(s.genericGetMax), s.getNumNulls)))
+            else None
+          }.toMap
+        (BatchHandle(f.getPath.toString, i, b.getRowCount, b.getCompressedSize), stats)
       }.toIndexedSeq
       finally reader.close()
     }
+
+  /** Footer min/max → a plain comparable JVM value. */
+  private def comparable(v: Any): Any = v match {
+    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+    case other => other
+  }
+
+  /** Can `filter` provably match NO row of a batch with these stats?
+    * (conservative: unknown columns/shapes → keep the batch) */
+  def excludes(filter: org.apache.spark.sql.sources.Filter, stats: ColStats,
+      rows: Long): Boolean = {
+    import org.apache.spark.sql.sources._
+
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Number, y: Number) =>
+        Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
+      case _ => None
+    }
+
+    filter match {
+      case EqualTo(c, v) => stats.get(c).exists { case (mn, mx, _) =>
+        cmp(v, mn).exists(_ < 0) || cmp(v, mx).exists(_ > 0) }
+      case GreaterThan(c, v) => stats.get(c).exists { case (_, mx, _) =>
+        cmp(mx, v).exists(_ <= 0) }
+      case GreaterThanOrEqual(c, v) => stats.get(c).exists { case (_, mx, _) =>
+        cmp(mx, v).exists(_ < 0) }
+      case LessThan(c, v) => stats.get(c).exists { case (mn, _, _) =>
+        cmp(mn, v).exists(_ >= 0) }
+      case LessThanOrEqual(c, v) => stats.get(c).exists { case (mn, _, _) =>
+        cmp(mn, v).exists(_ > 0) }
+      case IsNull(c) => stats.get(c).exists { case (_, _, nulls) => nulls == 0 }
+      case IsNotNull(c) => stats.get(c).exists { case (_, _, nulls) => nulls == rows }
+      case And(l, r) => excludes(l, stats, rows) || excludes(r, stats, rows)
+      case Or(l, r) => excludes(l, stats, rows) && excludes(r, stats, rows)
+      case _ => false
+    }
+  }
+
+  /** Column names a filter references (for targeted stats collection). */
+  def filterCols(f: org.apache.spark.sql.sources.Filter): Set[String] =
+    f.references.toSet
 }
 
 /** Hadoop Configuration isn't Serializable — ship it to executors with
@@ -166,43 +230,75 @@ private[sources] class SerializableHadoopConf(@transient var value: Configuratio
 
 private[sources] class BatchTable(
     tableSchema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft:${BatchSource.dir(options)}"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new BatchScanBuilder(tableSchema, options)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new BatchWriteBuilder(info.schema(), BatchSource.dir(options))
 }
 
 private[sources] class BatchScanBuilder(
     fullSchema: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve the file's field order; keep only requested columns
     required = StructType(fullSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new BatchScan(required, options)
+  /** Accept filters for ROW-GROUP PRUNING via footer min/max stats —
+    * whole batches whose stats exclude the predicate are never planned,
+    * never opened, never read. All filters are returned as residual:
+    * pruning is a skip-optimization, row-level evaluation stays with
+    * Spark (same contract as parquet row-group skipping). */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan = new BatchScan(required, options, pushed)
 }
 
 private[sources] class BatchScan(
-    required: StructType, options: CaseInsensitiveStringMap)
+    required: StructType, options: CaseInsensitiveStringMap,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics {
 
   private val conf = BatchSource.hadoopConf()
   private lazy val files = BatchSource.listFiles(options, conf)
-  private lazy val batches = BatchSource.discoverBatches(files, conf)
+  private lazy val statCols: Set[String] = filters.flatMap(BatchSource.filterCols).toSet
+  private lazy val discovered = BatchSource.discoverBatches(files, conf, statCols)
+  // keep only batches whose footer stats might match every filter
+  private lazy val kept = discovered.filterNot { case (h, stats) =>
+    filters.exists(BatchSource.excludes(_, stats, h.rows))
+  }
+  private lazy val batches = kept.map(_._1)
 
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"GraftBatchScan(dir=${BatchSource.dir(options)}, cols=[${required.fieldNames.mkString(",")}])"
+    s"GraftBatchScan(dir=${BatchSource.dir(options)}, " +
+      s"cols=[${required.fieldNames.mkString(",")}], " +
+      s"batches=${batches.length}/${discovered.length})"
 
   override def toBatch: Batch = this
 

@@ -75,6 +75,56 @@ class BatchSourceSpec extends SparkSpec {
       s"scan description should show pruned columns:\n$plan")
   }
 
+  test("filter pushdown prunes row groups by footer stats (batches never opened)") {
+    // stage orders SORTED by o_orderkey in many small row groups so each
+    // group covers a disjoint key range the footer stats describe
+    val dir = Files.createTempDirectory("graft_prune").toString
+    Tables.table(spark, sfDir, "orders")
+      .orderBy("o_orderkey").coalesce(1)
+      .write.option("parquet.block.size", 64 * 1024)
+      .mode("overwrite").parquet(dir)
+    def partsFor(df: org.apache.spark.sql.DataFrame) = df.rdd.getNumPartitions
+    val base = spark.read.format("graft")
+      .option("partition_size", "16 KiB").load(dir)
+    val maxKey = spark.read.parquet(dir)
+      .agg(max("o_orderkey")).head.getLong(0)
+    val unfiltered = base
+    val filtered = base.filter(col("o_orderkey") > maxKey - 5)
+    // with stats pruning, almost every row group is excluded from planning
+    assert(partsFor(filtered) < partsFor(unfiltered),
+      s"pruned scan should plan fewer partitions: " +
+        s"${partsFor(filtered)} vs ${partsFor(unfiltered)}")
+    // and the rows that survive are exactly the right ones
+    val expected = spark.read.parquet(dir)
+      .filter(col("o_orderkey") > maxKey - 5)
+    assertSameRows(filtered, expected)
+    // a provably-false predicate plans zero batches but keeps the schema
+    val none = base.filter(col("o_orderkey") < -1)
+    assert(none.count() == 0)
+  }
+
+  test("V2 write path: stage through the connector, read back through it") {
+    val dir = Files.createTempDirectory("graft_v2w").toString
+    val src = Tables.table(spark, sfDir, "orders")
+    src.repartition(3).write.format("graft").mode("append").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assertSameRows(src, back)
+    // one staged file per partition, all committed to .parquet
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.count(_.endsWith(".parquet")) == 3, files.toSeq)
+    assert(!files.exists(_.endsWith(".staged")), files.toSeq)
+  }
+
+  test("V2 write overwrite truncates prior content at commit") {
+    val dir = Files.createTempDirectory("graft_v2o").toString
+    val nation = Tables.table(spark, sfDir, "nation")
+    nation.write.format("graft").mode("append").save(dir)
+    nation.write.format("graft").mode("append").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 2 * nation.count())
+    nation.write.format("graft").mode("overwrite").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == nation.count())
+  }
+
   test("aggregations and joins work through the source") {
     val dir = stage("orders", 3)
     val n = spark.read.format("graft").load(dir)
