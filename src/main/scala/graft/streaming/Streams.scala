@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY §2 streaming block). The reference
@@ -57,6 +58,42 @@ object Streams {
   def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Running per-user spend monitor on the MODERN state API
+    * (`transformWithState`, Spark 4): a typed [[ValueState]] accumulates
+    * each user's total; a row is emitted whenever the running total
+    * crosses another multiple of `alertEvery`. The processor-based API is
+    * the successor to (f)mapGroupsWithState — explicit state handles,
+    * composable state variables, timer support — and is where new custom
+    * state logic should land. */
+  class SpendMonitor(alertEvery: Double)
+      extends StatefulProcessor[Long, Event, (Long, Double)] {
+    @transient private var total: ValueState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      total = getHandle.getValueState[Double]("total", Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[(Long, Double)] = {
+      val before = if (total.exists()) total.get() else 0.0
+      var acc = before
+      rows.foreach(e => acc += e.value)
+      total.update(acc)
+      val crossed = (acc / alertEvery).toLong - (before / alertEvery).toLong
+      if (crossed > 0) Iterator.single((key, acc)) else Iterator.empty
+    }
+  }
+
+  /** spend alerts per user (emits (user_id, running_total) on threshold
+    * crossings) via transformWithState. */
+  def spendAlerts(events: Dataset[Event], alertEvery: Double = 100.0): Dataset[(Long, Double)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SpendMonitor(alertEvery),
+        TimeMode.None(), OutputMode.Update())
+  }
 
   /** Custom sessionization via arbitrary state (`flatMapGroupsWithState`):
     * emits a [[Session]] when a user goes quiet for `gapMs`. This is the

@@ -121,6 +121,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "streamed window counts must cover every event")
   }
 
+  test("transformWithState: spend alerts fire on threshold crossings across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // transformWithState's multiple column families need the RocksDB store
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val mem = MemoryStream[Event]
+    val alerts = Streams.spendAlerts(mem.toDS(), alertEvery = 100.0)
+    val q = alerts.toDF("user_id", "running_total").writeStream
+      .format("memory").queryName("t_spend").outputMode("update").start()
+    // batch 1: user 1 reaches 90 (no alert), user 2 reaches 120 (alert)
+    mem.addData(Event(1, ts(1), 1, "purchase", 90.0),
+      Event(2, ts(1), 2, "purchase", 120.0))
+    q.processAllAvailable()
+    // batch 2: user 1 crosses 100 with +20 (alert); user 2 adds 10 (none)
+    mem.addData(Event(3, ts(2), 1, "purchase", 20.0),
+      Event(4, ts(2), 2, "purchase", 10.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_spend").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._2)
+    assert(rows.toSeq == Seq((1L, 110.0), (2L, 120.0)),
+      s"expected exactly the two crossing alerts, got ${rows.toSeq}")
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("streaming session_window matches the batch oracle shape") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
