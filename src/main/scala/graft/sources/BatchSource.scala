@@ -251,7 +251,15 @@ private[sources] class BatchTable(
 private[sources] class BatchScanBuilder(
     fullSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  // validate the partition spec eagerly (core.py:164-167) — every scan
+  // path, including the metadata-only aggregate path, must reject
+  // contradictory options
+  Partitioner.resolveSpec(
+    Option(options.get("npartitions")).map(_.toInt),
+    Option(options.get("partition_size")))
 
   private var required: StructType = fullSchema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
@@ -275,8 +283,110 @@ private[sources] class BatchScanBuilder(
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
-  override def build(): Scan = new BatchScan(required, options, pushed)
+  // -------- aggregate pushdown: COUNT(*)/MIN/MAX answered from footers --
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+
+  private var aggValues: Option[(StructType, Array[Any])] = None
+
+  /** Global COUNT(*)/MIN/MAX need no data at all: row counts and column
+    * min/max live in the parquet footers (the warehouse-connector trick —
+    * Snowflake answers these from metadata too). Only attempted by Spark
+    * when no residual filters exist, so metadata is authoritative. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translateAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translateAgg(agg) match {
+      case Some(v) => aggValues = Some(v); true
+      case None => false
+    }
+
+  private def translateAgg(agg: Aggregation): Option[(StructType, Array[Any])] = {
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
+    val conf = BatchSource.hadoopConf()
+    val statCols = agg.aggregateExpressions.flatMap {
+      case m: Min => m.column.references.headOption.map(_.fieldNames.head)
+      case m: Max => m.column.references.headOption.map(_.fieldNames.head)
+      case _ => None
+    }.toSet
+    lazy val discovered =
+      BatchSource.discoverBatches(BatchSource.listFiles(options, conf), conf, statCols)
+
+    def minMax(name: String, wantMin: Boolean): Option[(StructField, Any)] =
+      fullSchema.fields.find(_.name == name).flatMap { field =>
+        val stats = discovered.map(_._2.get(name))
+        if (stats.exists(_.isEmpty)) None // a batch without stats → bail out
+        else {
+          val vals = stats.flatten.map(s => if (wantMin) s._1 else s._2)
+          val cmp = new Ordering[Any] {
+            def compare(a: Any, b: Any): Int = (a, b) match {
+              case (x: Number, y: Number) =>
+                java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+              case (x: String, y: String) => x.compareTo(y)
+              case _ => 0
+            }
+          }
+          Some((field.copy(nullable = true),
+            if (wantMin) vals.min(cmp) else vals.max(cmp)))
+        }
+      }
+
+    val translated = agg.aggregateExpressions.map {
+      case _: CountStar =>
+        Some((StructField("count_star", LongType, nullable = false),
+          discovered.map(_._1.rows).sum: Any))
+      case m: Min => minMax(m.column.references.head.fieldNames.head, wantMin = true)
+      case m: Max => minMax(m.column.references.head.fieldNames.head, wantMin = false)
+      case _ => None
+    }
+    if (translated.exists(_.isEmpty)) None
+    else Some((StructType(translated.flatten.map(_._1)),
+      translated.flatten.map(_._2).toArray))
+  }
+
+  override def build(): Scan = aggValues match {
+    case Some((schema, values)) => new MetadataAggScan(schema, values, options)
+    case None => new BatchScan(required, options, pushed)
+  }
 }
+
+/** A scan whose entire result was computed from footer metadata on the
+  * driver: one partition, one row, zero data files opened. */
+private[sources] class MetadataAggScan(
+    aggSchema: StructType, values: Array[Any], options: CaseInsensitiveStringMap)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = aggSchema
+
+  override def description(): String =
+    s"GraftBatchScan(dir=${BatchSource.dir(options)}, METADATA-ONLY agg=[" +
+      aggSchema.fieldNames.mkString(",") + "])"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(MetadataAggPartition(values.map {
+      case s: String => s; case other => other // already plain JVM values
+    }))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var done = false
+          private val vals = p.asInstanceOf[MetadataAggPartition].values.map {
+            case s: String => UTF8String.fromString(s)
+            case other => other
+          }
+          override def next(): Boolean = if (done) false else { done = true; true }
+          override def get(): InternalRow = new GenericInternalRow(vals.toArray[Any])
+          override def close(): Unit = ()
+        }
+    }
+}
+
+private[sources] case class MetadataAggPartition(values: Array[Any])
+    extends InputPartition
 
 private[sources] class BatchScan(
     required: StructType, options: CaseInsensitiveStringMap,

@@ -125,6 +125,33 @@ class BatchSourceSpec extends SparkSpec {
     assert(spark.read.format("graft").load(dir).count() == nation.count())
   }
 
+  test("COUNT/MIN/MAX are answered from footer metadata (no data read)") {
+    val dir = stage("orders", 3)
+    val df = spark.read.format("graft").load(dir)
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("mn"),
+        max("o_totalprice").as("mx"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("METADATA-ONLY"),
+      s"aggregate should be answered from footers:\n$plan")
+    val ref = spark.read.parquet(dir)
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("mn"),
+        max("o_totalprice").as("mx"))
+    assertSameRows(df, ref)
+  }
+
+  test("aggregate pushdown declines when a filter is present (falls back to rows)") {
+    val dir = stage("orders", 2)
+    val df = spark.read.format("graft").load(dir)
+      .filter(col("o_orderkey") > 10).agg(count(lit(1)).as("n"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("METADATA-ONLY"), plan)
+    val ref = spark.read.parquet(dir)
+      .filter(col("o_orderkey") > 10).agg(count(lit(1)).as("n"))
+    assertSameRows(df, ref)
+  }
+
   test("aggregations and joins work through the source") {
     val dir = stage("orders", 3)
     val n = spark.read.format("graft").load(dir)
