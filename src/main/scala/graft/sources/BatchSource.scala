@@ -236,7 +236,7 @@ private[sources] class BatchTable(
   override def name(): String = s"graft:${BatchSource.dir(options)}"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
@@ -411,6 +411,11 @@ private[sources] class BatchScan(
       s"batches=${batches.length}/${discovered.length})"
 
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(
+      checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new BatchMicroBatchStream(required, options)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): util.OptionalLong =

@@ -152,6 +152,25 @@ class BatchSourceSpec extends SparkSpec {
     assertSameRows(df, ref)
   }
 
+  test("micro-batch streaming: files arriving in the stage become batches") {
+    val dir = Files.createTempDirectory("graft_mbs").toString
+    val nation = Tables.table(spark, sfDir, "nation")
+    // first file present before the stream starts
+    nation.coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.format("graft")
+      .schema(spark.read.parquet(dir).schema).load(dir)
+    val q = stream.groupBy().count().writeStream
+      .format("memory").queryName("t_graft_stream")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    assert(spark.table("t_graft_stream").head.getLong(0) == 25)
+    // a second file lands mid-stream → next micro-batch picks it up
+    nation.coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    assert(spark.table("t_graft_stream").head.getLong(0) == 50)
+    q.stop()
+  }
+
   test("aggregations and joins work through the source") {
     val dir = stage("orders", 3)
     val n = spark.read.format("graft").load(dir)
