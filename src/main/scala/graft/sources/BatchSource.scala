@@ -192,6 +192,11 @@ private[sources] object BatchSource {
     filter match {
       case EqualTo(c, v) => stats.get(c).exists { case (mn, mx, _) =>
         cmp(v, mn).exists(_ < 0) || cmp(v, mx).exists(_ > 0) }
+      // the shape runtime (DPP-style) filters arrive in: the batch is
+      // excluded only if EVERY candidate value falls outside [min, max]
+      case In(c, vs) => stats.get(c).exists { case (mn, mx, _) =>
+        vs.nonEmpty && vs.forall(v =>
+          cmp(v, mn).exists(_ < 0) || cmp(v, mx).exists(_ > 0)) }
       case GreaterThan(c, v) => stats.get(c).exists { case (_, mx, _) =>
         cmp(mx, v).exists(_ <= 0) }
       case GreaterThanOrEqual(c, v) => stats.get(c).exists { case (_, mx, _) =>
@@ -391,24 +396,48 @@ private[sources] case class MetadataAggPartition(values: Array[Any])
 private[sources] class BatchScan(
     required: StructType, options: CaseInsensitiveStringMap,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   private val conf = BatchSource.hadoopConf()
   private lazy val files = BatchSource.listFiles(options, conf)
-  private lazy val statCols: Set[String] = filters.flatMap(BatchSource.filterCols).toSet
-  private lazy val discovered = BatchSource.discoverBatches(files, conf, statCols)
-  // keep only batches whose footer stats might match every filter
-  private lazy val kept = discovered.filterNot { case (h, stats) =>
-    filters.exists(BatchSource.excludes(_, stats, h.rows))
+
+  // runtime (DPP-style) filters arrive AFTER planning starts — e.g. the
+  // join-key values produced by a dimension subquery — so batch pruning is
+  // (re)computed lazily against static + runtime filters combined
+  @volatile private var runtimeFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(fs: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtimeFilters = fs
+
+  private def allFilters = filters ++ runtimeFilters
+
+  private def pruned: (Seq[BatchSource.BatchHandle], Int) = {
+    val fs = allFilters
+    val statCols: Set[String] = fs.flatMap(BatchSource.filterCols).toSet
+    val discovered = BatchSource.discoverBatches(files, conf, statCols)
+    val kept = discovered.filterNot { case (h, stats) =>
+      fs.exists(BatchSource.excludes(_, stats, h.rows))
+    }
+    (kept.map(_._1), discovered.length)
   }
-  private lazy val batches = kept.map(_._1)
+
+  private lazy val batches = pruned._1 // for stats; re-pruned at plan time
 
   override def readSchema(): StructType = required
 
-  override def description(): String =
+  override def description(): String = {
+    val (kept, total) = pruned
     s"GraftBatchScan(dir=${BatchSource.dir(options)}, " +
       s"cols=[${required.fieldNames.mkString(",")}], " +
-      s"batches=${batches.length}/${discovered.length})"
+      s"batches=${kept.length}/$total)"
+  }
 
   override def toBatch: Batch = this
 
@@ -428,18 +457,19 @@ private[sources] class BatchScan(
     * semantics: count mode → row target total//n; size mode → byte target;
     * greedy first-fit pack preserving batch order. */
   override def planInputPartitions(): Array[InputPartition] = {
+    val (kept, _) = pruned // fresh: includes any runtime filters by now
     val np = Option(options.get("npartitions")).map(_.toInt)
     val ps = Option(options.get("partition_size"))
     val (countMode, sizeMode) = Partitioner.resolveSpec(np, ps)
     val groups: Seq[Seq[Int]] = countMode match {
       case Some(n) =>
-        val target = Partitioner.rowsPerPartition(batches.map(_.rows).sum, n)
-        Partitioner.pack(batches.map(_.rows), target)
+        val target = Partitioner.rowsPerPartition(kept.map(_.rows).sum, n)
+        Partitioner.pack(kept.map(_.rows), target)
       case None =>
-        Partitioner.pack(batches.map(_.bytes), sizeMode.get)
+        Partitioner.pack(kept.map(_.bytes), sizeMode.get)
     }
     groups.map { idxs =>
-      BatchInputPartition(idxs.map(batches).toArray): InputPartition
+      BatchInputPartition(idxs.map(kept).toArray): InputPartition
     }.toArray
   }
 

@@ -171,6 +171,29 @@ class BatchSourceSpec extends SparkSpec {
     q.stop()
   }
 
+  test("runtime filters re-prune row groups after planning begins (DPP shape)") {
+    import org.apache.spark.sql.sources.In
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = Files.createTempDirectory("graft_rtf").toString
+    Tables.table(spark, sfDir, "orders")
+      .orderBy("o_orderkey").coalesce(1)
+      .write.option("parquet.block.size", 64 * 1024)
+      .mode("overwrite").parquet(dir)
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("path", dir, "partition_size", "16 KiB"))
+    val schema = new BatchSource().inferSchema(opts)
+    def freshScan() = new BatchScanBuilder(schema, opts).build()
+      .asInstanceOf[BatchScan]
+    val before = freshScan().planInputPartitions().length
+    val scan = freshScan()
+    // simulate the dimension-side subquery delivering its join keys
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("o_orderkey", Array(0L, 1L, 2L))))
+    val after = scan.planInputPartitions().length
+    assert(after < before, s"runtime In-filter should prune: $after vs $before")
+    assert(after >= 1)
+  }
+
   test("aggregations and joins work through the source") {
     val dir = stage("orders", 3)
     val n = spark.read.format("graft").load(dir)
