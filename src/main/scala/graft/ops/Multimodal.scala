@@ -67,17 +67,59 @@ object Multimodal {
     out
   }
 
-  /** queries() surface: decode plumbing end-to-end (no SQL oracle — the
-    * stub features aren't SQL-expressible; driver records the rows-only
-    * check, the deterministic values are asserted in MultimodalSpec). */
+  /** queries() surface: decode plumbing end-to-end. The driver-checkable
+    * output is scalar — per-dim `floor(feature * 1e6)::BIGINT` digests of
+    * the decoded feature vector (raw `array<float>` columns aren't
+    * sortable by the driver's pandas check; the array-valued variant
+    * stays a ScalaTest surface in MultimodalSpec). The stub decoder is
+    * pure integer arithmetic over the payload bytes, so the DuckDB oracle
+    * recomputes it exactly: the JVM's wrapping signed-64 multiply/add is
+    * emulated with HUGEINT arithmetic mod 2^64 (documents.text is ASCII,
+    * so `ord(char)` == utf-8 byte). */
   val defs: Seq[graft.QueryDef] = Seq(
     graft.QueryDef("q_multimodal_decode",
-      (s, d) => extractFeatures(withPayload(
+      (s, d) => {
+        val feats = extractFeatures(withPayload(
           graft.warehouse.Tables.table(s, d, "documents")))
-        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
-          col("features"))
-        .orderBy("doc_id"),
-      None))
+        val digests = (0 until FeatureDim).map { j =>
+          floor(element_at(col("features"), j + 1).cast(DoubleType) * lit(1e6))
+            .cast(LongType).as(s"f$j")
+        }
+        feats.select(
+            (Seq(col("doc_id"), col("meta.n_bytes").as("n_bytes")) ++ digests): _*)
+          .orderBy("doc_id")
+      },
+      Some(decodeOracle)))
+
+  /** DuckDB twin of [[stubDecode]] ∘ floor-scale digest: fold the rolling
+    * byte hash with `list_reduce` over the characters, run the splitmix
+    * recurrence per dimension via lateral column aliases, reproduce the
+    * `toFloat`/`- 0.5f` float32 steps with REAL casts, then digest. */
+  private def decodeOracle: String = {
+    val m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val xs = (0 until FeatureDim).map { j =>
+      val prev = if (j == 0) "h0" else s"x${j - 1}"
+      s"(($prev * 6364136223846793005 + 1442695040888963407) % $m64) AS x$j"
+    }.mkString(",\n       ")
+    val fs = (0 until FeatureDim).map { j =>
+      s"CAST(floor(CAST((CAST(CAST((x$j // 2048) AS DOUBLE) / 9007199254740992e0 AS REAL)" +
+        s" - CAST(0.5 AS REAL)) AS DOUBLE) * 1e6) AS BIGINT) AS f$j"
+    }.mkString(",\n       ")
+    s"""WITH b AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       |         list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+       |             list_transform(str_split(text, ''), c -> CAST(ord(c) AS HUGEINT))),
+       |           (acc, v) -> (acc * 31 + v) % $m64) AS h0
+       |  FROM documents
+       |), xs AS (
+       |  SELECT doc_id, n_bytes,
+       |       $xs
+       |  FROM b
+       |)
+       |SELECT doc_id, n_bytes,
+       |       $fs
+       |FROM xs ORDER BY doc_id""".stripMargin
+  }
 
   /** Partition-wise feature extraction over the binary column: one
     * iterator pass per task (the batch shape a vectorized decoder wants),
