@@ -486,6 +486,19 @@ private[sources] class BatchReaderFactory(
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new BatchPartitionReader(p.asInstanceOf[BatchInputPartition], required, conf)
+
+  /** Default data plane is COLUMNAR (ColumnarBatch + codegen'd
+    * ColumnarToRow); the row-based reader above stays as the fallback for
+    * empty projections (a zero-column parquet read has no column readers
+    * to drive the batch row count). */
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    required.nonEmpty
+
+  override def createColumnarReader(
+      p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new ColumnarBatchPartitionReader(
+      p.asInstanceOf[BatchInputPartition], required, conf)
 }
 
 /** Executor-side materialization (SURVEY §3.1 stage 10): open each file,

@@ -1,0 +1,224 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.column.ColumnReader
+import org.apache.parquet.column.impl.ColumnReadStoreImpl
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType}
+import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+/** Vectorized executor-side materialization for the DSv2 connector — the
+  * columnar data plane of the reference (Arrow result batches,
+  * dask_snowflake/core.py:127-130), re-expressed as Spark `ColumnarBatch`:
+  *
+  *   - each assigned row group is decoded COLUMN AT A TIME with
+  *     parquet-column's `ColumnReadStoreImpl` — a tight primitive loop per
+  *     column per batch, no per-record `Group` object tree (the previous
+  *     row-at-a-time path paid ~40× over a native scan on decode alone);
+  *   - values land directly in `OnHeapColumnVector`s, so Spark reads them
+  *     through codegen'd `ColumnarToRow` — the scan joins the same
+  *     whole-stage-codegen pipeline as the built-in parquet source;
+  *   - vectors are allocated once per reader and reset per batch: zero
+  *     steady-state allocation beyond string bytes.
+  *
+  * Scope matches [[BatchSource.toStructType]]: flat schemas (what a staged
+  * warehouse result looks like), max definition level ≤ 1, no repetition.
+  */
+private[sources] class ColumnarBatchPartitionReader(
+    partition: BatchInputPartition, required: StructType,
+    serConf: SerializableHadoopConf, capacity: Int = 4096)
+    extends PartitionReader[ColumnarBatch] {
+
+  import ColumnarBatchPartitionReader._
+
+  private val conf = serConf.value
+  private val byFile: Seq[(String, Seq[Int])] = partition.handles
+    .groupBy(_.path).view.mapValues(_.map(_.rowGroup).toIndexedSeq)
+    .toSeq.sortBy(_._1)
+
+  private var fileIdx = 0
+  private var reader: ParquetFileReader = _
+  private var prunedMsg: MessageType = _
+  private var createdBy: String = _
+  private var wanted: Set[Int] = Set.empty
+  private var groupIdx = 0
+
+  // current-row-group decode state
+  private var colReaders: Array[ColumnReader] = _
+  private var maxDefs: Array[Int] = _
+  private var codes: Array[Int] = _
+  private var rowsLeft: Long = 0L
+
+  private val vectors: Array[OnHeapColumnVector] =
+    required.fields.map(f => new OnHeapColumnVector(capacity, f.dataType))
+  private val batch = new ColumnarBatch(vectors.toArray[ColumnVector])
+
+  private def openNextFile(): Boolean = {
+    if (reader != null) { reader.close(); reader = null }
+    if (fileIdx >= byFile.length) return false
+    val (path, groups) = byFile(fileIdx)
+    fileIdx += 1
+    val in = HadoopInputFile.fromPath(new Path(path), conf)
+    reader = ParquetFileReader.open(in)
+    val meta = reader.getFooter.getFileMetaData
+    val fileMsg = meta.getSchema
+    createdBy = meta.getCreatedBy
+    prunedMsg = new MessageType("graft_pruned",
+      required.fieldNames.map(n =>
+        fileMsg.getFields.get(fileMsg.getFieldIndex(n))): _*)
+    reader.setRequestedSchema(prunedMsg)
+    codes = required.indices.map(colCode).toArray
+    wanted = groups.toSet
+    groupIdx = 0
+    true
+  }
+
+  /** Per-column decode plan for the CURRENT file (the timestamp unit and
+    * decimal width live in the file footer, not the Spark schema). */
+  private def colCode(i: Int): Int = required.fields(i).dataType match {
+    case BooleanType => BOOL
+    case IntegerType | DateType => INT32 // parquet DATE = days, Spark DateType = days
+    case LongType => INT64
+    case FloatType => FLOAT
+    case DoubleType => DOUBLE
+    case StringType => STR
+    case TimestampType | TimestampNTZType =>
+      prunedMsg.getType(i).asPrimitiveType().getLogicalTypeAnnotation match {
+        case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+          case TimeUnit.MILLIS => TS_MILLIS
+          case TimeUnit.MICROS => INT64
+          case TimeUnit.NANOS => TS_NANOS
+        }
+        case _ => INT64
+      }
+    case dt => throw new IllegalArgumentException(s"unsupported type $dt")
+  }
+
+  /** Position on the next assigned, non-empty row group (skipping unwanted
+    * groups without IO), creating fresh per-column readers. */
+  private def advanceRowGroup(): Boolean = {
+    while (true) {
+      if (reader == null || groupIdx >= reader.getFooter.getBlocks.size()) {
+        if (!openNextFile()) return false
+      } else if (!wanted.contains(groupIdx)) {
+        reader.skipNextRowGroup()
+        groupIdx += 1
+      } else {
+        val pages = reader.readNextRowGroup()
+        groupIdx += 1
+        if (pages.getRowCount > 0) {
+          val store = new ColumnReadStoreImpl(pages,
+            new GroupRecordConverter(prunedMsg).getRootConverter, prunedMsg, createdBy)
+          val descs = prunedMsg.getColumns.asScala
+          colReaders = descs.map(store.getColumnReader).toArray
+          maxDefs = descs.map(_.getMaxDefinitionLevel).toArray
+          rowsLeft = pages.getRowCount
+          return true
+        }
+      }
+    }
+    false
+  }
+
+  override def next(): Boolean = {
+    while (rowsLeft == 0L) if (!advanceRowGroup()) return false
+    val n = math.min(capacity.toLong, rowsLeft).toInt
+    var c = 0
+    while (c < vectors.length) {
+      vectors(c).reset()
+      decodeColumn(c, n)
+      c += 1
+    }
+    rowsLeft -= n
+    batch.setNumRows(n)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = {
+    if (reader != null) { reader.close(); reader = null }
+    batch.close() // closes the vectors
+  }
+
+  /** One tight loop per column per batch — the match stays OUTSIDE the
+    * row loop so each branch is a monomorphic primitive copy. */
+  private def decodeColumn(c: Int, n: Int): Unit = {
+    val vec = vectors(c)
+    val cr = colReaders(c)
+    val maxDef = maxDefs(c)
+    var r = 0
+    codes(c) match {
+      case BOOL =>
+        while (r < n) {
+          if (cr.getCurrentDefinitionLevel == maxDef) vec.putBoolean(r, cr.getBoolean)
+          else vec.putNull(r)
+          cr.consume(); r += 1
+        }
+      case INT32 =>
+        while (r < n) {
+          if (cr.getCurrentDefinitionLevel == maxDef) vec.putInt(r, cr.getInteger)
+          else vec.putNull(r)
+          cr.consume(); r += 1
+        }
+      case INT64 =>
+        while (r < n) {
+          if (cr.getCurrentDefinitionLevel == maxDef) vec.putLong(r, cr.getLong)
+          else vec.putNull(r)
+          cr.consume(); r += 1
+        }
+      case TS_MILLIS =>
+        while (r < n) {
+          if (cr.getCurrentDefinitionLevel == maxDef) vec.putLong(r, cr.getLong * 1000L)
+          else vec.putNull(r)
+          cr.consume(); r += 1
+        }
+      case TS_NANOS =>
+        while (r < n) {
+          if (cr.getCurrentDefinitionLevel == maxDef) vec.putLong(r, cr.getLong / 1000L)
+          else vec.putNull(r)
+          cr.consume(); r += 1
+        }
+      case FLOAT =>
+        while (r < n) {
+          if (cr.getCurrentDefinitionLevel == maxDef) vec.putFloat(r, cr.getFloat)
+          else vec.putNull(r)
+          cr.consume(); r += 1
+        }
+      case DOUBLE =>
+        while (r < n) {
+          if (cr.getCurrentDefinitionLevel == maxDef) vec.putDouble(r, cr.getDouble)
+          else vec.putNull(r)
+          cr.consume(); r += 1
+        }
+      case STR =>
+        while (r < n) {
+          if (cr.getCurrentDefinitionLevel == maxDef) {
+            val bytes = cr.getBinary.getBytes
+            vec.putByteArray(r, bytes, 0, bytes.length)
+          } else vec.putNull(r)
+          cr.consume(); r += 1
+        }
+    }
+  }
+}
+
+private[sources] object ColumnarBatchPartitionReader {
+  // decode plans (timestamp MICROS decodes as INT64: Spark internal is µs)
+  final val BOOL = 0
+  final val INT32 = 1
+  final val INT64 = 2
+  final val TS_MILLIS = 3
+  final val TS_NANOS = 4
+  final val FLOAT = 5
+  final val DOUBLE = 6
+  final val STR = 7
+}
