@@ -61,6 +61,35 @@ object ConnectorQueries {
       },
       Some("SELECT * FROM customer ORDER BY c_custkey")),
 
+    // DECIMAL/DATE roundtrip through the DSv2 connector — Snowflake NUMBER
+    // is the reference's dominant staged dtype (test_core.py:63-65) and
+    // DATE its second; decimals are built from exact integer arithmetic
+    // (no float rounding) so both engines agree bit-for-bit, emitted as
+    // DOUBLE/STRING because the driver's pandas compare can't hold
+    // DECIMAL/DATE losslessly
+    QueryDef("q_dsv2_decimal",
+      (s, d) => {
+        val out = Files.createTempDirectory("graft_dsv2_dec").toString
+        Tables.table(s, d, "customer").selectExpr(
+            "c_custkey",
+            "CAST(CAST(c_custkey AS DECIMAL(12,2)) + 0.25 AS DECIMAL(12,2)) AS bal_dec",
+            "CAST(CAST(c_custkey AS DECIMAL(27,10)) + 0.1234567891 AS DECIMAL(38,10)) AS bal_wide",
+            "DATE_ADD(DATE'1992-01-03', CAST(c_custkey % 2000 AS INT)) AS stage_date")
+          .write.format("graft").mode("overwrite").save(out)
+        s.read.format("graft").option("npartitions", "4").load(out)
+          .selectExpr(
+            "c_custkey",
+            "CAST(bal_dec AS DOUBLE) AS bal_dec",
+            "CAST(bal_wide AS DOUBLE) AS bal_wide",
+            "CAST(stage_date AS STRING) AS stage_date")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  CAST(CAST(c_custkey AS DECIMAL(12,2)) + 0.25 AS DOUBLE) AS bal_dec,
+             |  CAST(CAST(CAST(c_custkey AS DECIMAL(27,10)) + 0.1234567891 AS DECIMAL(38,10)) AS DOUBLE) AS bal_wide,
+             |  CAST(DATE '1992-01-03' + CAST(c_custkey % 2000 AS INTEGER) AS VARCHAR) AS stage_date
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // column-rename surface (columns.str.upper(), test_core.py:59-60) —
     // schema-only operation, no data movement
     QueryDef("q_rename_upper",

@@ -110,6 +110,13 @@ private[sources] class BatchDataWriter(
         case FloatType => g.add(i, row.getFloat(i))
         case DoubleType => g.add(i, row.getDouble(i))
         case StringType => g.add(i, row.getUTF8String(i).toString)
+        case DateType => g.add(i, row.getInt(i)) // days since epoch
+        case dt: DecimalType =>
+          val dec = row.getDecimal(i, dt.precision, dt.scale)
+          if (dt.precision <= Decimal.MAX_INT_DIGITS) g.add(i, dec.toUnscaledLong.toInt)
+          else if (dt.precision <= Decimal.MAX_LONG_DIGITS) g.add(i, dec.toUnscaledLong)
+          else g.add(i, org.apache.parquet.io.api.Binary.fromConstantByteArray(
+            dec.toJavaBigDecimal.unscaledValue().toByteArray))
         case TimestampType | TimestampNTZType => g.add(i, row.getLong(i)) // µs
         case dt => throw new IllegalArgumentException(s"unsupported type $dt")
       }
@@ -148,6 +155,17 @@ private[sources] object BatchSink {
         case DoubleType => Types.primitive(PrimitiveTypeName.DOUBLE, rep)
         case StringType => Types.primitive(PrimitiveTypeName.BINARY, rep)
           .as(LogicalTypeAnnotation.stringType())
+        case DateType => Types.primitive(PrimitiveTypeName.INT32, rep)
+          .as(LogicalTypeAnnotation.dateType())
+        // Snowflake NUMBER ↔ parquet DECIMAL: physical width by precision,
+        // same mapping the warehouse's own unload uses
+        case dt: DecimalType =>
+          val phys =
+            if (dt.precision <= Decimal.MAX_INT_DIGITS) PrimitiveTypeName.INT32
+            else if (dt.precision <= Decimal.MAX_LONG_DIGITS) PrimitiveTypeName.INT64
+            else PrimitiveTypeName.BINARY
+          Types.primitive(phys, rep)
+            .as(LogicalTypeAnnotation.decimalType(dt.scale, dt.precision))
         case TimestampType => Types.primitive(PrimitiveTypeName.INT64, rep)
           .as(LogicalTypeAnnotation.timestampType(true,
             LogicalTypeAnnotation.TimeUnit.MICROS))

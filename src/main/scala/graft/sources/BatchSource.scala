@@ -114,16 +114,25 @@ private[sources] object BatchSource {
 
   private def sparkType(p: PrimitiveType): DataType = {
     val ann = p.getLogicalTypeAnnotation
+    def dec(d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation): DataType =
+      DecimalType(d.getPrecision, d.getScale)
     p.getPrimitiveTypeName match {
       case BOOLEAN => BooleanType
       case FLOAT => FloatType
       case DOUBLE => DoubleType
-      // reject DECIMAL/DATE/TIME-annotated ints LOUDLY — decoding them as
-      // raw ints would return silently corrupted values (unscaled decimals,
-      // day numbers), which is worse than failing
-      case INT32 if ann == null ||
-          ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
-        IntegerType
+      // Snowflake NUMBER stages as parquet DECIMAL (the reference's
+      // dominant dtype, tests/test_core.py:63-65) and DATE as annotated
+      // INT32 — both are first-class here; remaining annotated ints
+      // (TIME etc.) are still rejected LOUDLY rather than decoded as
+      // silently-corrupt raw ints
+      case INT32 => ann match {
+        case null => IntegerType
+        case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => IntegerType
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => DateType
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => dec(d)
+        case other => throw new IllegalArgumentException(
+          s"unsupported INT32 logical type $other on '${p.getName}'")
+      }
       case INT64 => ann match {
         // match the native reader's mapping: UTC-adjusted → TimestampType,
         // wall-clock (isAdjustedToUTC=false) → TimestampNTZType
@@ -131,10 +140,14 @@ private[sources] object BatchSource {
           if (t.isAdjustedToUTC) TimestampType else TimestampNTZType
         case null => LongType
         case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => LongType
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => dec(d)
         case other => throw new IllegalArgumentException(
           s"unsupported INT64 logical type $other on '${p.getName}'")
       }
       case BINARY if ann == LogicalTypeAnnotation.stringType() => StringType
+      case BINARY | FIXED_LEN_BYTE_ARRAY
+          if ann.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] =>
+        dec(ann.asInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation])
       case other => throw new IllegalArgumentException(
         s"unsupported parquet type $other${if (ann != null) s" ($ann)" else ""} on '${p.getName}'")
     }
@@ -159,7 +172,13 @@ private[sources] object BatchSource {
           else b.getColumns.asScala.flatMap { c =>
             val name = c.getPath.toDotString
             val s = c.getStatistics
-            if (statCols.contains(name) && s != null && s.hasNonNullValue)
+            // decimal/date footer stats are UNSCALED ints / day numbers —
+            // comparing them against Spark filter literals would prune
+            // wrongly; omit their stats so those batches are always kept
+            val ann = c.getPrimitiveType.getLogicalTypeAnnotation
+            val prunable = !(ann.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] ||
+              ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation])
+            if (prunable && statCols.contains(name) && s != null && s.hasNonNullValue)
               Some(name -> ((comparable(s.genericGetMin),
                 comparable(s.genericGetMax), s.getNumNulls)))
             else None
@@ -587,6 +606,16 @@ private[sources] class BatchPartitionReader(
           case FloatType => g.getFloat(i, 0)
           case DoubleType => g.getDouble(i, 0)
           case StringType => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+          case DateType => g.getInteger(i, 0) // parquet DATE = Spark days
+          case dt: DecimalType =>
+            import org.apache.spark.sql.types.Decimal
+            prunedMsg.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+              case INT32 => Decimal(g.getInteger(i, 0).toLong, dt.precision, dt.scale)
+              case INT64 => Decimal(g.getLong(i, 0), dt.precision, dt.scale)
+              case _ => Decimal(new java.math.BigDecimal(
+                  new java.math.BigInteger(g.getBinary(i, 0).getBytes), dt.scale),
+                dt.precision, dt.scale)
+            }
           case TimestampType | TimestampNTZType =>
             // Spark internal = µs since epoch; normalize the parquet unit
             val raw = g.getLong(i, 0)

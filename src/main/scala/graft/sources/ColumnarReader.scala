@@ -99,6 +99,22 @@ private[sources] class ColumnarBatchPartitionReader(
         }
         case _ => INT64
       }
+    case dt: DecimalType =>
+      // decode plan = (physical source) × (vector storage by precision:
+      // ≤9 int-backed, ≤18 long-backed, else bytes) — the same layout
+      // WritableColumnVector.getDecimal reads back
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      prunedMsg.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+        case INT32 => DEC_INT_I32
+        case INT64 => if (dt.precision <= Decimal.MAX_INT_DIGITS) DEC_INT_I64
+          else DEC_LONG_I64
+        case BINARY | FIXED_LEN_BYTE_ARRAY =>
+          if (dt.precision <= Decimal.MAX_INT_DIGITS) DEC_INT_BIN
+          else if (dt.precision <= Decimal.MAX_LONG_DIGITS) DEC_LONG_BIN
+          else DEC_BYTES_BIN
+        case other => throw new IllegalArgumentException(
+          s"unsupported decimal physical type $other")
+      }
     case dt => throw new IllegalArgumentException(s"unsupported type $dt")
   }
 
@@ -207,6 +223,48 @@ private[sources] class ColumnarBatchPartitionReader(
           } else vec.putNull(r)
           cr.consume(); r += 1
         }
+      case DEC_INT_I32 =>
+        while (r < n) {
+          if (cr.getCurrentDefinitionLevel == maxDef) vec.putInt(r, cr.getInteger)
+          else vec.putNull(r)
+          cr.consume(); r += 1
+        }
+      case DEC_INT_I64 =>
+        while (r < n) {
+          if (cr.getCurrentDefinitionLevel == maxDef) vec.putInt(r, cr.getLong.toInt)
+          else vec.putNull(r)
+          cr.consume(); r += 1
+        }
+      case DEC_LONG_I64 =>
+        while (r < n) {
+          if (cr.getCurrentDefinitionLevel == maxDef) vec.putLong(r, cr.getLong)
+          else vec.putNull(r)
+          cr.consume(); r += 1
+        }
+      case DEC_INT_BIN =>
+        while (r < n) {
+          if (cr.getCurrentDefinitionLevel == maxDef)
+            vec.putInt(r, new java.math.BigInteger(cr.getBinary.getBytes).intValue)
+          else vec.putNull(r)
+          cr.consume(); r += 1
+        }
+      case DEC_LONG_BIN =>
+        while (r < n) {
+          if (cr.getCurrentDefinitionLevel == maxDef)
+            vec.putLong(r, new java.math.BigInteger(cr.getBinary.getBytes).longValue)
+          else vec.putNull(r)
+          cr.consume(); r += 1
+        }
+      case DEC_BYTES_BIN =>
+        // two's-complement big-endian unscaled bytes, exactly the layout
+        // byte-backed decimal vectors expose through getBinary/getDecimal
+        while (r < n) {
+          if (cr.getCurrentDefinitionLevel == maxDef) {
+            val bytes = cr.getBinary.getBytes
+            vec.putByteArray(r, bytes, 0, bytes.length)
+          } else vec.putNull(r)
+          cr.consume(); r += 1
+        }
     }
   }
 }
@@ -221,4 +279,10 @@ private[sources] object ColumnarBatchPartitionReader {
   final val FLOAT = 5
   final val DOUBLE = 6
   final val STR = 7
+  final val DEC_INT_I32 = 8
+  final val DEC_INT_I64 = 9
+  final val DEC_LONG_I64 = 10
+  final val DEC_INT_BIN = 11
+  final val DEC_LONG_BIN = 12
+  final val DEC_BYTES_BIN = 13
 }

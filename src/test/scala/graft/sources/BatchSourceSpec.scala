@@ -37,6 +37,27 @@ class BatchSourceSpec extends SparkSpec {
     assertSameRows(src, ref)
   }
 
+  test("DECIMAL and DATE roundtrip through both connector halves, nulls included") {
+    val dir = Files.createTempDirectory("graft_stage_dec").toString
+    // all three decimal storage widths (int32/int64/byte-backed) + DATE,
+    // with nulls in every column
+    val staged = Tables.table(spark, sfDir, "customer").limit(200).selectExpr(
+      "c_custkey",
+      "IF(c_custkey % 7 = 0, NULL, CAST(CAST(c_custkey AS DECIMAL(8,2)) + 0.25 AS DECIMAL(8,2))) AS dec_narrow",
+      "IF(c_custkey % 11 = 0, NULL, CAST(CAST(c_custkey AS DECIMAL(16,4)) + 0.1234 AS DECIMAL(16,4))) AS dec_mid",
+      "IF(c_custkey % 13 = 0, NULL, CAST(CAST(c_custkey AS DECIMAL(27,10)) + 0.1234567891 AS DECIMAL(38,10))) AS dec_wide",
+      "IF(c_custkey % 17 = 0, NULL, DATE_ADD(DATE'1992-01-03', CAST(c_custkey % 2000 AS INT))) AS d")
+    staged.write.format("graft").mode("overwrite").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(back.schema("dec_narrow").dataType.typeName === "decimal(8,2)")
+    assert(back.schema("dec_wide").dataType.typeName === "decimal(38,10)")
+    assert(back.schema("d").dataType.typeName === "date")
+    assertSameRows(back.orderBy("c_custkey"), staged.orderBy("c_custkey"))
+    // and the native reader agrees with ours on the staged files
+    assertSameRows(back.orderBy("c_custkey"),
+      spark.read.parquet(dir).orderBy("c_custkey"))
+  }
+
   test("npartitions option: partition count within the reference's ±2 (test_core.py:305-310)") {
     val dir = stage("lineitem", 6) // 6 files → ≥6 row-group batches
     val df = spark.read.format("graft").option("npartitions", 3).load(dir)
