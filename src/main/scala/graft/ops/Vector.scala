@@ -149,16 +149,30 @@ object Vector {
     QueryDef("q_similarity_lsh",
       (s, d) => {
         graft.functions.CosineSimilarity.register(s)
-        val e = vecs(s, d).withColumn("sig", expr(sigSpark))
+        val base = vecs(s, d)
+        // candidate generation carries ONLY ids through the band join and
+        // the dedup — 16 bytes/pair in the distinct's shuffle instead of
+        // the two 64-double payloads (the 100 TB shape); the query band
+        // set is tiny so the band join is broadcast: the banded corpus
+        // streams through unshuffled
+        val banded = base.withColumn("sig", expr(sigSpark))
           .withColumn("band", explode(expr(
             bandExprs(i => s"element_at(sig, $i)").mkString("array(", ", ", ")"))))
-        val q = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("v").as("qv"), col("band"))
-        val c = e.select(col("vec_id").as("cid"), col("v").as("cv"), col("band"))
-        topK(c.join(q, Seq("band"))
+          .select("vec_id", "band")
+        val qb = banded.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("band"))
+        val ids = banded.select(col("vec_id").as("cid"), col("band"))
+          .join(broadcast(qb), Seq("band"))
           .filter(col("cid") =!= col("qid"))
-          .select("qid", "qv", "cid", "cv")
-          .distinct())
+          .select("qid", "cid").distinct()
+        // re-attach vectors AFTER dedup: deduped pairs + query vectors are
+        // both small → broadcast, so the corpus side again streams once
+        val qv = base.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val pairs = ids.join(broadcast(qv), Seq("qid"))
+        topK(base.select(col("vec_id").as("cid"), col("v").as("cv"))
+          .join(broadcast(pairs), Seq("cid"))
+          .select("qid", "qv", "cid", "cv"))
       },
       Some {
         val duckBands = bandExprs(i => s"sig[$i]").mkString("[", ", ", "]")

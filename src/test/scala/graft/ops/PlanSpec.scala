@@ -62,6 +62,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("c_custkey") && p.contains("c_mktsegment"), p)
   }
 
+  test("q_similarity_lsh dedups candidate ids only — no vector payloads in the distinct") {
+    val p = plan("q_similarity_lsh")
+    // the candidate dedup is a HashAggregate over (qid, cid); if a 64-double
+    // payload column ever rejoins the distinct's grouping keys, its shuffle
+    // ships ~1 KiB/pair instead of 16 bytes at 100 TB
+    val distinctAggs = p.linesIterator
+      .filter(l => l.contains("HashAggregate") && l.contains("keys=[qid")).toSeq
+    assert(distinctAggs.nonEmpty, s"expected an id-pair distinct:\n$p")
+    assert(distinctAggs.forall(l => !l.contains("qv") && !l.contains("cv")),
+      s"vector payloads leaked into the candidate dedup:\n${distinctAggs.mkString("\n")}")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and
