@@ -71,15 +71,16 @@ object Vector {
   private def planeLits(p: Int): Seq[String] =
     (0 until 64).map(j => "%.17e".format(coef(p, j)))
 
-  /** signature bit p of vector column `v` (Spark dialect) */
+  /** signature bits of vector column `v` (Spark dialect): ONE fold lambda
+    * over a 2-level plane literal, not 16 unrolled copies — the dot
+    * product body compiles once, keeping janino codegen small and the
+    * whole signature inside a single codegen stage */
   private def sigSpark: String = {
-    val bits = (0 until Planes).map { p =>
-      val plane = planeLits(p).mkString("array(", ", ", ")")
-      s"""(CASE WHEN aggregate(
-         |  zip_with(v, $plane, (x, c0) -> x * c0),
-         |  CAST(0.0 AS DOUBLE), (s0, x) -> s0 + x) >= 0 THEN 1 ELSE 0 END)""".stripMargin
-    }
-    bits.mkString("array(", ", ", ")")
+    val planes = (0 until Planes).map(p =>
+      planeLits(p).mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+    s"""transform($planes, pl ->
+       |  CASE WHEN aggregate(zip_with(v, pl, (x, c0) -> x * c0),
+       |    CAST(0.0 AS DOUBLE), (s0, x) -> s0 + x) >= 0 THEN 1 ELSE 0 END)""".stripMargin
   }
 
   private def sigDuck: String = {
@@ -115,6 +116,58 @@ object Vector {
       }.mkString(" + ")
       s"(($bits) + ${b * 16})" // namespace each band's 4-bit value by band idx
     }
+
+  /** Plain Lloyd's iterations over an in-memory sample — the IVF coarse
+    * quantizer. Sequential driver arithmetic with a fixed seed, so the
+    * centroids are bit-stable run to run (which MLlib KMeans cannot
+    * guarantee: its treeAggregate merges partition float sums in task
+    * completion order). The sample is bounded by the caller (~10 MB), so
+    * driver-side fitting is the SCALE design, not a shortcut: at 100 TB
+    * the fit cost is constant while assignment stays a codegen'd map. */
+  private[ops] def fitCentroids(
+      sample: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty centroid-training sample")
+    val kk = math.min(k, sample.length)
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    val centers = rnd.shuffle(sample.indices.toVector).take(kk)
+      .map(i => sample(i).clone()).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      var i = 0
+      while (i < sample.length) {
+        val x = sample(i)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var d2 = 0.0
+          var j = 0
+          while (j < dim) { val t = x(j) - centers(c)(j); d2 += t * t; j += 1 }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        val s0 = sums(best)
+        var j = 0
+        while (j < dim) { s0(j) += x(j); j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      var c = 0
+      while (c < kk) {
+        // an emptied cluster keeps its previous center (standard Lloyd's)
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { centers(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -203,27 +256,57 @@ object Vector {
       }),
 
     // ---------------------------------------- IVF-bucketed ANN top-k
-    // the third search path: coarse quantization via KMeans centroids
-    // (MLlib), candidates drawn from the query's cell only (nprobe=1).
-    // At 100 TB: centroids train on a sample, assignment is a narrow map,
-    // search shuffles by cell id — the standard IVF layout. No SQL oracle
-    // (KMeans float reductions aren't bit-reproducible across engines);
-    // driver records the rows-only check, VectorSpec asserts recall.
+    // the third search path: coarse quantization, candidates drawn from
+    // each query's nprobe nearest cells. The 100 TB layout, strictly:
+    //   1. centroids fit on a BOUNDED seeded sample, entirely driver-side
+    //      ([[fitCentroids]] — ≤20k × 64 doubles ≈ 10 MB; deterministic,
+    //      unlike MLlib KMeans whose treeAggregate merges float sums in
+    //      task order);
+    //   2. the fitted centroids are embedded as LITERALS in a codegen'd
+    //      assignment expression, so corpus cell assignment is a narrow
+    //      shuffle-free map — no iterative full-data passes, no ML job
+    //      graph in the query path;
+    //   3. search joins by cell id with the probe set broadcast.
+    // No SQL oracle (centroids derive from a random sample); driver
+    // records the rows-only check, VectorSpec asserts recall vs brute.
     QueryDef("q_similarity_ivf",
       (s, d) => {
         graft.functions.CosineSimilarity.register(s)
-        import org.apache.spark.ml.clustering.KMeans
-        import org.apache.spark.ml.functions.array_to_vector
-        val e = vecs(s, d)
-          .withColumn("features", array_to_vector(col("v")))
-        val model = new KMeans().setK(8).setSeed(42).setMaxIter(5)
-          .setFeaturesCol("features").setPredictionCol("cell")
-          .fit(e)
-        val cells = model.transform(e).select(col("vec_id"), col("v"), col("cell"))
-        val q = cells.filter(col("vec_id") < 5)
+        val base = vecs(s, d)
+        // sample size independent of corpus size: a coarse quantizer needs
+        // a sketch of the distribution, not the data
+        val sampleTarget = 20000
+        val n = base.count()
+        val fraction = math.min(1.0, sampleTarget.toDouble / math.max(n, 1L))
+        val sampleRows = (if (fraction >= 1.0) base
+            else base.sample(withReplacement = false, fraction, seed = 42))
+          .select("v").collect().map(_.getSeq[Double](0).toArray)
+        val cents = fitCentroids(sampleRows, k = 8, iters = 5, seed = 42)
+        // per-row array of (distance², cell) structs; array_sort orders by
+        // distance with the cell id as deterministic tie-break. One fold
+        // lambda over a 2-level centroid literal (not k unrolled copies)
+        // keeps the generated code a single small codegen stage.
+        def structs(vcol: String): String = {
+          val centsLit = cents.map(_.map(x => "%.17e".format(x))
+            .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+          s"""zip_with($centsLit, sequence(0, ${cents.length - 1}), (cv, ci) ->
+             |  struct(aggregate(zip_with($vcol, cv, (x, c0) -> (x - c0) * (x - c0)),
+             |    CAST(0.0 AS DOUBLE), (s0, x) -> s0 + x) AS d, ci AS c))""".stripMargin
+        }
+        val cells = base
+          .withColumn("cell", expr(s"element_at(array_sort(${structs("v")}), 1).c"))
+          .select(col("vec_id"), col("v"), col("cell"))
+        // multi-probe: each query searches its nprobe nearest cells — the
+        // recall dial (nprobe=1 misses neighbors straddling a Voronoi
+        // boundary). A corpus vector lives in exactly one cell, so probing
+        // distinct cells never duplicates a (qid, cid) pair.
+        val nprobe = 3
+        val probed = base.filter(col("vec_id") < 5)
+          .withColumn("cell", explode(expr(
+            s"transform(slice(array_sort(${structs("v")}), 1, $nprobe), p -> p.c)")))
           .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
         topK(cells.select(col("vec_id").as("cid"), col("v").as("cv"), col("cell"))
-          .join(broadcast(q), Seq("cell"))
+          .join(broadcast(probed), Seq("cell"))
           .filter(col("cid") =!= col("qid"))
           .select("qid", "qv", "cid", "cv"))
       },

@@ -37,6 +37,17 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("IVF recall@5 vs brute force clears the multi-probe bar") {
+    val brute = rows("q_similarity_topk")
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val ivf = rows("q_similarity_ivf")
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = brute.map { case (qid, b) =>
+      ivf.getOrElse(qid, Set.empty).count(b).toDouble / b.size }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.5, f"IVF avg recall@5 = $avg%.2f, expected ≥ 0.5 with nprobe=3")
+  }
+
   test("LSH top-1 agrees with brute force for most queries (banded recall)") {
     val brute = rows("q_similarity_topk").filter(_._2 == 1L)
       .map(r => r._1 -> r._3).toMap
