@@ -161,9 +161,14 @@ private[sources] object BatchSource {
     * no usable stats for the column. */
   type ColStats = Map[String, (Any, Any, Long)]
 
+  /** Test hook: each discoverBatches call is one full footer sweep (it
+    * opens EVERY staged file's footer) — specs pin how many a query runs. */
+  private[sources] val footerSweeps = new java.util.concurrent.atomic.AtomicLong
+
   def discoverBatches(
       files: Seq[FileStatus], conf: Configuration,
-      statCols: Set[String] = Set.empty): Seq[(BatchHandle, ColStats)] =
+      statCols: Set[String] = Set.empty): Seq[(BatchHandle, ColStats)] = {
+    footerSweeps.incrementAndGet()
     files.flatMap { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
       try reader.getFooter.getBlocks.asScala.zipWithIndex.map { case (b, i) =>
@@ -187,6 +192,7 @@ private[sources] object BatchSource {
       }.toIndexedSeq
       finally reader.close()
     }
+  }
 
   /** Footer min/max → a plain comparable JVM value. */
   private def comparable(v: Any): Any = v match {
@@ -437,10 +443,22 @@ private[sources] class BatchScan(
 
   private def allFilters = filters ++ runtimeFilters
 
+  // ONE footer sweep per stat-column set, shared by description(),
+  // estimateStatistics() and planInputPartitions() — at 100k staged files
+  // a sweep is 100k footer opens on the driver, so re-running it per
+  // consumer was 2-3× pure waste. A runtime (DPP) filter on a NEW column
+  // changes the key and invalidates once; new values on already-swept
+  // columns re-prune the cached stats for free.
+  private val discoveryCache =
+    mutable.Map.empty[Set[String], Seq[(BatchSource.BatchHandle, BatchSource.ColStats)]]
+
   private def pruned: (Seq[BatchSource.BatchHandle], Int) = {
     val fs = allFilters
     val statCols: Set[String] = fs.flatMap(BatchSource.filterCols).toSet
-    val discovered = BatchSource.discoverBatches(files, conf, statCols)
+    val discovered = synchronized {
+      discoveryCache.getOrElseUpdate(statCols,
+        BatchSource.discoverBatches(files, conf, statCols))
+    }
     val kept = discovered.filterNot { case (h, stats) =>
       fs.exists(BatchSource.excludes(_, stats, h.rows))
     }

@@ -58,6 +58,21 @@ class BatchSourceSpec extends SparkSpec {
       spark.read.parquet(dir).orderBy("c_custkey"))
   }
 
+  test("footer discovery runs ONE sweep per scan, shared by stats/planning") {
+    val dir = stage("customer", 4)
+    val df = spark.read.format("graft").load(dir)
+      .filter(col("c_custkey") < 100).select("c_custkey", "c_name")
+    val before = BatchSource.footerSweeps.get()
+    assert(df.collect().nonEmpty)
+    val sweeps = BatchSource.footerSweeps.get() - before
+    assert(sweeps == 1L,
+      s"expected exactly 1 footer sweep for a filtered scan, got $sweeps")
+    // re-executing the SAME plan (same Scan instance) adds no sweep
+    df.collect()
+    assert(BatchSource.footerSweeps.get() - before == sweeps,
+      "re-execution must reuse the cached discovery")
+  }
+
   test("npartitions option: partition count within the reference's ±2 (test_core.py:305-310)") {
     val dir = stage("lineitem", 6) // 6 files → ≥6 row-group batches
     val df = spark.read.format("graft").option("npartitions", 3).load(dir)
