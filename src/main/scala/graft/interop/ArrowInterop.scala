@@ -83,21 +83,31 @@ object ArrowInterop {
 
   /** Spark → Arrow schema for the interchange subset. */
   def toArrowSchema(schema: StructType): ASchema = new ASchema(
-    schema.fields.map { f =>
-      val t: ArrowType = f.dataType match {
-        case BooleanType => ArrowType.Bool.INSTANCE
-        case IntegerType => new ArrowType.Int(32, true)
-        case LongType => new ArrowType.Int(64, true)
-        case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
-        case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
-        case StringType => ArrowType.Utf8.INSTANCE
-        case TimestampType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, "UTC")
-        case TimestampNTZType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, null)
-        case dt => throw new IllegalArgumentException(
-          s"unsupported type $dt for Arrow interchange ('${f.name}')")
-      }
-      new Field(f.name, new FieldType(f.nullable, t, null), Nil.asJava)
-    }.toList.asJava)
+    schema.fields.map(f => toArrowField(f.name, f.dataType, f.nullable))
+      .toList.asJava)
+
+  private def toArrowField(name: String, dt: DataType, nullable: Boolean): Field =
+    dt match {
+      // ArrayType → Arrow List with a typed child ("item" per convention):
+      // embeddings' ArrayType(Float) rides the IPC stream first-class
+      case ArrayType(elem, containsNull) =>
+        new Field(name, new FieldType(nullable, ArrowType.List.INSTANCE, null),
+          List(toArrowField("item", elem, containsNull)).asJava)
+      case _ =>
+        val t: ArrowType = dt match {
+          case BooleanType => ArrowType.Bool.INSTANCE
+          case IntegerType => new ArrowType.Int(32, true)
+          case LongType => new ArrowType.Int(64, true)
+          case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+          case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+          case StringType => ArrowType.Utf8.INSTANCE
+          case TimestampType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, "UTC")
+          case TimestampNTZType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, null)
+          case other => throw new IllegalArgumentException(
+            s"unsupported type $other for Arrow interchange ('$name')")
+        }
+        new Field(name, new FieldType(nullable, t, null), Nil.asJava)
+    }
 
   private def setRow(root: VectorSchemaRoot, schema: StructType, row: Row, i: Int): Unit = {
     var c = 0
@@ -122,6 +132,22 @@ object ArrowInterop {
           java.time.temporal.ChronoUnit.MICROS.between(
             java.time.Instant.EPOCH,
             row.getAs[java.time.LocalDateTime](c).toInstant(java.time.ZoneOffset.UTC)))
+        case ArrayType(elem, _) =>
+          val w = v.asInstanceOf[complex.ListVector].getWriter
+          w.setPosition(i)
+          w.startList()
+          row.getSeq[Any](c).foreach {
+            case null => w.writeNull()
+            case x => elem match {
+              case FloatType => w.float4().writeFloat4(x.asInstanceOf[Float])
+              case DoubleType => w.float8().writeFloat8(x.asInstanceOf[Double])
+              case IntegerType => w.integer().writeInt(x.asInstanceOf[Int])
+              case LongType => w.bigInt().writeBigInt(x.asInstanceOf[Long])
+              case other => throw new IllegalArgumentException(
+                s"unsupported array element $other")
+            }
+          }
+          w.endList()
         case dt => throw new IllegalArgumentException(s"unsupported $dt")
       }
       c += 1
@@ -152,6 +178,9 @@ object ArrowInterop {
               Math.floorDiv(v.asInstanceOf[TimeStampMicroVector].get(i), 1000000L),
               (Math.floorMod(v.asInstanceOf[TimeStampMicroVector].get(i), 1000000L) * 1000).toInt,
               java.time.ZoneOffset.UTC)
+          case ArrayType(_, _) =>
+            // getObject yields the boxed element list (child-typed values)
+            v.asInstanceOf[complex.ListVector].getObject(i).asScala.toSeq
           case dt => throw new IllegalArgumentException(s"unsupported $dt")
         }
       c += 1

@@ -29,6 +29,25 @@ class ArrowInteropSpec extends SparkSpec {
     assertSameRows(src, back)
   }
 
+  test("embeddings (ArrayType(Float)) roundtrip through the IPC stream") {
+    val src = Tables.table(spark, sfDir, "embeddings").repartition(2)
+    val back = ArrowInterop.fromArrowBatches(
+      ArrowInterop.toArrowBatches(src), src.schema)
+    assertSameRows(src, back)
+  }
+
+  test("null arrays and null elements survive the interchange") {
+    import org.apache.spark.sql.functions._
+    val src = Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        when(col("vec_id") % 3 === 0,
+          expr("transform(embedding, (x, i) -> IF(i = 0, CAST(NULL AS FLOAT), x))"))
+          .as("maybe_vec"))
+    val back = ArrowInterop.fromArrowBatches(
+      ArrowInterop.toArrowBatches(src), src.schema)
+    assertSameRows(src, back)
+  }
+
   test("batches are valid standalone Arrow streams (readable out-of-band)") {
     val src = Tables.table(spark, sfDir, "region")
     val bytes = ArrowInterop.toArrowBatches(src.coalesce(1)).collect().head._2
