@@ -1,0 +1,36 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.DataFrame
+
+/** Registry for operator-internal persisted DataFrames.
+  *
+  * Some operators (the LSH dedup family) persist a small intermediate so a
+  * self-join doesn't recompute an expensive pipeline twice. A bare
+  * `.persist()` inside a query builder leaks: Spark's CacheManager holds
+  * the blocks until an explicit unpersist, and three sibling query keys
+  * would each persist their own copy. This registry fixes both —
+  * [[getOrPersist]] shares one copy per key across operators and repeated
+  * invocations, and [[releaseAll]] drops every registered block (the
+  * Verify/Bench mains call it after their run; long-lived sessions call it
+  * whenever the staged inputs change).
+  */
+object CacheRegistry {
+
+  private val entries = TrieMap.empty[(String, String), DataFrame]
+
+  /** The persisted DataFrame for `(operator, input)`, building and
+    * persisting it on first use. */
+  def getOrPersist(operator: String, input: String, build: => DataFrame): DataFrame =
+    entries.getOrElseUpdate((operator, input), build.persist())
+
+  /** Unpersist (blocking) and forget every registered DataFrame. */
+  def releaseAll(): Unit = {
+    entries.values.foreach(_.unpersist(blocking = true))
+    entries.clear()
+  }
+
+  /** Number of live registered entries (test surface). */
+  def size: Int = entries.size
+}

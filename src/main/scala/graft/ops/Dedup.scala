@@ -112,9 +112,12 @@ object Dedup {
 
   /** Spark-side distinct LSH candidate pairs (doc_a < doc_b). The band
     * table is persisted so the self-join's two sides don't re-run the
-    * shingle+md5 pipeline (tiny: ~4 rows/doc). */
+    * shingle+md5 pipeline (tiny: ~4 rows/doc); the persist is shared via
+    * [[graft.CacheRegistry]] across the three keys that build candidates
+    * (minhash/ngram/levenshtein) and released by the mains — a bare
+    * per-invocation persist() leaked one copy per key per run. */
   private def sparkCandidates(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val bands = sparkBands(s, d).persist()
+    val bands = graft.CacheRegistry.getOrPersist("dedup_bands", d, sparkBands(s, d))
     val l = bands.toDF("doc_a", "band_idx", "band_val")
     val r = bands.toDF("doc_b", "band_idx", "band_val")
     l.join(r, Seq("band_idx", "band_val"))
