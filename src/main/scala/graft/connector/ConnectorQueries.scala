@@ -90,6 +90,32 @@ object ConnectorQueries {
              |  CAST(DATE '1992-01-03' + CAST(c_custkey % 2000 AS INTEGER) AS VARCHAR) AS stage_date
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // DPP-shaped join through the connector: the dim filter sits on a
+    // NON-join column, so the fact-side pruning values (the matching
+    // custkeys) exist only at runtime — Spark injects them into the scan
+    // via SupportsRuntimeFiltering (dynamicpruningexpression over the
+    // broadcast subquery). The oracle proves the runtime-filter path
+    // returns exactly the unfiltered join's rows; the batch-pruning
+    // behavior itself is pinned in BatchSourceSpec.
+    QueryDef("q_dsv2_runtime_prune",
+      (s, d) => {
+        val out = Files.createTempDirectory("graft_dsv2_rtp").toString
+        Tables.table(s, d, "orders").orderBy("o_custkey").coalesce(1)
+          .write.option("parquet.block.size", 64 * 1024)
+          .mode("overwrite").parquet(out)
+        val fact = s.read.format("graft").option("partition_size", "64 KiB").load(out)
+        val dim = Tables.table(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey", "c_mktsegment")
+        fact.join(broadcast(dim), fact("o_custkey") === dim("c_custkey"))
+          .select(fact("o_orderkey"), fact("o_custkey"), dim("c_mktsegment"))
+          .orderBy("o_orderkey", "o_custkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, c_mktsegment
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |ORDER BY o_orderkey, o_custkey""".stripMargin)),
+
     // column-rename surface (columns.str.upper(), test_core.py:59-60) —
     // schema-only operation, no data movement
     QueryDef("q_rename_upper",

@@ -481,7 +481,7 @@ private[sources] class BatchScan(
   override def toMicroBatchStream(
       checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new BatchMicroBatchStream(required, options)
+    new BatchMicroBatchStream(required, options, checkpointLocation)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): util.OptionalLong =

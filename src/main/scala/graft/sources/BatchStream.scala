@@ -1,8 +1,11 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets
+
 import scala.collection.mutable
 
 import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types.StructType
@@ -13,28 +16,62 @@ import graft.connector.Partitioner
 /** Micro-batch streaming read through the connector: new files landing in
   * the staged directory become the next micro-batch — the continuously-fed
   * stage scenario (a warehouse unloading result batches while the cluster
-  * consumes them). Reuses the batch machinery wholesale: discovery,
-  * greedy packing, and the row-group [[BatchPartitionReader]].
+  * consumes them). Reuses the batch machinery wholesale: discovery, greedy
+  * packing, and the columnar [[BatchPartitionReader]] plane.
   *
-  * Offsets count files in first-seen order, tracked per query instance —
-  * an append-only staging contract (files are never rewritten in place,
-  * which [[BatchSink]]'s rename-at-commit guarantees).
+  * Offsets index into a FILE LOG persisted under the query's checkpoint
+  * (`graft-file-log/seg-<start>`, one segment per discovery that found new
+  * files, first-seen order). The log — not the live directory listing — is
+  * the source of truth for which file an offset denotes, which buys:
+  *
+  *   - restart safety: a restarted query replays exactly the files the
+  *     committed offsets covered, even if the directory has since grown or
+  *     its listing order changed;
+  *   - retention/compaction tolerance: deleting an already-processed
+  *     staged file can't shift later offsets (the log pins them); a logged
+  *     file missing at (re)planning time is skipped with a warning rather
+  *     than silently re-mapping offsets to different files.
   */
 private[sources] class BatchMicroBatchStream(
-    required: StructType, options: CaseInsensitiveStringMap)
+    required: StructType, options: CaseInsensitiveStringMap,
+    checkpointLocation: String)
     extends MicroBatchStream {
 
   private val conf: Configuration = BatchSource.hadoopConf()
-  // stable first-seen order: a name sort alone could interleave late
-  // arrivals between already-processed files
-  private val seen = mutable.LinkedHashMap.empty[String, org.apache.hadoop.fs.FileStatus]
+  private val logDir = new Path(checkpointLocation, "graft-file-log")
 
-  private def refresh(): Int = synchronized {
-    BatchSource.listFiles(options, conf).foreach { f =>
-      val k = f.getPath.toString
-      if (!seen.contains(k)) seen.put(k, f)
+  // in-memory mirror of the log (rebuilt from it on restart)
+  private val logged = mutable.LinkedHashSet.empty[String]
+  restoreLog()
+
+  private def fs = logDir.getFileSystem(conf)
+
+  private def restoreLog(): Unit = synchronized {
+    if (fs.exists(logDir)) {
+      fs.listStatus(logDir).toIndexedSeq
+        .filter(_.getPath.getName.startsWith("seg-"))
+        .sortBy(_.getPath.getName.stripPrefix("seg-").toLong)
+        .foreach { seg =>
+          val in = fs.open(seg.getPath)
+          val bytes = try in.readAllBytes() finally in.close()
+          new String(bytes, StandardCharsets.UTF_8).linesIterator
+            .filter(_.nonEmpty).foreach(logged.add)
+        }
     }
-    seen.size
+  }
+
+  /** Discover new files and append them to the log; returns log size. */
+  private def refresh(): Int = synchronized {
+    val fresh = BatchSource.listFiles(options, conf)
+      .map(_.getPath.toString).filterNot(logged.contains)
+    if (fresh.nonEmpty) {
+      val seg = new Path(logDir, s"seg-${logged.size}")
+      val out = fs.create(seg, false)
+      try out.write(fresh.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      fresh.foreach(logged.add)
+    }
+    logged.size
   }
 
   override def initialOffset(): Offset = FileCountOffset(0)
@@ -49,9 +86,19 @@ private[sources] class BatchMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[FileCountOffset].n,
       end.asInstanceOf[FileCountOffset].n)
-    refresh()
-    val slice = synchronized { seen.values.slice(s, e).toIndexedSeq }
-    val batches = BatchSource.discoverBatches(slice, conf).map(_._1)
+    if (logged.size < e) refresh()
+    val slice = synchronized { logged.toIndexedSeq.slice(s, e) }
+    val statuses = slice.flatMap { p =>
+      val path = new Path(p)
+      if (fs.exists(path)) Some(fs.getFileStatus(path))
+      else {
+        // retention/compaction removed an already-logged file: its offset
+        // slot stays pinned (later offsets don't shift), its data is gone
+        System.err.println(s"[graft] logged staged file missing, skipping: $p")
+        None
+      }
+    }
+    val batches = BatchSource.discoverBatches(statuses, conf).map(_._1)
     if (batches.isEmpty) return Array.empty
     val target = Partitioner.parseBytes(
       Option(options.get("partition_size")).getOrElse(Partitioner.DefaultPartitionSize))

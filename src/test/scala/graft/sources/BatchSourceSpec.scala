@@ -207,6 +207,49 @@ class BatchSourceSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream offsets survive restart and file deletion (checkpoint file log)") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = Files.createTempDirectory("graft_stream_log").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val opts = new CaseInsensitiveStringMap(java.util.Map.of("path", dir))
+    val nation = Tables.table(spark, sfDir, "nation")
+    nation.coalesce(1).write.mode("append").parquet(dir)
+    val schema = new BatchSource().inferSchema(opts)
+
+    val s1 = new BatchMicroBatchStream(schema, opts, ckpt)
+    val off1 = s1.latestOffset().asInstanceOf[FileCountOffset].n
+    assert(off1 >= 1)
+    val firstFiles = s1.planInputPartitions(FileCountOffset(0), FileCountOffset(off1))
+      .flatMap(_.asInstanceOf[BatchInputPartition].handles.map(_.path)).toSet
+
+    // a second file lands; a RESTARTED stream (fresh instance, same
+    // checkpoint) must assign it offsets AFTER the logged ones and replay
+    // batch [0, off1) as exactly the same files
+    nation.coalesce(1).write.mode("append").parquet(dir)
+    val s2 = new BatchMicroBatchStream(schema, opts, ckpt)
+    val off2 = s2.latestOffset().asInstanceOf[FileCountOffset].n
+    assert(off2 > off1, "new file must extend the log")
+    val replay = s2.planInputPartitions(FileCountOffset(0), FileCountOffset(off1))
+      .flatMap(_.asInstanceOf[BatchInputPartition].handles.map(_.path)).toSet
+    assert(replay == firstFiles, "restart must replay the same files for the same offsets")
+    val second = s2.planInputPartitions(FileCountOffset(off1), FileCountOffset(off2))
+      .flatMap(_.asInstanceOf[BatchInputPartition].handles.map(_.path)).toSet
+    assert(second.nonEmpty && (second & firstFiles).isEmpty)
+
+    // retention deletes an old file: later offsets must NOT shift — the
+    // second batch still maps to the same files, the first degrades to empty
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    firstFiles.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+    val s3 = new BatchMicroBatchStream(schema, opts, ckpt)
+    s3.latestOffset()
+    val secondAfterDelete = s3.planInputPartitions(FileCountOffset(off1), FileCountOffset(off2))
+      .flatMap(_.asInstanceOf[BatchInputPartition].handles.map(_.path)).toSet
+    assert(secondAfterDelete == second,
+      "deleting an old staged file must not re-map later offsets")
+    assert(s3.planInputPartitions(FileCountOffset(0), FileCountOffset(off1)).isEmpty)
+  }
+
   test("runtime filters re-prune row groups after planning begins (DPP shape)") {
     import org.apache.spark.sql.sources.In
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -228,6 +271,24 @@ class BatchSourceSpec extends SparkSpec {
     val after = scan.planInputPartitions().length
     assert(after < before, s"runtime In-filter should prune: $after vs $before")
     assert(after >= 1)
+  }
+
+  test("Spark injects dynamic pruning into the scan for a selective broadcast join") {
+    val dir = Files.createTempDirectory("graft_dpp_e2e").toString
+    Tables.table(spark, sfDir, "orders").orderBy("o_orderkey").coalesce(1)
+      .write.option("parquet.block.size", 64 * 1024).mode("overwrite").parquet(dir)
+    val fact = spark.read.format("graft").option("partition_size", "16 KiB").load(dir)
+    val dim = Tables.table(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("k")).filter(col("k") < 5)
+    val j = fact.join(broadcast(dim), fact("o_orderkey") === dim("k"))
+    val rows = j.collect()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"),
+      s"expected Spark-injected runtime filters on the graft scan:\n${p.take(2000)}")
+    // and the runtime-filtered result matches the native reader's
+    val ref = spark.read.parquet(dir)
+    val expected = ref.join(broadcast(dim), ref("o_orderkey") === dim("k")).count()
+    assert(rows.length.toLong == expected)
   }
 
   test("aggregations and joins work through the source") {
