@@ -173,6 +173,32 @@ object Temporal {
              |FROM islands GROUP BY user_id, sess
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // stream-stream interval join (batch analogue of
+    // streaming.Streams.intervalJoin, same code path — withWatermark is a
+    // no-op on batch): clicks ⋈ same-user purchases within 30 minutes
+    // AFTER the click. At scale this shuffles both sides by user_id once;
+    // in streaming mode the two-sided time bound lets Spark GC join state.
+    QueryDef("q_stream_join",
+      (s, d) => {
+        val ev = Tables.table(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+            col("ts").as("p_ts"), col("value"))
+        graft.streaming.Streams.intervalJoin(clicks, purchases)
+          .select(col("click_id"), col("purchase_id"), col("user_id"), col("value"))
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+             |  c.user_id, p.value
+             |FROM events c JOIN events p
+             |  ON c.user_id = p.user_id
+             | AND c.event_type = 'click' AND p.event_type = 'purchase'
+             | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+             |ORDER BY click_id, purchase_id""".stripMargin)),
+
     // watermark / late-data batch analogue: keep events within 1 day of the
     // observed max ts. The scalar max is broadcast — no single-partition
     // window, no second scan of a sorted stream.

@@ -53,6 +53,23 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n"))
 
+  /** Stream-stream INTERVAL JOIN: each click matches same-user purchases
+    * landing within [click_ts, click_ts + window]. Both sides carry
+    * watermarks and the join condition bounds event time in BOTH
+    * directions, so Structured Streaming can GC join state — the canonical
+    * bounded-state stream-stream join. Expects `clicks(click_id, user_id,
+    * click_ts)` and `purchases(purchase_id, p_user_id, p_ts, value)`;
+    * works identically on batch frames (withWatermark is a no-op there),
+    * which is how the `q_stream_join` oracle key validates it. */
+  def intervalJoin(
+      clicks: DataFrame, purchases: DataFrame,
+      window: String = "30 minutes", watermark: String = "10 minutes"): DataFrame =
+    clicks.withWatermark("click_ts", watermark)
+      .join(purchases.withWatermark("p_ts", watermark),
+        expr(s"""user_id = p_user_id
+                | AND p_ts >= click_ts
+                | AND p_ts <= click_ts + INTERVAL '$window'""".stripMargin))
+
   /** stateful exact dedup on event_id, state GC'd by the watermark —
     * streaming twin of `q_dedup_exact`. */
   def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =

@@ -64,6 +64,41 @@ class StreamingSpec extends SparkSpec {
     assert(hour0(0).getAs[Long]("n") == 2, "late row must not be counted")
   }
 
+  test("stream-stream interval join matches clicks to in-window purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp, Double)]
+    val joined = Streams.intervalJoin(
+      clicks.toDF().toDF("click_id", "user_id", "click_ts"),
+      purchases.toDF().toDF("purchase_id", "p_user_id", "p_ts", "value"))
+    val q = joined.writeStream
+      .format("memory").queryName("t_sjoin").outputMode("append").start()
+    // event times start past 0: the initial watermark is the epoch itself,
+    // and stream-stream joins drop input AT/behind the watermark as late
+    clicks.addData((1L, 1L, ts(1)), (2L, 2L, ts(2)))
+    purchases.addData(
+      (10L, 1L, ts(10), 5.0),  // in window for click 1
+      (11L, 1L, ts(45), 7.0),  // outside the 30-min window
+      (12L, 3L, ts(5), 9.0))   // no matching user
+    q.processAllAvailable()
+    // later batch: purchase arrives for click 2, still inside its window
+    purchases.addData((13L, 2L, ts(25), 3.0))
+    q.processAllAvailable()
+    // nudge batch: the two MemoryStreams' offsets can land in separate
+    // micro-batches, so a side's rows may enter join state one batch after
+    // the other side probed — a non-matching row on each side forces one
+    // more cycle that flushes any straggler match
+    clicks.addData((99L, 999L, ts(5000)))
+    purchases.addData((99L, 998L, ts(5000), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_sjoin")
+      .select("click_id", "purchase_id").orderBy("click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 10L), (2L, 13L)))
+  }
+
   test("stateful dedup within watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
