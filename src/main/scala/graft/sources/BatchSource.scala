@@ -177,15 +177,9 @@ private[sources] object BatchSource {
           else b.getColumns.asScala.flatMap { c =>
             val name = c.getPath.toDotString
             val s = c.getStatistics
-            // decimal/date footer stats are UNSCALED ints / day numbers —
-            // comparing them against Spark filter literals would prune
-            // wrongly; omit their stats so those batches are always kept
-            val ann = c.getPrimitiveType.getLogicalTypeAnnotation
-            val prunable = !(ann.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] ||
-              ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation])
-            if (prunable && statCols.contains(name) && s != null && s.hasNonNullValue)
-              Some(name -> ((comparable(s.genericGetMin),
-                comparable(s.genericGetMax), s.getNumNulls)))
+            if (statCols.contains(name) && s != null && s.hasNonNullValue)
+              Some(name -> ((statValue(s.genericGetMin, c.getPrimitiveType),
+                statValue(s.genericGetMax, c.getPrimitiveType), s.getNumNulls)))
             else None
           }.toMap
         (BatchHandle(f.getPath.toString, i, b.getRowCount, b.getCompressedSize), stats)
@@ -194,10 +188,89 @@ private[sources] object BatchSource {
     }
   }
 
-  /** Footer min/max → a plain comparable JVM value. */
-  private def comparable(v: Any): Any = v match {
-    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
-    case other => other
+  /** Footer min/max → the value SPARK sees for that cell: decimal unscaled
+    * ints become BigDecimal at the annotated scale, DATE day numbers stay
+    * Int (= Spark's internal days), timestamps normalize to µs with the
+    * SAME floor-division the partition readers apply to NANOS, strings
+    * decode from Binary. Pruning comparisons against filter literals are
+    * then exact in the value domain the reader materializes. */
+  private def statValue(v: Any, p: PrimitiveType): Any = p.getLogicalTypeAnnotation match {
+    case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => v match {
+      case i: java.lang.Integer => java.math.BigDecimal.valueOf(i.longValue, d.getScale)
+      case l: java.lang.Long => java.math.BigDecimal.valueOf(l.longValue, d.getScale)
+      case b: org.apache.parquet.io.api.Binary =>
+        new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), d.getScale)
+      case other => other
+    }
+    case t: TimestampLogicalTypeAnnotation => v match {
+      case l: java.lang.Long =>
+        java.lang.Long.valueOf(t.getUnit match {
+          case TimeUnit.MILLIS => Math.multiplyExact(l.longValue, 1000L)
+          case TimeUnit.MICROS => l.longValue
+          case TimeUnit.NANOS => Math.floorDiv(l.longValue, 1000L)
+        })
+      case other => other
+    }
+    case _ => v match {
+      case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+      case other => other
+    }
+  }
+
+  /** Spark source-filter literal → a JVM value in the same domain as
+    * [[statValue]]: dates to epoch days, timestamps to µs, Scala decimals
+    * unwrapped. */
+  private def literalValue(v: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    v match {
+      case d: java.sql.Date => Int.box(DateTimeUtils.fromJavaDate(d))
+      case ld: java.time.LocalDate => Int.box(DateTimeUtils.localDateToDays(ld))
+      case t: java.sql.Timestamp => Long.box(DateTimeUtils.fromJavaTimestamp(t))
+      case i: java.time.Instant => Long.box(DateTimeUtils.instantToMicros(i))
+      case ldt: java.time.LocalDateTime => Long.box(DateTimeUtils.localDateTimeToMicros(ldt))
+      case bd: scala.math.BigDecimal => bd.bigDecimal
+      case other => other
+    }
+  }
+
+  /** EXACT comparison of a footer stat against a filter literal (or two
+    * stats). Longs compare as longs — `doubleValue` rounding made values
+    * beyond 2⁵³ (warehouse surrogate keys) collide and could prune row
+    * groups that still contained matches; mixed numeric widths go through
+    * BigDecimal, which is exact for every JVM numeric. None = incomparable
+    * → callers keep the batch (conservative). */
+  private[sources] def exactCmp(a0: Any, b0: Any): Option[Int] =
+    (literalValue(a0), literalValue(b0)) match {
+      case (x: Number, y: Number) => numCmp(x, y)
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
+      case _ => None
+    }
+
+  private def numCmp(x: Number, y: Number): Option[Int] = {
+    def nonFinite(n: Number): Boolean = n match {
+      case d: java.lang.Double => d.isNaN || d.isInfinite
+      case f: java.lang.Float => f.isNaN || f.isInfinite
+      case _ => false
+    }
+    if (nonFinite(x) || nonFinite(y)) {
+      val (xd, yd) = (x.doubleValue(), y.doubleValue())
+      if (xd.isNaN || yd.isNaN) None // NaN is unordered — never prune on it
+      else Some(java.lang.Double.compare(xd, yd))
+    } else (x, y) match {
+      case (a: java.lang.Long, b: java.lang.Long) => Some(java.lang.Long.compare(a, b))
+      case (a: java.lang.Integer, b: java.lang.Integer) => Some(Integer.compare(a, b))
+      case _ => Some(toBig(x).compareTo(toBig(y)))
+    }
+  }
+
+  private def toBig(n: Number): java.math.BigDecimal = n match {
+    case bd: java.math.BigDecimal => bd
+    case sd: scala.math.BigDecimal => sd.bigDecimal
+    case bi: java.math.BigInteger => new java.math.BigDecimal(bi)
+    case d: java.lang.Double => new java.math.BigDecimal(d.doubleValue) // exact binary value
+    case f: java.lang.Float => new java.math.BigDecimal(f.doubleValue) // float→double widening is exact
+    case other => java.math.BigDecimal.valueOf(other.longValue)
   }
 
   /** Can `filter` provably match NO row of a batch with these stats?
@@ -206,13 +279,7 @@ private[sources] object BatchSource {
       rows: Long): Boolean = {
     import org.apache.spark.sql.sources._
 
-    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-      case (x: Number, y: Number) =>
-        Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
-      case (x: String, y: String) => Some(x.compareTo(y))
-      case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
-      case _ => None
-    }
+    def cmp(a: Any, b: Any): Option[Int] = exactCmp(a, b)
 
     filter match {
       case EqualTo(c, v) => stats.get(c).exists { case (mn, mx, _) =>
@@ -348,16 +415,19 @@ private[sources] class BatchScanBuilder(
         if (stats.exists(_.isEmpty)) None // a batch without stats → bail out
         else {
           val vals = stats.flatten.map(s => if (wantMin) s._1 else s._2)
-          val cmp = new Ordering[Any] {
-            def compare(a: Any, b: Any): Int = (a, b) match {
-              case (x: Number, y: Number) =>
-                java.lang.Double.compare(x.doubleValue(), y.doubleValue())
-              case (x: String, y: String) => x.compareTo(y)
-              case _ => 0
+          // exact ordering (Long as Long, BigDecimal across widths) — an
+          // incomparable pair means the metadata answer would be a guess,
+          // so refuse the pushdown and let Spark scan the data
+          if (vals.sliding(2).exists(p =>
+              p.length == 2 && BatchSource.exactCmp(p(0), p(1)).isEmpty)) None
+          else {
+            val cmp = new Ordering[Any] {
+              def compare(a: Any, b: Any): Int =
+                BatchSource.exactCmp(a, b).getOrElse(0)
             }
+            Some((field.copy(nullable = true),
+              if (wantMin) vals.min(cmp) else vals.max(cmp)))
           }
-          Some((field.copy(nullable = true),
-            if (wantMin) vals.min(cmp) else vals.max(cmp)))
         }
       }
 
@@ -406,6 +476,9 @@ private[sources] class MetadataAggScan(
           private var done = false
           private val vals = p.asInstanceOf[MetadataAggPartition].values.map {
             case s: String => UTF8String.fromString(s)
+            // decimal footer stats travel as BigDecimal; DATE stats are
+            // already internal days (Int) and timestamps internal µs (Long)
+            case bd: java.math.BigDecimal => Decimal(bd)
             case other => other
           }
           override def next(): Boolean = if (done) false else { done = true; true }
@@ -641,7 +714,9 @@ private[sources] class BatchPartitionReader(
               case t: TimestampLogicalTypeAnnotation => t.getUnit match {
                 case TimeUnit.MILLIS => raw * 1000L
                 case TimeUnit.MICROS => raw
-                case TimeUnit.NANOS => raw / 1000L
+                // floor (not truncate): pre-epoch nanos must round down
+                // like Spark's native parquet reader
+                case TimeUnit.NANOS => Math.floorDiv(raw, 1000L)
               }
               case _ => raw
             }

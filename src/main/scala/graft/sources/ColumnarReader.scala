@@ -105,8 +105,20 @@ private[sources] class ColumnarBatchPartitionReader(
       // WritableColumnVector.getDecimal reads back
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
       prunedMsg.getType(i).asPrimitiveType().getPrimitiveTypeName match {
-        case INT32 => DEC_INT_I32
-        case INT64 => if (dt.precision <= Decimal.MAX_INT_DIGITS) DEC_INT_I64
+        // the parquet spec caps INT32-backed decimals at precision 9 and
+        // INT64-backed at 18; a nonconforming file would otherwise write
+        // through the wrong vector storage (putInt into byte-backed etc.)
+        // — reject loudly instead of decoding corrupt values
+        case INT32 =>
+          require(dt.precision <= Decimal.MAX_INT_DIGITS,
+            s"decimal(${dt.precision},${dt.scale}) annotated on INT32 exceeds " +
+              s"precision ${Decimal.MAX_INT_DIGITS} — nonconforming parquet file")
+          DEC_INT_I32
+        case INT64 =>
+          require(dt.precision <= Decimal.MAX_LONG_DIGITS,
+            s"decimal(${dt.precision},${dt.scale}) annotated on INT64 exceeds " +
+              s"precision ${Decimal.MAX_LONG_DIGITS} — nonconforming parquet file")
+          if (dt.precision <= Decimal.MAX_INT_DIGITS) DEC_INT_I64
           else DEC_LONG_I64
         case BINARY | FIXED_LEN_BYTE_ARRAY =>
           if (dt.precision <= Decimal.MAX_INT_DIGITS) DEC_INT_BIN
@@ -198,8 +210,10 @@ private[sources] class ColumnarBatchPartitionReader(
           cr.consume(); r += 1
         }
       case TS_NANOS =>
+        // floor (not truncate): pre-epoch nanos round down like the native reader
         while (r < n) {
-          if (cr.getCurrentDefinitionLevel == maxDef) vec.putLong(r, cr.getLong / 1000L)
+          if (cr.getCurrentDefinitionLevel == maxDef)
+            vec.putLong(r, Math.floorDiv(cr.getLong, 1000L))
           else vec.putNull(r)
           cr.consume(); r += 1
         }

@@ -291,6 +291,77 @@ class BatchSourceSpec extends SparkSpec {
     assert(rows.length.toLong == expected)
   }
 
+  test("footer pruning and MIN/MAX stay exact for BIGINT beyond 2^53") {
+    // 2^53 is where double loses integer resolution: 2^53 and 2^53+1
+    // collide at double precision. Warehouse surrogate keys live there —
+    // a double-valued comparator prunes row groups that still contain
+    // matches and returns the wrong extremum from footer metadata.
+    val big = 9007199254740992L // 2^53
+    val dir = Files.createTempDirectory("graft_bigkeys").toString
+    import spark.implicits._
+    Seq(1L, 2L).toDF("k").coalesce(1).write.mode("append").parquet(dir)
+    Seq(big).toDF("k").coalesce(1).write.mode("append").parquet(dir)
+    Seq(big + 1).toDF("k").coalesce(1).write.mode("append").parquet(dir)
+    val base = spark.read.format("graft").load(dir)
+
+    // (a) GreaterThan at the boundary: the batch with max = 2^53+1 must be
+    // KEPT (double compare saw max <= v and wrongly excluded it)
+    assert(base.filter(col("k") > big).as[Long].collect().toSeq == Seq(big + 1))
+    assert(base.filter(col("k") >= big + 1).as[Long].collect().toSeq == Seq(big + 1))
+    // a truly-excluding predicate still prunes everything
+    assert(base.filter(col("k") > big + 1).count() == 0)
+
+    // (b) pushed-down MIN/MAX from footer stats must be exact among
+    // double-equal longs
+    val agg = base.agg(min("k").as("mn"), max("k").as("mx"))
+    agg.collect()
+    assert(agg.queryExecution.executedPlan.toString.contains("METADATA-ONLY"))
+    val row = agg.head
+    assert(row.getLong(0) == 1L)
+    assert(row.getLong(1) == big + 1, s"footer MAX must be 2^53+1, got ${row.getLong(1)}")
+  }
+
+  test("DATE, DECIMAL and TIMESTAMP filters prune row groups from footer stats") {
+    // stats for these types are normalized into the reader's value domain
+    // (days / scaled BigDecimal / µs), so time-range and money-range
+    // predicates — the dominant warehouse pruning patterns — skip batches
+    val dir = Files.createTempDirectory("graft_prune_typed").toString
+    Tables.table(spark, sfDir, "orders")
+      .selectExpr(
+        "o_orderkey",
+        "o_orderdate AS ts",
+        "CAST(o_orderdate AS DATE) AS d",
+        "CAST(o_totalprice AS DECIMAL(14,2)) AS price")
+      .orderBy("d").coalesce(1)
+      .write.option("parquet.block.size", 8 * 1024)
+      .mode("overwrite").parquet(dir)
+
+    def parts(df: org.apache.spark.sql.DataFrame) = df.rdd.getNumPartitions
+    val base = spark.read.format("graft").option("partition_size", "8 KiB").load(dir)
+    val all = parts(base)
+    assert(all > 2, s"need multiple batches to show pruning, got $all")
+
+    val maxD = spark.read.parquet(dir).agg(max("d")).head.getDate(0)
+    val dFiltered = base.filter(col("d") >= lit(maxD))
+    assert(parts(dFiltered) < all, s"date filter should prune: ${parts(dFiltered)} vs $all")
+    assertSameRows(dFiltered, spark.read.parquet(dir).filter(col("d") >= lit(maxD)))
+
+    val maxTs = spark.read.parquet(dir).agg(max("ts")).head
+      .getAs[java.time.LocalDateTime](0)
+    val tsFiltered = base.filter(col("ts") >= lit(maxTs))
+    assert(parts(tsFiltered) < all, s"timestamp filter should prune: ${parts(tsFiltered)} vs $all")
+    assertSameRows(tsFiltered, spark.read.parquet(dir).filter(col("ts") >= lit(maxTs)))
+
+    // decimal pruning: provably-false range plans no batches at all
+    assert(base.filter(col("price") > lit(new java.math.BigDecimal("99999999.99"))).count() == 0)
+    // and MIN/MAX on decimal/date answer from metadata, exactly
+    val agg = base.agg(min("price").as("mn"), max("d").as("mx"))
+    agg.collect()
+    assert(agg.queryExecution.executedPlan.toString.contains("METADATA-ONLY"))
+    val ref = spark.read.parquet(dir).agg(min("price").as("mn"), max("d").as("mx"))
+    assertSameRows(agg, ref)
+  }
+
   test("aggregations and joins work through the source") {
     val dir = stage("orders", 3)
     val n = spark.read.format("graft").load(dir)
