@@ -59,24 +59,51 @@ object ArrowInterop {
   }
 
   /** Decode IPC batches back to rows — runs on whichever executor holds
-    * each batch row; output partitioning follows the batch dataset. */
+    * each batch row; output partitioning follows the batch dataset.
+    * Decoding STREAMS: rows are yielded per loaded Arrow batch (getRow
+    * copies values out of the reused root), so memory holds one batch at a
+    * time instead of the whole stream twice. Reader/allocator close when
+    * the stream is drained — or at task completion if the consumer stops
+    * early (limit). */
   def fromArrowBatches(
       batches: Dataset[(Long, Array[Byte])], schema: StructType): DataFrame = {
     val enc = RowEncoder.encoderFor(schema)
     batches.mapPartitions { it =>
       it.flatMap { case (_, bytes) =>
-        val allocator = new RootAllocator(Long.MaxValue)
-        val reader = new ArrowStreamReader(
-          new java.io.ByteArrayInputStream(bytes), allocator)
-        val rows = Iterator.continually(reader.loadNextBatch())
-          .takeWhile(identity)
-          .flatMap { _ =>
-            val root = reader.getVectorSchemaRoot
-            (0 until root.getRowCount).map(i => getRow(root, schema, i))
-          }.toVector // materialize before closing the allocator
-        reader.close()
-        allocator.close()
-        rows
+        new Iterator[Row] {
+          private val allocator = new RootAllocator(Long.MaxValue)
+          private val reader = new ArrowStreamReader(
+            new java.io.ByteArrayInputStream(bytes), allocator)
+          private var root: VectorSchemaRoot = _
+          private var idx = 0
+          private var rowCount = 0
+          private var closed = false
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
+
+          private def closeAll(): Unit = if (!closed) {
+            closed = true
+            reader.close()
+            allocator.close()
+          }
+          private def advance(): Boolean = {
+            if (closed) return false
+            while (idx >= rowCount) {
+              if (!reader.loadNextBatch()) { closeAll(); return false }
+              root = reader.getVectorSchemaRoot
+              rowCount = root.getRowCount
+              idx = 0
+            }
+            true
+          }
+          override def hasNext: Boolean = advance()
+          override def next(): Row = {
+            if (!advance()) throw new NoSuchElementException("drained IPC stream")
+            val r = getRow(root, schema, idx)
+            idx += 1
+            r
+          }
+        }
       }
     }(enc)
   }
@@ -103,6 +130,12 @@ object ArrowInterop {
           case StringType => ArrowType.Utf8.INSTANCE
           case TimestampType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, "UTC")
           case TimestampNTZType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, null)
+          // the reference's wire format carries Snowflake NUMBER as Arrow
+          // decimal (core.py:127-130; its tests are dtype-lax precisely
+          // because NUMBER comes back, tests/test_core.py:63-65) and DATE
+          // as date32 — both first-class on our wire too
+          case dt: DecimalType => new ArrowType.Decimal(dt.precision, dt.scale, 128)
+          case DateType => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
           case other => throw new IllegalArgumentException(
             s"unsupported type $other for Arrow interchange ('$name')")
         }
@@ -132,6 +165,18 @@ object ArrowInterop {
           java.time.temporal.ChronoUnit.MICROS.between(
             java.time.Instant.EPOCH,
             row.getAs[java.time.LocalDateTime](c).toInstant(java.time.ZoneOffset.UTC)))
+        case dt: DecimalType =>
+          // DecimalVector requires the vector's exact scale
+          v.asInstanceOf[DecimalVector].setSafe(i,
+            row.getDecimal(c).setScale(dt.scale))
+        case DateType =>
+          import org.apache.spark.sql.catalyst.util.DateTimeUtils
+          val days = row.get(c) match {
+            case d: java.sql.Date => DateTimeUtils.fromJavaDate(d)
+            case ld: java.time.LocalDate => DateTimeUtils.localDateToDays(ld)
+            case other => throw new IllegalArgumentException(s"not a date: $other")
+          }
+          v.asInstanceOf[DateDayVector].setSafe(i, days)
         case ArrayType(elem, _) =>
           val w = v.asInstanceOf[complex.ListVector].getWriter
           w.setPosition(i)
@@ -169,15 +214,21 @@ object ArrowInterop {
           case DoubleType => v.asInstanceOf[Float8Vector].get(i)
           case StringType => new String(v.asInstanceOf[VarCharVector].get(i), "UTF-8")
           case TimestampType =>
+            // floor semantics so pre-epoch values keep sub-second precision
             val micros = v.asInstanceOf[TimeStampMicroTZVector].get(i)
-            val t = new java.sql.Timestamp(micros / 1000)
-            t.setNanos(((micros % 1000000) * 1000).toInt)
+            val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000L))
+            t.setNanos((Math.floorMod(micros, 1000000L) * 1000).toInt)
             t
           case TimestampNTZType =>
             java.time.LocalDateTime.ofEpochSecond(
               Math.floorDiv(v.asInstanceOf[TimeStampMicroVector].get(i), 1000000L),
               (Math.floorMod(v.asInstanceOf[TimeStampMicroVector].get(i), 1000000L) * 1000).toInt,
               java.time.ZoneOffset.UTC)
+          case dt: DecimalType =>
+            v.asInstanceOf[DecimalVector].getObject(i)
+          case DateType =>
+            org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaDate(
+              v.asInstanceOf[DateDayVector].get(i))
           case ArrayType(_, _) =>
             // getObject yields the boxed element list (child-typed values)
             v.asInstanceOf[complex.ListVector].getObject(i).asScala.toSeq

@@ -48,6 +48,34 @@ class ArrowInteropSpec extends SparkSpec {
     assertSameRows(src, back)
   }
 
+  test("DECIMAL and DATE ride the Arrow wire (NUMBER parity), nulls included") {
+    // the reference's wire carries Snowflake NUMBER through Arrow
+    // (core.py:127-130) — a staged money column must ride our IPC too:
+    // narrow decimal, 38-digit decimal, DATE, each with nulls
+    val src = Tables.table(spark, sfDir, "customer").limit(300).selectExpr(
+      "c_custkey",
+      "IF(c_custkey % 7 = 0, NULL, CAST(CAST(c_custkey AS DECIMAL(12,2)) + 0.25 AS DECIMAL(12,2))) AS money",
+      "IF(c_custkey % 11 = 0, NULL, CAST(CAST(c_custkey AS DECIMAL(27,10)) + 0.1234567891 AS DECIMAL(38,10))) AS money_wide",
+      "IF(c_custkey % 13 = 0, NULL, DATE_ADD(DATE'1992-01-03', CAST(c_custkey % 2000 AS INT))) AS d")
+      .repartition(2)
+    val back = ArrowInterop.fromArrowBatches(
+      ArrowInterop.toArrowBatches(src), src.schema)
+    assert(back.schema("money").dataType.typeName === "decimal(12,2)")
+    assert(back.schema("money_wide").dataType.typeName === "decimal(38,10)")
+    assert(back.schema("d").dataType.typeName === "date")
+    assertSameRows(src, back)
+  }
+
+  test("decode is streaming: early termination still yields correct prefix rows") {
+    // fromArrowBatches no longer buffers the whole stream — a limit() that
+    // abandons the iterator mid-batch must still return correct rows (the
+    // allocator is reclaimed by the task-completion listener)
+    val src = Tables.table(spark, sfDir, "orders").coalesce(1)
+    val back = ArrowInterop.fromArrowBatches(
+      ArrowInterop.toArrowBatches(src), src.schema)
+    assert(back.limit(7).collect().length == 7)
+  }
+
   test("batches are valid standalone Arrow streams (readable out-of-band)") {
     val src = Tables.table(spark, sfDir, "region")
     val bytes = ArrowInterop.toArrowBatches(src.coalesce(1)).collect().head._2
