@@ -21,9 +21,19 @@ object CacheRegistry {
   private val entries = TrieMap.empty[(String, String), DataFrame]
 
   /** The persisted DataFrame for `(operator, input)`, building and
-    * persisting it on first use. */
-  def getOrPersist(operator: String, input: String, build: => DataFrame): DataFrame =
-    entries.getOrElseUpdate((operator, input), build.persist())
+    * persisting it on first use. An entry bound to a STOPPED SparkSession
+    * (long-lived JVM, session recycled) is dropped and rebuilt against the
+    * live session instead of being returned dead. */
+  def getOrPersist(operator: String, input: String, build: => DataFrame): DataFrame = {
+    val key = (operator, input)
+    entries.get(key) match {
+      case Some(df) if !df.sparkSession.sparkContext.isStopped => df
+      case stale =>
+        stale.foreach(_ => entries.remove(key))
+        val df = build.persist()
+        entries.putIfAbsent(key, df).getOrElse(df)
+    }
+  }
 
   /** Unpersist (blocking) and forget every registered DataFrame. */
   def releaseAll(): Unit = {

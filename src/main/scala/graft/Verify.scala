@@ -46,6 +46,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     CacheRegistry.releaseAll()
+    connector.StageCache.clearAll()
     spark.stop()
   }
 }

@@ -118,6 +118,25 @@ private[sources] class BatchDataWriter(
           else g.add(i, org.apache.parquet.io.api.Binary.fromConstantByteArray(
             dec.toJavaBigDecimal.unscaledValue().toByteArray))
         case TimestampType | TimestampNTZType => g.add(i, row.getLong(i)) // µs
+        case ArrayType(elemType, _) =>
+          // 3-level list: field group → repeated "list" group → "element";
+          // a null element is a "list" entry with no "element" child
+          val arr = row.getArray(i)
+          val listGroup = g.addGroup(i)
+          var j = 0
+          while (j < arr.numElements()) {
+            val entry = listGroup.addGroup(0)
+            if (!arr.isNullAt(j)) elemType match {
+              case FloatType => entry.add(0, arr.getFloat(j))
+              case DoubleType => entry.add(0, arr.getDouble(j))
+              case IntegerType => entry.add(0, arr.getInt(j))
+              case LongType => entry.add(0, arr.getLong(j))
+              case StringType => entry.add(0, arr.getUTF8String(j).toString)
+              case other => throw new IllegalArgumentException(
+                s"unsupported array element type $other")
+            }
+            j += 1
+          }
         case dt => throw new IllegalArgumentException(s"unsupported type $dt")
       }
       i += 1
@@ -140,14 +159,42 @@ private[sources] class BatchDataWriter(
 
 private[sources] object BatchSink {
 
-  /** Spark StructType → flat parquet MessageType (inverse of
-    * [[BatchSource.toStructType]]). */
+  /** Spark StructType → parquet MessageType (inverse of
+    * [[BatchSource.toStructType]]): flat primitives plus ArrayType as the
+    * standard 3-level list encoding — `embeddings`' array<float> stages
+    * through the connector like any other column. */
   def toMessageType(schema: StructType): MessageType = {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
       val rep = if (f.nullable) org.apache.parquet.schema.Type.Repetition.OPTIONAL
         else org.apache.parquet.schema.Type.Repetition.REQUIRED
-      val prim = f.dataType match {
+      f.dataType match {
+        case ArrayType(elem, containsNull) =>
+          val elemRep =
+            if (containsNull) org.apache.parquet.schema.Type.Repetition.OPTIONAL
+            else org.apache.parquet.schema.Type.Repetition.REQUIRED
+          val elemType = elem match {
+            case FloatType => Types.primitive(PrimitiveTypeName.FLOAT, elemRep)
+            case DoubleType => Types.primitive(PrimitiveTypeName.DOUBLE, elemRep)
+            case IntegerType => Types.primitive(PrimitiveTypeName.INT32, elemRep)
+            case LongType => Types.primitive(PrimitiveTypeName.INT64, elemRep)
+            case StringType => Types.primitive(PrimitiveTypeName.BINARY, elemRep)
+              .as(LogicalTypeAnnotation.stringType())
+            case other => throw new IllegalArgumentException(
+              s"unsupported array element type $other for column '${f.name}'")
+          }
+          b.addField(Types.list(rep).element(elemType.named("element")).named(f.name))
+        case _ =>
+          b.addField(primitiveType(f).named(f.name))
+      }
+    }
+    b.named("graft_staged")
+  }
+
+  private def primitiveType(f: StructField): Types.Builder[_, _ <: org.apache.parquet.schema.Type] = {
+    val rep = if (f.nullable) org.apache.parquet.schema.Type.Repetition.OPTIONAL
+      else org.apache.parquet.schema.Type.Repetition.REQUIRED
+    f.dataType match {
         case BooleanType => Types.primitive(PrimitiveTypeName.BOOLEAN, rep)
         case IntegerType => Types.primitive(PrimitiveTypeName.INT32, rep)
         case LongType => Types.primitive(PrimitiveTypeName.INT64, rep)
@@ -172,11 +219,8 @@ private[sources] object BatchSink {
         case TimestampNTZType => Types.primitive(PrimitiveTypeName.INT64, rep)
           .as(LogicalTypeAnnotation.timestampType(false,
             LogicalTypeAnnotation.TimeUnit.MICROS))
-        case dt => throw new IllegalArgumentException(
-          s"unsupported type $dt for column '${f.name}'")
-      }
-      b.addField(prim.named(f.name))
+      case dt => throw new IllegalArgumentException(
+        s"unsupported type $dt for column '${f.name}'")
     }
-    b.named("graft_staged")
   }
 }

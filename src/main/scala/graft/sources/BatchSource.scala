@@ -104,12 +104,24 @@ private[sources] object BatchSource {
     finally reader.close()
   }
 
-  /** Flat parquet MessageType → Spark StructType (the staged-result shape). */
+  /** Parquet MessageType → Spark StructType: flat primitives plus
+    * standard 3-level LIST groups (array<primitive> — the `embeddings`
+    * shape). Other nesting is still rejected loudly. */
   def toStructType(msg: MessageType): StructType = StructType(
     msg.getFields.asScala.map { f =>
-      require(f.isPrimitive, s"nested field '${f.getName}' unsupported by graft BatchSource")
-      StructField(f.getName, sparkType(f.asPrimitiveType()),
-        f.getRepetition != PType.Repetition.REQUIRED)
+      val dt =
+        if (f.isPrimitive) sparkType(f.asPrimitiveType())
+        else {
+          require(f.getLogicalTypeAnnotation == LogicalTypeAnnotation.listType(),
+            s"nested field '${f.getName}' unsupported by graft BatchSource (only LIST)")
+          val repeated = f.asGroupType().getFields.get(0).asGroupType()
+          val elem = repeated.getFields.get(0)
+          require(elem.isPrimitive,
+            s"nested list elements unsupported on '${f.getName}'")
+          ArrayType(sparkType(elem.asPrimitiveType()),
+            elem.getRepetition != PType.Repetition.REQUIRED)
+        }
+      StructField(f.getName, dt, f.getRepetition != PType.Repetition.REQUIRED)
     }.toIndexedSeq)
 
   private def sparkType(p: PrimitiveType): DataType = {
@@ -720,6 +732,28 @@ private[sources] class BatchPartitionReader(
               }
               case _ => raw
             }
+          case ArrayType(elemType, _) =>
+            // 3-level list: outer group → repeated "list" → "element"
+            val outer = g.getGroup(i, 0)
+            val n = outer.getFieldRepetitionCount(0)
+            val values = new Array[Any](n)
+            var j = 0
+            while (j < n) {
+              val entry = outer.getGroup(0, j)
+              values(j) =
+                if (entry.getFieldRepetitionCount(0) == 0) null
+                else elemType match {
+                  case FloatType => entry.getFloat(0, 0)
+                  case DoubleType => entry.getDouble(0, 0)
+                  case IntegerType => entry.getInteger(0, 0)
+                  case LongType => entry.getLong(0, 0)
+                  case StringType => UTF8String.fromBytes(entry.getBinary(0, 0).getBytes)
+                  case other => throw new IllegalArgumentException(
+                    s"unsupported array element type $other")
+                }
+              j += 1
+            }
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(values)
           case dt => throw new IllegalArgumentException(s"unsupported type $dt")
         }
       i += 1

@@ -55,6 +55,9 @@ private[sources] class ColumnarBatchPartitionReader(
   private var colReaders: Array[ColumnReader] = _
   private var maxDefs: Array[Int] = _
   private var codes: Array[Int] = _
+  private var elemCodes: Array[Int] = _ // array columns: element decode plan
+  private var elemOpt: Array[Boolean] = _ // array columns: element OPTIONAL?
+  private var remaining: Array[Long] = _ // array columns: triplets left in group
   private var rowsLeft: Long = 0L
 
   private val vectors: Array[OnHeapColumnVector] =
@@ -76,14 +79,34 @@ private[sources] class ColumnarBatchPartitionReader(
         fileMsg.getFields.get(fileMsg.getFieldIndex(n))): _*)
     reader.setRequestedSchema(prunedMsg)
     codes = required.indices.map(colCode).toArray
+    elemCodes = required.indices.map(elemCode).toArray
+    elemOpt = required.indices.map { i =>
+      val f = prunedMsg.getType(i)
+      !f.isPrimitive &&
+        f.asGroupType().getFields.get(0).asGroupType().getFields.get(0)
+          .getRepetition == org.apache.parquet.schema.Type.Repetition.OPTIONAL
+    }.toArray
     wanted = groups.toSet
     groupIdx = 0
     true
   }
 
+  /** Element decode plan for array columns (−1 for non-arrays). */
+  private def elemCode(i: Int): Int = required.fields(i).dataType match {
+    case ArrayType(FloatType, _) => FLOAT
+    case ArrayType(DoubleType, _) => DOUBLE
+    case ArrayType(IntegerType, _) => INT32
+    case ArrayType(LongType, _) => INT64
+    case ArrayType(StringType, _) => STR
+    case ArrayType(other, _) => throw new IllegalArgumentException(
+      s"unsupported array element type $other")
+    case _ => -1
+  }
+
   /** Per-column decode plan for the CURRENT file (the timestamp unit and
     * decimal width live in the file footer, not the Spark schema). */
   private def colCode(i: Int): Int = required.fields(i).dataType match {
+    case _: ArrayType => ARR // element plan in elemCodes
     case BooleanType => BOOL
     case IntegerType | DateType => INT32 // parquet DATE = days, Spark DateType = days
     case LongType => INT64
@@ -148,6 +171,7 @@ private[sources] class ColumnarBatchPartitionReader(
           val descs = prunedMsg.getColumns.asScala
           colReaders = descs.map(store.getColumnReader).toArray
           maxDefs = descs.map(_.getMaxDefinitionLevel).toArray
+          remaining = colReaders.map(_.getTotalValueCount)
           rowsLeft = pages.getRowCount
           return true
         }
@@ -279,6 +303,45 @@ private[sources] class ColumnarBatchPartitionReader(
           } else vec.putNull(r)
           cr.consume(); r += 1
         }
+      case ARR =>
+        // 3-level list via (rep, def) triplets. Definition levels along
+        // the path [field?, repeated list, element?]:
+        //   maxDef      → element present
+        //   maxDef-1    → list entry with null element (element OPTIONAL)
+        //   defEmpty    → array present but empty
+        //   below       → array null
+        // Repetition level 0 starts a new record; 1 continues the array.
+        val child = vec.arrayData()
+        val ec = elemCodes(c)
+        val defEmpty = maxDef - (if (elemOpt(c)) 2 else 1)
+        var rem = remaining(c)
+        while (r < n) {
+          val d = cr.getCurrentDefinitionLevel
+          if (d < defEmpty) { vec.putNull(r); cr.consume(); rem -= 1 }
+          else if (d == defEmpty) {
+            vec.putArray(r, child.getElementsAppended, 0)
+            cr.consume(); rem -= 1
+          } else {
+            val start = child.getElementsAppended
+            var cont = true
+            while (cont) {
+              if (cr.getCurrentDefinitionLevel == maxDef) ec match {
+                case FLOAT => child.appendFloat(cr.getFloat)
+                case DOUBLE => child.appendDouble(cr.getDouble)
+                case INT32 => child.appendInt(cr.getInteger)
+                case INT64 => child.appendLong(cr.getLong)
+                case STR =>
+                  val bytes = cr.getBinary.getBytes
+                  child.appendByteArray(bytes, 0, bytes.length)
+              } else child.appendNull()
+              cr.consume(); rem -= 1
+              cont = rem > 0 && cr.getCurrentRepetitionLevel > 0
+            }
+            vec.putArray(r, start, child.getElementsAppended - start)
+          }
+          r += 1
+        }
+        remaining(c) = rem
     }
   }
 }
@@ -299,4 +362,5 @@ private[sources] object ColumnarBatchPartitionReader {
   final val DEC_INT_BIN = 11
   final val DEC_LONG_BIN = 12
   final val DEC_BYTES_BIN = 13
+  final val ARR = 14
 }

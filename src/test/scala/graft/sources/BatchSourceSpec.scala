@@ -291,6 +291,32 @@ class BatchSourceSpec extends SparkSpec {
     assert(rows.length.toLong == expected)
   }
 
+  test("ArrayType (embeddings) stages through both connector halves") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val dir = Files.createTempDirectory("graft_arr").toString
+    val src = Tables.table(spark, sfDir, "embeddings")
+    src.repartition(2).write.format("graft").mode("overwrite").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(back.schema("embedding").dataType == ArrayType(FloatType, containsNull = true))
+    assertSameRows(src, back)
+    // the staged files are standard 3-level lists: native reader agrees
+    assertSameRows(back, spark.read.parquet(dir))
+  }
+
+  test("null arrays, empty arrays and null elements survive the connector") {
+    val dir = Files.createTempDirectory("graft_arr_nulls").toString
+    val src = Tables.table(spark, sfDir, "embeddings").selectExpr(
+      "vec_id",
+      """CASE WHEN vec_id % 5 = 0 THEN CAST(NULL AS ARRAY<FLOAT>)
+        |     WHEN vec_id % 5 = 1 THEN CAST(array() AS ARRAY<FLOAT>)
+        |     WHEN vec_id % 5 = 2 THEN transform(embedding, (x, i) -> IF(i = 0, CAST(NULL AS FLOAT), x))
+        |     ELSE embedding END AS e""".stripMargin)
+    src.repartition(2).write.format("graft").mode("overwrite").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assertSameRows(src, back)
+    assertSameRows(back, spark.read.parquet(dir))
+  }
+
   test("footer pruning and MIN/MAX stay exact for BIGINT beyond 2^53") {
     // 2^53 is where double loses integer resolution: 2^53 and 2^53+1
     // collide at double precision. Warehouse surrogate keys live there —
