@@ -31,7 +31,12 @@ object CacheRegistry {
       case stale =>
         stale.foreach(_ => entries.remove(key))
         val df = build.persist()
-        entries.putIfAbsent(key, df).getOrElse(df)
+        entries.putIfAbsent(key, df) match {
+          // lost the race: another caller registered first — drop this
+          // copy's blocks so releaseAll() never leaves a stray persist
+          case Some(winner) => df.unpersist(blocking = false); winner
+          case None => df
+        }
     }
   }
 

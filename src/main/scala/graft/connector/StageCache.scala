@@ -25,23 +25,24 @@ object StageCache {
   def getOrStage(key: String, input: String)(write: String => Unit): String =
     lock.synchronized {
       dirs.getOrElseUpdate((key, input), {
-        val out = Files.createTempDirectory(s"graft_stage_$key").toString
-        write(out)
-        out
+        val out = Files.createTempDirectory(s"graft_stage_$key")
+        // a failed stage write must not orphan the temp dir: the mapping is
+        // never inserted on throw, so clearAll() could not find it later
+        try { write(out.toString); out.toString }
+        catch { case e: Throwable => deleteTree(out); throw e }
       })
     }
 
+  private def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+    val walk = Files.walk(p)
+    try walk.sorted(Comparator.reverseOrder[Path]())
+      .forEach(f => Files.deleteIfExists(f))
+    finally walk.close()
+  }
+
   /** Delete every staged directory and forget the mappings. */
   def clearAll(): Unit = lock.synchronized {
-    dirs.values.foreach { d =>
-      val p = java.nio.file.Paths.get(d)
-      if (Files.exists(p)) {
-        val walk = Files.walk(p)
-        try walk.sorted(Comparator.reverseOrder[Path]())
-          .forEach(f => Files.deleteIfExists(f))
-        finally walk.close()
-      }
-    }
+    dirs.values.foreach(d => deleteTree(java.nio.file.Paths.get(d)))
     dirs.clear()
   }
 

@@ -68,6 +68,11 @@ object ArrowInterop {
   def fromArrowBatches(
       batches: Dataset[(Long, Array[Byte])], schema: StructType): DataFrame = {
     val enc = RowEncoder.encoderFor(schema)
+    // the RowEncoder's external date/timestamp classes follow the session's
+    // java8API setting (LocalDate/Instant vs java.sql.*) — capture it on
+    // the driver so executor-side getRow emits the flavor the encoder expects
+    val java8 = batches.sparkSession.conf
+      .get("spark.sql.datetime.java8API.enabled", "false").toBoolean
     batches.mapPartitions { it =>
       it.flatMap { case (_, bytes) =>
         new Iterator[Row] {
@@ -99,7 +104,7 @@ object ArrowInterop {
           override def hasNext: Boolean = advance()
           override def next(): Row = {
             if (!advance()) throw new NoSuchElementException("drained IPC stream")
-            val r = getRow(root, schema, idx)
+            val r = getRow(root, schema, idx, java8)
             idx += 1
             r
           }
@@ -156,11 +161,18 @@ object ArrowInterop {
         case StringType => v.asInstanceOf[VarCharVector].setSafe(i,
           row.getString(c).getBytes("UTF-8"))
         case TimestampType =>
-          // µs = whole seconds + the full sub-second from nanos (getTime's
-          // millis and getNanos overlap — don't double-count)
-          val t = row.getTimestamp(c)
-          v.asInstanceOf[TimeStampMicroTZVector].setSafe(i,
-            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000)
+          // accept both external flavors (java8API on → Instant)
+          val micros = row.get(c) match {
+            case t: java.sql.Timestamp =>
+              // µs = whole seconds + the full sub-second from nanos
+              // (getTime's millis and getNanos overlap — don't double-count)
+              Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+            case inst: java.time.Instant =>
+              Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
+                inst.getNano / 1000L)
+            case other => throw new IllegalArgumentException(s"not a timestamp: $other")
+          }
+          v.asInstanceOf[TimeStampMicroTZVector].setSafe(i, micros)
         case TimestampNTZType => v.asInstanceOf[TimeStampMicroVector].setSafe(i,
           java.time.temporal.ChronoUnit.MICROS.between(
             java.time.Instant.EPOCH,
@@ -199,7 +211,8 @@ object ArrowInterop {
     }
   }
 
-  private def getRow(root: VectorSchemaRoot, schema: StructType, i: Int): Row = {
+  private def getRow(
+      root: VectorSchemaRoot, schema: StructType, i: Int, java8: Boolean): Row = {
     val vals = new Array[Any](schema.length)
     var c = 0
     while (c < schema.length) {
@@ -216,9 +229,14 @@ object ArrowInterop {
           case TimestampType =>
             // floor semantics so pre-epoch values keep sub-second precision
             val micros = v.asInstanceOf[TimeStampMicroTZVector].get(i)
-            val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000L))
-            t.setNanos((Math.floorMod(micros, 1000000L) * 1000).toInt)
-            t
+            if (java8)
+              java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+                Math.floorMod(micros, 1000000L) * 1000L)
+            else {
+              val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000L))
+              t.setNanos((Math.floorMod(micros, 1000000L) * 1000).toInt)
+              t
+            }
           case TimestampNTZType =>
             java.time.LocalDateTime.ofEpochSecond(
               Math.floorDiv(v.asInstanceOf[TimeStampMicroVector].get(i), 1000000L),
@@ -227,8 +245,9 @@ object ArrowInterop {
           case dt: DecimalType =>
             v.asInstanceOf[DecimalVector].getObject(i)
           case DateType =>
-            org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaDate(
-              v.asInstanceOf[DateDayVector].get(i))
+            val days = v.asInstanceOf[DateDayVector].get(i)
+            if (java8) java.time.LocalDate.ofEpochDay(days.toLong)
+            else org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaDate(days)
           case ArrayType(_, _) =>
             // getObject yields the boxed element list (child-typed values)
             v.asInstanceOf[complex.ListVector].getObject(i).asScala.toSeq

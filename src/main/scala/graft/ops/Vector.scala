@@ -124,7 +124,7 @@ object Vector {
     * completion order). The sample is bounded by the caller (~10 MB), so
     * driver-side fitting is the SCALE design, not a shortcut: at 100 TB
     * the fit cost is constant while assignment stays a codegen'd map. */
-  private[ops] def fitCentroids(
+  private[graft] def fitCentroids(
       sample: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
     require(sample.nonEmpty, "empty centroid-training sample")
     val kk = math.min(k, sample.length)
@@ -167,6 +167,111 @@ object Vector {
       it += 1
     }
     centers
+  }
+
+  /** 2-level centroid literal (E-notation, 17 significant digits — parses
+    * back to the exact double in both engines). */
+  private def centsLitSpark(cents: Array[Array[Double]]): String =
+    cents.map(_.map(x => "%.17e".format(x)).mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+
+  /** Per-row array of (distance², cell) structs against `cents`;
+    * array_sort orders by distance with the cell id as deterministic
+    * tie-break. One fold lambda over a 2-level centroid literal (not k
+    * unrolled copies) keeps the generated code a single small codegen
+    * stage. */
+  private def cellStructs(vcol: String, cents: Array[Array[Double]]): String =
+    s"""zip_with(${centsLitSpark(cents)}, sequence(0, ${cents.length - 1}), (cv, ci) ->
+       |  struct(aggregate(zip_with($vcol, cv, (x, c0) -> (x - c0) * (x - c0)),
+       |    CAST(0.0 AS DOUBLE), (s0, x) -> s0 + x) AS d, ci AS c))""".stripMargin
+
+  /** IVF search against a FITTED centroid set. The 100 TB layout, strictly:
+    * centroids are embedded as LITERALS in a codegen'd assignment
+    * expression, so corpus cell assignment is a narrow shuffle-free map —
+    * no iterative full-data passes, no ML job graph in the query path;
+    * search joins by cell id with the (tiny) probe set broadcast. A corpus
+    * vector lives in exactly one cell and a query probes DISTINCT cells,
+    * so no (qid, cid) pair ever duplicates. nprobe is the recall dial
+    * (nprobe=1 misses neighbors straddling a Voronoi boundary). */
+  private[graft] def ivfTopK(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      cents: Array[Array[Double]], nprobe: Int = 3): org.apache.spark.sql.DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val base = vecs(s, d)
+    val cells = base
+      .withColumn("cell", expr(s"element_at(array_sort(${cellStructs("v", cents)}), 1).c"))
+      .select(col("vec_id"), col("v"), col("cell"))
+    val probed = base.filter(col("vec_id") < 5)
+      .withColumn("cell", explode(expr(
+        s"transform(slice(array_sort(${cellStructs("v", cents)}), 1, $nprobe), p -> p.c)")))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
+    topK(cells.select(col("vec_id").as("cid"), col("v").as("cv"), col("cell"))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .select("qid", "qv", "cid", "cv"))
+  }
+
+  /** The sample-trained IVF path (the production API): fit the coarse
+    * quantizer on a BOUNDED first-N sample — ONE short-circuited pass
+    * (CollectLimit stops as soon as `sampleTarget` rows arrive; no
+    * corpus-sized count() to derive a fraction), ≤20k × 64 doubles ≈
+    * 10 MB driver-side — then search with [[ivfTopK]]. At 100 TB the fit
+    * cost is CONSTANT while assignment stays a codegen'd map. Exercised by
+    * VectorSpec; the oracle-checked `q_similarity_ivf` key runs the same
+    * search against [[IvfCentroids]] frozen from this very fit, so DuckDB
+    * can replay assignment exactly. */
+  private[graft] def ivfTopKTrained(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      sampleTarget: Int = 20000): org.apache.spark.sql.DataFrame = {
+    val sample = vecs(s, d).select("v").limit(sampleTarget)
+      .collect().map(_.getSeq[Double](0).toArray)
+    ivfTopK(s, d, fitCentroids(sample, k = 8, iters = 5, seed = 42))
+  }
+
+  /** DuckDB twin of [[ivfTopK]] over the same frozen centroid literals:
+    * identical sequential folds (list_reduce over a prepended zero), the
+    * same (distance, cell) ranking, probe width and top-k tail. */
+  private def duckIvf(cents: Array[Array[Double]], nprobe: Int = 3): String = {
+    val values = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.map(x => "%.17e".format(x)).mkString("[", ", ", "]")})"
+    }.mkString(",\n    ")
+    s"""$duckVecs, cents(cell, cv) AS (VALUES
+       |    $values
+       |), dists AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cell,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, 64),
+       |        i -> (n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i]))),
+       |      (s0, x) -> s0 + x) AS d
+       |  FROM n, cents c
+       |), cellranks AS (
+       |  SELECT vec_id, v, nrm, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rk
+       |  FROM dists
+       |), assigned AS (
+       |  SELECT vec_id, v, nrm, cell FROM cellranks WHERE rk = 1
+       |), probes AS (
+       |  SELECT vec_id AS qid, v AS qv, nrm AS qn, cell
+       |  FROM cellranks WHERE vec_id < 5 AND rk <= $nprobe
+       |), cand AS (
+       |  SELECT p.qid, p.qv, p.qn, a.vec_id AS cid, a.v AS cv, a.nrm AS cn
+       |  FROM probes p JOIN assigned a USING (cell)
+       |  WHERE a.vec_id <> p.qid
+       |), scored AS (
+       |  SELECT qid, cid,
+       |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(generate_series(1, len(qv)),
+       |          i -> qv[i] * cv[i])), (s0, x) -> s0 + x)
+       |      / (qn * cn), 6) AS cosine
+       |  FROM cand
+       |), ranked AS (
+       |  SELECT qid, cid, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, rank, cid, cosine FROM ranked
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -257,60 +362,19 @@ object Vector {
 
     // ---------------------------------------- IVF-bucketed ANN top-k
     // the third search path: coarse quantization, candidates drawn from
-    // each query's nprobe nearest cells. The 100 TB layout, strictly:
-    //   1. centroids fit on a BOUNDED seeded sample, entirely driver-side
-    //      ([[fitCentroids]] — ≤20k × 64 doubles ≈ 10 MB; deterministic,
-    //      unlike MLlib KMeans whose treeAggregate merges float sums in
-    //      task order);
-    //   2. the fitted centroids are embedded as LITERALS in a codegen'd
-    //      assignment expression, so corpus cell assignment is a narrow
-    //      shuffle-free map — no iterative full-data passes, no ML job
-    //      graph in the query path;
-    //   3. search joins by cell id with the probe set broadcast.
-    // No SQL oracle (centroids derive from a random sample); driver
-    // records the rows-only check, VectorSpec asserts recall vs brute.
+    // each query's nprobe nearest cells. This key runs [[ivfTopK]] against
+    // the FROZEN quantizer ([[IvfCentroids]], fitted once by
+    // tools.FreezeIvf with the same Lloyd's the trained API uses) so the
+    // DuckDB oracle replays assignment + probe + top-k EXACTLY from the
+    // same literals; the sample-trained production path ([[ivfTopKTrained]])
+    // is exercised by VectorSpec (shape, recall, single-pass fit).
+    // nprobe=4 (of 8 cells): the synthetic embeddings are near-uniform, so
+    // the coarse quantizer needs a wider probe to clear recall ≥0.5 at
+    // every SF (measured 0.56/0.72/0.76 at sf0.001/0.01/0.1; nprobe=3 was
+    // 0.36 at sf0.001)
     QueryDef("q_similarity_ivf",
-      (s, d) => {
-        graft.functions.CosineSimilarity.register(s)
-        val base = vecs(s, d)
-        // sample size independent of corpus size: a coarse quantizer needs
-        // a sketch of the distribution, not the data
-        val sampleTarget = 20000
-        val n = base.count()
-        val fraction = math.min(1.0, sampleTarget.toDouble / math.max(n, 1L))
-        val sampleRows = (if (fraction >= 1.0) base
-            else base.sample(withReplacement = false, fraction, seed = 42))
-          .select("v").collect().map(_.getSeq[Double](0).toArray)
-        val cents = fitCentroids(sampleRows, k = 8, iters = 5, seed = 42)
-        // per-row array of (distance², cell) structs; array_sort orders by
-        // distance with the cell id as deterministic tie-break. One fold
-        // lambda over a 2-level centroid literal (not k unrolled copies)
-        // keeps the generated code a single small codegen stage.
-        def structs(vcol: String): String = {
-          val centsLit = cents.map(_.map(x => "%.17e".format(x))
-            .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
-          s"""zip_with($centsLit, sequence(0, ${cents.length - 1}), (cv, ci) ->
-             |  struct(aggregate(zip_with($vcol, cv, (x, c0) -> (x - c0) * (x - c0)),
-             |    CAST(0.0 AS DOUBLE), (s0, x) -> s0 + x) AS d, ci AS c))""".stripMargin
-        }
-        val cells = base
-          .withColumn("cell", expr(s"element_at(array_sort(${structs("v")}), 1).c"))
-          .select(col("vec_id"), col("v"), col("cell"))
-        // multi-probe: each query searches its nprobe nearest cells — the
-        // recall dial (nprobe=1 misses neighbors straddling a Voronoi
-        // boundary). A corpus vector lives in exactly one cell, so probing
-        // distinct cells never duplicates a (qid, cid) pair.
-        val nprobe = 3
-        val probed = base.filter(col("vec_id") < 5)
-          .withColumn("cell", explode(expr(
-            s"transform(slice(array_sort(${structs("v")}), 1, $nprobe), p -> p.c)")))
-          .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
-        topK(cells.select(col("vec_id").as("cid"), col("v").as("cv"), col("cell"))
-          .join(broadcast(probed), Seq("cell"))
-          .filter(col("cid") =!= col("qid"))
-          .select("qid", "qv", "cid", "cv"))
-      },
-      None),
+      (s, d) => ivfTopK(s, d, IvfCentroids.values, nprobe = 4),
+      Some(duckIvf(IvfCentroids.values, nprobe = 4))),
 
     // ---------------------------------------- multimodal join
     // text modality ⋈ vector modality on the shared id; ArrayType(Float)

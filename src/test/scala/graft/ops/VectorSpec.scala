@@ -2,14 +2,47 @@ package graft.ops
 
 import graft.{SparkEntry, SparkSpec}
 
-/** ANN quality/determinism checks for the paths the SQL oracle can't
-  * cover (IVF uses MLlib KMeans, whose float reductions aren't
-  * bit-reproducible in other engines). */
+/** ANN quality checks beyond the SQL oracle: the frozen-quantizer
+  * `q_similarity_ivf` key is hash-checked against DuckDB, but recall vs
+  * brute force, the sample-trained production path, and the single-pass
+  * fit property live here. */
 class VectorSpec extends SparkSpec {
 
   private def rows(key: String) =
     SparkEntry.queries(key)(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+  test("sample-trained IVF path: valid shape and recall vs brute force") {
+    val brute = rows("q_similarity_topk")
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val trained = Vector.ivfTopKTrained(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(trained.nonEmpty)
+    trained.groupBy(_._1).foreach { case (qid, hits) =>
+      assert(hits.length <= 5)
+      assert(hits.forall(h => h._4 >= -1.0 && h._4 <= 1.0))
+      assert(hits.forall(_._3 != qid))
+    }
+    val byQ = trained.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = brute.map { case (qid, b) =>
+      byQ.getOrElse(qid, Set.empty).count(b).toDouble / b.size }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.5, f"trained IVF avg recall@5 = $avg%.2f, expected ≥ 0.5")
+  }
+
+  test("trained IVF fit is ONE bounded job — no corpus-sized count() pass") {
+    val group = s"ivf-fit-${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(group, "ivf fit pin", false)
+    try Vector.ivfTopKTrained(spark, sfDir) // builds (fit collects eagerly)
+    finally spark.sparkContext.clearJobGroup()
+    def jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    // the status store is fed asynchronously — wait for the job to appear,
+    // then a short settle to catch a would-be second (count) job
+    val deadline = System.currentTimeMillis() + 10000
+    while (jobs < 1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    Thread.sleep(300)
+    assert(jobs == 1, s"expected exactly 1 fit job (the bounded limit), got $jobs")
+  }
 
   test("IVF output shape: ≤5 hits per query, contiguous ranks, valid cosines") {
     // (bitwise run-to-run equality is NOT asserted: KMeans treeAggregate
