@@ -207,6 +207,24 @@ class BatchSourceSpec extends SparkSpec {
     q.stop()
   }
 
+  test("max_files_per_trigger flows through readStream (engine-driven admission)") {
+    val dir = Files.createTempDirectory("graft_mbs_cap").toString
+    val nation = Tables.table(spark, sfDir, "nation")
+    (1 to 5).foreach(_ => nation.limit(5).coalesce(1).write.mode("append").parquet(dir))
+    val stream = spark.readStream.format("graft")
+      .schema(spark.read.parquet(dir).schema)
+      .option("max_files_per_trigger", "2").load(dir)
+    val q = stream.groupBy().count().writeStream
+      .format("memory").queryName("t_graft_cap").outputMode("complete").start()
+    q.processAllAvailable()
+    assert(spark.table("t_graft_cap").head.getLong(0) == 25)
+    // 5-file backlog, cap 2 → the engine must have run 3 data batches
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches == 3,
+      s"expected the 5-file backlog to drain in 3 capped batches, got $dataBatches")
+    q.stop()
+  }
+
   test("stream offsets survive restart and file deletion (checkpoint file log)") {
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     val dir = Files.createTempDirectory("graft_stream_log").toString
@@ -216,8 +234,12 @@ class BatchSourceSpec extends SparkSpec {
     nation.coalesce(1).write.mode("append").parquet(dir)
     val schema = new BatchSource().inferSchema(opts)
 
+    def latest(s: BatchMicroBatchStream, from: Int = 0) =
+      s.latestOffset(FileCountOffset(from), s.getDefaultReadLimit)
+        .asInstanceOf[FileCountOffset].n
+
     val s1 = new BatchMicroBatchStream(schema, opts, ckpt)
-    val off1 = s1.latestOffset().asInstanceOf[FileCountOffset].n
+    val off1 = latest(s1)
     assert(off1 >= 1)
     val firstFiles = s1.planInputPartitions(FileCountOffset(0), FileCountOffset(off1))
       .flatMap(_.asInstanceOf[BatchInputPartition].handles.map(_.path)).toSet
@@ -227,7 +249,7 @@ class BatchSourceSpec extends SparkSpec {
     // batch [0, off1) as exactly the same files
     nation.coalesce(1).write.mode("append").parquet(dir)
     val s2 = new BatchMicroBatchStream(schema, opts, ckpt)
-    val off2 = s2.latestOffset().asInstanceOf[FileCountOffset].n
+    val off2 = latest(s2, off1)
     assert(off2 > off1, "new file must extend the log")
     val replay = s2.planInputPartitions(FileCountOffset(0), FileCountOffset(off1))
       .flatMap(_.asInstanceOf[BatchInputPartition].handles.map(_.path)).toSet
@@ -242,12 +264,70 @@ class BatchSourceSpec extends SparkSpec {
       .getFileSystem(spark.sessionState.newHadoopConf())
     firstFiles.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
     val s3 = new BatchMicroBatchStream(schema, opts, ckpt)
-    s3.latestOffset()
+    latest(s3, off2)
     val secondAfterDelete = s3.planInputPartitions(FileCountOffset(off1), FileCountOffset(off2))
       .flatMap(_.asInstanceOf[BatchInputPartition].handles.map(_.path)).toSet
     assert(secondAfterDelete == second,
       "deleting an old staged file must not re-map later offsets")
     assert(s3.planInputPartitions(FileCountOffset(0), FileCountOffset(off1)).isEmpty)
+  }
+
+  test("max_files_per_trigger drains a 10-file backlog in 4 capped batches, restart-safe") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = Files.createTempDirectory("graft_stream_cap").toString
+    val ckpt = Files.createTempDirectory("graft_stream_cap_ckpt").toString
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("path", dir, "max_files_per_trigger", "3"))
+    val nation = Tables.table(spark, sfDir, "nation")
+    (1 to 10).foreach(_ => nation.limit(5).coalesce(1).write.mode("append").parquet(dir))
+    val schema = new BatchSource().inferSchema(opts)
+
+    val s = new BatchMicroBatchStream(schema, opts, ckpt)
+    def step(from: Int) =
+      s.latestOffset(FileCountOffset(from), s.getDefaultReadLimit)
+        .asInstanceOf[FileCountOffset].n
+    // the backlog is 10 logged files; each trigger admits at most 3 new
+    // ones, so the drain is 4 batches (3+3+3+1) and then a no-op trigger
+    val ends = Iterator.iterate(0)(step).drop(1).take(5).toSeq
+    assert(ends == Seq(3, 6, 9, 10, 10),
+      s"cap 3 over a 10-file backlog must drain as 3,3,3,1 then idle — got $ends")
+    // the engine's backlog metric sees the true tip regardless of the cap
+    assert(s.reportLatestOffset().asInstanceOf[FileCountOffset].n == 10)
+    // a restart mid-drain replays the same capped boundaries from the log
+    val s2 = new BatchMicroBatchStream(schema, opts, ckpt)
+    assert(step(3) == 6 &&
+      s2.latestOffset(FileCountOffset(3), s2.getDefaultReadLimit)
+        .asInstanceOf[FileCountOffset].n == 6)
+    val b2a = s.planInputPartitions(FileCountOffset(3), FileCountOffset(6))
+      .flatMap(_.asInstanceOf[BatchInputPartition].handles.map(_.path)).toSet
+    val b2b = s2.planInputPartitions(FileCountOffset(3), FileCountOffset(6))
+      .flatMap(_.asInstanceOf[BatchInputPartition].handles.map(_.path)).toSet
+    assert(b2a == b2b && b2a.nonEmpty)
+  }
+
+  test("a truncated stream-log segment is a HARD restart error, not silent skip") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = Files.createTempDirectory("graft_stream_trunc").toString
+    val ckpt = Files.createTempDirectory("graft_stream_trunc_ckpt").toString
+    val opts = new CaseInsensitiveStringMap(java.util.Map.of("path", dir))
+    val nation = Tables.table(spark, sfDir, "nation")
+    nation.coalesce(1).write.mode("append").parquet(dir)
+    val schema = new BatchSource().inferSchema(opts)
+    val s = new BatchMicroBatchStream(schema, opts, ckpt)
+    s.latestOffset(FileCountOffset(0), s.getDefaultReadLimit)
+    // simulate a crash that truncated the segment: drop its footer line
+    val seg = java.nio.file.Paths.get(ckpt, "graft-file-log", "seg-0")
+    val lines = java.nio.file.Files.readAllLines(seg)
+    java.nio.file.Files.writeString(seg,
+      lines.subList(0, lines.size - 1).toArray.mkString("", "\n", "\n"))
+    // drop the local FS checksum sidecar so the read reaches OUR footer
+    // check rather than failing on the (also-detecting) CRC layer
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "graft-file-log", ".seg-0.crc"))
+    val e = intercept[IllegalArgumentException] {
+      new BatchMicroBatchStream(schema, opts, ckpt)
+    }
+    assert(e.getMessage.contains("truncated/corrupt stream-log segment"))
   }
 
   test("runtime filters re-prune row groups after planning begins (DPP shape)") {
