@@ -147,6 +147,42 @@ object ConnectorQueries {
              |    (a, x) -> a + x), 6) AS vsum
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
+    // STRUCT through BOTH connector halves: the multimodal metadata shape
+    // (ops.Multimodal.mediaSchema's `meta`) staged via the graft sink's
+    // unannotated parquet group encoding, read back via the vectorized
+    // struct decode. Null structs (doc_id % 7) and null subfields
+    // (doc_id % 5) exercise every definition-level branch; the oracle
+    // reads the ORIGINAL table, proving the staged roundtrip changed
+    // nothing.
+    QueryDef("q_dsv2_struct",
+      (s, d) => {
+        val out = StageCache.getOrStage("dsv2_struct", d) { dir =>
+          Tables.table(s, d, "documents").selectExpr(
+              "doc_id",
+              """CASE WHEN doc_id % 7 = 0 THEN NULL ELSE
+                   named_struct(
+                     'mime', 'application/octet-stream',
+                     'n_bytes', CAST(octet_length(text) AS BIGINT),
+                     'source', CASE WHEN doc_id % 5 = 0 THEN NULL ELSE source END)
+                 END AS meta""")
+            .repartition(3)
+            .write.format("graft").mode("overwrite").save(dir)
+        }
+        s.read.format("graft").option("npartitions", "4").load(out)
+          .selectExpr(
+            "doc_id", "meta.mime AS mime", "meta.n_bytes AS n_bytes",
+            "meta.source AS source")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 7 = 0 THEN NULL
+             |       ELSE 'application/octet-stream' END AS mime,
+             |  CASE WHEN doc_id % 7 = 0 THEN NULL
+             |       ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
+             |  CASE WHEN doc_id % 7 = 0 OR doc_id % 5 = 0 THEN NULL
+             |       ELSE source END AS source
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // column-rename surface (columns.str.upper(), test_core.py:59-60) —
     // schema-only operation, no data movement
     QueryDef("q_rename_upper",

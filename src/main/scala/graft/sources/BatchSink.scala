@@ -99,25 +99,42 @@ private[sources] class BatchDataWriter(
       .build()
   }
 
+  /** Write one present primitive value from `row(ord)` into `g(idx)` —
+    * shared by top-level fields and struct subfields. */
+  private def addPrim(
+      g: org.apache.parquet.example.data.Group, idx: Int, dt: DataType,
+      row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      ord: Int): Unit = dt match {
+    case BooleanType => g.add(idx, row.getBoolean(ord))
+    case IntegerType => g.add(idx, row.getInt(ord))
+    case LongType => g.add(idx, row.getLong(ord))
+    case FloatType => g.add(idx, row.getFloat(ord))
+    case DoubleType => g.add(idx, row.getDouble(ord))
+    case StringType => g.add(idx, row.getUTF8String(ord).toString)
+    case DateType => g.add(idx, row.getInt(ord)) // days since epoch
+    case d: DecimalType =>
+      val dec = row.getDecimal(ord, d.precision, d.scale)
+      if (d.precision <= Decimal.MAX_INT_DIGITS) g.add(idx, dec.toUnscaledLong.toInt)
+      else if (d.precision <= Decimal.MAX_LONG_DIGITS) g.add(idx, dec.toUnscaledLong)
+      else g.add(idx, org.apache.parquet.io.api.Binary.fromConstantByteArray(
+        dec.toJavaBigDecimal.unscaledValue().toByteArray))
+    case TimestampType | TimestampNTZType => g.add(idx, row.getLong(ord)) // µs
+    case other => throw new IllegalArgumentException(s"unsupported type $other")
+  }
+
   override def write(row: InternalRow): Unit = {
     val g = new SimpleGroup(msg)
     var i = 0
     while (i < schema.length) {
       if (!row.isNullAt(i)) schema.fields(i).dataType match {
-        case BooleanType => g.add(i, row.getBoolean(i))
-        case IntegerType => g.add(i, row.getInt(i))
-        case LongType => g.add(i, row.getLong(i))
-        case FloatType => g.add(i, row.getFloat(i))
-        case DoubleType => g.add(i, row.getDouble(i))
-        case StringType => g.add(i, row.getUTF8String(i).toString)
-        case DateType => g.add(i, row.getInt(i)) // days since epoch
-        case dt: DecimalType =>
-          val dec = row.getDecimal(i, dt.precision, dt.scale)
-          if (dt.precision <= Decimal.MAX_INT_DIGITS) g.add(i, dec.toUnscaledLong.toInt)
-          else if (dt.precision <= Decimal.MAX_LONG_DIGITS) g.add(i, dec.toUnscaledLong)
-          else g.add(i, org.apache.parquet.io.api.Binary.fromConstantByteArray(
-            dec.toJavaBigDecimal.unscaledValue().toByteArray))
-        case TimestampType | TimestampNTZType => g.add(i, row.getLong(i)) // µs
+        case st: StructType =>
+          val sub = row.getStruct(i, st.length)
+          val grp = g.addGroup(i)
+          var k = 0
+          while (k < st.length) {
+            if (!sub.isNullAt(k)) addPrim(grp, k, st.fields(k).dataType, sub, k)
+            k += 1
+          }
         case ArrayType(elemType, _) =>
           // 3-level list: field group → repeated "list" group → "element";
           // a null element is a "list" entry with no "element" child
@@ -137,7 +154,7 @@ private[sources] class BatchDataWriter(
             }
             j += 1
           }
-        case dt => throw new IllegalArgumentException(s"unsupported type $dt")
+        case dt => addPrim(g, i, dt, row, i)
       }
       i += 1
     }
@@ -184,6 +201,20 @@ private[sources] object BatchSink {
               s"unsupported array element type $other for column '${f.name}'")
           }
           b.addField(Types.list(rep).element(elemType.named("element")).named(f.name))
+        case st: StructType =>
+          // one-level struct → unannotated parquet group of primitives
+          // (the shape [[BatchSource.toStructType]] maps back)
+          val grp = Types.buildGroup(rep)
+          st.fields.foreach { sub =>
+            sub.dataType match {
+              case _: ArrayType | _: StructType | _: MapType =>
+                throw new IllegalArgumentException(
+                  s"struct field '${f.name}.${sub.name}' must be primitive " +
+                    "(one nesting level)")
+              case _ => grp.addField(primitiveType(sub).named(sub.name))
+            }
+          }
+          b.addField(grp.named(f.name))
         case _ =>
           b.addField(primitiveType(f).named(f.name))
       }

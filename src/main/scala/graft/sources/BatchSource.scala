@@ -46,8 +46,9 @@ import graft.connector.Partitioner
   * Options: `partition_size` (default 100 MiB) / `npartitions`, exactly
   * one (core.py:164-167). Column pruning is pushed into the parquet reads
   * via `SupportsPushDownRequiredColumns`. Scope: flat relational schemas
-  * (the shape `write_pandas` stages); nested types are rejected at schema
-  * inference.
+  * (the shape `write_pandas` stages) plus one nesting level —
+  * array<primitive> (embeddings) and struct<primitive…> (multimodal
+  * metadata); deeper nesting is rejected at schema inference.
   *
   * Usage: `spark.read.format("graft").option("npartitions", 8).load(dir)`.
   */
@@ -104,22 +105,32 @@ private[sources] object BatchSource {
     finally reader.close()
   }
 
-  /** Parquet MessageType → Spark StructType: flat primitives plus
-    * standard 3-level LIST groups (array<primitive> — the `embeddings`
-    * shape). Other nesting is still rejected loudly. */
+  /** Parquet MessageType → Spark StructType: flat primitives, standard
+    * 3-level LIST groups (array<primitive> — the `embeddings` shape), and
+    * unannotated groups of primitives (struct<primitive…> — the multimodal
+    * `meta` shape). Deeper nesting is still rejected loudly. */
   def toStructType(msg: MessageType): StructType = StructType(
     msg.getFields.asScala.map { f =>
       val dt =
         if (f.isPrimitive) sparkType(f.asPrimitiveType())
-        else {
-          require(f.getLogicalTypeAnnotation == LogicalTypeAnnotation.listType(),
-            s"nested field '${f.getName}' unsupported by graft BatchSource (only LIST)")
+        else if (f.getLogicalTypeAnnotation == LogicalTypeAnnotation.listType()) {
           val repeated = f.asGroupType().getFields.get(0).asGroupType()
           val elem = repeated.getFields.get(0)
           require(elem.isPrimitive,
             s"nested list elements unsupported on '${f.getName}'")
           ArrayType(sparkType(elem.asPrimitiveType()),
             elem.getRepetition != PType.Repetition.REQUIRED)
+        } else {
+          require(f.getLogicalTypeAnnotation == null,
+            s"nested field '${f.getName}' unsupported by graft BatchSource " +
+              s"(only LIST and unannotated STRUCT groups)")
+          StructType(f.asGroupType().getFields.asScala.map { sub =>
+            require(sub.isPrimitive,
+              s"struct field '${f.getName}.${sub.getName}' must be primitive " +
+                "(one nesting level)")
+            StructField(sub.getName, sparkType(sub.asPrimitiveType()),
+              sub.getRepetition != PType.Repetition.REQUIRED)
+          }.toIndexedSeq)
         }
       StructField(f.getName, dt, f.getRepetition != PType.Repetition.REQUIRED)
     }.toIndexedSeq)
@@ -696,6 +707,43 @@ private[sources] class BatchPartitionReader(
 
   override def close(): Unit = if (reader != null) reader.close()
 
+  /** Decode one present primitive value at `(g, idx)` to Spark internal
+    * representation; `pt` is the parquet type carrying the physical width
+    * / timestamp unit the Spark schema doesn't. Shared by top-level and
+    * struct-nested fields. */
+  private def primValue(g: Group, idx: Int, dt: DataType, pt: PType): Any = dt match {
+    case BooleanType => g.getBoolean(idx, 0)
+    case IntegerType => g.getInteger(idx, 0)
+    case LongType => g.getLong(idx, 0)
+    case FloatType => g.getFloat(idx, 0)
+    case DoubleType => g.getDouble(idx, 0)
+    case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+    case DateType => g.getInteger(idx, 0) // parquet DATE = Spark days
+    case d: DecimalType =>
+      import org.apache.spark.sql.types.Decimal
+      pt.asPrimitiveType().getPrimitiveTypeName match {
+        case INT32 => Decimal(g.getInteger(idx, 0).toLong, d.precision, d.scale)
+        case INT64 => Decimal(g.getLong(idx, 0), d.precision, d.scale)
+        case _ => Decimal(new java.math.BigDecimal(
+            new java.math.BigInteger(g.getBinary(idx, 0).getBytes), d.scale),
+          d.precision, d.scale)
+      }
+    case TimestampType | TimestampNTZType =>
+      // Spark internal = µs since epoch; normalize the parquet unit
+      val raw = g.getLong(idx, 0)
+      pt.asPrimitiveType().getLogicalTypeAnnotation match {
+        case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+          case TimeUnit.MILLIS => raw * 1000L
+          case TimeUnit.MICROS => raw
+          // floor (not truncate): pre-epoch nanos must round down
+          // like Spark's native parquet reader
+          case TimeUnit.NANOS => Math.floorDiv(raw, 1000L)
+        }
+        case _ => raw
+      }
+    case other => throw new IllegalArgumentException(s"unsupported type $other")
+  }
+
   private def convert(g: Group): InternalRow = {
     val vals = new Array[Any](required.length)
     var i = 0
@@ -703,35 +751,19 @@ private[sources] class BatchPartitionReader(
       vals(i) =
         if (g.getFieldRepetitionCount(i) == 0) null
         else required.fields(i).dataType match {
-          case BooleanType => g.getBoolean(i, 0)
-          case IntegerType => g.getInteger(i, 0)
-          case LongType => g.getLong(i, 0)
-          case FloatType => g.getFloat(i, 0)
-          case DoubleType => g.getDouble(i, 0)
-          case StringType => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
-          case DateType => g.getInteger(i, 0) // parquet DATE = Spark days
-          case dt: DecimalType =>
-            import org.apache.spark.sql.types.Decimal
-            prunedMsg.getType(i).asPrimitiveType().getPrimitiveTypeName match {
-              case INT32 => Decimal(g.getInteger(i, 0).toLong, dt.precision, dt.scale)
-              case INT64 => Decimal(g.getLong(i, 0), dt.precision, dt.scale)
-              case _ => Decimal(new java.math.BigDecimal(
-                  new java.math.BigInteger(g.getBinary(i, 0).getBytes), dt.scale),
-                dt.precision, dt.scale)
+          case st: StructType =>
+            // one-level struct group: decode each present primitive subfield
+            val grp = g.getGroup(i, 0)
+            val gt = prunedMsg.getType(i).asGroupType()
+            val sub = new Array[Any](st.length)
+            var k = 0
+            while (k < st.length) {
+              sub(k) =
+                if (grp.getFieldRepetitionCount(k) == 0) null
+                else primValue(grp, k, st.fields(k).dataType, gt.getType(k))
+              k += 1
             }
-          case TimestampType | TimestampNTZType =>
-            // Spark internal = µs since epoch; normalize the parquet unit
-            val raw = g.getLong(i, 0)
-            prunedMsg.getType(i).asPrimitiveType().getLogicalTypeAnnotation match {
-              case t: TimestampLogicalTypeAnnotation => t.getUnit match {
-                case TimeUnit.MILLIS => raw * 1000L
-                case TimeUnit.MICROS => raw
-                // floor (not truncate): pre-epoch nanos must round down
-                // like Spark's native parquet reader
-                case TimeUnit.NANOS => Math.floorDiv(raw, 1000L)
-              }
-              case _ => raw
-            }
+            new GenericInternalRow(sub)
           case ArrayType(elemType, _) =>
             // 3-level list: outer group → repeated "list" → "element"
             val outer = g.getGroup(i, 0)
@@ -754,7 +786,7 @@ private[sources] class BatchPartitionReader(
               j += 1
             }
             new org.apache.spark.sql.catalyst.util.GenericArrayData(values)
-          case dt => throw new IllegalArgumentException(s"unsupported type $dt")
+          case dt => primValue(g, i, dt, prunedMsg.getType(i))
         }
       i += 1
     }

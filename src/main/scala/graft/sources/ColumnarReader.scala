@@ -30,7 +30,9 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   *     steady-state allocation beyond string bytes.
   *
   * Scope matches [[BatchSource.toStructType]]: flat schemas (what a staged
-  * warehouse result looks like), max definition level ≤ 1, no repetition.
+  * warehouse result looks like) plus one nesting level — 3-level LIST
+  * columns and one-level STRUCT groups of primitives (the multimodal
+  * `meta` shape).
   */
 private[sources] class ColumnarBatchPartitionReader(
     partition: BatchInputPartition, required: StructType,
@@ -51,13 +53,19 @@ private[sources] class ColumnarBatchPartitionReader(
   private var wanted: Set[Int] = Set.empty
   private var groupIdx = 0
 
-  // current-row-group decode state
-  private var colReaders: Array[ColumnReader] = _
-  private var maxDefs: Array[Int] = _
-  private var codes: Array[Int] = _
+  // current-row-group decode state. A spark column maps to ≥1 parquet
+  // LEAF columns (structs of m primitives own m leaves, everything else
+  // exactly one); leaf-indexed arrays align with prunedMsg.getColumns
+  // (depth-first leaf order), leafStart(c) is spark column c's first leaf.
+  private var leafReaders: Array[ColumnReader] = _
+  private var maxDefs: Array[Int] = _ // per leaf
+  private var leafStart: Array[Int] = _ // per spark column
+  private var codes: Array[Int] = _ // per spark column
   private var elemCodes: Array[Int] = _ // array columns: element decode plan
   private var elemOpt: Array[Boolean] = _ // array columns: element OPTIONAL?
-  private var remaining: Array[Long] = _ // array columns: triplets left in group
+  private var structCodes: Array[Array[Int]] = _ // struct columns: leaf plans
+  private var structOpt: Array[Boolean] = _ // struct columns: group OPTIONAL?
+  private var remaining: Array[Long] = _ // per leaf: triplets left in group
   private var rowsLeft: Long = 0L
 
   private val vectors: Array[OnHeapColumnVector] =
@@ -81,11 +89,33 @@ private[sources] class ColumnarBatchPartitionReader(
     codes = required.indices.map(colCode).toArray
     elemCodes = required.indices.map(elemCode).toArray
     elemOpt = required.indices.map { i =>
-      val f = prunedMsg.getType(i)
-      !f.isPrimitive &&
-        f.asGroupType().getFields.get(0).asGroupType().getFields.get(0)
+      codes(i) == ARR &&
+        prunedMsg.getType(i).asGroupType().getFields.get(0).asGroupType()
+          .getFields.get(0)
           .getRepetition == org.apache.parquet.schema.Type.Repetition.OPTIONAL
     }.toArray
+    structCodes = required.indices.map { i =>
+      if (codes(i) != STRUCT) Array.empty[Int]
+      else {
+        val gt = prunedMsg.getType(i).asGroupType()
+        required.fields(i).dataType.asInstanceOf[StructType].fields.zipWithIndex
+          .map { case (sub, k) => codeFor(sub.dataType, gt.getType(k).asPrimitiveType()) }
+      }
+    }.toArray
+    structOpt = required.indices.map(i =>
+      codes(i) == STRUCT && prunedMsg.getType(i).getRepetition ==
+        org.apache.parquet.schema.Type.Repetition.OPTIONAL).toArray
+    leafStart = {
+      val starts = new Array[Int](required.length)
+      var acc = 0
+      var i = 0
+      while (i < required.length) {
+        starts(i) = acc
+        acc += (if (codes(i) == STRUCT) structCodes(i).length else 1)
+        i += 1
+      }
+      starts
+    }
     wanted = groups.toSet
     groupIdx = 0
     true
@@ -107,6 +137,14 @@ private[sources] class ColumnarBatchPartitionReader(
     * decimal width live in the file footer, not the Spark schema). */
   private def colCode(i: Int): Int = required.fields(i).dataType match {
     case _: ArrayType => ARR // element plan in elemCodes
+    case _: StructType => STRUCT // leaf plans in structCodes
+    case dt => codeFor(dt, prunedMsg.getType(i).asPrimitiveType())
+  }
+
+  /** Primitive decode plan for spark type `dt` backed by parquet type `p` —
+    * shared by top-level columns and struct leaves. */
+  private def codeFor(
+      dt: DataType, p: org.apache.parquet.schema.PrimitiveType): Int = dt match {
     case BooleanType => BOOL
     case IntegerType | DateType => INT32 // parquet DATE = days, Spark DateType = days
     case LongType => INT64
@@ -114,7 +152,7 @@ private[sources] class ColumnarBatchPartitionReader(
     case DoubleType => DOUBLE
     case StringType => STR
     case TimestampType | TimestampNTZType =>
-      prunedMsg.getType(i).asPrimitiveType().getLogicalTypeAnnotation match {
+      p.getLogicalTypeAnnotation match {
         case t: TimestampLogicalTypeAnnotation => t.getUnit match {
           case TimeUnit.MILLIS => TS_MILLIS
           case TimeUnit.MICROS => INT64
@@ -127,7 +165,7 @@ private[sources] class ColumnarBatchPartitionReader(
       // ≤9 int-backed, ≤18 long-backed, else bytes) — the same layout
       // WritableColumnVector.getDecimal reads back
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-      prunedMsg.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+      p.getPrimitiveTypeName match {
         // the parquet spec caps INT32-backed decimals at precision 9 and
         // INT64-backed at 18; a nonconforming file would otherwise write
         // through the wrong vector storage (putInt into byte-backed etc.)
@@ -169,9 +207,9 @@ private[sources] class ColumnarBatchPartitionReader(
           val store = new ColumnReadStoreImpl(pages,
             new GroupRecordConverter(prunedMsg).getRootConverter, prunedMsg, createdBy)
           val descs = prunedMsg.getColumns.asScala
-          colReaders = descs.map(store.getColumnReader).toArray
+          leafReaders = descs.map(store.getColumnReader).toArray
           maxDefs = descs.map(_.getMaxDefinitionLevel).toArray
-          remaining = colReaders.map(_.getTotalValueCount)
+          remaining = leafReaders.map(_.getTotalValueCount)
           rowsLeft = pages.getRowCount
           return true
         }
@@ -205,8 +243,8 @@ private[sources] class ColumnarBatchPartitionReader(
     * row loop so each branch is a monomorphic primitive copy. */
   private def decodeColumn(c: Int, n: Int): Unit = {
     val vec = vectors(c)
-    val cr = colReaders(c)
-    val maxDef = maxDefs(c)
+    val cr = leafReaders(leafStart(c))
+    val maxDef = maxDefs(leafStart(c))
     var r = 0
     codes(c) match {
       case BOOL =>
@@ -314,7 +352,7 @@ private[sources] class ColumnarBatchPartitionReader(
         val child = vec.arrayData()
         val ec = elemCodes(c)
         val defEmpty = maxDef - (if (elemOpt(c)) 2 else 1)
-        var rem = remaining(c)
+        var rem = remaining(leafStart(c))
         while (r < n) {
           val d = cr.getCurrentDefinitionLevel
           if (d < defEmpty) { vec.putNull(r); cr.consume(); rem -= 1 }
@@ -341,8 +379,62 @@ private[sources] class ColumnarBatchPartitionReader(
           }
           r += 1
         }
-        remaining(c) = rem
+        remaining(leafStart(c)) = rem
+      case STRUCT =>
+        // one-level struct of primitives: m independent leaf streams, one
+        // value per row each (no repetition). Definition levels:
+        //   maxDef(leaf)     → subfield present
+        //   ≥1 (group OPT)   → struct present (subfield may still be null)
+        //   0 with group OPT → struct null
+        // Children are positional (rowId-aligned with the parent), so a
+        // null struct also nulls every child slot to keep positions dense.
+        val lcodes = structCodes(c)
+        val base = leafStart(c)
+        val sOpt = structOpt(c)
+        val children = Array.tabulate(lcodes.length)(vec.getChild)
+        while (r < n) {
+          val present = !sOpt || leafReaders(base).getCurrentDefinitionLevel >= 1
+          if (!present) vec.putNull(r)
+          var k = 0
+          while (k < lcodes.length) {
+            val lr = leafReaders(base + k)
+            if (present && lr.getCurrentDefinitionLevel == maxDefs(base + k))
+              putLeaf(children(k), r, lcodes(k), lr)
+            else children(k).putNull(r)
+            lr.consume()
+            k += 1
+          }
+          r += 1
+        }
     }
+  }
+
+  /** Write one present struct-leaf value — same storage conventions as the
+    * flat-column branches of [[decodeColumn]] (timestamp µs normalization,
+    * decimal vector storage by precision). */
+  private def putLeaf(
+      child: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      r: Int, code: Int, cr: ColumnReader): Unit = code match {
+    case BOOL => child.putBoolean(r, cr.getBoolean)
+    case INT32 => child.putInt(r, cr.getInteger)
+    case INT64 => child.putLong(r, cr.getLong)
+    case TS_MILLIS => child.putLong(r, cr.getLong * 1000L)
+    case TS_NANOS => child.putLong(r, Math.floorDiv(cr.getLong, 1000L))
+    case FLOAT => child.putFloat(r, cr.getFloat)
+    case DOUBLE => child.putDouble(r, cr.getDouble)
+    case STR =>
+      val bytes = cr.getBinary.getBytes
+      child.putByteArray(r, bytes, 0, bytes.length)
+    case DEC_INT_I32 => child.putInt(r, cr.getInteger)
+    case DEC_INT_I64 => child.putInt(r, cr.getLong.toInt)
+    case DEC_LONG_I64 => child.putLong(r, cr.getLong)
+    case DEC_INT_BIN =>
+      child.putInt(r, new java.math.BigInteger(cr.getBinary.getBytes).intValue)
+    case DEC_LONG_BIN =>
+      child.putLong(r, new java.math.BigInteger(cr.getBinary.getBytes).longValue)
+    case DEC_BYTES_BIN =>
+      val bytes = cr.getBinary.getBytes
+      child.putByteArray(r, bytes, 0, bytes.length)
   }
 }
 
@@ -363,4 +455,5 @@ private[sources] object ColumnarBatchPartitionReader {
   final val DEC_LONG_BIN = 12
   final val DEC_BYTES_BIN = 13
   final val ARR = 14
+  final val STRUCT = 15
 }
