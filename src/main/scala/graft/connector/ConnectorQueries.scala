@@ -13,6 +13,56 @@ import graft.warehouse.Tables
   * (dask_snowflake/tests/test_core.py:285-321). */
 object ConnectorQueries {
 
+  /** Every write-then-read fixture the DSv2 keys stage, in one place so
+    * [[prestage]] and the query defs can never diverge. */
+  private def staged(
+      key: String, s: org.apache.spark.sql.SparkSession, d: String): String =
+    StageCache.getOrStage(key, d) { dir =>
+      key match {
+        case "roundtrip" =>
+          Write.toParquet(Tables.table(s, d, "supplier"), dir, overwrite = true)
+        case "dsv2" =>
+          Tables.table(s, d, "customer").repartition(3)
+            .write.mode("overwrite").parquet(dir)
+        case "dsv2_dec" =>
+          Tables.table(s, d, "customer").selectExpr(
+              "c_custkey",
+              "CAST(CAST(c_custkey AS DECIMAL(12,2)) + 0.25 AS DECIMAL(12,2)) AS bal_dec",
+              "CAST(CAST(c_custkey AS DECIMAL(27,10)) + 0.1234567891 AS DECIMAL(38,10)) AS bal_wide",
+              "DATE_ADD(DATE'1992-01-03', CAST(c_custkey % 2000 AS INT)) AS stage_date")
+            .write.format("graft").mode("overwrite").save(dir)
+        case "dsv2_rtp" =>
+          Tables.table(s, d, "orders").orderBy("o_custkey").coalesce(1)
+            .write.option("parquet.block.size", 64 * 1024)
+            .mode("overwrite").parquet(dir)
+        case "dsv2_arr" =>
+          Tables.table(s, d, "embeddings").repartition(3)
+            .write.format("graft").mode("overwrite").save(dir)
+        case "dsv2_struct" =>
+          Tables.table(s, d, "documents").selectExpr(
+              "doc_id",
+              """CASE WHEN doc_id % 7 = 0 THEN NULL ELSE
+                   named_struct(
+                     'mime', 'application/octet-stream',
+                     'n_bytes', CAST(octet_length(text) AS BIGINT),
+                     'source', CASE WHEN doc_id % 5 = 0 THEN NULL ELSE source END)
+                 END AS meta""")
+            .repartition(3)
+            .write.format("graft").mode("overwrite").save(dir)
+      }
+    }
+
+  private val stageKeys =
+    Seq("roundtrip", "dsv2", "dsv2_dec", "dsv2_rtp", "dsv2_arr", "dsv2_struct")
+
+  /** Stage every DSv2 fixture up front (idempotent — StageCache runs each
+    * write once per (key, sfDir)). Called from `Tables.register`, i.e. the
+    * warmup path of Bench/Verify and the first table access of any query,
+    * so the one-time fixture writes never pollute a timed query: a bench
+    * row for a DSv2 key grades the READ plan, not the fixture write. */
+  private[graft] def prestage(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    stageKeys.foreach(k => staged(k, s, d))
+
   val defs: Seq[QueryDef] = Seq(
 
     // npartitions mode (core.py:169-171): exact partition count, rows intact
@@ -40,12 +90,7 @@ object ConnectorQueries {
     // Staged ONCE per (key, sfDir) via StageCache — repeat invocations
     // read the existing stage instead of re-writing it.
     QueryDef("q_roundtrip_write",
-      (s, d) => {
-        val out = StageCache.getOrStage("roundtrip", d) { dir =>
-          Write.toParquet(Tables.table(s, d, "supplier"), dir, overwrite = true)
-        }
-        s.read.parquet(out).orderBy("s_suppkey")
-      },
+      (s, d) => s.read.parquet(staged("roundtrip", s, d)).orderBy("s_suppkey"),
       Some("SELECT * FROM supplier ORDER BY s_suppkey")),
 
     // the DSv2 connector end-to-end (graft.sources.BatchSource): stage a
@@ -53,14 +98,9 @@ object ConnectorQueries {
     // spark.read.format("graft") with greedy row-group packing — the
     // reference's read_snowflake architecture as a real Spark source
     QueryDef("q_read_dsv2",
-      (s, d) => {
-        val out = StageCache.getOrStage("dsv2", d) { dir =>
-          Tables.table(s, d, "customer").repartition(3)
-            .write.mode("overwrite").parquet(dir)
-        }
-        s.read.format("graft").option("partition_size", "256 KiB").load(out)
-          .orderBy("c_custkey")
-      },
+      (s, d) => s.read.format("graft").option("partition_size", "256 KiB")
+        .load(staged("dsv2", s, d))
+        .orderBy("c_custkey"),
       Some("SELECT * FROM customer ORDER BY c_custkey")),
 
     // DECIMAL/DATE roundtrip through the DSv2 connector — Snowflake NUMBER
@@ -71,15 +111,8 @@ object ConnectorQueries {
     // DECIMAL/DATE losslessly
     QueryDef("q_dsv2_decimal",
       (s, d) => {
-        val out = StageCache.getOrStage("dsv2_dec", d) { dir =>
-          Tables.table(s, d, "customer").selectExpr(
-              "c_custkey",
-              "CAST(CAST(c_custkey AS DECIMAL(12,2)) + 0.25 AS DECIMAL(12,2)) AS bal_dec",
-              "CAST(CAST(c_custkey AS DECIMAL(27,10)) + 0.1234567891 AS DECIMAL(38,10)) AS bal_wide",
-              "DATE_ADD(DATE'1992-01-03', CAST(c_custkey % 2000 AS INT)) AS stage_date")
-            .write.format("graft").mode("overwrite").save(dir)
-        }
-        s.read.format("graft").option("npartitions", "4").load(out)
+        s.read.format("graft").option("npartitions", "4")
+          .load(staged("dsv2_dec", s, d))
           .selectExpr(
             "c_custkey",
             "CAST(bal_dec AS DOUBLE) AS bal_dec",
@@ -102,12 +135,8 @@ object ConnectorQueries {
     // behavior itself is pinned in BatchSourceSpec.
     QueryDef("q_dsv2_runtime_prune",
       (s, d) => {
-        val out = StageCache.getOrStage("dsv2_rtp", d) { dir =>
-          Tables.table(s, d, "orders").orderBy("o_custkey").coalesce(1)
-            .write.option("parquet.block.size", 64 * 1024)
-            .mode("overwrite").parquet(dir)
-        }
-        val fact = s.read.format("graft").option("partition_size", "64 KiB").load(out)
+        val fact = s.read.format("graft").option("partition_size", "64 KiB")
+          .load(staged("dsv2_rtp", s, d))
         val dim = Tables.table(s, d, "customer")
           .filter(col("c_mktsegment") === "BUILDING")
           .select("c_custkey", "c_mktsegment")
@@ -129,11 +158,8 @@ object ConnectorQueries {
     // changed nothing.
     QueryDef("q_dsv2_array",
       (s, d) => {
-        val out = StageCache.getOrStage("dsv2_arr", d) { dir =>
-          Tables.table(s, d, "embeddings").repartition(3)
-            .write.format("graft").mode("overwrite").save(dir)
-        }
-        s.read.format("graft").option("npartitions", "4").load(out)
+        s.read.format("graft").option("npartitions", "4")
+          .load(staged("dsv2_arr", s, d))
           .selectExpr(
             "vec_id",
             "CAST(size(embedding) AS BIGINT) AS dim",
@@ -156,19 +182,8 @@ object ConnectorQueries {
     // nothing.
     QueryDef("q_dsv2_struct",
       (s, d) => {
-        val out = StageCache.getOrStage("dsv2_struct", d) { dir =>
-          Tables.table(s, d, "documents").selectExpr(
-              "doc_id",
-              """CASE WHEN doc_id % 7 = 0 THEN NULL ELSE
-                   named_struct(
-                     'mime', 'application/octet-stream',
-                     'n_bytes', CAST(octet_length(text) AS BIGINT),
-                     'source', CASE WHEN doc_id % 5 = 0 THEN NULL ELSE source END)
-                 END AS meta""")
-            .repartition(3)
-            .write.format("graft").mode("overwrite").save(dir)
-        }
-        s.read.format("graft").option("npartitions", "4").load(out)
+        s.read.format("graft").option("npartitions", "4")
+          .load(staged("dsv2_struct", s, d))
           .selectExpr(
             "doc_id", "meta.mime AS mime", "meta.n_bytes AS n_bytes",
             "meta.source AS source")

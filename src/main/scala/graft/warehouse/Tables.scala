@@ -46,7 +46,12 @@ object Tables {
             df.createOrReplaceTempView(t)
           }
         }
-        registered.put(k, sfDir)
+        registered.put(k, sfDir) // before prestage: its table() calls re-enter
+        // Stage the DSv2 write-then-read fixtures up front (idempotent).
+        // This runs inside the warmup path — Bench calls register before
+        // timing — so a timed DSv2 key grades its read plan, not the
+        // one-time fixture write.
+        graft.connector.ConnectorQueries.prestage(spark, sfDir)
       }
     }
   }
