@@ -30,12 +30,14 @@ object CacheRegistry {
       case Some(df) if !df.sparkSession.sparkContext.isStopped => df
       case stale =>
         stale.foreach(_ => entries.remove(key))
-        val df = build.persist()
+        // resolve the registration race BEFORE persisting: both racers'
+        // plans are sameResult, so CacheManager would share ONE cache entry
+        // between them — the loser's unpersist would silently drop the
+        // winner's blocks too. Only the insert winner persists.
+        val df = build
         entries.putIfAbsent(key, df) match {
-          // lost the race: another caller registered first — drop this
-          // copy's blocks so releaseAll() never leaves a stray persist
-          case Some(winner) => df.unpersist(blocking = false); winner
-          case None => df
+          case Some(winner) => winner
+          case None => df.persist(); df
         }
     }
   }

@@ -240,7 +240,7 @@ object Vector {
        |), dists AS (
        |  SELECT n.vec_id, n.v, n.nrm, c.cell,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |      list_transform(generate_series(1, 64),
+       |      list_transform(generate_series(1, ${cents.head.length}),
        |        i -> (n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i]))),
        |      (s0, x) -> s0 + x) AS d
        |  FROM n, cents c

@@ -7,7 +7,7 @@ import scala.collection.mutable
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -37,11 +37,26 @@ import graft.connector.Partitioner
   * footer is missing or disagrees with its line count — a crash that
   * truncated a segment is a HARD restart error, never silent data loss.
   *
-  * Admission control (`max_files_per_trigger` option): a restarted stream
-  * over a backlogged stage (the steady state for a continuously-unloading
-  * warehouse) drains the backlog in bounded micro-batches instead of one
-  * giant catch-up batch — the same dial as the file source's
-  * `maxFilesPerTrigger`, surfaced through [[SupportsAdmissionControl]].
+  * Admission control (`max_files_per_trigger` / `max_bytes_per_trigger`
+  * options, composable): a restarted stream over a backlogged stage (the
+  * steady state for a continuously-unloading warehouse) drains the backlog
+  * in bounded micro-batches instead of one giant catch-up batch — the same
+  * dials as the file source's `maxFilesPerTrigger`/`maxBytesPerTrigger`,
+  * surfaced through [[SupportsAdmissionControl]]. The byte cap matches the
+  * reference's byte-based sizing philosophy (`partition_size`,
+  * core.py:259-260): with skewed file sizes a file count admits wildly
+  * uneven batches, a byte budget doesn't. Like the built-in source, a
+  * batch always admits ≥1 file (an oversized file must still flow), so a
+  * batch's bytes are bounded by cap + largest-file, not cap.
+  *
+  * `fail_on_missing_logged_file=true` turns the retention tolerance above
+  * into a hard error for pipelines where a silent gap is worse than a
+  * restart.
+  *
+  * Checkpoint format note: the `#<count>` footer is REQUIRED — segments
+  * from pre-footer builds fail restart with the corrupt-segment error.
+  * The format changed incompatibly; restart such a stream from a fresh
+  * checkpoint (or append the footer by hand to migrate).
   */
 private[sources] class BatchMicroBatchStream(
     required: StructType, options: CaseInsensitiveStringMap,
@@ -57,6 +72,18 @@ private[sources] class BatchMicroBatchStream(
       require(n > 0, s"max_files_per_trigger must be positive, got $n")
       n
     }
+
+  /** Byte budget per micro-batch, "64 KiB"-style strings accepted (the
+    * same parser as `partition_size`). */
+  private val maxBytesPerTrigger: Option[Long] =
+    Option(options.get("max_bytes_per_trigger")).map { s =>
+      val n = Partitioner.parseBytes(s)
+      require(n > 0, s"max_bytes_per_trigger must be positive, got $n")
+      n
+    }
+
+  private val failOnMissingLoggedFile: Boolean =
+    Option(options.get("fail_on_missing_logged_file")).exists(_.toBoolean)
 
   // in-memory mirror of the log (rebuilt from it on restart)
   private val logged = mutable.LinkedHashSet.empty[String]
@@ -110,17 +137,43 @@ private[sources] class BatchMicroBatchStream(
   override def initialOffset(): Offset = FileCountOffset(0)
 
   override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+    (maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq) match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
 
   /** Admission-controlled latest offset: at most `max_files_per_trigger`
-    * NEW files per micro-batch; a backlog drains across several batches. */
+    * new files AND `max_bytes_per_trigger` new bytes per micro-batch
+    * (whichever binds first); a backlog drains across several batches. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val total = refresh()
     val s = start.asInstanceOf[FileCountOffset].n
-    FileCountOffset(limit match {
-      case mf: ReadMaxFiles => math.min(total, s + mf.maxFiles())
-      case _ => total
-    })
+    FileCountOffset(admit(s, total, limit))
+  }
+
+  /** End offset admitted from `[s, total)` under `limit`. A byte budget
+    * admits files in log order while they fit, but always ≥1 (an
+    * oversized file must still flow through). */
+  private def admit(s: Int, total: Int, limit: ReadLimit): Int = limit match {
+    case mf: ReadMaxFiles => math.min(total, s + mf.maxFiles())
+    case mb: ReadMaxBytes =>
+      val candidates = synchronized(logged.toIndexedSeq.slice(s, total))
+      var acc = 0L
+      var n = s
+      var stop = false
+      val it = candidates.iterator
+      while (it.hasNext && !stop) {
+        val sz =
+          try fs.getFileStatus(new Path(it.next())).getLen
+          catch { case _: java.io.FileNotFoundException => 0L } // retention
+        if (n == s || acc + sz <= mb.maxBytes) { acc += sz; n += 1 }
+        else stop = true
+      }
+      n
+    case c: CompositeReadLimit => c.getReadLimits.map(admit(s, total, _)).min
+    case _ => total
   }
 
   /** The true tip of the log, regardless of admission limits (drives the
@@ -149,6 +202,10 @@ private[sources] class BatchMicroBatchStream(
     val statuses = slice.flatMap { p =>
       val path = new Path(p)
       if (fs.exists(path)) Some(fs.getFileStatus(path))
+      else if (failOnMissingLoggedFile)
+        // strict pipelines: a silent gap is worse than a restart
+        throw new IllegalStateException(
+          s"logged staged file missing (fail_on_missing_logged_file=true): $p")
       else {
         // retention/compaction removed an already-logged file: its offset
         // slot stays pinned (later offsets don't shift), its data is gone

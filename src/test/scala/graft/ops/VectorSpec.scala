@@ -41,7 +41,12 @@ class VectorSpec extends SparkSpec {
     val deadline = System.currentTimeMillis() + 10000
     while (jobs < 1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
     Thread.sleep(300)
-    assert(jobs == 1, s"expected exactly 1 fit job (the bounded limit), got $jobs")
+    // CollectLimit's executeTake may legitimately launch a scale-up job
+    // when the first scanned partition doesn't fill the limit — allow ≤2;
+    // the old count()+sample shape ran a full-corpus job PLUS the sample
+    // read, which this bound still rejects
+    assert(jobs >= 1 && jobs <= 2,
+      s"expected the bounded-limit fit (1-2 executeTake jobs), got $jobs")
   }
 
   test("IVF output shape: ≤5 hits per query, contiguous ranks, valid cosines") {

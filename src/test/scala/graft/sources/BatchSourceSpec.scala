@@ -305,6 +305,91 @@ class BatchSourceSpec extends SparkSpec {
     assert(b2a == b2b && b2a.nonEmpty)
   }
 
+  test("max_bytes_per_trigger admits a byte-bounded prefix per batch (skew-safe)") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = Files.createTempDirectory("graft_stream_bytes").toString
+    val ckpt = Files.createTempDirectory("graft_stream_bytes_ckpt").toString
+    val li = Tables.table(spark, sfDir, "lineitem")
+    // mixed-size backlog with CONTROLLED log order (the log is name-sorted
+    // on one discovery, and parquet part names are uuid-random): big,
+    // small, small, big, small
+    def writeAs(rows: Int, name: String): Long = {
+      val tmp = Files.createTempDirectory("graft_bytes_one").toString
+      li.limit(rows).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dir, name))
+      java.nio.file.Files.size(java.nio.file.Paths.get(dir, name))
+    }
+    writeAs(3000, "f0.parquet")
+    val s1 = writeAs(1, "f1.parquet")
+    val s2 = writeAs(1, "f2.parquet")
+    writeAs(3000, "f3.parquet")
+    writeAs(1, "f4.parquet")
+    // cap fits the two adjacent small files together but not small+big
+    val cap = s1 + s2 + 16
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("path", dir, "max_bytes_per_trigger", cap.toString))
+    val schema = new BatchSource().inferSchema(opts)
+    val s = new BatchMicroBatchStream(schema, opts, ckpt)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def sizeOf(p: String) = fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen
+    def step(from: Int) =
+      s.latestOffset(FileCountOffset(from), s.getDefaultReadLimit)
+        .asInstanceOf[FileCountOffset].n
+    def batchPaths(from: Int, to: Int) =
+      s.planInputPartitions(FileCountOffset(from), FileCountOffset(to))
+        .flatMap(_.asInstanceOf[BatchInputPartition].handles.map(_.path)).distinct
+    val allPaths = {
+      var from = 0
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var guard = 0
+      while ({ val to = step(from); val moved = to > from
+               if (moved) acc += ((from, to)); from = to; guard += 1
+               moved && guard < 10 }) ()
+      acc.toSeq
+    }
+    val largest = allPaths.flatMap { case (f, t) => batchPaths(f, t) }.map(sizeOf).max
+    // drains fully, in >1 batch, each batch ≥1 file and ≤ cap + largest file
+    assert(allPaths.last._2 == 5, s"backlog must drain fully: $allPaths")
+    assert(allPaths.length >= 3,
+      s"32 KiB cap over a mixed backlog must take several batches: $allPaths")
+    allPaths.foreach { case (f, t) =>
+      assert(t > f)
+      val bytes = batchPaths(f, t).map(sizeOf).sum
+      assert(bytes <= cap + largest,
+        s"batch [$f,$t) admitted $bytes bytes > cap+largest (${cap + largest})")
+    }
+    // a small-files-only stretch packs multiple files under the cap
+    assert(allPaths.exists { case (f, t) => t - f > 1 },
+      s"adjacent small files should share a batch: $allPaths")
+  }
+
+  test("fail_on_missing_logged_file=true turns retention gaps into hard errors") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = Files.createTempDirectory("graft_stream_strict").toString
+    val ckpt = Files.createTempDirectory("graft_stream_strict_ckpt").toString
+    val strictOpts = new CaseInsensitiveStringMap(
+      java.util.Map.of("path", dir, "fail_on_missing_logged_file", "true"))
+    val nation = Tables.table(spark, sfDir, "nation")
+    nation.coalesce(1).write.mode("append").parquet(dir)
+    val schema = new BatchSource().inferSchema(strictOpts)
+    val s = new BatchMicroBatchStream(schema, strictOpts, ckpt)
+    val off = s.latestOffset(FileCountOffset(0), s.getDefaultReadLimit)
+      .asInstanceOf[FileCountOffset].n
+    val paths = s.planInputPartitions(FileCountOffset(0), FileCountOffset(off))
+      .flatMap(_.asInstanceOf[BatchInputPartition].handles.map(_.path)).toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    paths.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+    // default mode (existing spec) skips with a warning; strict mode throws
+    val e = intercept[IllegalStateException] {
+      s.planInputPartitions(FileCountOffset(0), FileCountOffset(off))
+    }
+    assert(e.getMessage.contains("fail_on_missing_logged_file"))
+  }
+
   test("a truncated stream-log segment is a HARD restart error, not silent skip") {
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     val dir = Files.createTempDirectory("graft_stream_trunc").toString
