@@ -29,11 +29,14 @@ import graft.warehouse.Tables
   */
 object Vector {
 
-  /** embeddings cast float→double once: (vec_id, label, v, nrm) */
+  /** embeddings cast float→double once: (vec_id, label, v, nrm). The cast
+    * is a native array Cast (codegen'd, exact for float→double), not a
+    * `transform` lambda — HOFs run interpreted and this column feeds every
+    * similarity path's hot loop. */
   private def vecs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.table(s, d, "embeddings").select(
         col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm",
         sqrt(expr("aggregate(v, CAST(0.0 AS DOUBLE), (s0, x) -> s0 + x * x)")))
 
@@ -169,41 +172,27 @@ object Vector {
     centers
   }
 
-  /** 2-level centroid literal (E-notation, 17 significant digits — parses
-    * back to the exact double in both engines). */
-  private def centsLitSpark(cents: Array[Array[Double]]): String =
-    cents.map(_.map(x => "%.17e".format(x)).mkString("array(", ", ", ")"))
-      .mkString("array(", ", ", ")")
-
-  /** Per-row array of (distance², cell) structs against `cents`;
-    * array_sort orders by distance with the cell id as deterministic
-    * tie-break. One fold lambda over a 2-level centroid literal (not k
-    * unrolled copies) keeps the generated code a single small codegen
-    * stage. */
-  private def cellStructs(vcol: String, cents: Array[Array[Double]]): String =
-    s"""zip_with(${centsLitSpark(cents)}, sequence(0, ${cents.length - 1}), (cv, ci) ->
-       |  struct(aggregate(zip_with($vcol, cv, (x, c0) -> (x - c0) * (x - c0)),
-       |    CAST(0.0 AS DOUBLE), (s0, x) -> s0 + x) AS d, ci AS c))""".stripMargin
-
   /** IVF search against a FITTED centroid set. The 100 TB layout, strictly:
-    * centroids are embedded as LITERALS in a codegen'd assignment
-    * expression, so corpus cell assignment is a narrow shuffle-free map —
-    * no iterative full-data passes, no ML job graph in the query path;
-    * search joins by cell id with the (tiny) probe set broadcast. A corpus
-    * vector lives in exactly one cell and a query probes DISTINCT cells,
-    * so no (qid, cid) pair ever duplicates. nprobe is the recall dial
-    * (nprobe=1 misses neighbors straddling a Voronoi boundary). */
+    * centroids ride as a CONSTANT inside a codegen'd cell-ranking
+    * expression ([[graft.functions.IvfNearestCells]] — shipped once per
+    * executor with the generated class, evaluated in the whole-stage
+    * loop), so corpus cell assignment is a narrow shuffle-free map — no
+    * iterative full-data passes, no ML job graph in the query path; search
+    * joins by cell id with the (tiny) probe set broadcast. A corpus vector
+    * lives in exactly one cell and a query probes DISTINCT cells, so no
+    * (qid, cid) pair ever duplicates. nprobe is the recall dial (nprobe=1
+    * misses neighbors straddling a Voronoi boundary). */
   private[graft] def ivfTopK(
       s: org.apache.spark.sql.SparkSession, d: String,
       cents: Array[Array[Double]], nprobe: Int = 3): org.apache.spark.sql.DataFrame = {
     graft.functions.CosineSimilarity.register(s)
+    graft.functions.IvfNearestCells.register(s, cents, nprobe)
     val base = vecs(s, d)
     val cells = base
-      .withColumn("cell", expr(s"element_at(array_sort(${cellStructs("v", cents)}), 1).c"))
+      .withColumn("cell", expr("element_at(ivf_cells(v), 1)"))
       .select(col("vec_id"), col("v"), col("cell"))
     val probed = base.filter(col("vec_id") < 5)
-      .withColumn("cell", explode(expr(
-        s"transform(slice(array_sort(${cellStructs("v", cents)}), 1, $nprobe), p -> p.c)")))
+      .withColumn("cell", explode(expr("ivf_cells(v)")))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
     topK(cells.select(col("vec_id").as("cid"), col("v").as("cv"), col("cell"))
       .join(broadcast(probed), Seq("cell"))

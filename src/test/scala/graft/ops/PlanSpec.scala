@@ -74,6 +74,18 @@ class PlanSpec extends SparkSpec {
       s"vector payloads leaked into the candidate dedup:\n${distinctAggs.mkString("\n")}")
   }
 
+  test("q_similarity_ivf assigns cells via the codegen'd expression, not HOF lambdas") {
+    val p = plan("q_similarity_ivf")
+    assert(p.contains("ivf_cells"),
+      s"cell ranking should be the native IvfNearestCells expression:\n$p")
+    // the interpreted pipeline this replaced showed up as aggregate/zip_with
+    // lambda evaluators in the assignment projection
+    assert(!p.contains("zip_with"),
+      s"no higher-order-function lambdas in the IVF assignment:\n$p")
+    // probe side stays broadcast: the corpus never shuffles for the cell join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and
