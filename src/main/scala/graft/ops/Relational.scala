@@ -317,14 +317,31 @@ object Relational {
              |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
-    // HLL sketches differ between engines — no value oracle possible;
-    // driver records the weaker rows-only check (SURVEY.md §2 note).
+    // HLL sketch VALUES differ between engines (different register
+    // layouts), so the raw approx count has no cross-engine oracle. What
+    // IS deterministic on both sides: each engine's own sketch vs the
+    // exact count. Emitting (exact, own-sketch-within-5%) makes the row
+    // hash-comparable — each engine attests its estimator's error bound
+    // and the outputs agree iff both sketches are accurate. Spark's
+    // default rsd is 0.05 (~2-3% typical); DuckDB measured ≤0.5% here.
     QueryDef("q_agg_approx_distinct",
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          (abs(approx_count_distinct(col("l_partkey")) -
+              countDistinct(col("l_partkey"))).cast(DoubleType) /
+            countDistinct(col("l_partkey")).cast(DoubleType) <= 0.05)
+            .as("approx_within_5pct"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag,
+             |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             |  abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE)
+             |      - CAST(count(DISTINCT l_partkey) AS DOUBLE))
+             |    / CAST(count(DISTINCT l_partkey) AS DOUBLE) <= 0.05
+             |    AS approx_within_5pct
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
 
     QueryDef("q_agg_rollup",
       (s, d) => t(s, d, "lineitem")
