@@ -66,6 +66,51 @@ class ArrowInteropSpec extends SparkSpec {
     assertSameRows(src, back)
   }
 
+  test("STRUCT columns ride the wire: null structs, null subfields, typed leaves") {
+    // the connector's struct surface (multimodal meta shape) must match on
+    // the wire — every definition branch plus decimal/date/timestamp leaves
+    val src = Tables.table(spark, sfDir, "customer").limit(300).selectExpr(
+      "c_custkey",
+      """CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE
+        |  named_struct(
+        |    'tag', CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_name END,
+        |    'n', c_custkey * 1000000007,
+        |    'money', CAST(CAST(c_custkey AS DECIMAL(12,2)) + 0.25 AS DECIMAL(12,2)),
+        |    'd', DATE_ADD(DATE'1992-01-03', CAST(c_custkey % 2000 AS INT)),
+        |    'ts', TIMESTAMP'1995-06-17 12:34:56.789')
+        |END AS meta""".stripMargin)
+      .repartition(2)
+    val back = ArrowInterop.fromArrowBatches(
+      ArrowInterop.toArrowBatches(src), src.schema)
+    assertSameRows(src, back)
+  }
+
+  test("MAP columns ride the wire: null maps, empty maps, null values") {
+    val src = Tables.table(spark, sfDir, "customer").limit(300).selectExpr(
+      "c_custkey",
+      """CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |     WHEN c_custkey % 7 = 1 THEN map()
+        |     WHEN c_custkey % 7 = 2 THEN
+        |       map('name', c_name, 'segment', NULL)
+        |     ELSE map('name', c_name, 'segment', c_mktsegment,
+        |              'nation', CAST(c_nationkey AS STRING))
+        |END AS attrs""".stripMargin)
+      .repartition(2)
+    val back = ArrowInterop.fromArrowBatches(
+      ArrowInterop.toArrowBatches(src), src.schema)
+    assertSameRows(src, back)
+  }
+
+  test("numeric-valued maps keep key/value types through the wire") {
+    val src = Tables.table(spark, sfDir, "region").selectExpr(
+      "r_regionkey",
+      "map(r_name, r_regionkey * 10, 'len', length(r_name)) AS m")
+    val back = ArrowInterop.fromArrowBatches(
+      ArrowInterop.toArrowBatches(src), src.schema)
+    assert(back.schema("m").dataType.simpleString == "map<string,int>")
+    assertSameRows(src, back)
+  }
+
   test("decode is streaming: early termination still yields correct prefix rows") {
     // fromArrowBatches no longer buffers the whole stream — a limit() that
     // abandons the iterator mid-batch must still return correct rows (the
