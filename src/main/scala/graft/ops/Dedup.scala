@@ -50,16 +50,6 @@ object Dedup {
       |              element_at(tk, i + 1), ' ',
       |              element_at(tk, i + 2))))""".stripMargin
 
-  /** md5-int shingle hashes (column `sh` must hold the shingle array) */
-  private val hashesSpark =
-    s"transform(sh, s0 -> ${Text.md5i("s0")})"
-
-  /** the 8 minhash values as an array (column `hs` holds hashes) */
-  private val minhashSpark: String =
-    A.zip(B).map { case (a, b) =>
-      s"array_min(transform(hs, h -> ($a * h + $b) % $P))"
-    }.mkString("array(", ", ", ")")
-
   // ---- DuckDB-dialect twins ---------------------------------------------
 
   private val shinglesDuck =
@@ -91,13 +81,16 @@ object Dedup {
        |  FROM mh_t, (SELECT unnest(generate_series(0, ${Bands - 1})) AS band_idx)
        |)""".stripMargin
 
-  /** Spark-side per-doc minhash signatures: (doc_id, mh: array of 8). */
-  private def sparkMinhash(s: org.apache.spark.sql.SparkSession, d: String) =
+  /** Spark-side per-doc minhash signatures: (doc_id, mh: array of 8) via
+    * the fused codegen'd [[graft.functions.MinHashSig]] — one pass where
+    * the HOF pipeline ([[shinglesSpark]] → md5 transform → 8 ×
+    * `array_min(transform)`) ran ten interpreted array passes per row. */
+  private def sparkMinhash(s: org.apache.spark.sql.SparkSession, d: String) = {
+    graft.functions.MinHashSig.register(s, A, B, P)
     Tables.table(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), expr(shinglesSpark).as("sh"))
-      .select(col("doc_id"), expr(hashesSpark).as("hs"))
-      .select(col("doc_id"), expr(minhashSpark).as("mh"))
+      .select(col("doc_id"), expr("minhash_sig(tk)").as("mh"))
+  }
 
   /** Spark-side per-doc band buckets: (doc_id, band_idx, band_val). */
   private def sparkBands(s: org.apache.spark.sql.SparkSession, d: String) = {

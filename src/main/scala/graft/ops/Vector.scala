@@ -74,17 +74,11 @@ object Vector {
   private def planeLits(p: Int): Seq[String] =
     (0 until 64).map(j => "%.17e".format(coef(p, j)))
 
-  /** signature bits of vector column `v` (Spark dialect): ONE fold lambda
-    * over a 2-level plane literal, not 16 unrolled copies — the dot
-    * product body compiles once, keeping janino codegen small and the
-    * whole signature inside a single codegen stage */
-  private def sigSpark: String = {
-    val planes = (0 until Planes).map(p =>
-      planeLits(p).mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
-    s"""transform($planes, pl ->
-       |  CASE WHEN aggregate(zip_with(v, pl, (x, c0) -> x * c0),
-       |    CAST(0.0 AS DOUBLE), (s0, x) -> s0 + x) >= 0 THEN 1 ELSE 0 END)""".stripMargin
-  }
+  /** Plane matrix for the codegen'd banding expression
+    * ([[graft.functions.LshBands]]). Identical doubles to the E-notation
+    * literals the DuckDB twin parses ("%.17e" round-trips exactly). */
+  private def planeMatrix: Array[Array[Double]] =
+    Array.tabulate(Planes, 64)(coef)
 
   private def sigDuck: String = {
     val bits = (0 until Planes).map { p =>
@@ -296,15 +290,16 @@ object Vector {
     QueryDef("q_similarity_lsh",
       (s, d) => {
         graft.functions.CosineSimilarity.register(s)
+        graft.functions.LshBands.register(s, planeMatrix, BandBits)
         val base = vecs(s, d)
         // candidate generation carries ONLY ids through the band join and
         // the dedup — 16 bytes/pair in the distinct's shuffle instead of
         // the two 64-double payloads (the 100 TB shape); the query band
         // set is tiny so the band join is broadcast: the banded corpus
-        // streams through unshuffled
-        val banded = base.withColumn("sig", expr(sigSpark))
-          .withColumn("band", explode(expr(
-            bandExprs(i => s"element_at(sig, $i)").mkString("array(", ", ", ")"))))
+        // streams through unshuffled. Banding is the codegen'd
+        // [[graft.functions.LshBands]] (16 plane folds per row ran
+        // interpreted as HOF lambdas before — the key's dominant cost).
+        val banded = base.withColumn("band", explode(expr("lsh_bands(v)")))
           .select("vec_id", "band")
         val qb = banded.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("band"))

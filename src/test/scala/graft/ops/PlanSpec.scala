@@ -72,6 +72,10 @@ class PlanSpec extends SparkSpec {
     assert(distinctAggs.nonEmpty, s"expected an id-pair distinct:\n$p")
     assert(distinctAggs.forall(l => !l.contains("qv") && !l.contains("cv")),
       s"vector payloads leaked into the candidate dedup:\n${distinctAggs.mkString("\n")}")
+    // banding is the codegen'd LshBands expression, not interpreted HOFs
+    assert(p.contains("lsh_bands"), s"banding should be native:\n$p")
+    assert(!p.contains("zip_with"),
+      s"no higher-order-function lambdas in the signature pipeline:\n$p")
   }
 
   test("q_similarity_ivf assigns cells via the codegen'd expression, not HOF lambdas") {
