@@ -49,11 +49,23 @@ object ConnectorQueries {
                  END AS meta""")
             .repartition(3)
             .write.format("graft").mode("overwrite").save(dir)
+        case "dsv2_map" =>
+          Tables.table(s, d, "documents").selectExpr(
+              "doc_id",
+              """CASE WHEN doc_id % 7 = 0 THEN NULL
+                      WHEN doc_id % 7 = 1 THEN map()
+                      ELSE map('lang', lang,
+                               'source', CASE WHEN doc_id % 5 = 0 THEN NULL
+                                              ELSE source END)
+                 END AS attrs""")
+            .repartition(3)
+            .write.format("graft").mode("overwrite").save(dir)
       }
     }
 
-  private val stageKeys =
-    Seq("roundtrip", "dsv2", "dsv2_dec", "dsv2_rtp", "dsv2_arr", "dsv2_struct")
+  private val stageKeys = Seq(
+    "roundtrip", "dsv2", "dsv2_dec", "dsv2_rtp", "dsv2_arr", "dsv2_struct",
+    "dsv2_map")
 
   /** Stage every DSv2 fixture up front (idempotent — StageCache runs each
     * write once per (key, sfDir)). Called from `Tables.register`, i.e. the
@@ -196,6 +208,33 @@ object ConnectorQueries {
              |       ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
              |  CASE WHEN doc_id % 7 = 0 OR doc_id % 5 = 0 THEN NULL
              |       ELSE source END AS source
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // MAP through BOTH connector halves: null maps, empty maps and
+    // null-valued entries stage via the standard parquet MAP encoding and
+    // decode through the vectorized lockstep key/value reader; emitted as
+    // scalars (entry count + per-key lookups) because the driver's pandas
+    // compare can't hash raw map cells. The oracle reads the ORIGINAL
+    // table and replays the map construction.
+    QueryDef("q_dsv2_map",
+      (s, d) => {
+        s.read.format("graft").option("npartitions", "4")
+          .load(staged("dsv2_map", s, d))
+          .selectExpr(
+            "doc_id",
+            "CAST(size(attrs) AS BIGINT) AS n_attrs",
+            "element_at(attrs, 'lang') AS lang_attr",
+            "element_at(attrs, 'source') AS source_attr")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 7 = 0 THEN NULL
+             |       WHEN doc_id % 7 = 1 THEN 0
+             |       ELSE 2 END AS n_attrs,
+             |  CASE WHEN doc_id % 7 IN (0, 1) THEN NULL
+             |       ELSE lang END AS lang_attr,
+             |  CASE WHEN doc_id % 7 IN (0, 1) OR doc_id % 5 = 0 THEN NULL
+             |       ELSE source END AS source_attr
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // column-rename surface (columns.str.upper(), test_core.py:59-60) —

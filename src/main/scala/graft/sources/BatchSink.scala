@@ -135,6 +135,18 @@ private[sources] class BatchDataWriter(
             if (!sub.isNullAt(k)) addPrim(grp, k, st.fields(k).dataType, sub, k)
             k += 1
           }
+        case MapType(kt, vt, _) =>
+          val m = row.getMap(i)
+          val keys = m.keyArray()
+          val vals = m.valueArray()
+          val mapGroup = g.addGroup(i)
+          var j = 0
+          while (j < m.numElements()) {
+            val kv = mapGroup.addGroup(0)
+            addPrim(kv, 0, kt, keys, j)
+            if (!vals.isNullAt(j)) addPrim(kv, 1, vt, vals, j)
+            j += 1
+          }
         case ArrayType(elemType, _) =>
           // 3-level list: field group → repeated "list" group → "element";
           // a null element is a "list" entry with no "element" child
@@ -215,6 +227,14 @@ private[sources] object BatchSink {
             }
           }
           b.addField(grp.named(f.name))
+        case MapType(kt, vt, valueContainsNull) =>
+          // standard parquet MAP: repeated key_value group, required key,
+          // optionally-null value — the same canonical layout as the wire
+          val keyT = primitiveType(StructField("key", kt, nullable = false))
+            .named("key")
+          val valT = primitiveType(StructField("value", vt, valueContainsNull))
+            .named("value")
+          b.addField(Types.map(rep).key(keyT).value(valT).named(f.name))
         case _ =>
           b.addField(primitiveType(f).named(f.name))
       }

@@ -120,10 +120,18 @@ private[sources] object BatchSource {
             s"nested list elements unsupported on '${f.getName}'")
           ArrayType(sparkType(elem.asPrimitiveType()),
             elem.getRepetition != PType.Repetition.REQUIRED)
+        } else if (f.getLogicalTypeAnnotation == LogicalTypeAnnotation.mapType()) {
+          val kv = f.asGroupType().getFields.get(0).asGroupType()
+          val k = kv.getFields.get(0)
+          val v = kv.getFields.get(1)
+          require(k.isPrimitive && v.isPrimitive,
+            s"map key/value on '${f.getName}' must be primitive")
+          MapType(sparkType(k.asPrimitiveType()), sparkType(v.asPrimitiveType()),
+            v.getRepetition != PType.Repetition.REQUIRED)
         } else {
           require(f.getLogicalTypeAnnotation == null,
             s"nested field '${f.getName}' unsupported by graft BatchSource " +
-              s"(only LIST and unannotated STRUCT groups)")
+              s"(only LIST, MAP and unannotated STRUCT groups)")
           StructType(f.asGroupType().getFields.asScala.map { sub =>
             require(sub.isPrimitive,
               s"struct field '${f.getName}.${sub.getName}' must be primitive " +
@@ -764,6 +772,25 @@ private[sources] class BatchPartitionReader(
               k += 1
             }
             new GenericInternalRow(sub)
+          case MapType(kt, vt, _) =>
+            // standard MAP: outer group → repeated key_value(key, value)
+            val outer = g.getGroup(i, 0)
+            val kvType = prunedMsg.getType(i).asGroupType().getType(0).asGroupType()
+            val m = outer.getFieldRepetitionCount(0)
+            val keys = new Array[Any](m)
+            val values = new Array[Any](m)
+            var j = 0
+            while (j < m) {
+              val kv = outer.getGroup(0, j)
+              keys(j) = primValue(kv, 0, kt, kvType.getType(0))
+              values(j) =
+                if (kv.getFieldRepetitionCount(1) == 0) null
+                else primValue(kv, 1, vt, kvType.getType(1))
+              j += 1
+            }
+            new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(values))
           case ArrayType(elemType, _) =>
             // 3-level list: outer group → repeated "list" → "element"
             val outer = g.getGroup(i, 0)

@@ -65,6 +65,7 @@ private[sources] class ColumnarBatchPartitionReader(
   private var elemOpt: Array[Boolean] = _ // array columns: element OPTIONAL?
   private var structCodes: Array[Array[Int]] = _ // struct columns: leaf plans
   private var structOpt: Array[Boolean] = _ // struct columns: group OPTIONAL?
+  private var mapCodes: Array[Array[Int]] = _ // map columns: (key, value) plans
   private var remaining: Array[Long] = _ // per leaf: triplets left in group
   private var rowsLeft: Long = 0L
 
@@ -105,13 +106,26 @@ private[sources] class ColumnarBatchPartitionReader(
     structOpt = required.indices.map(i =>
       codes(i) == STRUCT && prunedMsg.getType(i).getRepetition ==
         org.apache.parquet.schema.Type.Repetition.OPTIONAL).toArray
+    mapCodes = required.indices.map { i =>
+      if (codes(i) != MAP) Array.empty[Int]
+      else {
+        val kv = prunedMsg.getType(i).asGroupType().getType(0).asGroupType()
+        val MapType(kt, vt, _) = required.fields(i).dataType: @unchecked
+        Array(codeFor(kt, kv.getType(0).asPrimitiveType()),
+          codeFor(vt, kv.getType(1).asPrimitiveType()))
+      }
+    }.toArray
     leafStart = {
       val starts = new Array[Int](required.length)
       var acc = 0
       var i = 0
       while (i < required.length) {
         starts(i) = acc
-        acc += (if (codes(i) == STRUCT) structCodes(i).length else 1)
+        acc += (codes(i) match {
+          case STRUCT => structCodes(i).length
+          case MAP => 2 // key leaf + value leaf
+          case _ => 1
+        })
         i += 1
       }
       starts
@@ -138,6 +152,7 @@ private[sources] class ColumnarBatchPartitionReader(
   private def colCode(i: Int): Int = required.fields(i).dataType match {
     case _: ArrayType => ARR // element plan in elemCodes
     case _: StructType => STRUCT // leaf plans in structCodes
+    case _: MapType => MAP // key/value plans in mapCodes
     case dt => codeFor(dt, prunedMsg.getType(i).asPrimitiveType())
   }
 
@@ -380,6 +395,49 @@ private[sources] class ColumnarBatchPartitionReader(
           r += 1
         }
         remaining(leafStart(c)) = rem
+      case MAP =>
+        // standard MAP via the key leaf's (rep, def) triplets, value leaf
+        // consumed in LOCKSTEP (both leaves carry one triplet per entry —
+        // and one per empty/null map). Definition levels on the key path
+        // [map?, repeated key_value, key(required)]:
+        //   maxDefK      → entry present (key always present then)
+        //   maxDefK - 1  → map present but empty
+        //   below        → map null
+        // The value leaf adds its own optionality: value present only at
+        // its maxDefV. Offsets land through putArray like arrays do.
+        val kChild = vec.getChild(0)
+        val vChild = vec.getChild(1)
+        val base = leafStart(c)
+        val kr = leafReaders(base)
+        val vr = leafReaders(base + 1)
+        val kCode = mapCodes(c)(0)
+        val vCode = mapCodes(c)(1)
+        val maxDefK = maxDefs(base)
+        val maxDefV = maxDefs(base + 1)
+        val defEmpty = maxDefK - 1
+        var rem = remaining(base)
+        while (r < n) {
+          val d = kr.getCurrentDefinitionLevel
+          if (d < defEmpty) {
+            vec.putNull(r); kr.consume(); vr.consume(); rem -= 1
+          } else if (d == defEmpty) {
+            vec.putArray(r, kChild.getElementsAppended, 0)
+            kr.consume(); vr.consume(); rem -= 1
+          } else {
+            val start = kChild.getElementsAppended
+            var cont = true
+            while (cont) {
+              appendLeaf(kChild, kCode, kr)
+              if (vr.getCurrentDefinitionLevel == maxDefV) appendLeaf(vChild, vCode, vr)
+              else vChild.appendNull()
+              kr.consume(); vr.consume(); rem -= 1
+              cont = rem > 0 && kr.getCurrentRepetitionLevel > 0
+            }
+            vec.putArray(r, start, kChild.getElementsAppended - start)
+          }
+          r += 1
+        }
+        remaining(base) = rem
       case STRUCT =>
         // one-level struct of primitives: m independent leaf streams, one
         // value per row each (no repetition). Definition levels:
@@ -407,6 +465,34 @@ private[sources] class ColumnarBatchPartitionReader(
           r += 1
         }
     }
+  }
+
+  /** Append one present repeated-leaf value (map keys/values) — same
+    * storage conventions as [[putLeaf]], append-positioned like the array
+    * element branch. */
+  private def appendLeaf(
+      child: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      code: Int, cr: ColumnReader): Unit = code match {
+    case BOOL => child.appendBoolean(cr.getBoolean)
+    case INT32 => child.appendInt(cr.getInteger)
+    case INT64 => child.appendLong(cr.getLong)
+    case TS_MILLIS => child.appendLong(cr.getLong * 1000L)
+    case TS_NANOS => child.appendLong(Math.floorDiv(cr.getLong, 1000L))
+    case FLOAT => child.appendFloat(cr.getFloat)
+    case DOUBLE => child.appendDouble(cr.getDouble)
+    case STR =>
+      val bytes = cr.getBinary.getBytes
+      child.appendByteArray(bytes, 0, bytes.length)
+    case DEC_INT_I32 => child.appendInt(cr.getInteger)
+    case DEC_INT_I64 => child.appendInt(cr.getLong.toInt)
+    case DEC_LONG_I64 => child.appendLong(cr.getLong)
+    case DEC_INT_BIN =>
+      child.appendInt(new java.math.BigInteger(cr.getBinary.getBytes).intValue)
+    case DEC_LONG_BIN =>
+      child.appendLong(new java.math.BigInteger(cr.getBinary.getBytes).longValue)
+    case DEC_BYTES_BIN =>
+      val bytes = cr.getBinary.getBytes
+      child.appendByteArray(bytes, 0, bytes.length)
   }
 
   /** Write one present struct-leaf value — same storage conventions as the
@@ -456,4 +542,5 @@ private[sources] object ColumnarBatchPartitionReader {
   final val DEC_BYTES_BIN = 13
   final val ARR = 14
   final val STRUCT = 15
+  final val MAP = 16
 }

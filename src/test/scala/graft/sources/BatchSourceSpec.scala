@@ -526,6 +526,25 @@ class BatchSourceSpec extends SparkSpec {
     assertSameRows(proj, ref)
   }
 
+  test("MAP columns stage through both connector halves (null/empty maps, null values)") {
+    val dir = Files.createTempDirectory("graft_map").toString
+    val src = Tables.table(spark, sfDir, "customer").limit(300).selectExpr(
+      "c_custkey",
+      """CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |     WHEN c_custkey % 7 = 1 THEN map()
+        |     WHEN c_custkey % 7 = 2 THEN map('name', c_name, 'segment', NULL)
+        |     ELSE map('name', c_name, 'segment', c_mktsegment)
+        |END AS attrs""".stripMargin,
+      "map(c_custkey, c_acctbal) AS bal_by_key")
+    src.repartition(2).write.format("graft").mode("overwrite").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(back.schema("attrs").dataType.simpleString == "map<string,string>")
+    assert(back.schema("bal_by_key").dataType.simpleString == "map<bigint,double>")
+    assertSameRows(src.orderBy("c_custkey"), back.orderBy("c_custkey"))
+    // the staged files are standard parquet MAP groups: native reader agrees
+    assertSameRows(back, spark.read.parquet(dir))
+  }
+
   test("footer pruning and MIN/MAX stay exact for BIGINT beyond 2^53") {
     // 2^53 is where double loses integer resolution: 2^53 and 2^53+1
     // collide at double precision. Warehouse surrogate keys live there —
