@@ -111,6 +111,8 @@ private[sources] class BatchDataWriter(
     case FloatType => g.add(idx, row.getFloat(ord))
     case DoubleType => g.add(idx, row.getDouble(ord))
     case StringType => g.add(idx, row.getUTF8String(ord).toString)
+    case BinaryType => g.add(idx,
+      org.apache.parquet.io.api.Binary.fromConstantByteArray(row.getBinary(ord)))
     case DateType => g.add(idx, row.getInt(ord)) // days since epoch
     case d: DecimalType =>
       val dec = row.getDecimal(ord, d.precision, d.scale)
@@ -253,6 +255,7 @@ private[sources] object BatchSink {
         case DoubleType => Types.primitive(PrimitiveTypeName.DOUBLE, rep)
         case StringType => Types.primitive(PrimitiveTypeName.BINARY, rep)
           .as(LogicalTypeAnnotation.stringType())
+        case BinaryType => Types.primitive(PrimitiveTypeName.BINARY, rep)
         case DateType => Types.primitive(PrimitiveTypeName.INT32, rep)
           .as(LogicalTypeAnnotation.dateType())
         // Snowflake NUMBER ↔ parquet DECIMAL: physical width by precision,

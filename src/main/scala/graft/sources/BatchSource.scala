@@ -179,6 +179,8 @@ private[sources] object BatchSource {
       case BINARY | FIXED_LEN_BYTE_ARRAY
           if ann.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] =>
         dec(ann.asInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation])
+      // unannotated BINARY = opaque bytes (the multimodal payload column)
+      case BINARY if ann == null => BinaryType
       case other => throw new IllegalArgumentException(
         s"unsupported parquet type $other${if (ann != null) s" ($ann)" else ""} on '${p.getName}'")
     }
@@ -726,6 +728,7 @@ private[sources] class BatchPartitionReader(
     case FloatType => g.getFloat(idx, 0)
     case DoubleType => g.getDouble(idx, 0)
     case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+    case BinaryType => g.getBinary(idx, 0).getBytes
     case DateType => g.getInteger(idx, 0) // parquet DATE = Spark days
     case d: DecimalType =>
       import org.apache.spark.sql.types.Decimal

@@ -165,7 +165,7 @@ private[sources] class ColumnarBatchPartitionReader(
     case LongType => INT64
     case FloatType => FLOAT
     case DoubleType => DOUBLE
-    case StringType => STR
+    case StringType | BinaryType => STR // same byte-array vector layout
     case TimestampType | TimestampNTZType =>
       p.getLogicalTypeAnnotation match {
         case t: TimestampLogicalTypeAnnotation => t.getUnit match {
