@@ -39,17 +39,6 @@ object Dedup {
 
   // ---- Spark-dialect expression fragments --------------------------------
 
-  /** distinct 3-token shingles from a pre-split token array column `tk`
-    * (tokenizing once matters: Spark does NOT eliminate the common
-    * `split()` subexpression inside lambda bodies, and re-running the
-    * regex split per shingle element dominated the minhash plan) */
-  private val shinglesSpark =
-    """array_distinct(transform(
-      |  sequence(1, size(tk) - 2),
-      |  i -> concat(element_at(tk, i), ' ',
-      |              element_at(tk, i + 1), ' ',
-      |              element_at(tk, i + 2))))""".stripMargin
-
   // ---- DuckDB-dialect twins ---------------------------------------------
 
   private val shinglesDuck =
@@ -83,7 +72,7 @@ object Dedup {
 
   /** Spark-side per-doc minhash signatures: (doc_id, mh: array of 8) via
     * the fused codegen'd [[graft.functions.MinHashSig]] — one pass where
-    * the HOF pipeline ([[shinglesSpark]] → md5 transform → 8 ×
+    * the HOF pipeline (shingle transform → md5 transform → 8 ×
     * `array_min(transform)`) ran ten interpreted array passes per row. */
   private def sparkMinhash(s: org.apache.spark.sql.SparkSession, d: String) = {
     graft.functions.MinHashSig.register(s, A, B, P)
@@ -174,9 +163,10 @@ object Dedup {
     // exact 3-shingle Jaccard, verified ONLY on the LSH candidates
     QueryDef("q_dedup_ngram",
       (s, d) => {
+        graft.functions.Shingles3.register(s)
         val sh = Tables.table(s, d, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("tk"))
-          .select(col("doc_id"), expr(shinglesSpark).as("sh"))
+          .select(col("doc_id"), expr("shingles3(tk)").as("sh"))
         val cand = sparkCandidates(s, d)
         cand
           .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
