@@ -73,9 +73,14 @@ object Text {
       (s, d) => {
         val docs = Tables.table(s, d, "documents")
         val term = docs.select(col("doc_id"), explode(toks).as("token"))
+        // df derives from the tf aggregate (rows per token in tf ARE the
+        // distinct docs containing it) — replaces the second
+        // countDistinct EXPAND over the full term table with a count over
+        // the already-aggregated pairs. The tf subtree is recomputed for
+        // the df branch (cheaper than materializing an in-memory copy at
+        // this size; at 100 TB a pipeline would checkpoint tf instead).
         val tf = term.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val df_ = term.groupBy("token")
-          .agg(countDistinct("doc_id").as("df"))
+        val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
         tf.join(broadcast(df_), "token")
           .join(broadcast(n))
