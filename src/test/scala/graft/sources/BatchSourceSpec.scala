@@ -305,6 +305,27 @@ class BatchSourceSpec extends SparkSpec {
     assert(b2a == b2b && b2a.nonEmpty)
   }
 
+  test("nested columns (struct + map) flow through the micro-batch stream") {
+    val dir = Files.createTempDirectory("graft_mbs_nested").toString
+    val media = graft.ops.Multimodal.withPayload(
+        Tables.table(spark, sfDir, "documents"))
+      .selectExpr("doc_id", "meta", "map('mime', meta.mime) AS attrs")
+    media.limit(20).coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.format("graft")
+      .schema(spark.read.parquet(dir).schema).load(dir)
+    val q = stream
+      .selectExpr("doc_id", "meta.n_bytes AS n_bytes",
+        "element_at(attrs, 'mime') AS mime")
+      .writeStream.format("memory").queryName("t_graft_nested")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val got = spark.table("t_graft_nested")
+    assert(got.count() == 20)
+    assert(got.filter(col("mime") === "application/octet-stream").count() == 20)
+    assert(got.filter(col("n_bytes") > 0).count() == 20)
+    q.stop()
+  }
+
   test("max_bytes_per_trigger admits a byte-bounded prefix per batch (skew-safe)") {
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     val dir = Files.createTempDirectory("graft_stream_bytes").toString
