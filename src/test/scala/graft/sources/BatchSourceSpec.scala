@@ -566,6 +566,47 @@ class BatchSourceSpec extends SparkSpec {
     assertSameRows(back, spark.read.parquet(dir))
   }
 
+  test("row-based fallback reader decodes nested columns like the columnar plane") {
+    // the row-based PartitionReader only runs for zero-column projections
+    // in production, but it must stay a faithful fallback — drive it
+    // directly over a staged nested file and compare to the columnar path
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = Files.createTempDirectory("graft_rowbased").toString
+    Tables.table(spark, sfDir, "documents").limit(50).selectExpr(
+        "doc_id",
+        "named_struct('mime', 'x', 'n', CAST(octet_length(text) AS BIGINT)) AS meta",
+        "map('lang', lang) AS attrs",
+        "CAST(text AS BINARY) AS payload")
+      .coalesce(1).write.format("graft").mode("overwrite").save(dir)
+    val opts = new CaseInsensitiveStringMap(java.util.Map.of("path", dir))
+    val schema = new BatchSource().inferSchema(opts)
+    val conf = BatchSource.hadoopConf()
+    val handles = BatchSource.discoverBatches(
+      BatchSource.listFiles(opts, conf), conf).map(_._1)
+    val part = BatchInputPartition(handles.toArray)
+    val reader = new BatchPartitionReader(part, schema,
+      new SerializableHadoopConf(conf))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.catalyst.InternalRow]
+    while (reader.next()) rows += reader.get().copy()
+    reader.close()
+    assert(rows.length == 50)
+    val viaColumnar = spark.read.format("graft").load(dir)
+      .selectExpr("doc_id", "meta.n AS n", "element_at(attrs, 'lang') AS lang",
+        "md5(payload) AS digest")
+      .orderBy("doc_id").collect()
+    val viaRows = rows.map { r =>
+      val meta = r.getStruct(1, 2)
+      val m = r.getMap(2)
+      (r.getLong(0), meta.getLong(1),
+        m.valueArray().getUTF8String(0).toString,
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(r.getBinary(3)))
+    }.sortBy(_._1)
+    viaColumnar.zip(viaRows).foreach { case (c, (id, n, lang, digest)) =>
+      assert(c.getLong(0) == id && c.getLong(1) == n)
+      assert(c.getString(2) == lang && c.getString(3) == digest)
+    }
+  }
+
   test("footer pruning and MIN/MAX stay exact for BIGINT beyond 2^53") {
     // 2^53 is where double loses integer resolution: 2^53 and 2^53+1
     // collide at double precision. Warehouse surrogate keys live there —
