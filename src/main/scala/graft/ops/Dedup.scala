@@ -159,6 +159,66 @@ object Dedup {
       (s, d) => sparkCandidates(s, d).orderBy("doc_a", "doc_b"),
       Some(s"$duckCandidates\nORDER BY doc_a, doc_b")),
 
+    // ------------------------------------------------ cluster resolution
+    // candidate pairs → a KEEP-LIST: connected components over the LSH
+    // candidate graph via min-label propagation (HashMin), survivor = min
+    // doc_id per component. This is the step that turns "near-dup pairs"
+    // into a deduplicated corpus. Scale shape: O(component-diameter)
+    // BSP rounds, each one join + min-agg over the (tiny) label table;
+    // near-dup components are shallow in practice so the loop converges
+    // in a handful of rounds; per-round lineage is truncated with an
+    // eager localCheckpoint so plans don't grow exponentially. The DuckDB
+    // oracle replays reachability exactly with a recursive CTE.
+    QueryDef("q_dedup_resolve",
+      (s, d) => {
+        val edges = sparkCandidates(s, d)
+        val und = edges.union(
+          edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+          .localCheckpoint(true) // small: 2× candidate pairs
+        var labels = und.select(col("doc_a").as("doc_id"))
+          .distinct()
+          .withColumn("keep_id", col("doc_id"))
+          .localCheckpoint(true)
+        var changed = 1L
+        while (changed > 0) {
+          val neighborMin = und
+            .join(labels.select(col("doc_id").as("nbr"), col("keep_id").as("nbr_keep")),
+              col("doc_b") === col("nbr"))
+            .groupBy(col("doc_a").as("prop_id"))
+            .agg(min("nbr_keep").as("nmin"))
+          val updated = labels
+            .join(neighborMin, col("doc_id") === col("prop_id"), "left")
+            .select(col("doc_id"), col("keep_id"),
+              least(col("keep_id"), coalesce(col("nmin"), col("keep_id")))
+                .as("next_keep"))
+            .localCheckpoint(true)
+          changed = updated.filter(col("next_keep") < col("keep_id")).count()
+          labels = updated.select(col("doc_id"), col("next_keep").as("keep_id"))
+        }
+        labels.select(col("doc_id"), col("keep_id"),
+            (col("doc_id") === col("keep_id")).as("is_survivor"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val recursiveCte = duckBandsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")
+        s"""$recursiveCte, cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b USING (band_idx, band_val)
+           |  WHERE a.doc_id < b.doc_id
+           |), und AS (
+           |  SELECT doc_a AS a, doc_b AS b FROM cand
+           |  UNION ALL
+           |  SELECT doc_b, doc_a FROM cand
+           |), walk(doc, reach) AS (
+           |  SELECT a, a FROM (SELECT DISTINCT a FROM und) s0
+           |  UNION
+           |  SELECT u.b, w.reach FROM walk w JOIN und u ON u.a = w.doc
+           |)
+           |SELECT doc AS doc_id, min(reach) AS keep_id,
+           |  doc = min(reach) AS is_survivor
+           |FROM walk GROUP BY doc ORDER BY doc_id""".stripMargin
+      }),
+
     // ------------------------------------------------ n-gram Jaccard
     // exact 3-shingle Jaccard, verified ONLY on the LSH candidates
     QueryDef("q_dedup_ngram",
