@@ -219,6 +219,42 @@ object Dedup {
            |FROM walk GROUP BY doc ORDER BY doc_id""".stripMargin
       }),
 
+    // ------------------------------------------------ decontamination
+    // benchmark-leak check for a training corpus: flag every train doc
+    // (doc_id ≥ 10) sharing at least one 3-shingle with the held-out set
+    // (doc_id < 10), with the shared-shingle count as evidence. The
+    // 100 TB shape: the held-out shingle set is SMALL → broadcast; the
+    // training corpus streams through once (shingle explode → broadcast
+    // semi-join → per-doc count), no corpus-sized shuffle of text.
+    QueryDef("q_dedup_decontaminate",
+      (s, d) => {
+        graft.functions.Shingles3.register(s)
+        val ex = Tables.table(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .select(col("doc_id"), explode(expr("shingles3(tk)")).as("shingle"))
+        val heldOut = ex.filter(col("doc_id") < 10)
+          .select("shingle").distinct()
+        ex.filter(col("doc_id") >= 10)
+          .join(broadcast(heldOut), "shingle")
+          .groupBy("doc_id")
+          .agg(countDistinct("shingle").as("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk_t AS (
+              |  SELECT doc_id, string_split(text,' ') AS tk FROM documents
+              |), sh_t AS (
+              |  SELECT doc_id, $shinglesDuck AS sh FROM tk_t
+              |), ex AS (
+              |  SELECT doc_id, unnest(sh) AS shingle FROM sh_t
+              |), held_out AS (
+              |  SELECT DISTINCT shingle FROM ex WHERE doc_id < 10
+              |)
+              |SELECT e.doc_id,
+              |  CAST(count(DISTINCT e.shingle) AS BIGINT) AS n_shared
+              |FROM ex e JOIN held_out USING (shingle)
+              |WHERE e.doc_id >= 10
+              |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin)),
+
     // ------------------------------------------------ n-gram Jaccard
     // exact 3-shingle Jaccard, verified ONLY on the LSH candidates
     QueryDef("q_dedup_ngram",

@@ -90,6 +90,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_dedup_decontaminate broadcasts the held-out shingle set (corpus never shuffles text)") {
+    val p = plan("q_dedup_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"held-out set must broadcast so the train corpus streams once:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and
