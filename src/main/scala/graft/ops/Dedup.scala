@@ -114,6 +114,59 @@ object Dedup {
        |FROM bands a JOIN bands b USING (band_idx, band_val)
        |WHERE a.doc_id < b.doc_id""".stripMargin
 
+  /** HashMin connected components over the LSH candidate graph:
+    * (doc_id, keep_id, is_survivor) for every doc in ≥1 candidate pair.
+    * O(component-diameter) BSP rounds, each one join + min-agg over the
+    * (tiny) label table; per-round lineage truncated with an eager
+    * localCheckpoint so plans don't grow exponentially. Shared by
+    * `q_dedup_resolve` and `q_pipeline_curate`. */
+  private def resolveClusters(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val edges = sparkCandidates(s, d)
+    val und = edges.union(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true) // small: 2× candidate pairs
+    var labels = und.select(col("doc_a").as("doc_id"))
+      .distinct()
+      .withColumn("keep_id", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = und
+        .join(labels.select(col("doc_id").as("nbr"), col("keep_id").as("nbr_keep")),
+          col("doc_b") === col("nbr"))
+        .groupBy(col("doc_a").as("prop_id"))
+        .agg(min("nbr_keep").as("nmin"))
+      val updated = labels
+        .join(neighborMin, col("doc_id") === col("prop_id"), "left")
+        .select(col("doc_id"), col("keep_id"),
+          least(col("keep_id"), coalesce(col("nmin"), col("keep_id")))
+            .as("next_keep"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("next_keep") < col("keep_id")).count()
+      labels = updated.select(col("doc_id"), col("next_keep").as("keep_id"))
+    }
+    labels.select(col("doc_id"), col("keep_id"),
+      (col("doc_id") === col("keep_id")).as("is_survivor"))
+  }
+
+  /** Recursive-CTE prefix shared by the resolve/curate oracles: the bands
+    * CTEs + candidate pairs + undirected reachability walk. */
+  private def duckWalkCte: String =
+    s"""${duckBandsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")}, cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b USING (band_idx, band_val)
+       |  WHERE a.doc_id < b.doc_id
+       |), und AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM cand
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM cand
+       |), walk(doc, reach) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM und) s0
+       |  UNION
+       |  SELECT u.b, w.reach FROM walk w JOIN und u ON u.a = w.doc
+       |)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------ exact dedup
@@ -170,54 +223,55 @@ object Dedup {
     // eager localCheckpoint so plans don't grow exponentially. The DuckDB
     // oracle replays reachability exactly with a recursive CTE.
     QueryDef("q_dedup_resolve",
+      (s, d) => resolveClusters(s, d).orderBy("doc_id"),
+      Some(s"""$duckWalkCte
+              |SELECT doc AS doc_id, min(reach) AS keep_id,
+              |  doc = min(reach) AS is_survivor
+              |FROM walk GROUP BY doc ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------ corpus curation
+    // the END-TO-END training-data gate, composed from the library's own
+    // pieces: drop near-dup non-survivors (HashMin keep-list above), then
+    // gate on the quality score — what remains IS the training corpus
+    // manifest. One corpus scan for the quality side; the drop list is
+    // cluster-sized and anti-joins broadcast.
+    QueryDef("q_pipeline_curate",
       (s, d) => {
-        val edges = sparkCandidates(s, d)
-        val und = edges.union(
-          edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-          .localCheckpoint(true) // small: 2× candidate pairs
-        var labels = und.select(col("doc_a").as("doc_id"))
-          .distinct()
-          .withColumn("keep_id", col("doc_id"))
-          .localCheckpoint(true)
-        var changed = 1L
-        while (changed > 0) {
-          val neighborMin = und
-            .join(labels.select(col("doc_id").as("nbr"), col("keep_id").as("nbr_keep")),
-              col("doc_b") === col("nbr"))
-            .groupBy(col("doc_a").as("prop_id"))
-            .agg(min("nbr_keep").as("nmin"))
-          val updated = labels
-            .join(neighborMin, col("doc_id") === col("prop_id"), "left")
-            .select(col("doc_id"), col("keep_id"),
-              least(col("keep_id"), coalesce(col("nmin"), col("keep_id")))
-                .as("next_keep"))
-            .localCheckpoint(true)
-          changed = updated.filter(col("next_keep") < col("keep_id")).count()
-          labels = updated.select(col("doc_id"), col("next_keep").as("keep_id"))
-        }
-        labels.select(col("doc_id"), col("keep_id"),
-            (col("doc_id") === col("keep_id")).as("is_survivor"))
+        val toks = split(col("text"), " ")
+        val nTok = size(toks).cast(DoubleType)
+        val nDis = size(array_distinct(toks)).cast(DoubleType)
+        val ttr = nDis / nTok
+        val avgLen = (length(col("text")) - (nTok - 1)) / nTok
+        // same floor-scaled integer score as q_text_quality (engine-exact)
+        val quality = floor((ttr * lit(0.3)
+          + least(nTok / 100.0, lit(1.0)) * lit(0.4)
+          + least(avgLen / 10.0, lit(1.0)) * lit(0.3)) * 1e6).cast(LongType)
+        val dupDrops = resolveClusters(s, d)
+          .filter(!col("is_survivor")).select("doc_id")
+        Tables.table(s, d, "documents")
+          .select(col("doc_id"), col("lang"), quality.as("quality_e6"))
+          .join(broadcast(dupDrops), Seq("doc_id"), "left_anti")
+          .filter(col("quality_e6") >= 480000L)
           .orderBy("doc_id")
       },
-      Some {
-        val recursiveCte = duckBandsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")
-        s"""$recursiveCte, cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b USING (band_idx, band_val)
-           |  WHERE a.doc_id < b.doc_id
-           |), und AS (
-           |  SELECT doc_a AS a, doc_b AS b FROM cand
-           |  UNION ALL
-           |  SELECT doc_b, doc_a FROM cand
-           |), walk(doc, reach) AS (
-           |  SELECT a, a FROM (SELECT DISTINCT a FROM und) s0
-           |  UNION
-           |  SELECT u.b, w.reach FROM walk w JOIN und u ON u.a = w.doc
-           |)
-           |SELECT doc AS doc_id, min(reach) AS keep_id,
-           |  doc = min(reach) AS is_survivor
-           |FROM walk GROUP BY doc ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"""$duckWalkCte, drops AS (
+              |  SELECT doc FROM (
+              |    SELECT doc, min(reach) AS keep FROM walk GROUP BY doc
+              |  ) WHERE doc <> keep
+              |), scored AS (
+              |  SELECT doc_id, lang,
+              |    CAST(floor((len(list_distinct(string_split(text,' ')))::DOUBLE
+              |        / len(string_split(text,' ')) * 0.3
+              |      + least(len(string_split(text,' ')) / 100.0, 1.0) * 0.4
+              |      + least((length(text) - (len(string_split(text,' ')) - 1))
+              |          / len(string_split(text,' '))::DOUBLE / 10.0, 1.0) * 0.3)
+              |      * 1000000.0) AS BIGINT) AS quality_e6
+              |  FROM documents
+              |)
+              |SELECT doc_id, lang, quality_e6 FROM scored
+              |WHERE doc_id NOT IN (SELECT doc FROM drops)
+              |  AND quality_e6 >= 480000
+              |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------ decontamination
     // benchmark-leak check for a training corpus: flag every train doc
