@@ -121,14 +121,27 @@ object Dedup {
     * localCheckpoint so plans don't grow exponentially. Shared by
     * `q_dedup_resolve` and `q_pipeline_curate`. */
   private def resolveClusters(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    // the resolved label table is cluster-count-sized (tiny) and two keys
+    // consume it — run the propagation once per (session, input)
+    graft.CacheRegistry.getOrPersist("dedup_resolved", d, resolveClustersUncached(s, d))
+
+  private def resolveClustersUncached(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val edges = sparkCandidates(s, d)
+    // the candidate graph is pair-sized — orders of magnitude below the
+    // corpus (LSH already did the reduction) — so the propagation loop
+    // runs on ONE partition: each BSP round is a single task instead of
+    // 32 near-empty shuffle tasks. If candidates ever outgrow a task,
+    // drop the coalesce and the same loop runs hash-partitioned.
     val und = edges.union(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .coalesce(1)
       .localCheckpoint(true) // small: 2× candidate pairs
     var labels = und.select(col("doc_a").as("doc_id"))
       .distinct()
       .withColumn("keep_id", col("doc_id"))
+      .coalesce(1)
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
@@ -142,6 +155,7 @@ object Dedup {
         .select(col("doc_id"), col("keep_id"),
           least(col("keep_id"), coalesce(col("nmin"), col("keep_id")))
             .as("next_keep"))
+        .coalesce(1)
         .localCheckpoint(true)
       changed = updated.filter(col("next_keep") < col("keep_id")).count()
       labels = updated.select(col("doc_id"), col("next_keep").as("keep_id"))
