@@ -116,10 +116,10 @@ object Dedup {
 
   /** HashMin connected components over the LSH candidate graph:
     * (doc_id, keep_id, is_survivor) for every doc in ≥1 candidate pair.
-    * O(component-diameter) BSP rounds, each one join + min-agg over the
-    * (tiny) label table; per-round lineage truncated with an eager
-    * localCheckpoint so plans don't grow exponentially. Shared by
-    * `q_dedup_resolve` and `q_pipeline_curate`. */
+    * O(log component-diameter) BSP rounds via [[connectedComponents]]
+    * (HashMin + pointer jumping), parallelism derived from the measured
+    * candidate volume. Shared by `q_dedup_resolve` and
+    * `q_pipeline_curate`. */
   private def resolveClusters(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     // the resolved label table is cluster-count-sized (tiny) and two keys
@@ -127,41 +127,79 @@ object Dedup {
     graft.CacheRegistry.getOrPersist("dedup_resolved", d, resolveClustersUncached(s, d))
 
   private def resolveClustersUncached(
-      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val edges = sparkCandidates(s, d)
-    // the candidate graph is pair-sized — orders of magnitude below the
-    // corpus (LSH already did the reduction) — so the propagation loop
-    // runs on ONE partition: each BSP round is a single task instead of
-    // 32 near-empty shuffle tasks. If candidates ever outgrow a task,
-    // drop the coalesce and the same loop runs hash-partitioned.
-    val und = edges.union(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    connectedComponents(sparkCandidates(s, d))._1
+      .select(col("doc_id"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("is_survivor"))
+
+  /** BSP parallelism derived from MEASURED row volume: one task per
+    * `rowsPerTask` rows, capped at `maxParts`. At sf0.1 the candidate
+    * graph is tens of rows → 1 partition (each round is a single task,
+    * not 32 near-empty shuffle tasks); at 100 TB with a dirty corpus the
+    * same formula fans the loop out instead of serializing it on one
+    * task — the code makes the call, not a human editing a constant. */
+  private[graft] def partitionsFor(rows: Long, rowsPerTask: Long, maxParts: Int): Int =
+    math.max(1L, math.min(maxParts.toLong,
+      (rows + rowsPerTask - 1) / rowsPerTask)).toInt
+
+  /** Connected components over an undirected candidate edge list
+    * (`doc_a`, `doc_b`): → (labels `(doc_id, keep_id)` for every endpoint,
+    * rounds taken). keep_id = min doc_id of the component.
+    *
+    * Min-label propagation (HashMin) PLUS per-round pointer jumping
+    * (`keep := keep(keep)`, path doubling): the propagation frontier
+    * doubles each round, so a component of diameter D converges in
+    * O(log₂ D) rounds instead of the O(D) of plain HashMin — on a 100 TB
+    * corpus a long duplicate chain costs ~log rounds, each one bounded
+    * join + agg. Per-round lineage is truncated with an eager
+    * localCheckpoint so plans don't grow; the one driver action per round
+    * is the convergence count (O(log D) total actions). */
+  private[graft] def connectedComponents(
+      edges: org.apache.spark.sql.DataFrame,
+      rowsPerTask: Long = 1L << 20): (org.apache.spark.sql.DataFrame, Int) = {
+    val sc = edges.sparkSession.sparkContext
+    val undRaw = edges.union(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .coalesce(1)
-      .localCheckpoint(true) // small: 2× candidate pairs
+    val nUnd = undRaw.count() // one sizing action: 2× candidate pairs
+    val parts = partitionsFor(nUnd, rowsPerTask, sc.defaultParallelism)
+    val und = undRaw.repartition(parts, col("doc_a")).localCheckpoint(true)
     var labels = und.select(col("doc_a").as("doc_id"))
       .distinct()
       .withColumn("keep_id", col("doc_id"))
-      .coalesce(1)
+      .repartition(parts, col("doc_id"))
       .localCheckpoint(true)
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      // HashMin: pull the min neighbor label across every edge
       val neighborMin = und
         .join(labels.select(col("doc_id").as("nbr"), col("keep_id").as("nbr_keep")),
           col("doc_b") === col("nbr"))
         .groupBy(col("doc_a").as("prop_id"))
         .agg(min("nbr_keep").as("nmin"))
-      val updated = labels
+      val hashMin = labels
         .join(neighborMin, col("doc_id") === col("prop_id"), "left")
         .select(col("doc_id"), col("keep_id"),
           least(col("keep_id"), coalesce(col("nmin"), col("keep_id")))
+            .as("mid_keep"))
+        .repartition(parts, col("doc_id"))
+        .localCheckpoint(true) // self-joined below — don't recompute the join
+      // pointer jump: follow the label's own label one hop. Labels are
+      // always doc_ids present in the table (they start as self and only
+      // ever take other labels' values), so the self-join is total.
+      val jumped = hashMin
+        .join(hashMin.select(col("doc_id").as("p_id"), col("mid_keep").as("p_keep")),
+          col("mid_keep") === col("p_id"), "left")
+        .select(col("doc_id"), col("keep_id"),
+          least(col("mid_keep"), coalesce(col("p_keep"), col("mid_keep")))
             .as("next_keep"))
-        .coalesce(1)
+        .repartition(parts, col("doc_id"))
         .localCheckpoint(true)
-      changed = updated.filter(col("next_keep") < col("keep_id")).count()
-      labels = updated.select(col("doc_id"), col("next_keep").as("keep_id"))
+      changed = jumped.filter(col("next_keep") < col("keep_id")).count()
+      labels = jumped.select(col("doc_id"), col("next_keep").as("keep_id"))
+      rounds += 1
     }
-    labels.select(col("doc_id"), col("keep_id"),
-      (col("doc_id") === col("keep_id")).as("is_survivor"))
+    (labels, rounds)
   }
 
   /** Recursive-CTE prefix shared by the resolve/curate oracles: the bands
@@ -228,14 +266,13 @@ object Dedup {
 
     // ------------------------------------------------ cluster resolution
     // candidate pairs → a KEEP-LIST: connected components over the LSH
-    // candidate graph via min-label propagation (HashMin), survivor = min
-    // doc_id per component. This is the step that turns "near-dup pairs"
-    // into a deduplicated corpus. Scale shape: O(component-diameter)
-    // BSP rounds, each one join + min-agg over the (tiny) label table;
-    // near-dup components are shallow in practice so the loop converges
-    // in a handful of rounds; per-round lineage is truncated with an
-    // eager localCheckpoint so plans don't grow exponentially. The DuckDB
-    // oracle replays reachability exactly with a recursive CTE.
+    // candidate graph via min-label propagation with pointer jumping,
+    // survivor = min doc_id per component. This is the step that turns
+    // "near-dup pairs" into a deduplicated corpus. Scale shape:
+    // O(log component-diameter) BSP rounds (path doubling), each a
+    // bounded join + min-agg, partition count derived from the measured
+    // candidate volume (see [[connectedComponents]]). The DuckDB oracle
+    // replays reachability exactly with a recursive CTE.
     QueryDef("q_dedup_resolve",
       (s, d) => resolveClusters(s, d).orderBy("doc_id"),
       Some(s"""$duckWalkCte

@@ -40,4 +40,53 @@ class DedupSpec extends SparkSpec {
     val sizes = resolved.groupBy(_._2).view.mapValues(_.length)
     assert(sizes.values.max >= 2, "expected at least one near-dup cluster")
   }
+
+  test("pointer jumping: a deep chain converges in O(log diameter) rounds") {
+    import spark.implicits._
+    // worst case for plain HashMin: one long chain 0-1-2-…-64
+    // (diameter 64, far past the mandated ≥8). Plain HashMin needs ~64
+    // rounds; path doubling must stay within log₂(64)+c.
+    val diameter = 64
+    val edges = (0 until diameter).map(i => (i.toLong, i.toLong + 1))
+      .toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.connectedComponents(edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == diameter + 1)
+    got.foreach { case (doc, keep) =>
+      assert(keep == 0L, s"doc $doc resolved to $keep, expected component min 0")
+    }
+    val bound = math.ceil(math.log(diameter) / math.log(2)).toInt + 3
+    assert(rounds <= bound,
+      s"chain of diameter $diameter took $rounds rounds, expected ≤ $bound")
+  }
+
+  test("forest of components resolves each to its own min label") {
+    import spark.implicits._
+    // two chains + a triangle + an isolated edge, interleaved ids
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L),          // chain A → min 10
+      (20L, 25L), (25L, 22L),                      // chain B → min 20
+      (30L, 31L), (31L, 32L), (30L, 32L),          // triangle → min 30
+      (40L, 41L)                                   // pair → min 40
+    ).toDF("doc_a", "doc_b")
+    val (labels, _) = Dedup.connectedComponents(edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 25L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L,
+      40L -> 40L, 41L -> 40L)
+    assert(got == expected)
+  }
+
+  test("BSP parallelism scales with measured candidate volume") {
+    // tiny graph → 1 partition (single-task rounds, the sf0.1 shape)
+    assert(Dedup.partitionsFor(rows = 40, rowsPerTask = 1L << 20, maxParts = 32) == 1)
+    // 5M rows at 1M/task → 5 tasks
+    assert(Dedup.partitionsFor(5000000L, 1L << 20, 32) == 5)
+    // dirty-corpus blowup caps at the cluster's parallelism
+    assert(Dedup.partitionsFor(1L << 40, 1L << 20, 32) == 32)
+    // never zero
+    assert(Dedup.partitionsFor(0L, 1L << 20, 32) == 1)
+  }
 }
