@@ -202,6 +202,91 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** IVF-cell embedding near-dup with MULTI-PROBE cell assignment: each
+    * vector lands in its `nprobe` nearest coarse cells (the codegen'd
+    * [[graft.functions.IvfNearestCells]] against the frozen
+    * [[IvfCentroids]]), and exact cosine runs on same-cell pairs only.
+    * nprobe=1 is the classic single-probe layout — cheap, but a genuine
+    * near-dup pair straddling a Voronoi boundary is NEVER compared
+    * (assigned to different cells); nprobe≥2 closes that recall gap for
+    * one extra explode row per probe. Scale shape: candidate generation
+    * carries ONLY ids through the cell join + distinct (16 bytes/pair in
+    * the shuffle), vectors re-attach afterwards by id — never a global
+    * cross join, never a vector-payload shuffle of the pair table. */
+  private[graft] def embeddingMultiprobePairs(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      nprobe: Int, minCosine: Double): org.apache.spark.sql.DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    graft.functions.IvfNearestCells.register(s, IvfCentroids.values, nprobe)
+    val e = Tables.table(s, d, "embeddings").select(
+      col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probed = e.withColumn("cell", explode(expr("ivf_cells(v)")))
+      .select("vec_id", "cell")
+    val cand = probed.toDF("vec_a", "cell")
+      .join(probed.toDF("vec_b", "cell"), Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .withColumn("cosine", round(expr("cosine_similarity(va, vb)"), 6))
+      .filter(col("cosine") >= minCosine)
+      .select("vec_a", "vec_b", "cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** DuckDB twin of [[embeddingMultiprobePairs]]: replays cell ranking
+    * from the same frozen centroid literals (sequential squared-distance
+    * folds, ties → smaller cell id), the probe width, the id-level pair
+    * distinct, and the cosine folds. */
+  private[graft] def duckEmbeddingMultiprobe(nprobe: Int, minCosine: Double): String = {
+    val cents = IvfCentroids.values
+    val values = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.map(x => "%.17e".format(x)).mkString("[", ", ", "]")})"
+    }.mkString(",\n    ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), cents(cell, cv) AS (VALUES
+       |    $values
+       |), dists AS (
+       |  SELECT e.vec_id, c.cell,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, ${cents.head.length}),
+       |        i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))),
+       |      (s0, x) -> s0 + x) AS d
+       |  FROM e, cents c
+       |), cellranks AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rk
+       |  FROM dists
+       |), probed AS (
+       |  SELECT vec_id, cell FROM cellranks WHERE rk <= $nprobe
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM probed a JOIN probed b USING (cell)
+       |  WHERE a.vec_id < b.vec_id
+       |), n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+       |  FROM e
+       |), scored AS (
+       |  SELECT vec_a, vec_b,
+       |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(generate_series(1, len(na.v)),
+       |          i -> na.v[i] * nb.v[i])), (s0, x) -> s0 + x)
+       |      / (na.nrm * nb.nrm), 6) AS cosine
+       |  FROM cand
+       |  JOIN n na ON na.vec_id = vec_a
+       |  JOIN n nb ON nb.vec_id = vec_b
+       |)
+       |SELECT vec_a, vec_b, cosine FROM scored
+       |WHERE cosine >= $minCosine
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   /** Recursive-CTE prefix shared by the resolve/curate oracles: the bands
     * CTEs + candidate pairs + undirected reachability walk. */
   private def duckWalkCte: String =
@@ -501,6 +586,18 @@ object Dedup {
              |)
              |SELECT vec_a, vec_b, cosine FROM pairs
              |WHERE cosine >= 0.45
-             |ORDER BY vec_a, vec_b""".stripMargin))
+             |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // ------------------------------------------------ multi-probe near-dup
+    // embedding near-dup over IVF cells with nprobe=2: single-probe cell
+    // blocking misses any pair straddling a Voronoi boundary (the two
+    // vectors land in different cells and are never compared); probing
+    // each vector's 2 nearest cells recovers those pairs at the cost of
+    // one extra explode row per vector. DedupSpec proves the recall gap:
+    // nprobe=2 finds boundary pairs nprobe=1 cannot, and is a strict
+    // superset. Threshold 0.45 matches q_dedup_embedding.
+    QueryDef("q_dedup_embedding_multiprobe",
+      (s, d) => embeddingMultiprobePairs(s, d, nprobe = 2, minCosine = 0.45),
+      Some(duckEmbeddingMultiprobe(nprobe = 2, minCosine = 0.45)))
   )
 }

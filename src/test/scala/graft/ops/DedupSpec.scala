@@ -79,6 +79,20 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("multi-probe embedding near-dup recovers boundary pairs single-probe misses") {
+    def pairsAt(nprobe: Int) =
+      Dedup.embeddingMultiprobePairs(spark, sfDir, nprobe, minCosine = 0.45)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairsAt(1)
+    val multi = pairsAt(2)
+    assert(single.subsetOf(multi),
+      "widening the probe set must never lose a pair")
+    val recovered = multi -- single
+    assert(recovered.nonEmpty,
+      "expected ≥1 true near-dup pair straddling a cell boundary " +
+        "(both vectors above the cosine threshold but in different primary cells)")
+  }
+
   test("BSP parallelism scales with measured candidate volume") {
     // tiny graph → 1 partition (single-task rounds, the sf0.1 shape)
     assert(Dedup.partitionsFor(rows = 40, rowsPerTask = 1L << 20, maxParts = 32) == 1)
