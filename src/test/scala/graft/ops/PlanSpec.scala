@@ -96,6 +96,31 @@ class PlanSpec extends SparkSpec {
       s"held-out set must broadcast so the train corpus streams once:\n$p")
   }
 
+  test("q_tpch_q3 pushes both date filters to the scans, broadcasts dims, top-k without global sort") {
+    val p = plan("q_tpch_q3")
+    assert(p.contains("GreaterThan(l_shipdate"), s"lineitem filter must reach its scan:\n$p")
+    assert(p.contains("LessThan(o_orderdate"), s"orders filter must reach its scan:\n$p")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter must reach the customer scan:\n$p")
+    // customer is dim-sized at test SF → the size-based planner broadcasts it
+    assert(p.contains("BroadcastHashJoin"), s"dim join should broadcast at this SF:\n$p")
+    assert(p.contains("partial_sum"), s"revenue agg must combine map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be TakeOrdered, not a global sort:\n$p")
+  }
+
+  test("q_tpch_q10 broadcasts nation at any SF and aggregates partially") {
+    val p = plan("q_tpch_q10")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter must reach the lineitem scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date range must reach the orders scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation join must broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"revenue agg must combine map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrdered, not a global sort:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and
