@@ -49,6 +49,14 @@ object ConnectorQueries {
                  END AS meta""")
             .repartition(3)
             .write.format("graft").mode("overwrite").save(dir)
+        case "dsv2_part" =>
+          // hive-layout stage: one `lang=xx/` subtree per language; rows
+          // clustered by the partition key so each task opens few writers
+          Tables.table(s, d, "documents")
+            .select("doc_id", "lang", "source", "n_chars")
+            .repartition(col("lang"))
+            .write.format("graft").option("partition_by", "lang")
+            .mode("overwrite").save(dir)
         case "dsv2_map" =>
           Tables.table(s, d, "documents").selectExpr(
               "doc_id",
@@ -65,7 +73,7 @@ object ConnectorQueries {
 
   private val stageKeys = Seq(
     "roundtrip", "dsv2", "dsv2_dec", "dsv2_rtp", "dsv2_arr", "dsv2_struct",
-    "dsv2_map")
+    "dsv2_map", "dsv2_part")
 
   /** Stage every DSv2 fixture up front (idempotent — StageCache runs each
     * write once per (key, sfDir)). Called from `Tables.register`, i.e. the
@@ -236,6 +244,22 @@ object ConnectorQueries {
              |  CASE WHEN doc_id % 7 IN (0, 1) OR doc_id % 5 = 0 THEN NULL
              |       ELSE source END AS source_attr
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // partitioned write → partition-pruned read-back: the sink's
+    // `partition_by` option stages a hive-layout `lang=xx/` tree, the
+    // scan turns the path segments back into a column, and the filter on
+    // it prunes whole subtrees from the listing BEFORE any footer IO
+    // (absorbed completely — Spark never re-evaluates it row-level).
+    // ConnectorSpec asserts the file-count pruning and plan shape; this
+    // key asserts the VALUES survive the round trip.
+    QueryDef("q_dsv2_partition_prune",
+      (s, d) => s.read.format("graft").option("npartitions", "2")
+        .load(staged("dsv2_part", s, d))
+        .filter(col("lang") === "en")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE lang = 'en' ORDER BY doc_id""".stripMargin)),
 
     // column-rename surface (columns.str.upper(), test_core.py:59-60) —
     // schema-only operation, no data movement

@@ -24,8 +24,14 @@ import org.apache.spark.sql.types._
   * of the connector close the loop.
   */
 private[sources] class BatchWriteBuilder(
-    schema: StructType, dir: String)
+    schema: StructType, dir: String, partitionBy: Seq[String])
     extends WriteBuilder with SupportsTruncate {
+
+  partitionBy.foreach(c => require(schema.fieldNames.contains(c),
+    s"partition_by column '$c' not in the written schema " +
+      s"[${schema.fieldNames.mkString(",")}]"))
+  require(partitionBy.size < schema.length || partitionBy.isEmpty,
+    "partition_by cannot cover every column — data files would be empty")
 
   private var doTruncate = false
 
@@ -33,52 +39,124 @@ private[sources] class BatchWriteBuilder(
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new BatchSinkWrite(schema, dir, doTruncate)
+      new BatchSinkWrite(schema, dir, doTruncate, partitionBy)
   }
 }
 
 private[sources] class BatchSinkWrite(
-    schema: StructType, dir: String, truncate: Boolean)
+    schema: StructType, dir: String, truncate: Boolean, partitionBy: Seq[String])
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new BatchWriterFactory(schema, dir, new SerializableHadoopConf(BatchSource.hadoopConf()))
+    new BatchWriterFactory(schema, dir,
+      new SerializableHadoopConf(BatchSource.hadoopConf()), partitionBy)
 
   /** Commit: truncate-then-visible. Staged attempt files are invisible to
     * [[BatchSource]] until renamed to `.parquet` here, so readers never
     * see a half-written result — the same DDL-before-DML sequencing idea
-    * as the reference's schema-first write (core.py:110-116). */
+    * as the reference's schema-first write (core.py:110-116). Truncate
+    * walks recursively so a partitioned layout's `col=value/` subtrees
+    * are emptied too. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = BatchSource.hadoopConf()
     val path = new Path(dir)
     val fs = path.getFileSystem(conf)
     if (truncate && fs.exists(path)) {
-      fs.listStatus(path).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .foreach(f => fs.delete(f.getPath, false))
+      val it = fs.listFiles(path, true)
+      val stale = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) stale += f.getPath
+      }
+      stale.foreach(fs.delete(_, false))
     }
-    messages.foreach { case BatchFileCommit(staged) =>
-      val p = new Path(staged)
-      fs.rename(p, new Path(p.getParent, p.getName.stripSuffix(".staged") + ".parquet"))
+    messages.foreach { case BatchFileCommit(stagedPaths) =>
+      stagedPaths.foreach { staged =>
+        val p = new Path(staged)
+        fs.rename(p, new Path(p.getParent, p.getName.stripSuffix(".staged") + ".parquet"))
+      }
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = BatchSource.hadoopConf()
-    messages.foreach { case BatchFileCommit(staged) =>
-      val p = new Path(staged)
-      p.getFileSystem(conf).delete(p, false)
+    messages.foreach { case BatchFileCommit(stagedPaths) =>
+      stagedPaths.foreach { staged =>
+        val p = new Path(staged)
+        p.getFileSystem(conf).delete(p, false)
+      }
     }
   }
 }
 
-private[sources] case class BatchFileCommit(stagedPath: String)
+private[sources] case class BatchFileCommit(stagedPaths: Seq[String])
     extends WriterCommitMessage
 
 private[sources] class BatchWriterFactory(
-    schema: StructType, dir: String, conf: SerializableHadoopConf)
+    schema: StructType, dir: String, conf: SerializableHadoopConf,
+    partitionBy: Seq[String])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new BatchDataWriter(schema, dir, partitionId, taskId, conf)
+    if (partitionBy.isEmpty)
+      new BatchDataWriter(schema, dir, partitionId, taskId, conf)
+    else
+      new PartitionedBatchDataWriter(schema, dir, partitionId, taskId, conf, partitionBy)
+}
+
+/** Hive-layout routing writer: each row lands in the file for its
+  * partition-value combination (`col=value/part-…`), partition columns are
+  * DROPPED from the data files (the path carries them — exactly the
+  * layout [[Partitions.partitionFields]] reads back). One open writer per
+  * distinct combination per task: writers scale with the task's distinct
+  * partition values, so callers should cluster input by the partition key
+  * (`df.repartition(col)`) the same way Spark's own file sink expects. */
+private[sources] class PartitionedBatchDataWriter(
+    schema: StructType, dir: String, partitionId: Int, taskId: Long,
+    conf: SerializableHadoopConf, partitionBy: Seq[String])
+    extends DataWriter[InternalRow] {
+
+  private val partOrds: Array[Int] = partitionBy.map(schema.fieldIndex).toArray
+  private val dataFields: Array[Int] =
+    schema.fields.indices.filterNot(partOrds.contains(_)).toArray
+  private val dataSchema = StructType(dataFields.map(schema.fields))
+
+  private val open = scala.collection.mutable.LinkedHashMap
+    .empty[String, BatchDataWriter]
+
+  private def partDir(row: InternalRow): String =
+    partitionBy.zip(partOrds.toIndexedSeq).map { case (name, ord) =>
+      val v: Any =
+        if (row.isNullAt(ord)) null
+        else schema.fields(ord).dataType match {
+          case IntegerType => row.getInt(ord)
+          case LongType => row.getLong(ord)
+          case StringType => row.getUTF8String(ord).toString
+          case BooleanType => row.getBoolean(ord)
+          case DoubleType => row.getDouble(ord)
+          case other => throw new IllegalArgumentException(
+            s"unsupported partition_by type $other for column '$name'")
+        }
+      s"$name=${Partitions.encode(v)}"
+    }.mkString("/")
+
+  override def write(row: InternalRow): Unit = {
+    val key = partDir(row)
+    val writer = open.getOrElseUpdate(key,
+      new BatchDataWriter(dataSchema, s"$dir/$key", partitionId, taskId, conf))
+    // project partition columns out; the path carries them
+    val projected = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      dataFields.map(i => row.get(i, schema.fields(i).dataType)): Array[Any])
+    writer.write(projected)
+  }
+
+  override def commit(): WriterCommitMessage =
+    BatchFileCommit(open.values.toSeq.flatMap(_.commit() match {
+      case BatchFileCommit(ps) => ps
+    }))
+
+  override def abort(): Unit = open.values.foreach(_.abort())
+
+  override def close(): Unit = open.values.foreach(_.close())
 }
 
 private[sources] class BatchDataWriter(
@@ -177,7 +255,7 @@ private[sources] class BatchDataWriter(
 
   override def commit(): WriterCommitMessage = {
     writer.close()
-    BatchFileCommit(staged.toString)
+    BatchFileCommit(Seq(staged.toString))
   }
 
   override def abort(): Unit = {

@@ -60,7 +60,11 @@ class BatchSource extends TableProvider with DataSourceRegister {
     val conf = BatchSource.hadoopConf()
     val files = BatchSource.listFiles(options, conf)
     require(files.nonEmpty, s"no parquet files under '${BatchSource.dir(options)}'")
-    BatchSource.toStructType(BatchSource.footerSchema(files.head, conf))
+    // hive-style `col=value/` segments become trailing partition columns
+    // (the layout [[PartitionedBatchDataWriter]] stages)
+    StructType(
+      BatchSource.toStructType(BatchSource.footerSchema(files.head, conf)).fields ++
+        Partitions.partitionFields(files, conf))
   }
 
   /** Writes arrive with the DataFrame's schema — don't force inference
@@ -89,13 +93,33 @@ private[sources] object BatchSource {
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
+  /** All staged `.parquet` files under the directory, RECURSIVE so
+    * hive-layout `col=value/` subtrees are discovered; hidden segments
+    * (`.`/`_` prefixes, e.g. `_spark_metadata`) are skipped. */
   def listFiles(options: CaseInsensitiveStringMap, conf: Configuration): Seq[FileStatus] = {
     val path = new Path(dir(options))
     val fs = path.getFileSystem(conf)
     if (!fs.exists(path)) Seq.empty
-    else fs.listStatus(path).toIndexedSeq
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+      // manual walk with listStatus, not fs.listFiles(recursive=true): the
+      // located-status iterator stats every file (a shell exec per file on
+      // the local FS) and throws if a concurrent writer's temp file
+      // vanishes mid-walk — a live stage directory is exactly that.
+      def walk(p: Path): Unit = {
+        val entries =
+          try fs.listStatus(p)
+          catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] }
+        entries.foreach { e =>
+          val name = e.getPath.getName
+          if (name.startsWith(".") || name.startsWith("_")) ()
+          else if (e.isDirectory) walk(e.getPath)
+          else if (e.isFile && name.endsWith(".parquet")) out += e
+        }
+      }
+      walk(path)
+      out.toIndexedSeq.sortBy(_.getPath.toString)
+    }
   }
 
   def footerSchema(file: FileStatus, conf: Configuration): MessageType = {
@@ -374,8 +398,14 @@ private[sources] class BatchTable(
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
-    new BatchWriteBuilder(info.schema(), BatchSource.dir(options))
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // `partition_by=colA[,colB]` write option → hive-layout sink
+    val partitionBy = Option(info.options.get("partition_by"))
+      .orElse(Option(options.get("partition_by")))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    new BatchWriteBuilder(info.schema(), BatchSource.dir(options), partitionBy)
+  }
 }
 
 private[sources] class BatchScanBuilder(
@@ -394,6 +424,13 @@ private[sources] class BatchScanBuilder(
   private var required: StructType = fullSchema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
+  /** The directory's hive-layout partition columns (one listing + one
+    * footer open; empty for flat stages). */
+  private lazy val partCols: Seq[StructField] = {
+    val conf = BatchSource.hadoopConf()
+    Partitions.partitionFields(BatchSource.listFiles(options, conf), conf)
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve the file's field order; keep only requested columns
     required = StructType(fullSchema.fields.filter(f =>
@@ -401,14 +438,22 @@ private[sources] class BatchScanBuilder(
 
   /** Accept filters for ROW-GROUP PRUNING via footer min/max stats —
     * whole batches whose stats exclude the predicate are never planned,
-    * never opened, never read. All filters are returned as residual:
-    * pruning is a skip-optimization, row-level evaluation stays with
-    * Spark (same contract as parquet row-group skipping). */
+    * never opened, never read. Filters over only PARTITION columns are
+    * absorbed COMPLETELY (file-level evaluation is exact — a partition
+    * value is constant across its file), so Spark drops them from the
+    * plan and column pruning can drop the partition column itself; all
+    * other filters are returned as residual: row-group pruning is a
+    * skip-optimization, row-level evaluation stays with Spark (same
+    * contract as parquet row-group skipping). */
   override def pushFilters(
       filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     pushed = filters
-    filters
+    if (partCols.isEmpty) filters
+    else {
+      val names = partCols.map(_.name).toSet
+      filters.filterNot(Partitions.absorbable(_, names))
+    }
   }
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
@@ -479,7 +524,7 @@ private[sources] class BatchScanBuilder(
 
   override def build(): Scan = aggValues match {
     case Some((schema, values)) => new MetadataAggScan(schema, values, options)
-    case None => new BatchScan(required, options, pushed)
+    case None => new BatchScan(required, options, pushed, partCols)
   }
 }
 
@@ -526,12 +571,35 @@ private[sources] case class MetadataAggPartition(values: Array[Any])
 
 private[sources] class BatchScan(
     required: StructType, options: CaseInsensitiveStringMap,
-    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    partCols: Seq[StructField] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   private val conf = BatchSource.hadoopConf()
-  private lazy val files = BatchSource.listFiles(options, conf)
+  private lazy val allFiles = BatchSource.listFiles(options, conf)
+
+  /** PARTITION PRUNING — the first and cheapest gate: whole files whose
+    * path-encoded partition values contradict a filter are dropped from
+    * the listing before any footer is opened (zero IO per excluded file;
+    * at 100 TB this is the difference between touching one `lang=en/`
+    * subtree and sweeping every footer in the stage). Runtime (DPP)
+    * filters participate too: a dim-side join key over a partition column
+    * prunes files at replan time. */
+  private def files: Seq[FileStatus] = {
+    if (partCols.isEmpty) allFiles
+    else {
+      val fs = allFilters.filter(f =>
+        f.references.exists(partColNames.contains))
+      if (fs.isEmpty) allFiles
+      else allFiles.filter { f =>
+        val vals = Partitions.valuesOf(f.getPath.toString, partCols)
+        fs.forall(Partitions.matches(_, vals))
+      }
+    }
+  }
+
+  private val partColNames = partCols.map(_.name).toSet
 
   // runtime (DPP-style) filters arrive AFTER planning starts — e.g. the
   // join-key values produced by a dimension subquery — so batch pruning is
@@ -549,21 +617,28 @@ private[sources] class BatchScan(
 
   private def allFilters = filters ++ runtimeFilters
 
-  // ONE footer sweep per stat-column set, shared by description(),
-  // estimateStatistics() and planInputPartitions() — at 100k staged files
-  // a sweep is 100k footer opens on the driver, so re-running it per
-  // consumer was 2-3× pure waste. A runtime (DPP) filter on a NEW column
-  // changes the key and invalidates once; new values on already-swept
-  // columns re-prune the cached stats for free.
-  private val discoveryCache =
-    mutable.Map.empty[Set[String], Seq[(BatchSource.BatchHandle, BatchSource.ColStats)]]
+  // ONE footer sweep per (stat-column set, partition-pruned file set),
+  // shared by description(), estimateStatistics() and
+  // planInputPartitions() — at 100k staged files a sweep is 100k footer
+  // opens on the driver, so re-running it per consumer was 2-3× pure
+  // waste. A runtime (DPP) filter on a NEW column changes the key and
+  // invalidates once; new values on already-swept columns re-prune the
+  // cached stats for free; a runtime filter on a PARTITION column
+  // shrinks the file set and sweeps only the survivors.
+  private val discoveryCache = mutable.Map.empty[
+    (Set[String], Seq[String]),
+    Seq[(BatchSource.BatchHandle, BatchSource.ColStats)]]
 
   private def pruned: (Seq[BatchSource.BatchHandle], Int) = {
     val fs = allFilters
-    val statCols: Set[String] = fs.flatMap(BatchSource.filterCols).toSet
+    val keptFiles = files // partition-pruned listing — before any footer IO
+    // partition columns have no footer stats: never sweep for them
+    val statCols: Set[String] =
+      fs.flatMap(BatchSource.filterCols).toSet -- partColNames
     val discovered = synchronized {
-      discoveryCache.getOrElseUpdate(statCols,
-        BatchSource.discoverBatches(files, conf, statCols))
+      discoveryCache.getOrElseUpdate(
+        (statCols, keptFiles.map(_.getPath.toString)),
+        BatchSource.discoverBatches(keptFiles, conf, statCols))
     }
     val kept = discovered.filterNot { case (h, stats) =>
       fs.exists(BatchSource.excludes(_, stats, h.rows))
@@ -577,9 +652,12 @@ private[sources] class BatchScan(
 
   override def description(): String = {
     val (kept, total) = pruned
+    val fileNote =
+      if (partCols.isEmpty) ""
+      else s", files=${files.length}/${allFiles.length}"
     s"GraftBatchScan(dir=${BatchSource.dir(options)}, " +
       s"cols=[${required.fieldNames.mkString(",")}], " +
-      s"batches=${kept.length}/$total)"
+      s"batches=${kept.length}/$total$fileNote)"
   }
 
   override def toBatch: Batch = this
@@ -617,7 +695,8 @@ private[sources] class BatchScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BatchReaderFactory(required, new SerializableHadoopConf(conf))
+    new BatchReaderFactory(required, new SerializableHadoopConf(conf),
+      partCols.filter(f => required.fieldNames.contains(f.name)))
 }
 
 /** Serialized to executors: only the lazy handles, never data. */
@@ -625,23 +704,38 @@ private[sources] case class BatchInputPartition(
     handles: Array[BatchSource.BatchHandle]) extends InputPartition
 
 private[sources] class BatchReaderFactory(
-    required: StructType, conf: SerializableHadoopConf)
+    required: StructType, conf: SerializableHadoopConf,
+    partCols: Seq[StructField] = Seq.empty)
     extends PartitionReaderFactory {
+
+  /** `required` minus path-derived partition columns — what the parquet
+    * files themselves must supply. */
+  private val fileRequired = StructType(
+    required.fields.filterNot(f => partCols.exists(_.name == f.name)))
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new BatchPartitionReader(p.asInstanceOf[BatchInputPartition], required, conf)
+    if (partCols.isEmpty)
+      new BatchPartitionReader(p.asInstanceOf[BatchInputPartition], required, conf)
+    else
+      new PartitionedRowReader(
+        p.asInstanceOf[BatchInputPartition], required, fileRequired, partCols, conf)
 
   /** Default data plane is COLUMNAR (ColumnarBatch + codegen'd
     * ColumnarToRow); the row-based reader above stays as the fallback for
-    * empty projections (a zero-column parquet read has no column readers
-    * to drive the batch row count). */
+    * projections with no file-backed columns (a zero-column parquet read
+    * has no column readers to drive the batch row count). */
   override def supportColumnarReads(p: InputPartition): Boolean =
-    required.nonEmpty
+    fileRequired.nonEmpty
 
   override def createColumnarReader(
       p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new ColumnarBatchPartitionReader(
-      p.asInstanceOf[BatchInputPartition], required, conf)
+    if (partCols.isEmpty)
+      new ColumnarBatchPartitionReader(
+        p.asInstanceOf[BatchInputPartition], required, conf)
+    else
+      new PartitionedColumnarReader(
+        p.asInstanceOf[BatchInputPartition], required, fileRequired, partCols, conf)
 }
 
 /** Executor-side materialization (SURVEY §3.1 stage 10): open each file,

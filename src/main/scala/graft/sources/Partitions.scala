@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.FileStatus
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Hive-style partition layout for the graft connector: the write side
+  * routes rows into `col=value/` subdirectories ([[BatchDataWriter]] with
+  * the `partition_by` option), the read side turns those path segments
+  * back into columns and — the point of the exercise — prunes whole
+  * DIRECTORIES of files from a scan before a single footer is opened.
+  *
+  * The reference never wrote prunable layouts (its `to_snowflake` stages
+  * flat tables, core.py:70-124), but its read side prunes eagerly; this
+  * closes the asymmetry: what the sink writes, the scan can skip.
+  *
+  * Scale contract: partition pruning is PATH arithmetic on the driver's
+  * file listing — zero IO per excluded file. A filter on a partition
+  * column is absorbed COMPLETELY (not returned as a residual), because a
+  * partition value is constant across its file: Spark neither re-reads
+  * nor re-evaluates it, and column pruning then drops the partition
+  * column from the data read entirely.
+  */
+private[sources] object Partitions {
+
+  val NullMarker = "__GRAFT_NULL__"
+
+  /** Value → path segment chunk (inverse of [[parseRaw]]). */
+  def encode(v: Any): String =
+    if (v == null) NullMarker
+    else URLEncoder.encode(v.toString, StandardCharsets.UTF_8.name())
+
+  /** Raw `col=value` pairs from a file path's DIRECTORY segments, in path
+    * order. The file name itself never participates. */
+  def parseRaw(path: String): Seq[(String, String)] = {
+    val segs = path.split('/').dropRight(1)
+    segs.toIndexedSeq.flatMap { s =>
+      val i = s.indexOf('=')
+      if (i <= 0 || s.startsWith(".") || s.startsWith("_")) None
+      else Some(s.take(i) ->
+        URLDecoder.decode(s.drop(i + 1), StandardCharsets.UTF_8.name()))
+    }
+  }
+
+  /** Narrowest common type across raw values: every value parses as Long
+    * → LongType; as Double → DoubleType; otherwise StringType (the same
+    * ladder Spark's own partition inference walks, minus dates). */
+  def inferType(raws: Iterable[String]): DataType = {
+    val present = raws.filterNot(_ == NullMarker)
+    if (present.isEmpty) StringType
+    else if (present.forall(v => scala.util.Try(v.toLong).isSuccess)) LongType
+    else if (present.forall(v => scala.util.Try(v.toDouble).isSuccess)) DoubleType
+    else StringType
+  }
+
+  /** Raw path value → external JVM value of `dt` (null for the marker). */
+  def castValue(raw: String, dt: DataType): Any =
+    if (raw == NullMarker) null
+    else dt match {
+      case LongType => java.lang.Long.valueOf(raw.toLong)
+      case DoubleType => java.lang.Double.valueOf(raw.toDouble)
+      case _ => raw
+    }
+
+  /** The partition columns of a staged directory: path keys present in
+    * EVERY file's directory segments (so a value is defined, and constant,
+    * for each file), minus names the data files themselves carry (a data
+    * column always wins — path-derived shadowing would silently change
+    * values). Types inferred across all files. */
+  def partitionFields(
+      files: Seq[FileStatus], conf: Configuration): Seq[StructField] = {
+    if (files.isEmpty) return Seq.empty
+    val perFile = files.map(f => parseRaw(f.getPath.toString))
+    val common = perFile.map(_.map(_._1).toSet).reduce(_ intersect _)
+    if (common.isEmpty) return Seq.empty
+    val fileCols = BatchSource.footerSchema(files.head, conf)
+      .getFields
+    val dataNames = (0 until fileCols.size()).map(fileCols.get(_).getName).toSet
+    val ordered = perFile.head.map(_._1).filter(k =>
+      common(k) && !dataNames(k))
+    ordered.map { k =>
+      val raws = perFile.flatMap(_.collect { case (`k`, v) => v })
+      StructField(k, inferType(raws), nullable = true)
+    }
+  }
+
+  /** Typed partition values of one file, keyed by column name. */
+  def valuesOf(path: String, partCols: Seq[StructField]): Map[String, Any] = {
+    val raw = parseRaw(path).toMap
+    partCols.flatMap(f => raw.get(f.name).map(r =>
+      f.name -> castValue(r, f.dataType))).toMap
+  }
+
+  /** Is `filter` a shape [[matches]] evaluates EXACTLY over constant
+    * partition values, referencing only partition columns? Only such
+    * filters may be absorbed (removed from Spark's residual). */
+  def absorbable(filter: Filter, partCols: Set[String]): Boolean =
+    filter.references.forall(partCols.contains) && evaluable(filter)
+
+  private def evaluable(f: Filter): Boolean = f match {
+    case _: EqualTo | _: In | _: IsNull | _: IsNotNull |
+         _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual => true
+    case And(l, r) => evaluable(l) && evaluable(r)
+    case Or(l, r) => evaluable(l) && evaluable(r)
+    case Not(c) => evaluable(c)
+    case _ => false
+  }
+
+  /** Exact evaluation of an [[evaluable]] filter against one file's
+    * constant partition values. True = the file's rows satisfy the
+    * filter; false = the whole file is excluded. A reference to a column
+    * not in `vals` keeps the file (conservative — only reachable for
+    * non-absorbed filters, which Spark re-evaluates row-level anyway). */
+  def matches(filter: Filter, vals: Map[String, Any]): Boolean = {
+    def cmp(c: String, v: Any): Option[Int] = vals.get(c) match {
+      case Some(x) if x != null => BatchSource.exactCmp(x, v)
+      case _ => None
+    }
+    filter match {
+      case EqualTo(c, v) => if (vals.contains(c))
+        cmp(c, v).contains(0) else true
+      case In(c, vs) => if (vals.contains(c))
+        vs.exists(v => cmp(c, v).contains(0)) else true
+      case IsNull(c) => if (vals.contains(c)) vals(c) == null else true
+      case IsNotNull(c) => if (vals.contains(c)) vals(c) != null else true
+      case GreaterThan(c, v) => if (vals.contains(c))
+        cmp(c, v).exists(_ > 0) else true
+      case GreaterThanOrEqual(c, v) => if (vals.contains(c))
+        cmp(c, v).exists(_ >= 0) else true
+      case LessThan(c, v) => if (vals.contains(c))
+        cmp(c, v).exists(_ < 0) else true
+      case LessThanOrEqual(c, v) => if (vals.contains(c))
+        cmp(c, v).exists(_ <= 0) else true
+      case And(l, r) => matches(l, vals) && matches(r, vals)
+      case Or(l, r) => matches(l, vals) || matches(r, vals)
+      case Not(c) =>
+        // exact negation needs every leaf defined over these values; a
+        // NULL under NOT is three-valued-unknown → the row is excluded
+        if (!c.references.forall(vals.contains)) true
+        else if (c.references.exists(r => vals(r) == null)) false
+        else !matches(c, vals)
+      case _ => true
+    }
+  }
+}

@@ -685,4 +685,102 @@ class BatchSourceSpec extends SparkSpec {
       .count()
     assert(n >= 2)
   }
+
+  // ------------------------------------------------------ partitioned sink
+
+  private def stagePartitioned(): String = {
+    val dir = Files.createTempDirectory("graft_stage_part").toString
+    Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+      .repartition(col("lang"))
+      .write.format("graft").option("partition_by", "lang")
+      .mode("overwrite").save(dir)
+    dir
+  }
+
+  test("partition_by write stages a hive layout and the values round-trip") {
+    val dir = stagePartitioned()
+    // layout: lang=xx/ subtrees, no lang column inside the data files
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(subdirs.exists(_.startsWith("lang=")), s"expected lang= subtrees, got $subdirs")
+    val aFile = new java.io.File(dir).listFiles().filter(_.isDirectory).head
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    assert(!spark.read.parquet(aFile.toString).columns.contains("lang"),
+      "partition column must not be duplicated inside data files")
+    // read-back (partition column re-derived from paths) equals the source
+    val back = spark.read.format("graft").load(dir)
+      .select("doc_id", "lang", "source", "n_chars")
+    val orig = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+    assertSameRows(back, orig)
+  }
+
+  test("a partition filter prunes whole files before any footer IO") {
+    val dir = stagePartitioned()
+    val total = BatchSource.listFiles(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir)),
+      BatchSource.hadoopConf()).length
+    val df = spark.read.format("graft").load(dir).filter(col("lang") === "en")
+    df.collect() // finalize the plan
+    val scanDesc = df.queryExecution.executedPlan.toString
+    // description reports files=kept/total: only the lang=en subtree survives
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(scanDesc)
+    assert(m.isDefined, s"scan description should report file pruning:\n$scanDesc")
+    assert(m.get.group(2).toInt == total)
+    assert(m.get.group(1).toInt < total,
+      s"expected pruned files, got ${m.get.group(1)}/$total:\n$scanDesc")
+    // the absorbed filter is NOT re-evaluated row-level: no Filter node
+    assert(!scanDesc.contains("Filter "),
+      s"partition filter should be absorbed, not residual:\n$scanDesc")
+    // and the pruned scan's stats shrink accordingly
+    val unfiltered = spark.read.format("graft").load(dir)
+    val su = unfiltered.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sf0 = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(sf0 < su, s"pruned scan must report smaller stats: $sf0 vs $su")
+  }
+
+  test("numeric partition values infer LongType and range-prune") {
+    val dir = Files.createTempDirectory("graft_stage_numpart").toString
+    Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"), (col("doc_id") % 4).as("bucket"))
+      .repartition(col("bucket"))
+      .write.format("graft").option("partition_by", "bucket")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(back.schema("bucket").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val hi = back.filter(col("bucket") >= 2)
+    assert(hi.select("bucket").distinct().collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    val desc = { hi.collect(); hi.queryExecution.executedPlan.toString }
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+      s"range filter should prune bucket subtrees:\n$desc")
+  }
+
+  test("null partition values stage, read back as NULL, and IsNull-prune") {
+    val dir = Files.createTempDirectory("graft_stage_nullpart").toString
+    Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, col("lang")).as("maybe_lang"))
+      .write.format("graft").option("partition_by", "maybe_lang")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    val nNull = back.filter(col("maybe_lang").isNull).count()
+    val expected = Tables.table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 3 =!= 0).count()
+    assert(nNull == expected, s"expected $expected null-partition rows, got $nNull")
+  }
+
+  test("one input partition spanning several partition values decodes all groups") {
+    val dir = stagePartitioned()
+    // npartitions=1 packs every subtree's row groups into ONE InputPartition
+    val one = spark.read.format("graft").option("npartitions", "1").load(dir)
+    assert(one.rdd.getNumPartitions == 1)
+    val langs = one.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs == Set("en", "de", "fr", "es", "zh"),
+      s"all partition-value groups must decode, got $langs")
+    assert(one.count() == Tables.table(spark, sfDir, "documents").count())
+  }
 }
