@@ -202,6 +202,21 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Floor-scaled integer quality score over `text` (type-token ratio +
+    * length terms; same formula as q_text_quality, engine-exact because
+    * the ratio is floored to integer µ-units rather than rounded). Shared
+    * by the batch curation key and the streaming gate. */
+  private[graft] def qualityE6: org.apache.spark.sql.Column = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast(DoubleType)
+    val nDis = size(array_distinct(toks)).cast(DoubleType)
+    val ttr = nDis / nTok
+    val avgLen = (length(col("text")) - (nTok - 1)) / nTok
+    floor((ttr * lit(0.3)
+      + least(nTok / 100.0, lit(1.0)) * lit(0.4)
+      + least(avgLen / 10.0, lit(1.0)) * lit(0.3)) * 1e6).cast(LongType)
+  }
+
   /** IVF-cell embedding near-dup with MULTI-PROBE cell assignment: each
     * vector lands in its `nprobe` nearest coarse cells (the codegen'd
     * [[graft.functions.IvfNearestCells]] against the frozen
@@ -373,21 +388,11 @@ object Dedup {
     // cluster-sized and anti-joins broadcast.
     QueryDef("q_pipeline_curate",
       (s, d) => {
-        val toks = split(col("text"), " ")
-        val nTok = size(toks).cast(DoubleType)
-        val nDis = size(array_distinct(toks)).cast(DoubleType)
-        val ttr = nDis / nTok
-        val avgLen = (length(col("text")) - (nTok - 1)) / nTok
-        // same floor-scaled integer score as q_text_quality (engine-exact)
-        val quality = floor((ttr * lit(0.3)
-          + least(nTok / 100.0, lit(1.0)) * lit(0.4)
-          + least(avgLen / 10.0, lit(1.0)) * lit(0.3)) * 1e6).cast(LongType)
         val dupDrops = resolveClusters(s, d)
           .filter(!col("is_survivor")).select("doc_id")
-        Tables.table(s, d, "documents")
-          .select(col("doc_id"), col("lang"), quality.as("quality_e6"))
-          .join(broadcast(dupDrops), Seq("doc_id"), "left_anti")
-          .filter(col("quality_e6") >= 480000L)
+        // ONE code path with the streaming gate ([[graft.streaming.Streams
+        // .curate]]): the micro-batch twin can never drift from this oracle
+        graft.streaming.Streams.curate(Tables.table(s, d, "documents"), dupDrops)
           .orderBy("doc_id")
       },
       Some(s"""$duckWalkCte, drops AS (

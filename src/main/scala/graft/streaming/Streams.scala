@@ -112,6 +112,27 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** The corpus-curation gate as a TRANSFORM — batch or micro-batch
+    * stream: drop near-dup non-survivors via a broadcast anti-join on the
+    * (static, cluster-count-sized) drop list, then gate on the shared
+    * quality score ([[graft.ops.Dedup.qualityE6]]). The batch oracle key
+    * `q_pipeline_curate` runs exactly this function, so stream output per
+    * micro-batch provably matches the batch result over the same files —
+    * the continuously-fed stage scenario: a warehouse unloads document
+    * batches while the curation gate admits them into the training
+    * corpus. Stream-static LEFT ANTI with the static side broadcast keeps
+    * the stream side shuffle-free and stateless (no watermark needed —
+    * the gate is per-row). */
+  def curate(
+      docs: DataFrame, dropList: DataFrame,
+      minQualityE6: Long = 480000L): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), col("text"))
+      .join(broadcast(dropList.select("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"),
+        graft.ops.Dedup.qualityE6.as("quality_e6"))
+      .filter(col("quality_e6") >= minQualityE6)
+
   /** Custom sessionization via arbitrary state (`flatMapGroupsWithState`):
     * emits a [[Session]] when a user goes quiet for `gapMs`. This is the
     * escape hatch for semantics `session_window` can't express (e.g.

@@ -203,4 +203,63 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("n") == 2)
     assert(rows(1).getAs[Long]("n") == 1)
   }
+
+  test("corpus curation as a micro-batch stream: batch == stream over the same files, restart-safe") {
+    import org.apache.spark.sql.streaming.Trigger
+    // the continuously-fed stage: document batches land in a graft stage
+    // dir, the curation gate (broadcast drop-list anti-join + quality
+    // threshold) admits rows per micro-batch through the graft stream
+    // source, results must equal the BATCH q_pipeline_curate gate over
+    // the same files — including across a stop/restart with new arrivals.
+    val docs = graft.warehouse.Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text")
+    val drops = graft.SparkEntry.queries("q_dedup_resolve")(spark, sfDir)
+      .filter(!col("is_survivor")).select("doc_id")
+      .cache() // static side: computed once, reused across micro-batches
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_curate_stage").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_curate_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_curate_out").toString
+    val schema = docs.schema
+
+    // parquet file sink: supports checkpoint RECOVERY (the memory sink
+    // does not) and gives exactly-once output via its own metadata log
+    def runStream(): Unit = {
+      val stream = spark.readStream.format("graft").schema(schema)
+        .option("max_files_per_trigger", "1") // bounded catch-up batches
+        .load(stageDir)
+      val q = Streams.curate(stream, drops).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    def curatedOut(): Set[(Long, String, Long)] =
+      spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    // phase 1: half the corpus is staged
+    docs.filter(col("doc_id") % 2 === 0).repartition(2)
+      .write.mode("append").parquet(stageDir)
+    runStream()
+    val phase1 = curatedOut()
+    assert(phase1.nonEmpty, "first stream pass must admit rows")
+
+    // phase 2: the rest lands; SAME checkpoint → the restarted stream
+    // processes only the new files (committed offsets replay nothing)
+    docs.filter(col("doc_id") % 2 === 1).repartition(2)
+      .write.mode("append").parquet(stageDir)
+    runStream()
+    val all = curatedOut()
+    val phase2 = all -- phase1
+    assert(phase2.nonEmpty, "restart must pick up the new files")
+
+    // exactly-once across the restart AND batch == stream over all files
+    val batch = Streams.curate(docs, drops).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(spark.read.parquet(outDir).count() == all.size,
+      "a restarted stream must not re-admit rows the checkpoint covered (no dup rows)")
+    assert(all == batch,
+      s"stream output (${all.size}) must equal the batch gate (${batch.size})")
+    drops.unpersist()
+  }
 }
