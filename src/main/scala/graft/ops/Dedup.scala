@@ -37,6 +37,11 @@ object Dedup {
   private val P = 2147483647L // 2^31 - 1
   private val Bands = 4 // 8 minhashes → 4 bands of 2
 
+  /** HashMin-only rounds before [[connectedComponents]] starts pointer
+    * jumping (shallow components — the common near-dup shape — converge
+    * within these and never pay the self-join). */
+  private val JumpAfter = 2
+
   // ---- Spark-dialect expression fragments --------------------------------
 
   // ---- DuckDB-dialect twins ---------------------------------------------
@@ -170,7 +175,14 @@ object Dedup {
       .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
+    // ADAPTIVE path doubling: near-dup components are shallow in practice
+    // (a pair or a small clique → 1-2 HashMin rounds), so the first
+    // `JumpAfter` rounds run plain HashMin at one checkpoint+action each —
+    // zero overhead for the common case. A component still unconverged
+    // after that is deep (a chain), and only then does each round add the
+    // pointer-jump self-join that doubles the propagation frontier.
     while (changed > 0) {
+      val useJump = rounds >= JumpAfter
       // HashMin: pull the min neighbor label across every edge
       val neighborMin = und
         .join(labels.select(col("doc_id").as("nbr"), col("keep_id").as("nbr_keep")),
@@ -183,20 +195,22 @@ object Dedup {
           least(col("keep_id"), coalesce(col("nmin"), col("keep_id")))
             .as("mid_keep"))
         .repartition(parts, col("doc_id"))
-        .localCheckpoint(true) // self-joined below — don't recompute the join
+        .localCheckpoint(true) // self-joined below when jumping
       // pointer jump: follow the label's own label one hop. Labels are
       // always doc_ids present in the table (they start as self and only
       // ever take other labels' values), so the self-join is total.
-      val jumped = hashMin
-        .join(hashMin.select(col("doc_id").as("p_id"), col("mid_keep").as("p_keep")),
-          col("mid_keep") === col("p_id"), "left")
-        .select(col("doc_id"), col("keep_id"),
-          least(col("mid_keep"), coalesce(col("p_keep"), col("mid_keep")))
-            .as("next_keep"))
-        .repartition(parts, col("doc_id"))
-        .localCheckpoint(true)
-      changed = jumped.filter(col("next_keep") < col("keep_id")).count()
-      labels = jumped.select(col("doc_id"), col("next_keep").as("keep_id"))
+      val next =
+        if (!useJump) hashMin.withColumnRenamed("mid_keep", "next_keep")
+        else hashMin
+          .join(hashMin.select(col("doc_id").as("p_id"), col("mid_keep").as("p_keep")),
+            col("mid_keep") === col("p_id"), "left")
+          .select(col("doc_id"), col("keep_id"),
+            least(col("mid_keep"), coalesce(col("p_keep"), col("mid_keep")))
+              .as("next_keep"))
+          .repartition(parts, col("doc_id"))
+          .localCheckpoint(true)
+      changed = next.filter(col("next_keep") < col("keep_id")).count()
+      labels = next.select(col("doc_id"), col("next_keep").as("keep_id"))
       rounds += 1
     }
     (labels, rounds)
@@ -236,18 +250,20 @@ object Dedup {
     val e = Tables.table(s, d, "embeddings").select(
       col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val probed = e.withColumn("cell", explode(expr("ivf_cells(v)")))
-      .select("vec_id", "cell")
-    val cand = probed.toDF("vec_a", "cell")
-      .join(probed.toDF("vec_b", "cell"), Seq("cell"))
+      .select("vec_id", "cell", "v")
+    // score INSIDE the cell join and threshold BEFORE any pair-level
+    // shuffle: the only dedup shuffle carries the (tiny) passing pairs —
+    // a pair sharing both probe cells is scored twice (cheap codegen'd
+    // fold, deterministic → identical rows) and collapsed by the
+    // distinct. The alternative (id-distinct first, re-attach vectors
+    // after) costs two more corpus-sized joins per query.
+    probed.toDF("vec_a", "cell", "va")
+      .join(probed.toDF("vec_b", "cell", "vb"), Seq("cell"))
       .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b")
-      .distinct()
-    cand
-      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
       .withColumn("cosine", round(expr("cosine_similarity(va, vb)"), 6))
       .filter(col("cosine") >= minCosine)
       .select("vec_a", "vec_b", "cosine")
+      .distinct()
       .orderBy("vec_a", "vec_b")
   }
 
