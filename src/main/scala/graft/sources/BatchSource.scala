@@ -365,6 +365,23 @@ private[sources] object BatchSource {
   /** Column names a filter references (for targeted stats collection). */
   def filterCols(f: org.apache.spark.sql.sources.Filter): Set[String] =
     f.references.toSet
+
+  /** The parquet projection for a (possibly leaf-pruned) required schema:
+    * whole fields as stored, except unannotated groups (structs), which
+    * keep only the requested leaves in the requested order — the reader's
+    * per-index decode plans then line up with the pruned group, and
+    * parquet never materializes pages of unrequested leaves. */
+  def pruneMessage(fileMsg: MessageType, required: StructType): MessageType =
+    new MessageType("graft_pruned", required.fields.map { f =>
+      val ft = fileMsg.getFields.get(fileMsg.getFieldIndex(f.name))
+      (f.dataType, ft) match {
+        case (st: StructType, gt: org.apache.parquet.schema.GroupType)
+            if gt.getLogicalTypeAnnotation == null =>
+          new org.apache.parquet.schema.GroupType(gt.getRepetition, gt.getName,
+            st.fields.map(sf => gt.getType(sf.name)): _*)
+        case _ => ft
+      }
+    }: _*)
 }
 
 /** Hadoop Configuration isn't Serializable — ship it to executors with
@@ -432,9 +449,20 @@ private[sources] class BatchScanBuilder(
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // preserve the file's field order; keep only requested columns
-    required = StructType(fullSchema.fields.filter(f =>
-      requiredSchema.fieldNames.contains(f.name)))
+    // preserve the file's field order; keep only requested columns — and
+    // for struct columns only the requested LEAVES (Spark's nested schema
+    // pruning hands us e.g. meta:struct<mime> when the query touches only
+    // meta.mime; decoding the other leaves would be pure waste)
+    required = StructType(fullSchema.fields.flatMap { f =>
+      requiredSchema.fields.find(_.name == f.name).map { rf =>
+        (f.dataType, rf.dataType) match {
+          case (fs: StructType, rs: StructType) =>
+            val kept = fs.fields.filter(sf => rs.fieldNames.contains(sf.name))
+            if (kept.isEmpty) f else f.copy(dataType = StructType(kept))
+          case _ => f
+        }
+      }
+    })
 
   /** Accept filters for ROW-GROUP PRUNING via footer min/max stats —
     * whole batches whose stats exclude the predicate are never planned,
@@ -767,9 +795,7 @@ private[sources] class BatchPartitionReader(
     val in = HadoopInputFile.fromPath(new Path(path), conf)
     reader = ParquetFileReader.open(in)
     val fileMsg = reader.getFooter.getFileMetaData.getSchema
-    prunedMsg = new MessageType("graft_pruned",
-      required.fieldNames.map(n =>
-        fileMsg.getFields.get(fileMsg.getFieldIndex(n))): _*)
+    prunedMsg = BatchSource.pruneMessage(fileMsg, required)
     reader.setRequestedSchema(prunedMsg)
     wanted = groups.toSet
     groupIdx = 0

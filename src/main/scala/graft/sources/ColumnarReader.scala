@@ -83,9 +83,7 @@ private[sources] class ColumnarBatchPartitionReader(
     val meta = reader.getFooter.getFileMetaData
     val fileMsg = meta.getSchema
     createdBy = meta.getCreatedBy
-    prunedMsg = new MessageType("graft_pruned",
-      required.fieldNames.map(n =>
-        fileMsg.getFields.get(fileMsg.getFieldIndex(n))): _*)
+    prunedMsg = BatchSource.pruneMessage(fileMsg, required)
     reader.setRequestedSchema(prunedMsg)
     codes = required.indices.map(colCode).toArray
     elemCodes = required.indices.map(elemCode).toArray

@@ -686,6 +686,33 @@ class BatchSourceSpec extends SparkSpec {
     assert(n >= 2)
   }
 
+  test("nested schema pruning reaches the struct LEAVES (meta.mime decodes one leaf)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stage_leafprune").toString
+    Tables.table(spark, sfDir, "documents").selectExpr(
+        "doc_id",
+        """named_struct('mime', concat('text/', lang),
+                        'n_bytes', CAST(octet_length(text) AS BIGINT),
+                        'source', source) AS meta""")
+      .repartition(2)
+      .write.format("graft").mode("overwrite").save(dir)
+    val df = spark.read.format("graft").load(dir)
+      .select(col("doc_id"), col("meta.mime").as("mime"))
+    // the scan's required schema must carry ONLY the requested leaf —
+    // parquet then never materializes pages of n_bytes/source
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }
+    assert(scan.isDefined, df.queryExecution.executedPlan.toString)
+    val metaType = scan.get.readSchema()("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(metaType.fieldNames.toSeq == Seq("mime"),
+      s"struct must prune to the requested leaf, got $metaType")
+    // and the pruned decode returns the right values
+    val expected = Tables.table(spark, sfDir, "documents")
+      .selectExpr("doc_id", "concat('text/', lang) AS mime")
+    assertSameRows(df, expected)
+  }
+
   // ------------------------------------------------------ partitioned sink
 
   private def stagePartitioned(): String = {
