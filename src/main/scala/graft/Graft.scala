@@ -28,15 +28,31 @@ object Graft {
 
   /** Distributed read of a SQL query result, partition-managed like
     * `read_snowflake` (exactly one of `npartitions`/`partitionSize`;
-    * neither → 100 MiB size mode). */
+    * neither → 100 MiB size mode).
+    *
+    * `typesMapper` is the `arrow_options={"types_mapper": ...}` analogue
+    * applied INSIDE the read like the reference's (core.py:204, 292;
+    * exercised at test_core.py:106-123): a source-type → target-type
+    * mapping, e.g. `{ case DoubleType => Some(FloatType); case _ => None }`
+    * narrows every float64 column on arrival. `None` (the default mapping)
+    * leaves the schema untouched and adds no projection to the plan. */
   def read(
       spark: SparkSession,
       sfDir: String,
       query: String,
       params: Map[String, Any] = Map.empty,
       npartitions: Option[Int] = None,
-      partitionSize: Option[String] = None): DataFrame =
-    Read.readTable(spark, sfDir, query, params, npartitions, partitionSize)
+      partitionSize: Option[String] = None,
+      typesMapper: DataType => Option[DataType] = _ => None): DataFrame = {
+    val df = Read.readTable(spark, sfDir, query, params, npartitions, partitionSize)
+    if (!df.schema.fields.exists(f => typesMapper(f.dataType).isDefined)) df
+    else df.select(df.schema.fields.toIndexedSeq.map { f =>
+      typesMapper(f.dataType) match {
+        case Some(to) => org.apache.spark.sql.functions.col(f.name).cast(to).as(f.name)
+        case None     => org.apache.spark.sql.functions.col(f.name)
+      }
+    }: _*)
+  }
 
   /** Distributed write, `to_snowflake` semantics (uppercased table,
     * schema-first DDL, parallel per-partition append). */
@@ -47,6 +63,17 @@ object Graft {
     * (the reference wart, core.py:116 — preserved deliberately). */
   def writeDeferred(df: DataFrame, name: String): () => Unit =
     Write.toTableDeferred(df, name)
+
+  /** Stage write through the DSv2 sink, optionally hive-partitioned:
+    * `partitionBy` columns become `col=value/` subtrees the graft scan
+    * prunes at the file level (and answers MIN/MAX over from paths
+    * alone). Beyond the reference's surface — its `to_snowflake` stages
+    * flat tables only — but the natural completion of the read side's
+    * pruning. */
+  def writeStage(
+      df: DataFrame, path: String, overwrite: Boolean = false,
+      partitionBy: Seq[String] = Seq.empty): Unit =
+    Write.toStage(df, path, overwrite, partitionBy)
 
   /** The `arrow_options.types_mapper` analogue (test_core.py:106-123):
     * cast every column to `to` after the read. */

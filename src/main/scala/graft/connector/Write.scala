@@ -36,6 +36,21 @@ object Write {
       .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
       .parquet(path)
 
+  /** Distributed write through the graft sink with an optional hive-style
+    * partition layout: `partitionBy` columns become `col=value/` subtrees
+    * that the graft scan prunes at the FILE level (no reference analogue —
+    * `to_snowflake` stages flat tables — but the first thing a warehouse
+    * user reaches for once read-side pruning exists). */
+  def toStage(
+      df: DataFrame, path: String, overwrite: Boolean = false,
+      partitionBy: Seq[String] = Seq.empty): Unit = {
+    val w = df.write.format("graft")
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+    (if (partitionBy.nonEmpty)
+       w.option("partition_by", partitionBy.mkString(","))
+     else w).save(path)
+  }
+
   /** `compute=False` analogue: hand back the write as an unexecuted thunk
     * (test_core.py:83-90 asserts the deferred tasks then computes them).
     * Like the reference, the DDL still happens eagerly at call time. */

@@ -512,10 +512,30 @@ private[sources] class BatchScanBuilder(
       case m: Max => m.column.references.headOption.map(_.fieldNames.head)
       case _ => None
     }.toSet
-    lazy val discovered =
-      BatchSource.discoverBatches(BatchSource.listFiles(options, conf), conf, statCols)
+    lazy val listed = BatchSource.listFiles(options, conf)
+    lazy val discovered = BatchSource.discoverBatches(listed, conf, statCols)
 
-    def minMax(name: String, wantMin: Boolean): Option[(StructField, Any)] =
+    /** MIN/MAX of a PARTITION column comes from the paths alone — exact
+      * (a partition value is constant per file) and zero IO beyond the
+      * listing: the warehouse-metadata trick extended to the layout. */
+    def partMinMax(f: StructField, wantMin: Boolean): Option[(StructField, Any)] = {
+      val vals = listed.flatMap(file =>
+        Option(Partitions.valuesOf(file.getPath.toString, Seq(f)).getOrElse(f.name, null)))
+      if (vals.isEmpty) None // all-null / no files: let Spark scan
+      else {
+        val cmp = new Ordering[Any] {
+          def compare(a: Any, b: Any): Int =
+            BatchSource.exactCmp(a, b).getOrElse(0)
+        }
+        Some((f.copy(nullable = true), if (wantMin) vals.min(cmp) else vals.max(cmp)))
+      }
+    }
+
+    def minMax(name: String, wantMin: Boolean): Option[(StructField, Any)] = {
+      partCols.find(_.name == name) match {
+        case Some(pf) => return partMinMax(pf, wantMin)
+        case None => ()
+      }
       fullSchema.fields.find(_.name == name).flatMap { field =>
         val stats = discovered.map(_._2.get(name))
         if (stats.exists(_.isEmpty)) None // a batch without stats → bail out
@@ -536,6 +556,7 @@ private[sources] class BatchScanBuilder(
           }
         }
       }
+    }
 
     val translated = agg.aggregateExpressions.map {
       case _: CountStar =>

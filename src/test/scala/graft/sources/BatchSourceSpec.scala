@@ -800,6 +800,30 @@ class BatchSourceSpec extends SparkSpec {
     assert(nNull == expected, s"expected $expected null-partition rows, got $nNull")
   }
 
+  test("MIN/MAX over a partition column are answered from paths alone (metadata-only)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stage_aggpart").toString
+    graft.Graft.writeStage(
+      Tables.table(spark, sfDir, "documents")
+        .select(col("doc_id"), col("n_chars"), (col("doc_id") % 4).as("bucket")),
+      dir, overwrite = true, partitionBy = Seq("bucket"))
+    val df = spark.read.format("graft").load(dir)
+      .agg(min("bucket").as("mn"), max("bucket").as("mx"), count(lit(1)).as("n"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("METADATA-ONLY"),
+      s"partition-column min/max should need no data read:\n$plan")
+    val r = df.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == Tables.table(spark, sfDir, "documents").count())
+    // string partition values answer too, compared as strings
+    val langDir = stagePartitioned()
+    val ldf = spark.read.format("graft").load(langDir)
+      .agg(min("lang").as("mn"), max("lang").as("mx"))
+    ldf.collect()
+    assert(ldf.queryExecution.executedPlan.toString.contains("METADATA-ONLY"))
+    assert(ldf.head.getString(0) == "de" && ldf.head.getString(1) == "zh")
+  }
+
   test("one input partition spanning several partition values decodes all groups") {
     val dir = stagePartitioned()
     // npartitions=1 packs every subtree's row groups into ONE InputPartition
