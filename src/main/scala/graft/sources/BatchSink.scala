@@ -37,9 +37,28 @@ private[sources] class BatchWriteBuilder(
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new BatchSinkWrite(schema, dir, doTruncate, partitionBy)
+  override def build(): Write = {
+    if (!doTruncate) {
+      // APPEND must not mix layouts: a partitioned subtree appended with
+      // different (or no) partition columns would silently degrade the
+      // whole directory's inferred schema (partition keys are only
+      // recognized when present in EVERY file's path). Overwrite replaces
+      // the layout, so any partitioning is fine there.
+      val conf = BatchSource.hadoopConf()
+      val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir))
+      val existing = BatchSource.listFiles(opts, conf)
+      if (existing.nonEmpty) {
+        val layout = Partitions.partitionFields(existing, conf).map(_.name)
+        require(layout == partitionBy,
+          s"append partitioning [${partitionBy.mkString(",")}] does not match " +
+            s"the existing layout [${layout.mkString(",")}] at $dir")
+      }
+    }
+    new Write {
+      override def toBatch: BatchWrite =
+        new BatchSinkWrite(schema, dir, doTruncate, partitionBy)
+    }
   }
 }
 

@@ -71,11 +71,21 @@ class BatchSource extends TableProvider with DataSourceRegister {
     * (the target dir may not exist yet). */
   override def supportsExternalMetadata(): Boolean = true
 
+  /** The existing hive layout IS the table's partitioning — declaring it
+    * here lets `df.write.format("graft").partitionBy(...)` validate
+    * against (and write into) the on-disk layout. */
+  override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] = {
+    val conf = BatchSource.hadoopConf()
+    Partitions.partitionFields(BatchSource.listFiles(options, conf), conf)
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.identity(f.name))
+      .toArray
+  }
+
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new BatchTable(schema, new CaseInsensitiveStringMap(properties))
+    new BatchTable(schema, new CaseInsensitiveStringMap(properties), partitioning)
 }
 
 private[sources] object BatchSource {
@@ -400,12 +410,14 @@ private[sources] class SerializableHadoopConf(@transient var value: Configuratio
 }
 
 private[sources] class BatchTable(
-    tableSchema: StructType, options: CaseInsensitiveStringMap)
+    tableSchema: StructType, options: CaseInsensitiveStringMap,
+    partitionTransforms: Array[Transform] = Array.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft:${BatchSource.dir(options)}"
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] = partitionTransforms
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
@@ -416,11 +428,14 @@ private[sources] class BatchTable(
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    // `partition_by=colA[,colB]` write option → hive-layout sink
+    // `partition_by=colA[,colB]` write option, or the native
+    // `df.write.partitionBy(...)` identity transforms — same sink path
+    val fromTransforms = partitionTransforms.toSeq.flatMap(t =>
+      t.references.headOption.map(_.fieldNames.mkString(".")))
     val partitionBy = Option(info.options.get("partition_by"))
       .orElse(Option(options.get("partition_by")))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq.empty)
+      .getOrElse(fromTransforms)
     new BatchWriteBuilder(info.schema(), BatchSource.dir(options), partitionBy)
   }
 }

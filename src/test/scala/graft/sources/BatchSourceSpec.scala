@@ -800,6 +800,24 @@ class BatchSourceSpec extends SparkSpec {
     assert(nNull == expected, s"expected $expected null-partition rows, got $nNull")
   }
 
+  test("native df.write.partitionBy flows through the sink like the partition_by option") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stage_natpb").toString
+    val docs = Tables.table(spark, sfDir, "documents").select("doc_id", "lang", "n_chars")
+    docs.write.format("graft").partitionBy("lang").mode("overwrite").save(dir)
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(subdirs.forall(_.startsWith("lang=")) && subdirs.length == 5, subdirs.toSeq)
+    // append into the existing layout: partitioning is inferred and matches
+    docs.write.format("graft").partitionBy("lang").mode("append").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(back.count() == 2 * docs.count())
+    // a partitionBy that contradicts the on-disk layout is rejected
+    val e = intercept[Exception] {
+      docs.write.format("graft").partitionBy("n_chars").mode("append").save(dir)
+    }
+    assert(e.getMessage.toLowerCase.contains("partitioning") ||
+      e.getMessage.toLowerCase.contains("clustering"), e.getMessage)
+  }
+
   test("MIN/MAX over a partition column are answered from paths alone (metadata-only)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stage_aggpart").toString
     graft.Graft.writeStage(
