@@ -201,6 +201,66 @@ object Text {
               |    list_prepend(CAST(0 AS BIGINT),
               |      list_transform(string_split(text, ' '), t -> ${md5iDuck("t")})),
               |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
-              |FROM documents ORDER BY doc_id""".stripMargin))
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------ stratified sampling
+    // per-language admission quotas — the corpus-BALANCING primitive
+    // (down-sample the dominant language, keep low-resource ones whole).
+    // Hash-based like q_sample_split: reproducible across runs, engines
+    // and cluster sizes, stable under repartitioning. One narrow scan —
+    // the quota test is a per-row predicate, no shuffle at all.
+    QueryDef("q_sample_stratified",
+      (s, d) => {
+        val pct = expr(s"${md5i("CAST(doc_id AS STRING)")} % 100")
+        val quota = org.apache.spark.sql.functions
+          .when(col("lang") === "en", 25).otherwise(80)
+        Tables.table(s, d, "documents")
+          .filter(pct < quota)
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang FROM documents
+              |WHERE ${md5iDuck("CAST(doc_id AS VARCHAR)")} % 100 <
+              |  CASE WHEN lang = 'en' THEN 25 ELSE 80 END
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------ sequence packing
+    // pack documents into context-window-sized groups (token budget 2048)
+    // — the batch-construction primitive of a training pipeline. Packing
+    // is CONTIGUOUS per source in doc_id order: bucket = how many full
+    // budgets precede the doc's running token total, so assignment is a
+    // window cumsum (one shuffle by source), deterministic, and
+    // engine-portable — not a greedy bin-packer, which is inherently
+    // sequential and unreproducible under repartitioning. A document
+    // longer than the budget gets buckets to itself (standard overflow).
+    QueryDef("q_pack_sequences",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+        Tables.table(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+          .withColumn("bucket",
+            floor((sum("n_tokens").over(w) - col("n_tokens"))
+              / lit(2048)).cast(LongType))
+          .groupBy("source", "bucket")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+          .orderBy("source", "bucket")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents
+             |), packed AS (
+             |  SELECT source,
+             |    CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+             |        ORDER BY doc_id) - n_tokens) / 2048) AS BIGINT) AS bucket,
+             |    n_tokens
+             |  FROM toks
+             |)
+             |SELECT source, bucket, CAST(count(1) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+             |FROM packed GROUP BY source, bucket
+             |ORDER BY source, bucket""".stripMargin))
   )
 }
