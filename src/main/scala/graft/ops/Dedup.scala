@@ -163,11 +163,15 @@ object Dedup {
       edges: org.apache.spark.sql.DataFrame,
       rowsPerTask: Long = 1L << 20): (org.apache.spark.sql.DataFrame, Int) = {
     val sc = edges.sparkSession.sparkContext
-    val undRaw = edges.union(
+    // checkpoint BEFORE sizing: the candidate pipeline (the expensive LSH
+    // self-join upstream) materializes exactly once; the count and the
+    // repartition below both read the checkpointed blocks
+    val undCp = edges.union(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    val nUnd = undRaw.count() // one sizing action: 2× candidate pairs
+      .localCheckpoint(true)
+    val nUnd = undCp.count() // sizing action over cached blocks: cheap
     val parts = partitionsFor(nUnd, rowsPerTask, sc.defaultParallelism)
-    val und = undRaw.repartition(parts, col("doc_a")).localCheckpoint(true)
+    val und = undCp.repartition(parts, col("doc_a")).localCheckpoint(true)
     var labels = und.select(col("doc_a").as("doc_id"))
       .distinct()
       .withColumn("keep_id", col("doc_id"))

@@ -27,9 +27,16 @@ private[sources] class BatchWriteBuilder(
     schema: StructType, dir: String, partitionBy: Seq[String])
     extends WriteBuilder with SupportsTruncate {
 
-  partitionBy.foreach(c => require(schema.fieldNames.contains(c),
-    s"partition_by column '$c' not in the written schema " +
-      s"[${schema.fieldNames.mkString(",")}]"))
+  partitionBy.foreach { c =>
+    require(schema.fieldNames.contains(c),
+      s"partition_by column '$c' not in the written schema " +
+        s"[${schema.fieldNames.mkString(",")}]")
+    // a '.'/'_'-prefixed directory segment is HIDDEN to the reader's
+    // listing — such a write would succeed and then be invisible
+    require(!c.startsWith(".") && !c.startsWith("_"),
+      s"partition_by column '$c' would create hidden '$c=...' directories " +
+        "the reader skips")
+  }
   require(partitionBy.size < schema.length || partitionBy.isEmpty,
     "partition_by cannot cover every column — data files would be empty")
 
@@ -49,7 +56,8 @@ private[sources] class BatchWriteBuilder(
         java.util.Map.of("path", dir))
       val existing = BatchSource.listFiles(opts, conf)
       if (existing.nonEmpty) {
-        val layout = Partitions.partitionFields(existing, conf).map(_.name)
+        val layout = Partitions.partitionFields(existing, conf,
+          BatchSource.qualifiedDir(opts, conf)).map(_.name)
         require(layout == partitionBy,
           s"append partitioning [${partitionBy.mkString(",")}] does not match " +
             s"the existing layout [${layout.mkString(",")}] at $dir")
@@ -81,13 +89,12 @@ private[sources] class BatchSinkWrite(
     val path = new Path(dir)
     val fs = path.getFileSystem(conf)
     if (truncate && fs.exists(path)) {
-      val it = fs.listFiles(path, true)
-      val stale = scala.collection.mutable.ArrayBuffer.empty[Path]
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.isFile && f.getPath.getName.endsWith(".parquet")) stale += f.getPath
-      }
-      stale.foreach(fs.delete(_, false))
+      // delete exactly what readers see: the same manual walk as
+      // BatchSource.listFiles (the located-status iterator stats every
+      // file and throws if a concurrent writer's temp file vanishes)
+      val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir))
+      BatchSource.listFiles(opts, conf).foreach(f => fs.delete(f.getPath, false))
     }
     messages.foreach { case BatchFileCommit(stagedPaths) =>
       stagedPaths.foreach { staged =>
@@ -142,26 +149,41 @@ private[sources] class PartitionedBatchDataWriter(
   private val open = scala.collection.mutable.LinkedHashMap
     .empty[String, BatchDataWriter]
 
-  private def partDir(row: InternalRow): String =
-    partitionBy.zip(partOrds.toIndexedSeq).map { case (name, ord) =>
-      val v: Any =
-        if (row.isNullAt(ord)) null
-        else schema.fields(ord).dataType match {
-          case IntegerType => row.getInt(ord)
-          case LongType => row.getLong(ord)
-          case StringType => row.getUTF8String(ord).toString
-          case BooleanType => row.getBoolean(ord)
-          case DoubleType => row.getDouble(ord)
-          case other => throw new IllegalArgumentException(
-            s"unsupported partition_by type $other for column '$name'")
-        }
-      s"$name=${Partitions.encode(v)}"
-    }.mkString("/")
+  private def partValue(row: InternalRow, ord: Int, name: String): Any =
+    if (row.isNullAt(ord)) null
+    else schema.fields(ord).dataType match {
+      case IntegerType => row.getInt(ord)
+      case LongType => row.getLong(ord)
+      case StringType => row.getUTF8String(ord).toString
+      case BooleanType => row.getBoolean(ord)
+      case DoubleType => row.getDouble(ord)
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition_by type $other for column '$name'")
+    }
+
+  // hot-path cache: after the documented repartition(col) clustering,
+  // consecutive rows almost always share a partition key — compare the
+  // raw values against the previous row's before rebuilding the
+  // URL-encoded directory string
+  private var lastVals: Array[Any] = _
+  private var lastWriter: BatchDataWriter = _
 
   override def write(row: InternalRow): Unit = {
-    val key = partDir(row)
-    val writer = open.getOrElseUpdate(key,
-      new BatchDataWriter(dataSchema, s"$dir/$key", partitionId, taskId, conf))
+    val vals = new Array[Any](partOrds.length)
+    var i = 0
+    while (i < partOrds.length) {
+      vals(i) = partValue(row, partOrds(i), partitionBy(i))
+      i += 1
+    }
+    if (lastVals == null || !java.util.Arrays.equals(
+        vals.asInstanceOf[Array[AnyRef]], lastVals.asInstanceOf[Array[AnyRef]])) {
+      val key = partitionBy.zip(vals.toIndexedSeq)
+        .map { case (n, v) => s"$n=${Partitions.encode(v)}" }.mkString("/")
+      lastWriter = open.getOrElseUpdate(key,
+        new BatchDataWriter(dataSchema, s"$dir/$key", partitionId, taskId, conf))
+      lastVals = vals
+    }
+    val writer = lastWriter
     // project partition columns out; the path carries them
     val projected = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       dataFields.map(i => row.get(i, schema.fields(i).dataType)): Array[Any])

@@ -64,7 +64,8 @@ class BatchSource extends TableProvider with DataSourceRegister {
     // (the layout [[PartitionedBatchDataWriter]] stages)
     StructType(
       BatchSource.toStructType(BatchSource.footerSchema(files.head, conf)).fields ++
-        Partitions.partitionFields(files, conf))
+        Partitions.partitionFields(files, conf,
+          BatchSource.qualifiedDir(options, conf)))
   }
 
   /** Writes arrive with the DataFrame's schema — don't force inference
@@ -76,7 +77,8 @@ class BatchSource extends TableProvider with DataSourceRegister {
     * against (and write into) the on-disk layout. */
   override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] = {
     val conf = BatchSource.hadoopConf()
-    Partitions.partitionFields(BatchSource.listFiles(options, conf), conf)
+    Partitions.partitionFields(BatchSource.listFiles(options, conf), conf,
+        BatchSource.qualifiedDir(options, conf))
       .map(f => org.apache.spark.sql.connector.expressions.Expressions.identity(f.name))
       .toArray
   }
@@ -94,6 +96,14 @@ private[sources] object BatchSource {
     val p = options.get("path")
     require(p != null, "BatchSource requires a path: spark.read.format(\"graft\").load(dir)")
     p
+  }
+
+  /** Canonical (fs-qualified) form of the stage dir — the same prefix
+    * file statuses report, so root-relative path arithmetic (partition
+    * parsing) is exact. */
+  def qualifiedDir(options: CaseInsensitiveStringMap, conf: Configuration): String = {
+    val p = new Path(dir(options))
+    p.getFileSystem(conf).makeQualified(p).toString
   }
 
   /** The SESSION's hadoop conf — spark.hadoop.* settings (object-store
@@ -460,7 +470,8 @@ private[sources] class BatchScanBuilder(
     * footer open; empty for flat stages). */
   private lazy val partCols: Seq[StructField] = {
     val conf = BatchSource.hadoopConf()
-    Partitions.partitionFields(BatchSource.listFiles(options, conf), conf)
+    Partitions.partitionFields(BatchSource.listFiles(options, conf), conf,
+      BatchSource.qualifiedDir(options, conf))
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -533,9 +544,11 @@ private[sources] class BatchScanBuilder(
     /** MIN/MAX of a PARTITION column comes from the paths alone — exact
       * (a partition value is constant per file) and zero IO beyond the
       * listing: the warehouse-metadata trick extended to the layout. */
+    lazy val qroot = BatchSource.qualifiedDir(options, conf)
     def partMinMax(f: StructField, wantMin: Boolean): Option[(StructField, Any)] = {
       val vals = listed.flatMap(file =>
-        Option(Partitions.valuesOf(file.getPath.toString, Seq(f)).getOrElse(f.name, null)))
+        Option(Partitions.valuesOf(file.getPath.toString, qroot, Seq(f))
+          .getOrElse(f.name, null)))
       if (vals.isEmpty) None // all-null / no files: let Spark scan
       else {
         val cmp = new Ordering[Any] {
@@ -642,6 +655,7 @@ private[sources] class BatchScan(
 
   private val conf = BatchSource.hadoopConf()
   private lazy val allFiles = BatchSource.listFiles(options, conf)
+  private lazy val rootDir = BatchSource.qualifiedDir(options, conf)
 
   /** PARTITION PRUNING — the first and cheapest gate: whole files whose
     * path-encoded partition values contradict a filter are dropped from
@@ -657,7 +671,7 @@ private[sources] class BatchScan(
         f.references.exists(partColNames.contains))
       if (fs.isEmpty) allFiles
       else allFiles.filter { f =>
-        val vals = Partitions.valuesOf(f.getPath.toString, partCols)
+        val vals = Partitions.valuesOf(f.getPath.toString, rootDir, partCols)
         fs.forall(Partitions.matches(_, vals))
       }
     }
@@ -729,7 +743,7 @@ private[sources] class BatchScan(
   override def toMicroBatchStream(
       checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new BatchMicroBatchStream(required, options, checkpointLocation)
+    new BatchMicroBatchStream(required, options, checkpointLocation, partCols)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): util.OptionalLong =
@@ -760,7 +774,7 @@ private[sources] class BatchScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BatchReaderFactory(required, new SerializableHadoopConf(conf),
-      partCols.filter(f => required.fieldNames.contains(f.name)))
+      partCols.filter(f => required.fieldNames.contains(f.name)), rootDir)
 }
 
 /** Serialized to executors: only the lazy handles, never data. */
@@ -769,7 +783,7 @@ private[sources] case class BatchInputPartition(
 
 private[sources] class BatchReaderFactory(
     required: StructType, conf: SerializableHadoopConf,
-    partCols: Seq[StructField] = Seq.empty)
+    partCols: Seq[StructField] = Seq.empty, rootDir: String = "")
     extends PartitionReaderFactory {
 
   /** `required` minus path-derived partition columns — what the parquet
@@ -782,7 +796,8 @@ private[sources] class BatchReaderFactory(
       new BatchPartitionReader(p.asInstanceOf[BatchInputPartition], required, conf)
     else
       new PartitionedRowReader(
-        p.asInstanceOf[BatchInputPartition], required, fileRequired, partCols, conf)
+        p.asInstanceOf[BatchInputPartition], required, fileRequired, partCols,
+        rootDir, conf)
 
   /** Default data plane is COLUMNAR (ColumnarBatch + codegen'd
     * ColumnarToRow); the row-based reader above stays as the fallback for
@@ -799,7 +814,8 @@ private[sources] class BatchReaderFactory(
         p.asInstanceOf[BatchInputPartition], required, conf)
     else
       new PartitionedColumnarReader(
-        p.asInstanceOf[BatchInputPartition], required, fileRequired, partCols, conf)
+        p.asInstanceOf[BatchInputPartition], required, fileRequired, partCols,
+        rootDir, conf)
 }
 
 /** Executor-side materialization (SURVEY §3.1 stage 10): open each file,

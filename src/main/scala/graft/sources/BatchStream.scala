@@ -60,7 +60,8 @@ import graft.connector.Partitioner
   */
 private[sources] class BatchMicroBatchStream(
     required: StructType, options: CaseInsensitiveStringMap,
-    checkpointLocation: String)
+    checkpointLocation: String,
+    partCols: Seq[org.apache.spark.sql.types.StructField] = Seq.empty)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private val conf: Configuration = BatchSource.hadoopConf()
@@ -223,7 +224,12 @@ private[sources] class BatchMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BatchReaderFactory(required, new SerializableHadoopConf(conf))
+    // partition columns flow through the stream too: without them a
+    // partitioned stage's readers would ask the footer for a column that
+    // lives only in the path
+    new BatchReaderFactory(required, new SerializableHadoopConf(conf),
+      partCols.filter(f => required.fieldNames.contains(f.name)),
+      BatchSource.qualifiedDir(options, conf))
 
   override def stop(): Unit = ()
 }

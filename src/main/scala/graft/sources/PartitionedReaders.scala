@@ -28,11 +28,12 @@ private[sources] object PartitionedReaders {
     * order (files sharing values — one subtree — share one group). */
   def groupHandles(
       handles: Array[BatchSource.BatchHandle],
-      partCols: Seq[StructField]): Seq[(Map[String, Any], Array[BatchSource.BatchHandle])] = {
+      partCols: Seq[StructField],
+      rootDir: String): Seq[(Map[String, Any], Array[BatchSource.BatchHandle])] = {
     val order = mutable.LinkedHashMap
       .empty[Map[String, Any], mutable.ArrayBuffer[BatchSource.BatchHandle]]
     handles.foreach { h =>
-      val vals = Partitions.valuesOf(h.path, partCols)
+      val vals = Partitions.valuesOf(h.path, rootDir, partCols)
       order.getOrElseUpdate(vals, mutable.ArrayBuffer.empty) += h
     }
     order.view.map { case (k, v) => (k, v.toArray) }.toSeq
@@ -51,11 +52,12 @@ private[sources] object PartitionedReaders {
   * file-backed columns; partition columns ride as constant vectors. */
 private[sources] class PartitionedColumnarReader(
     partition: BatchInputPartition, required: StructType,
-    fileRequired: StructType, partCols: Seq[StructField],
+    fileRequired: StructType, partCols: Seq[StructField], rootDir: String,
     conf: SerializableHadoopConf, capacity: Int = 4096)
     extends PartitionReader[ColumnarBatch] {
 
-  private val groups = PartitionedReaders.groupHandles(partition.handles, partCols)
+  private val groups =
+    PartitionedReaders.groupHandles(partition.handles, partCols, rootDir)
   private var groupIdx = 0
   private var inner: ColumnarBatchPartitionReader = _
   private var constants: Seq[ConstantColumnVector] = Seq.empty
@@ -75,6 +77,7 @@ private[sources] class PartitionedColumnarReader(
         case null => vec.setNull()
         case l: java.lang.Long => vec.setLong(l)
         case d: java.lang.Double => vec.setDouble(d)
+        case b: java.lang.Boolean => vec.setBoolean(b)
         case other => vec.setUtf8String(UTF8String.fromString(other.toString))
       }
       consts(f.name) = vec
@@ -119,11 +122,12 @@ private[sources] class PartitionedColumnarReader(
   * `required` order. */
 private[sources] class PartitionedRowReader(
     partition: BatchInputPartition, required: StructType,
-    fileRequired: StructType, partCols: Seq[StructField],
+    fileRequired: StructType, partCols: Seq[StructField], rootDir: String,
     conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
-  private val groups = PartitionedReaders.groupHandles(partition.handles, partCols)
+  private val groups =
+    PartitionedReaders.groupHandles(partition.handles, partCols, rootDir)
   private var groupIdx = 0
   private var inner: BatchPartitionReader = _
   // per required field: file ordinal (≥0) or -(partCol index)-1

@@ -34,10 +34,16 @@ private[sources] object Partitions {
     if (v == null) NullMarker
     else URLEncoder.encode(v.toString, StandardCharsets.UTF_8.name())
 
-  /** Raw `col=value` pairs from a file path's DIRECTORY segments, in path
-    * order. The file name itself never participates. */
-  def parseRaw(path: String): Seq[(String, String)] = {
-    val segs = path.split('/').dropRight(1)
+  /** Raw `col=value` pairs from a file path's DIRECTORY segments BELOW
+    * the table root, in path order. Anchoring at the root matters: an
+    * ancestor directory that happens to contain '=' (/data/run=3/stage)
+    * must not become a phantom partition column — the same reason Spark's
+    * own partition discovery anchors at basePath. The file name itself
+    * never participates. `root` is the canonical (qualified) table dir. */
+  def parseRaw(path: String, root: String): Seq[(String, String)] = {
+    val rel = path.stripPrefix(root).stripPrefix("/")
+    if (rel == path) return Seq.empty // not under root — never parse ancestors
+    val segs = rel.split('/').dropRight(1)
     segs.toIndexedSeq.flatMap { s =>
       val i = s.indexOf('=')
       if (i <= 0 || s.startsWith(".") || s.startsWith("_")) None
@@ -47,13 +53,15 @@ private[sources] object Partitions {
   }
 
   /** Narrowest common type across raw values: every value parses as Long
-    * → LongType; as Double → DoubleType; otherwise StringType (the same
-    * ladder Spark's own partition inference walks, minus dates). */
+    * → LongType; as Double → DoubleType; 'true'/'false' → BooleanType;
+    * otherwise StringType (the ladder Spark's own partition inference
+    * walks, minus dates). */
   def inferType(raws: Iterable[String]): DataType = {
     val present = raws.filterNot(_ == NullMarker)
     if (present.isEmpty) StringType
     else if (present.forall(v => scala.util.Try(v.toLong).isSuccess)) LongType
     else if (present.forall(v => scala.util.Try(v.toDouble).isSuccess)) DoubleType
+    else if (present.forall(v => v == "true" || v == "false")) BooleanType
     else StringType
   }
 
@@ -63,6 +71,7 @@ private[sources] object Partitions {
     else dt match {
       case LongType => java.lang.Long.valueOf(raw.toLong)
       case DoubleType => java.lang.Double.valueOf(raw.toDouble)
+      case BooleanType => java.lang.Boolean.valueOf(raw.toBoolean)
       case _ => raw
     }
 
@@ -72,9 +81,9 @@ private[sources] object Partitions {
     * column always wins — path-derived shadowing would silently change
     * values). Types inferred across all files. */
   def partitionFields(
-      files: Seq[FileStatus], conf: Configuration): Seq[StructField] = {
+      files: Seq[FileStatus], conf: Configuration, root: String): Seq[StructField] = {
     if (files.isEmpty) return Seq.empty
-    val perFile = files.map(f => parseRaw(f.getPath.toString))
+    val perFile = files.map(f => parseRaw(f.getPath.toString, root))
     val common = perFile.map(_.map(_._1).toSet).reduce(_ intersect _)
     if (common.isEmpty) return Seq.empty
     val fileCols = BatchSource.footerSchema(files.head, conf)
@@ -89,8 +98,9 @@ private[sources] object Partitions {
   }
 
   /** Typed partition values of one file, keyed by column name. */
-  def valuesOf(path: String, partCols: Seq[StructField]): Map[String, Any] = {
-    val raw = parseRaw(path).toMap
+  def valuesOf(
+      path: String, root: String, partCols: Seq[StructField]): Map[String, Any] = {
+    val raw = parseRaw(path, root).toMap
     partCols.flatMap(f => raw.get(f.name).map(r =>
       f.name -> castValue(r, f.dataType))).toMap
   }

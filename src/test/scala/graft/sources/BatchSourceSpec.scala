@@ -800,6 +800,71 @@ class BatchSourceSpec extends SparkSpec {
     assert(nNull == expected, s"expected $expected null-partition rows, got $nNull")
   }
 
+  test("partition parsing anchors at the table root — ancestor '=' dirs are not columns") {
+    // a stage living UNDER a directory that happens to contain '=' must
+    // not sprout phantom partition columns (Spark's basePath rule)
+    val ancestor = java.nio.file.Files.createTempDirectory("graft_anchor")
+    val dir = ancestor.resolve("run=3").resolve("stage").toString
+    val docs = Tables.table(spark, sfDir, "documents").select("doc_id", "lang")
+    docs.repartition(2).write.mode("overwrite").parquet(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(!back.columns.contains("run"),
+      s"ancestor 'run=3' leaked into the schema: ${back.columns.toSeq}")
+    assertSameRows(back, docs)
+    // a flat append into the same dir still passes the layout guard
+    docs.limit(5).write.format("graft").mode("append").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == docs.count() + 5)
+    // and a genuinely partitioned stage under the same ancestor works
+    val pdir = ancestor.resolve("run=3").resolve("pstage").toString
+    docs.write.format("graft").option("partition_by", "lang")
+      .mode("overwrite").save(pdir)
+    val pback = spark.read.format("graft").load(pdir)
+    assert(pback.columns.toSeq.sorted == Seq("doc_id", "lang"))
+    assertSameRows(pback.select("doc_id", "lang"), docs)
+  }
+
+  test("hidden-prefix partition_by names are rejected (writes would be invisible)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hiddenpb").toString
+    val e = intercept[IllegalArgumentException] {
+      Tables.table(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang").as("_lang"))
+        .write.format("graft").option("partition_by", "_lang")
+        .mode("overwrite").save(dir)
+    }
+    assert(e.getMessage.contains("hidden"), e.getMessage)
+  }
+
+  test("boolean partition values round-trip their type") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_boolpart").toString
+    Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 2 === 0).as("even"))
+      .write.format("graft").option("partition_by", "even")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(back.schema("even").dataType == org.apache.spark.sql.types.BooleanType)
+    val evens = back.filter(col("even")).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(evens.nonEmpty && evens.forall(_ % 2 == 0))
+  }
+
+  test("micro-batch streaming works over a partitioned stage (partition cols from paths)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = stagePartitioned()
+    val schema = spark.read.format("graft").load(dir).schema
+    val q = spark.readStream.format("graft").schema(schema).load(dir)
+      .groupBy("lang").count()
+      .writeStream.format("memory").queryName("t_part_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("t_part_stream").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Tables.table(spark, sfDir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"streamed per-lang counts $got must equal batch $expected")
+  }
+
   test("native df.write.partitionBy flows through the sink like the partition_by option") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stage_natpb").toString
     val docs = Tables.table(spark, sfDir, "documents").select("doc_id", "lang", "n_chars")
