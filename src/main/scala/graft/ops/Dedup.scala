@@ -147,9 +147,43 @@ object Dedup {
     math.max(1L, math.min(maxParts.toLong,
       (rows + rowsPerTask - 1) / rowsPerTask)).toInt
 
+  /** Exact driver-side union-find (path-halving + union by min) over a
+    * collected undirected edge list: (doc_id, keep_id = component min)
+    * for every endpoint. Used only below the [[connectedComponents]]
+    * size threshold. */
+  private def unionFindLabels(
+      und: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = und.sparkSession
+    import s.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    und.select(col("doc_a"), col("doc_b")).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union by MIN root: the surviving root is the component min
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    parent.keys.toSeq.sorted
+      .map(doc => (doc, find(doc)))
+      .toDF("doc_id", "keep_id")
+  }
+
   /** Connected components over an undirected candidate edge list
     * (`doc_a`, `doc_b`): → (labels `(doc_id, keep_id)` for every endpoint,
-    * rounds taken). keep_id = min doc_id of the component.
+    * rounds taken). keep_id = min doc_id of the component. Small graphs
+    * (≤ `driverMax` undirected rows) resolve exactly on the driver via
+    * [[unionFindLabels]]; everything below describes the distributed
+    * path that takes over beyond the threshold.
     *
     * Min-label propagation (HashMin) PLUS per-round pointer jumping
     * (`keep := keep(keep)`, path doubling): the propagation frontier
@@ -161,7 +195,8 @@ object Dedup {
     * is the convergence count (O(log D) total actions). */
   private[graft] def connectedComponents(
       edges: org.apache.spark.sql.DataFrame,
-      rowsPerTask: Long = 1L << 20): (org.apache.spark.sql.DataFrame, Int) = {
+      rowsPerTask: Long = 1L << 20,
+      driverMax: Long = 1L << 20): (org.apache.spark.sql.DataFrame, Int) = {
     val sc = edges.sparkSession.sparkContext
     // checkpoint BEFORE sizing: the candidate pipeline (the expensive LSH
     // self-join upstream) materializes exactly once; the count and the
@@ -170,6 +205,14 @@ object Dedup {
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(true)
     val nUnd = undCp.count() // sizing action over cached blocks: cheap
+    // SMALL-GRAPH FAST PATH: when the candidate graph fits what one task
+    // would hold anyway (LSH already reduced pairs by orders of magnitude
+    // — the common case), exact union-find on the driver beats any BSP
+    // loop: zero rounds, zero per-round driver actions, one collect of
+    // ≤ driverMax id pairs (~16 MB at the default). The threshold is the
+    // same measured-volume decision the BSP partitioning uses — at a
+    // dirty-corpus 100× the loop below takes over, hash-partitioned.
+    if (nUnd <= driverMax) return (unionFindLabels(undCp), 0)
     val parts = partitionsFor(nUnd, rowsPerTask, sc.defaultParallelism)
     val und = undCp.repartition(parts, col("doc_a")).localCheckpoint(true)
     var labels = und.select(col("doc_a").as("doc_id"))

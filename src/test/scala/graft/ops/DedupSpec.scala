@@ -49,7 +49,9 @@ class DedupSpec extends SparkSpec {
     val diameter = 64
     val edges = (0 until diameter).map(i => (i.toLong, i.toLong + 1))
       .toDF("doc_a", "doc_b")
-    val (labels, rounds) = Dedup.connectedComponents(edges)
+    // driverMax = 0 forces the DISTRIBUTED path (the default would take
+    // the small-graph union-find shortcut and skip the BSP loop entirely)
+    val (labels, rounds) = Dedup.connectedComponents(edges, driverMax = 0)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == diameter + 1)
     got.foreach { case (doc, keep) =>
@@ -60,7 +62,7 @@ class DedupSpec extends SparkSpec {
       s"chain of diameter $diameter took $rounds rounds, expected ≤ $bound")
   }
 
-  test("forest of components resolves each to its own min label") {
+  test("forest of components resolves each to its own min label — both paths agree") {
     import spark.implicits._
     // two chains + a triangle + an isolated edge, interleaved ids
     val edges = Seq(
@@ -69,14 +71,18 @@ class DedupSpec extends SparkSpec {
       (30L, 31L), (31L, 32L), (30L, 32L),          // triangle → min 30
       (40L, 41L)                                   // pair → min 40
     ).toDF("doc_a", "doc_b")
-    val (labels, _) = Dedup.connectedComponents(edges)
-    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expected = Map(
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
       20L -> 20L, 25L -> 20L, 22L -> 20L,
       30L -> 30L, 31L -> 30L, 32L -> 30L,
       40L -> 40L, 41L -> 40L)
-    assert(got == expected)
+    // small-graph driver union-find (the default path for this size)
+    val (fast, fastRounds) = Dedup.connectedComponents(edges)
+    assert(fastRounds == 0, "small graphs must take the zero-round fast path")
+    assert(fast.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
+    // distributed BSP path — identical labels
+    val (bsp, _) = Dedup.connectedComponents(edges, driverMax = 0)
+    assert(bsp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
   }
 
   test("multi-probe embedding near-dup recovers boundary pairs single-probe misses") {
