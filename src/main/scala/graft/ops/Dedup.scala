@@ -292,22 +292,29 @@ object Dedup {
   private[graft] def embeddingMultiprobePairs(
       s: org.apache.spark.sql.SparkSession, d: String,
       nprobe: Int, minCosine: Double): org.apache.spark.sql.DataFrame = {
-    graft.functions.CosineSimilarity.register(s)
+    graft.functions.DotProduct.register(s)
     graft.functions.IvfNearestCells.register(s, IvfCentroids.values, nprobe)
-    val e = Tables.table(s, d, "embeddings").select(
-      col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // norms are computed ONCE per vector (corpus-sized work) so the
+    // pair-sized hot loop is a single dot fold + one division —
+    // `dot/(nrm·nrm)` is bit-identical to the fused cosine (independent
+    // sequential folds either way, same DuckDB twin)
+    val e = Tables.table(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // nrm via the codegen'd self-dot: dot(v,v) IS the x·x fold
+      .withColumn("nrm", sqrt(expr("dot_product(v, v)")))
     val probed = e.withColumn("cell", explode(expr("ivf_cells(v)")))
-      .select("vec_id", "cell", "v")
+      .select("vec_id", "cell", "v", "nrm")
     // score INSIDE the cell join and threshold BEFORE any pair-level
     // shuffle: the only dedup shuffle carries the (tiny) passing pairs —
     // a pair sharing both probe cells is scored twice (cheap codegen'd
     // fold, deterministic → identical rows) and collapsed by the
     // distinct. The alternative (id-distinct first, re-attach vectors
     // after) costs two more corpus-sized joins per query.
-    probed.toDF("vec_a", "cell", "va")
-      .join(probed.toDF("vec_b", "cell", "vb"), Seq("cell"))
+    probed.toDF("vec_a", "cell", "va", "na")
+      .join(probed.toDF("vec_b", "cell", "vb", "nb"), Seq("cell"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", round(expr("cosine_similarity(va, vb)"), 6))
+      .withColumn("cosine",
+        round(expr("dot_product(va, vb)") / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= minCosine)
       .select("vec_a", "vec_b", "cosine")
       .distinct()
