@@ -77,6 +77,8 @@ object CosineSimilarity {
     * float) so `cosine_similarity(embedding, ...)` works directly on the
     * float32 storage type. */
   private[functions] val builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2,
+      s"cosine_similarity expects 2 arguments, got ${exprs.length}")
     val cast = exprs.map(e => Cast(e, ArrayType(DoubleType)))
     CosineSimilarity(cast(0), cast(1))
   }

@@ -69,6 +69,10 @@ object DotProduct {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      exprs => DotProduct(
-        Cast(exprs(0), ArrayType(DoubleType)), Cast(exprs(1), ArrayType(DoubleType))))
+      { exprs =>
+        require(exprs.length == 2,
+          s"dot_product expects 2 arguments, got ${exprs.length}")
+        DotProduct(
+          Cast(exprs(0), ArrayType(DoubleType)), Cast(exprs(1), ArrayType(DoubleType)))
+      })
 }

@@ -148,9 +148,9 @@ object Dedup {
       (rows + rowsPerTask - 1) / rowsPerTask)).toInt
 
   /** Exact driver-side union-find (path-halving + union by min) over a
-    * collected undirected edge list: (doc_id, keep_id = component min)
-    * for every endpoint. Used only below the [[connectedComponents]]
-    * size threshold. */
+    * collected DIRECTED edge list (each undirected edge once): (doc_id,
+    * keep_id = component min) for every endpoint. Used only below the
+    * [[connectedComponents]] size threshold. */
   private def unionFindLabels(
       und: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val s = und.sparkSession
@@ -198,23 +198,31 @@ object Dedup {
       rowsPerTask: Long = 1L << 20,
       driverMax: Long = 1L << 20): (org.apache.spark.sql.DataFrame, Int) = {
     val sc = edges.sparkSession.sparkContext
-    // checkpoint BEFORE sizing: the candidate pipeline (the expensive LSH
-    // self-join upstream) materializes exactly once; the count and the
-    // repartition below both read the checkpointed blocks
-    val undCp = edges.union(
-      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(true)
-    val nUnd = undCp.count() // sizing action over cached blocks: cheap
+    // checkpoint the DIRECTED edges BEFORE sizing: the candidate pipeline
+    // (the expensive LSH self-join upstream) materializes exactly once,
+    // at half the doubled list's size; count and both paths below read
+    // the checkpointed blocks
+    val edgesCp = edges.localCheckpoint(true)
+    val nDir = edgesCp.count() // sizing action over cached blocks: cheap
+    val nUnd = 2 * nDir
     // SMALL-GRAPH FAST PATH: when the candidate graph fits what one task
     // would hold anyway (LSH already reduced pairs by orders of magnitude
     // — the common case), exact union-find on the driver beats any BSP
     // loop: zero rounds, zero per-round driver actions, one collect of
-    // ≤ driverMax id pairs (~16 MB at the default). The threshold is the
-    // same measured-volume decision the BSP partitioning uses — at a
-    // dirty-corpus 100× the loop below takes over, hash-partitioned.
-    if (nUnd <= driverMax) return (unionFindLabels(undCp), 0)
+    // ≤ driverMax/2 DIRECTED id pairs (union-find needs each edge once —
+    // collecting the mirrored copies would double driver transfer for
+    // guaranteed no-op unions). The threshold is the same measured-volume
+    // decision the BSP partitioning uses — at a dirty-corpus 100× the
+    // loop below takes over, hash-partitioned.
+    if (nUnd <= driverMax) return (unionFindLabels(edgesCp), 0)
     val parts = partitionsFor(nUnd, rowsPerTask, sc.defaultParallelism)
-    val und = undCp.repartition(parts, col("doc_a")).localCheckpoint(true)
+    // the loop's working copy: doubled + hash-partitioned, checkpointed so
+    // rounds don't re-shuffle. Peak storage is directed + doubled (3× the
+    // directed list) for the loop's duration — the directed blocks are the
+    // price of never re-running the candidate pipeline.
+    val und = edgesCp.union(
+      edgesCp.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .repartition(parts, col("doc_a")).localCheckpoint(true)
     var labels = und.select(col("doc_a").as("doc_id"))
       .distinct()
       .withColumn("keep_id", col("doc_id"))

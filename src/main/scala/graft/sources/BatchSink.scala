@@ -36,6 +36,11 @@ private[sources] class BatchWriteBuilder(
     require(!c.startsWith(".") && !c.startsWith("_"),
       s"partition_by column '$c' would create hidden '$c=...' directories " +
         "the reader skips")
+    // '=' / '/' in the NAME corrupt the path encoding itself (values are
+    // URL-encoded, names are not): parseRaw would split at the first '='
+    // and reconstruct a phantom column, silently losing this one
+    require(!c.contains("=") && !c.contains("/"),
+      s"partition_by column name '$c' must not contain '=' or '/'")
   }
   require(partitionBy.size < schema.length || partitionBy.isEmpty,
     "partition_by cannot cover every column — data files would be empty")

@@ -54,8 +54,11 @@ private[sources] object Partitions {
 
   /** Narrowest common type across raw values: every value parses as Long
     * → LongType; as Double → DoubleType; 'true'/'false' → BooleanType;
-    * otherwise StringType (the ladder Spark's own partition inference
-    * walks, minus dates). */
+    * otherwise StringType. The boolean rung deliberately diverges from
+    * Spark's own ladder (which leaves 'true' a string): this sink writes
+    * BooleanType partition columns as 'true'/'false', and round-tripping
+    * the writer's own layout to the written type wins over the corner of
+    * a STRING column whose every value happens to be 'true'/'false'. */
   def inferType(raws: Iterable[String]): DataType = {
     val present = raws.filterNot(_ == NullMarker)
     if (present.isEmpty) StringType

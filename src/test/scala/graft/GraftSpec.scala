@@ -35,6 +35,35 @@ class GraftSpec extends SparkSpec {
     assert(cast.count() == df.count())
   }
 
+  test("read applies types_mapper inside the read (test_core.py:106-123)") {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    // the reference's test: read_snowflake(..., arrow_options={"types_mapper":
+    // {float64: float32}}) → result arrives float32, other dtypes untouched
+    val mapped = Graft.read(spark, sfDir,
+      "SELECT c_acctbal, c_custkey FROM customer",
+      typesMapper = { case DoubleType => Some(FloatType); case _ => None })
+    assert(mapped.schema("c_acctbal").dataType == FloatType,
+      "float64 column must arrive as float32")
+    assert(mapped.schema("c_custkey").dataType == LongType,
+      "unmapped columns keep their source type")
+    // values survive the narrowing (the fixture's acctbals fit float32)
+    val orig = Graft.read(spark, sfDir, "SELECT c_acctbal, c_custkey FROM customer")
+      .collect().map(r => r.getLong(1) -> r.getDouble(0).toFloat).toMap
+    mapped.collect().foreach { r =>
+      assert(r.getFloat(0) == orig(r.getLong(1)))
+    }
+    // identity mapping adds no projection: the mapped read's plan has the
+    // same NODE COUNT as the plain read's (a spurious no-op Project would
+    // add one — class equality of two identical reads can't catch that)
+    def nodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case p => p }.length
+    val plain = Graft.read(spark, sfDir, "SELECT c_custkey FROM customer")
+    val identityMapped = Graft.read(spark, sfDir,
+      "SELECT c_custkey FROM customer", typesMapper = _ => None)
+    assert(nodes(identityMapped) == nodes(plain),
+      "an identity types_mapper must not add plan nodes")
+  }
+
   test("npartitions surface (test_core.py:88)") {
     val df = Graft.read(spark, sfDir, "SELECT * FROM region", npartitions = Some(2))
     assert(Graft.npartitions(df) <= 2)

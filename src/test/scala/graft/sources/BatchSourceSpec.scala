@@ -823,7 +823,7 @@ class BatchSourceSpec extends SparkSpec {
     assertSameRows(pback.select("doc_id", "lang"), docs)
   }
 
-  test("hidden-prefix partition_by names are rejected (writes would be invisible)") {
+  test("hidden-prefix and separator-bearing partition_by names are rejected") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hiddenpb").toString
     val e = intercept[IllegalArgumentException] {
       Tables.table(spark, sfDir, "documents")
@@ -832,6 +832,15 @@ class BatchSourceSpec extends SparkSpec {
         .mode("overwrite").save(dir)
     }
     assert(e.getMessage.contains("hidden"), e.getMessage)
+    // '=' in the NAME would corrupt the path encoding (parseRaw splits at
+    // the first '=' and would reconstruct a phantom column)
+    val e2 = intercept[IllegalArgumentException] {
+      Tables.table(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang").as("a=b"))
+        .write.format("graft").option("partition_by", "a=b")
+        .mode("overwrite").save(dir)
+    }
+    assert(e2.getMessage.contains("must not contain"), e2.getMessage)
   }
 
   test("boolean partition values round-trip their type") {
