@@ -223,6 +223,11 @@ object Dedup {
     val und = edgesCp.union(
       edgesCp.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .repartition(parts, col("doc_a")).localCheckpoint(true)
+    // the loop reads only `und` from here — release the directed blocks
+    // (peak storage drops from 3× to 2× the directed list)
+    edgesCp.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
     var labels = und.select(col("doc_a").as("doc_id"))
       .distinct()
       .withColumn("keep_id", col("doc_id"))

@@ -32,13 +32,17 @@ object Vector {
   /** embeddings cast float→double once: (vec_id, label, v, nrm). The cast
     * is a native array Cast (codegen'd, exact for float→double), not a
     * `transform` lambda — HOFs run interpreted and this column feeds every
-    * similarity path's hot loop. */
-  private def vecs(s: org.apache.spark.sql.SparkSession, d: String) =
+    * similarity path's hot loop. nrm is the codegen'd self-dot
+    * (`sqrt(dot_product(v, v))` ≡ the x·x fold the oracle replays),
+    * computed ONCE per vector so the pair-sized scoring loop divides by
+    * precomputed norms instead of refolding both norms per pair. */
+  private def vecs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    graft.functions.DotProduct.register(s)
     Tables.table(s, d, "embeddings").select(
         col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm",
-        sqrt(expr("aggregate(v, CAST(0.0 AS DOUBLE), (s0, x) -> s0 + x * x)")))
+      .withColumn("nrm", sqrt(expr("dot_product(v, v)")))
+  }
 
   private val duckVecs =
     """WITH e AS (
@@ -92,13 +96,17 @@ object Vector {
   }
 
   /** Shared ranking tail for all three search paths: score the candidate
-    * set (qid, qv, cid, cv) with the native expression, keep the top-k per
-    * query with the cid tie-break, emit (qid, rank, cid, cosine). One copy
-    * so k / rounding / tie-break can never desynchronize between paths. */
+    * set (qid, qv, qn, cid, cv, cn) — vectors plus their PRECOMPUTED
+    * norms — keep the top-k per query with the cid tie-break, emit
+    * (qid, rank, cid, cosine). One copy so k / rounding / tie-break can
+    * never desynchronize between paths. `dot/(qn·cn)` is bit-identical to
+    * the fused cosine (independent sequential folds either way) but does
+    * one multiply-add per element of PAIR-sized work instead of three. */
   private def topK(cand: org.apache.spark.sql.DataFrame, k: Int = 5) = {
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
     cand
-      .withColumn("cosine", round(expr("cosine_similarity(qv, cv)"), 6))
+      .withColumn("cosine",
+        round(expr("dot_product(qv, cv)") / (col("qn") * col("cn")), 6))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select("qid", "rank", "cid", "cosine")
@@ -179,19 +187,20 @@ object Vector {
   private[graft] def ivfTopK(
       s: org.apache.spark.sql.SparkSession, d: String,
       cents: Array[Array[Double]], nprobe: Int = 3): org.apache.spark.sql.DataFrame = {
-    graft.functions.CosineSimilarity.register(s)
     graft.functions.IvfNearestCells.register(s, cents, nprobe)
     val base = vecs(s, d)
     val cells = base
       .withColumn("cell", expr("element_at(ivf_cells(v), 1)"))
-      .select(col("vec_id"), col("v"), col("cell"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     val probed = base.filter(col("vec_id") < 5)
       .withColumn("cell", explode(expr("ivf_cells(v)")))
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
-    topK(cells.select(col("vec_id").as("cid"), col("v").as("cv"), col("cell"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    topK(cells.select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cn"), col("cell"))
       .join(broadcast(probed), Seq("cell"))
       .filter(col("cid") =!= col("qid"))
-      .select("qid", "qv", "cid", "cv"))
+      .select("qid", "qv", "qn", "cid", "cv", "cn"))
   }
 
   /** The sample-trained IVF path (the production API): fit the coarse
@@ -262,13 +271,14 @@ object Vector {
     // ---------------------------------------- brute-force cosine top-k
     QueryDef("q_similarity_topk",
       (s, d) => {
-        // native codegen'd expression (graft.functions.CosineSimilarity):
-        // one fused pass per pair, bit-identical to the fold the oracle runs
-        graft.functions.CosineSimilarity.register(s)
+        // norms precomputed once per vector in [[vecs]]; the n×q pair loop
+        // is then the codegen'd dot fold + a division, bit-identical to
+        // the dot/(nrm·nrm) the oracle runs
         val e = vecs(s, d)
         val q = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("v").as("qv"))
-        val c = e.select(col("vec_id").as("cid"), col("v").as("cv"))
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        val c = e.select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("nrm").as("cn"))
         topK(c.join(broadcast(q), col("cid") =!= col("qid")))
       },
       Some(s"""$duckVecs, scored AS (
@@ -289,7 +299,6 @@ object Vector {
     // band with the query — the recall/cost dial is (Planes, BandBits)
     QueryDef("q_similarity_lsh",
       (s, d) => {
-        graft.functions.CosineSimilarity.register(s)
         graft.functions.LshBands.register(s, planeMatrix, BandBits)
         val base = vecs(s, d)
         // candidate generation carries ONLY ids through the band join and
@@ -310,11 +319,12 @@ object Vector {
         // re-attach vectors AFTER dedup: deduped pairs + query vectors are
         // both small → broadcast, so the corpus side again streams once
         val qv = base.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("v").as("qv"))
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
         val pairs = ids.join(broadcast(qv), Seq("qid"))
-        topK(base.select(col("vec_id").as("cid"), col("v").as("cv"))
+        topK(base.select(col("vec_id").as("cid"), col("v").as("cv"),
+            col("nrm").as("cn"))
           .join(broadcast(pairs), Seq("cid"))
-          .select("qid", "qv", "cid", "cv"))
+          .select("qid", "qv", "qn", "cid", "cv", "cn"))
       },
       Some {
         val duckBands = bandExprs(i => s"sig[$i]").mkString("[", ", ", "]")
