@@ -639,17 +639,21 @@ object Dedup {
     // element order in both engines → bit-identical doubles.
     QueryDef("q_dedup_embedding",
       (s, d) => {
-        // codegen'd native expression; numerically identical to the
-        // aggregate/zip_with folds the DuckDB oracle replays
-        graft.functions.CosineSimilarity.register(s)
+        // norms once per vector (codegen'd self-dot), dot once per pair —
+        // numerically identical to the folds the DuckDB oracle replays
+        graft.functions.DotProduct.register(s)
         val e = Tables.table(s, d, "embeddings").select(
-          col("vec_id"), col("label"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        val a = e.select(col("vec_id").as("vec_a"), col("label"), col("v").as("va"))
-        val b = e.select(col("vec_id").as("vec_b"), col("label"), col("v").as("vb"))
+            col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", sqrt(expr("dot_product(v, v)")))
+        val a = e.select(col("vec_id").as("vec_a"), col("label"),
+          col("v").as("va"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("vec_b"), col("label"),
+          col("v").as("vb"), col("nrm").as("nb"))
         a.join(b, Seq("label"))
           .filter(col("vec_a") < col("vec_b"))
-          .withColumn("cosine", round(expr("cosine_similarity(va, vb)"), 6))
+          .withColumn("cosine",
+            round(expr("dot_product(va, vb)") / (col("na") * col("nb")), 6))
           .filter(col("cosine") >= 0.45)
           .select("vec_a", "vec_b", "cosine")
           .orderBy("vec_a", "vec_b")

@@ -23,8 +23,10 @@ import graft.warehouse.Tables
   *     products). Hyperplane coefficients are a fixed integer-arithmetic
   *     formula so both engines derive bit-identical planes.
   *
-  * Dot products / norms use sequential left folds over the array in both
-  * engines (Spark `aggregate`, DuckDB `list_reduce`) → bit-identical
+  * Dot products / norms are sequential left folds in element order in
+  * both engines (the codegen'd [[graft.functions.DotProduct]] on the
+  * Spark side — norms once per VECTOR via the self-dot, dot once per
+  * PAIR — DuckDB `list_reduce` on the oracle side) → bit-identical
   * doubles; outputs are additionally rounded to 6 digits.
   */
 object Vector {
