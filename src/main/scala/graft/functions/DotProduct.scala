@@ -63,16 +63,18 @@ case class DotProduct(left: Expression, right: Expression)
 
 object DotProduct {
 
+  private[functions] val builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2,
+      s"dot_product expects 2 arguments, got ${exprs.length}")
+    DotProduct(
+      Cast(exprs(0), ArrayType(DoubleType)), Cast(exprs(1), ArrayType(DoubleType)))
+  }
+
   /** Register `dot_product` on an already-built session (idempotent);
     * numeric-array inputs are cast to array<double> (exact for float). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      { exprs =>
-        require(exprs.length == 2,
-          s"dot_product expects 2 arguments, got ${exprs.length}")
-        DotProduct(
-          Cast(exprs(0), ArrayType(DoubleType)), Cast(exprs(1), ArrayType(DoubleType)))
-      })
+      builder)
 }

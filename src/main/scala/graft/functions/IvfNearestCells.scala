@@ -135,7 +135,10 @@ object IvfNearestCells {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("ivf_cells"),
       new ExpressionInfo(classOf[IvfNearestCells].getName, "ivf_cells"),
-      exprs => IvfNearestCells(
-        Cast(exprs.head, ArrayType(DoubleType)), centSeq, nprobe))
+      { exprs =>
+        require(exprs.length == 1,
+          s"ivf_cells expects 1 argument, got ${exprs.length}")
+        IvfNearestCells(Cast(exprs.head, ArrayType(DoubleType)), centSeq, nprobe)
+      })
   }
 }

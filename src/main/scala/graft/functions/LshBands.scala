@@ -103,7 +103,10 @@ object LshBands {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("lsh_bands"),
       new ExpressionInfo(classOf[LshBands].getName, "lsh_bands"),
-      exprs => LshBands(
-        Cast(exprs.head, ArrayType(DoubleType)), planeSeq, bandBits))
+      { exprs =>
+        require(exprs.length == 1,
+          s"lsh_bands expects 1 argument, got ${exprs.length}")
+        LshBands(Cast(exprs.head, ArrayType(DoubleType)), planeSeq, bandBits)
+      })
   }
 }

@@ -103,5 +103,9 @@ object MinHashSig {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      exprs => MinHashSig(exprs.head, a, b, p))
+      { exprs =>
+        require(exprs.length == 1,
+          s"minhash_sig expects 1 argument, got ${exprs.length}")
+        MinHashSig(exprs.head, a, b, p)
+      })
 }

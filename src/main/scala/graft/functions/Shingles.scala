@@ -63,5 +63,9 @@ object Shingles3 {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("shingles3"),
       new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
-      exprs => Shingles3(exprs.head))
+      { exprs =>
+        require(exprs.length == 1,
+          s"shingles3 expects 1 argument, got ${exprs.length}")
+        Shingles3(exprs.head)
+      })
 }

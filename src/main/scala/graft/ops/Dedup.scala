@@ -147,6 +147,14 @@ object Dedup {
     math.max(1L, math.min(maxParts.toLong,
       (rows + rowsPerTask - 1) / rowsPerTask)).toInt
 
+  /** Unpersist the RDD blocks behind an eager localCheckpoint'd frame —
+    * Dataset.unpersist only drops CacheManager entries, not the
+    * checkpoint RDD, which otherwise lingers until GC. */
+  private def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
+
   /** Exact driver-side union-find (path-halving + union by min) over a
     * collected DIRECTED edge list (each undirected edge once): (doc_id,
     * keep_id = component min) for every endpoint. Used only below the
@@ -214,7 +222,11 @@ object Dedup {
     // guaranteed no-op unions). The threshold is the same measured-volume
     // decision the BSP partitioning uses — at a dirty-corpus 100× the
     // loop below takes over, hash-partitioned.
-    if (nUnd <= driverMax) return (unionFindLabels(edgesCp), 0)
+    if (nUnd <= driverMax) {
+      val labels = unionFindLabels(edgesCp) // built from driver data
+      releaseCheckpoint(edgesCp)
+      return (labels, 0)
+    }
     val parts = partitionsFor(nUnd, rowsPerTask, sc.defaultParallelism)
     // the loop's working copy: doubled + hash-partitioned, checkpointed so
     // rounds don't re-shuffle. Peak storage is directed + doubled (3× the
@@ -225,9 +237,7 @@ object Dedup {
       .repartition(parts, col("doc_a")).localCheckpoint(true)
     // the loop reads only `und` from here — release the directed blocks
     // (peak storage drops from 3× to 2× the directed list)
-    edgesCp.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.foreach(_.unpersist(false))
+    releaseCheckpoint(edgesCp)
     var labels = und.select(col("doc_a").as("doc_id"))
       .distinct()
       .withColumn("keep_id", col("doc_id"))
@@ -235,6 +245,7 @@ object Dedup {
       .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
+    var prevRound: Option[org.apache.spark.sql.DataFrame] = None
     // ADAPTIVE path doubling: near-dup components are shallow in practice
     // (a pair or a small clique → 1-2 HashMin rounds), so the first
     // `JumpAfter` rounds run plain HashMin at one checkpoint+action each —
@@ -270,6 +281,13 @@ object Dedup {
           .repartition(parts, col("doc_id"))
           .localCheckpoint(true)
       changed = next.filter(col("next_keep") < col("keep_id")).count()
+      // `next` is materialized — round N-1's blocks (and the jump round's
+      // hashMin intermediate) are no longer read by anything: release
+      // them so executor storage holds O(1) label-table copies, not
+      // O(rounds)
+      prevRound.foreach(releaseCheckpoint)
+      if (useJump) releaseCheckpoint(hashMin)
+      prevRound = Some(if (useJump) next else hashMin)
       labels = next.select(col("doc_id"), col("next_keep").as("keep_id"))
       rounds += 1
     }
@@ -305,16 +323,14 @@ object Dedup {
   private[graft] def embeddingMultiprobePairs(
       s: org.apache.spark.sql.SparkSession, d: String,
       nprobe: Int, minCosine: Double): org.apache.spark.sql.DataFrame = {
-    graft.functions.DotProduct.register(s)
     graft.functions.IvfNearestCells.register(s, IvfCentroids.values, nprobe)
-    // norms are computed ONCE per vector (corpus-sized work) so the
-    // pair-sized hot loop is a single dot fold + one division —
-    // `dot/(nrm·nrm)` is bit-identical to the fused cosine (independent
-    // sequential folds either way, same DuckDB twin)
-    val e = Tables.table(s, d, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      // nrm via the codegen'd self-dot: dot(v,v) IS the x·x fold
-      .withColumn("nrm", sqrt(expr("dot_product(v, v)")))
+    // norms are computed ONCE per vector (corpus-sized work) by the
+    // SHARED [[Vector.vecs]] projection (one copy of the cast+norm
+    // formula for every similarity/dedup key — the oracle twins depend
+    // on them all staying identical), so the pair-sized hot loop is a
+    // single dot fold + one division — `dot/(nrm·nrm)` is bit-identical
+    // to the fused cosine (independent sequential folds either way)
+    val e = Vector.vecs(s, d)
     val probed = e.withColumn("cell", explode(expr("ivf_cells(v)")))
       .select("vec_id", "cell", "v", "nrm")
     // score INSIDE the cell join and threshold BEFORE any pair-level
@@ -640,12 +656,9 @@ object Dedup {
     QueryDef("q_dedup_embedding",
       (s, d) => {
         // norms once per vector (codegen'd self-dot), dot once per pair —
-        // numerically identical to the folds the DuckDB oracle replays
-        graft.functions.DotProduct.register(s)
-        val e = Tables.table(s, d, "embeddings").select(
-            col("vec_id"), col("label"),
-            col("embedding").cast("array<double>").as("v"))
-          .withColumn("nrm", sqrt(expr("dot_product(v, v)")))
+        // numerically identical to the folds the DuckDB oracle replays;
+        // the cast+norm projection is the shared [[Vector.vecs]]
+        val e = Vector.vecs(s, d)
         val a = e.select(col("vec_id").as("vec_a"), col("label"),
           col("v").as("va"), col("nrm").as("na"))
         val b = e.select(col("vec_id").as("vec_b"), col("label"),

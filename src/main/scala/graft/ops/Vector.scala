@@ -38,7 +38,7 @@ object Vector {
     * (`sqrt(dot_product(v, v))` ≡ the x·x fold the oracle replays),
     * computed ONCE per vector so the pair-sized scoring loop divides by
     * precomputed norms instead of refolding both norms per pair. */
-  private def vecs(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[ops] def vecs(s: org.apache.spark.sql.SparkSession, d: String) = {
     graft.functions.DotProduct.register(s)
     Tables.table(s, d, "embeddings").select(
         col("vec_id"), col("label"),
