@@ -874,6 +874,27 @@ class BatchSourceSpec extends SparkSpec {
       s"streamed per-lang counts $got must equal batch $expected")
   }
 
+  test("a partition filter on a STREAMING read is enforced (not silently absorbed)") {
+    import org.apache.spark.sql.streaming.Trigger
+    // Spark's filter pushdown does not run for streaming scans, so the
+    // filter must stay a row-level Filter over the stream — this pins
+    // that an absorbed-on-batch partition filter is never LOST on the
+    // streaming path (it isn't absorbed there at all)
+    val dir = stagePartitioned()
+    val schema = spark.read.format("graft").load(dir).schema
+    val q = spark.readStream.format("graft").schema(schema).load(dir)
+      .filter(col("lang") === "en")
+      .groupBy("lang").count()
+      .writeStream.format("memory").queryName("t_stream_pfilter")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("t_stream_pfilter").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Tables.table(spark, sfDir, "documents")
+      .filter(col("lang") === "en").count()
+    assert(rows == Map("en" -> expected), s"streamed $rows, expected en -> $expected")
+  }
+
   test("native df.write.partitionBy flows through the sink like the partition_by option") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stage_natpb").toString
     val docs = Tables.table(spark, sfDir, "documents").select("doc_id", "lang", "n_chars")
