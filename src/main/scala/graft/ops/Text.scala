@@ -203,6 +203,35 @@ object Text {
               |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------------------------ quality signals
+    // the other two heuristics of the classic quality triple (length /
+    // punct / stopword): punctuation density over characters and stopword
+    // density over tokens. Per-row map over the scan, zero shuffle;
+    // floor-scaled integers for engine-exact parity (see q_text_quality).
+    QueryDef("q_text_quality_signals",
+      (s, d) => {
+        val nTok = size(toks).cast(DoubleType)
+        val nChars = length(col("text")).cast(DoubleType)
+        val nPunct = nChars - length(
+          regexp_replace(col("text"), "[.,!?;:]", "")).cast(DoubleType)
+        val nStop = size(expr(
+          "filter(split(text, ' '), t -> t IN ('the','a','an','and','or','of','to','in','is','it'))"))
+          .cast(DoubleType)
+        Tables.table(s, d, "documents").select(
+            col("doc_id"),
+            floor(nPunct / nChars * 1e6).cast(LongType).as("punct_ratio_e6"),
+            floor(nStop / nTok * 1e6).cast(LongType).as("stopword_ratio_e6"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(floor((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+             |    / length(text)::DOUBLE * 1000000.0) AS BIGINT) AS punct_ratio_e6,
+             |  CAST(floor(len(list_filter(string_split(text, ' '),
+             |      t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+             |    / len(string_split(text, ' '))::DOUBLE * 1000000.0) AS BIGINT)
+             |    AS stopword_ratio_e6
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------------------ stratified sampling
     // per-language admission quotas — the corpus-BALANCING primitive
     // (down-sample the dominant language, keep low-resource ones whole).
