@@ -421,16 +421,38 @@ object Dedup {
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------ exact dedup
-    // hash-groupBy on a normalized content key; survivor = min doc_id
-    // (deterministic, unlike dropDuplicates' arbitrary winner)
+    // hash-groupBy on the FULL-CONTENT md5 digest; survivor = min doc_id
+    // (deterministic, unlike dropDuplicates' arbitrary winner). The key is
+    // a 32-char digest, not the document itself, so the one shuffle carries
+    // 32 bytes + two longs per group at any document size — the 100 TB
+    // shape for exact dedup. (An earlier revision keyed on a 50-char text
+    // prefix, which is normalized-key dedup, not exact dedup: two docs
+    // differing only after char 50 were merged.)
     QueryDef("q_dedup_exact",
       (s, d) => Tables.table(s, d, "documents")
-        .groupBy(substring(col("text"), 1, 50).as("content_key"))
+        .groupBy(md5(col("text").cast(BinaryType)).as("content_key"))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
         .select("keep_id", "n_dups")
         .orderBy("keep_id"),
       Some("""SELECT min(doc_id) AS keep_id, CAST(count(1) AS BIGINT) AS n_dups
-             |FROM documents GROUP BY substr(text, 1, 50)
+             |FROM documents GROUP BY md5(text)
+             |ORDER BY keep_id""".stripMargin)),
+
+    // ------------------------------------------------ normalized-key dedup
+    // the prefix-key variant kept as its own operator: dedup on a
+    // normalization of the content (here: first 50 chars, lowercased,
+    // whitespace-squeezed) — the "fuzzy exact" gate real curation
+    // pipelines run BEFORE MinHash. Same one-shuffle hash-groupBy shape.
+    QueryDef("q_dedup_normalized",
+      (s, d) => Tables.table(s, d, "documents")
+        .groupBy(lower(regexp_replace(substring(col("text"), 1, 50),
+          "\\s+", " ")).as("content_key"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        .select("keep_id", "n_dups")
+        .orderBy("keep_id"),
+      Some("""SELECT min(doc_id) AS keep_id, CAST(count(1) AS BIGINT) AS n_dups
+             |FROM documents
+             |GROUP BY lower(regexp_replace(substr(text, 1, 50), '\s+', ' ', 'g'))
              |ORDER BY keep_id""".stripMargin)),
 
     // ------------------------------------------------ MinHash sketch agg
