@@ -42,6 +42,64 @@ object Dedup {
     * within these and never pay the self-join). */
   private val JumpAfter = 2
 
+  /** Hot-bucket guards for candidate generation. A bucket self-join emits
+    * O(|bucket|²) pairs, so ONE band value shared by 100k boilerplate docs
+    * emits 5·10⁹ pairs from a single bucket — AQE can split the input
+    * partition but cannot shrink quadratic OUTPUT. [[subSalt]] bounds it:
+    * every bucket larger than the cap is split into ceil(n/cap)
+    * deterministic sub-buckets, so pair output per bucket drops from n²/2
+    * to ≤ n·cap/2 — LINEAR in bucket size. Recall tradeoff (documented,
+    * spec'd in DedupSpec): within an oversized bucket a pair is compared
+    * only if both ids land in the same sub-bucket (~1/S chance, S =
+    * ceil(n/cap)); a genuine near-dup pair usually shares several of the
+    * [[Bands]] band values (and both multiprobe cells), each an
+    * independent chance, and a bucket past the cap is near-always a
+    * boilerplate band whose pairs are false positives. Buckets ≤ cap get
+    * salt ≡ 0 — the guard provably changes NOTHING until a bucket
+    * overflows (sf0.1 maxima: band bucket 12, label cell 218, probe cell
+    * 571 — all under their caps, so the oracle keys' outputs are
+    * unchanged; the DuckDB twins still replay the salt formula exactly). */
+  private[graft] val MaxBand = 64
+  private[graft] val MaxCell = 1024
+
+  /** Attach the sub-salt column `__salt` to a bucketed table: per-bucket
+    * count (map-side-combinable aggregate — a hot bucket collapses to one
+    * row before the shuffle) joined back on the bucket key, then
+    * `salt = md5i(id) % ceil(count/cap)` — engine-portable (the DuckDB
+    * twins replay the identical formula) and deterministic (no RNG). No
+    * window/sort: a row_number cap would sort each bucket inside ONE task
+    * (windows can't split a partition key) — the very skew being guarded. */
+  private[graft] def subSalt(
+      df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+      idCol: String, cap: Int): org.apache.spark.sql.DataFrame = {
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__bn"))
+    df.join(counts, keyCols)
+      .withColumn("__salt",
+        expr(s"${Text.md5i(s"CAST($idCol AS STRING)")} % ((__bn + ${cap - 1}) DIV $cap)"))
+      .drop("__bn")
+  }
+
+  /** Distinct candidate pairs (doc_a < doc_b) from a salted bucket table:
+    * self-join on (bucket key, sub-salt). */
+  private def saltedPairJoin(
+      salted: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val l = salted.withColumnRenamed("doc_id", "doc_a")
+    val r = salted.withColumnRenamed("doc_id", "doc_b")
+    l.join(r, keyCols :+ "__salt")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** Guarded candidate generation from an arbitrary (doc_id, band_idx,
+    * band_val) table — the unit DedupSpec's adversarial fixture drives
+    * directly with a small cap. */
+  private[graft] def candidatesFromBands(
+      bands: org.apache.spark.sql.DataFrame, cap: Int): org.apache.spark.sql.DataFrame =
+    saltedPairJoin(subSalt(bands, Seq("band_idx", "band_val"), "doc_id", cap),
+      Seq("band_idx", "band_val"))
+
   // ---- Spark-dialect expression fragments --------------------------------
 
   // ---- DuckDB-dialect twins ---------------------------------------------
@@ -59,7 +117,10 @@ object Dedup {
       s"list_min(list_transform(hs, h -> ($a * h + $b) % $P))"
     }.mkString("[", ", ", "]")
 
-  /** Common CTE prefix computing per-doc band buckets in DuckDB. */
+  /** Common CTE prefix computing per-doc band buckets in DuckDB —
+    * including the [[subSalt]] hot-bucket guard (count-join + the exact
+    * md5-salt formula), so the oracle replays the guarded pipeline
+    * step-for-step. */
   private def duckBandsCte: String =
     s"""WITH tk_t AS (
        |  SELECT doc_id, string_split(text,' ') AS tk FROM documents
@@ -69,10 +130,18 @@ object Dedup {
        |  SELECT doc_id, $hashesDuck AS hs FROM sh_t
        |), mh_t AS (
        |  SELECT doc_id, $minhashDuck AS mh FROM hs_t
-       |), bands AS (
+       |), bands_raw AS (
        |  SELECT doc_id, band_idx,
        |    mh[2*band_idx + 1] * $P + mh[2*band_idx + 2] AS band_val
        |  FROM mh_t, (SELECT unnest(generate_series(0, ${Bands - 1})) AS band_idx)
+       |), bsz AS (
+       |  SELECT band_idx, band_val, count(*) AS bn
+       |  FROM bands_raw GROUP BY band_idx, band_val
+       |), bands AS (
+       |  SELECT doc_id, band_idx, band_val,
+       |    ${Text.md5iDuck("CAST(doc_id AS VARCHAR)")}
+       |      % ((bn + ${MaxBand - 1}) // $MaxBand) AS salt
+       |  FROM bands_raw JOIN bsz USING (band_idx, band_val)
        |)""".stripMargin
 
   /** Spark-side per-doc minhash signatures: (doc_id, mh: array of 8) via
@@ -97,26 +166,23 @@ object Dedup {
       .select(col("doc_id"), col("b.band_idx"), col("b.band_val"))
   }
 
-  /** Spark-side distinct LSH candidate pairs (doc_a < doc_b). The band
-    * table is persisted so the self-join's two sides don't re-run the
-    * shingle+md5 pipeline (tiny: ~4 rows/doc); the persist is shared via
-    * [[graft.CacheRegistry]] across the three keys that build candidates
-    * (minhash/ngram/levenshtein) and released by the mains — a bare
-    * per-invocation persist() leaked one copy per key per run. */
+  /** Spark-side distinct LSH candidate pairs (doc_a < doc_b), hot-bucket
+    * guarded ([[subSalt]] with [[MaxBand]]). The SALTED band table is
+    * persisted so the self-join's two sides don't re-run the shingle+md5
+    * pipeline or the count-join (tiny: ~4 rows/doc); the persist is shared
+    * via [[graft.CacheRegistry]] across the three keys that build
+    * candidates (minhash/ngram/levenshtein) and released by the mains — a
+    * bare per-invocation persist() leaked one copy per key per run. */
   private def sparkCandidates(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val bands = graft.CacheRegistry.getOrPersist("dedup_bands", d, sparkBands(s, d))
-    val l = bands.toDF("doc_a", "band_idx", "band_val")
-    val r = bands.toDF("doc_b", "band_idx", "band_val")
-    l.join(r, Seq("band_idx", "band_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
+    val salted = graft.CacheRegistry.getOrPersist("dedup_bands", d,
+      subSalt(sparkBands(s, d), Seq("band_idx", "band_val"), "doc_id", MaxBand))
+    saltedPairJoin(salted, Seq("band_idx", "band_val"))
   }
 
   private val duckCandidates =
     s"""$duckBandsCte
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a JOIN bands b USING (band_idx, band_val)
+       |FROM bands a JOIN bands b USING (band_idx, band_val, salt)
        |WHERE a.doc_id < b.doc_id""".stripMargin
 
   /** HashMin connected components over the LSH candidate graph:
@@ -331,16 +397,23 @@ object Dedup {
     // single dot fold + one division — `dot/(nrm·nrm)` is bit-identical
     // to the fused cosine (independent sequential folds either way)
     val e = Vector.vecs(s, d)
-    val probed = e.withColumn("cell", explode(expr("ivf_cells(v)")))
-      .select("vec_id", "cell", "v", "nrm")
+    // hot-CELL guard: same [[subSalt]] as the band path — a cell holding
+    // more than [[MaxCell]] vectors is split into deterministic
+    // sub-cells, so pair output per cell is ≤ n·MaxCell/2, not n²/2
+    val probed = subSalt(
+      e.withColumn("cell", explode(expr("ivf_cells(v)")))
+        .select("vec_id", "cell", "v", "nrm"),
+      Seq("cell"), "vec_id", MaxCell)
+      .select("vec_id", "cell", "__salt", "v", "nrm")
     // score INSIDE the cell join and threshold BEFORE any pair-level
     // shuffle: the only dedup shuffle carries the (tiny) passing pairs —
     // a pair sharing both probe cells is scored twice (cheap codegen'd
     // fold, deterministic → identical rows) and collapsed by the
     // distinct. The alternative (id-distinct first, re-attach vectors
     // after) costs two more corpus-sized joins per query.
-    probed.toDF("vec_a", "cell", "va", "na")
-      .join(probed.toDF("vec_b", "cell", "vb", "nb"), Seq("cell"))
+    probed.toDF("vec_a", "cell", "__salt", "va", "na")
+      .join(probed.toDF("vec_b", "cell", "__salt", "vb", "nb"),
+        Seq("cell", "__salt"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cosine",
         round(expr("dot_product(va, vb)") / (col("na") * col("nb")), 6))
@@ -375,11 +448,18 @@ object Dedup {
        |  SELECT vec_id, cell,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rk
        |  FROM dists
-       |), probed AS (
+       |), probed_raw AS (
        |  SELECT vec_id, cell FROM cellranks WHERE rk <= $nprobe
+       |), csz AS (
+       |  SELECT cell, count(*) AS cn FROM probed_raw GROUP BY cell
+       |), probed AS (
+       |  SELECT vec_id, cell,
+       |    ${Text.md5iDuck("CAST(vec_id AS VARCHAR)")}
+       |      % ((cn + ${MaxCell - 1}) // $MaxCell) AS salt
+       |  FROM probed_raw JOIN csz USING (cell)
        |), cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM probed a JOIN probed b USING (cell)
+       |  FROM probed a JOIN probed b USING (cell, salt)
        |  WHERE a.vec_id < b.vec_id
        |), n AS (
        |  SELECT vec_id, v,
@@ -406,7 +486,7 @@ object Dedup {
   private def duckWalkCte: String =
     s"""${duckBandsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")}, cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b USING (band_idx, band_val)
+       |  FROM bands a JOIN bands b USING (band_idx, band_val, salt)
        |  WHERE a.doc_id < b.doc_id
        |), und AS (
        |  SELECT doc_a AS a, doc_b AS b FROM cand
@@ -427,7 +507,11 @@ object Dedup {
     // 32 bytes + two longs per group at any document size — the 100 TB
     // shape for exact dedup. (An earlier revision keyed on a 50-char text
     // prefix, which is normalized-key dedup, not exact dedup: two docs
-    // differing only after char 50 were merged.)
+    // differing only after char 50 were merged.) Caveat: md5 is
+    // collision-broken, so "exact" is exact-up-to-digest-collision — two
+    // CRAFTED distinct documents with equal digests would merge silently;
+    // for adversarial inputs swap in sha2(text, 256) (also in DuckDB) at
+    // 2× key width.
     QueryDef("q_dedup_exact",
       (s, d) => Tables.table(s, d, "documents")
         .groupBy(md5(col("text").cast(BinaryType)).as("content_key"))
@@ -443,16 +527,20 @@ object Dedup {
     // normalization of the content (here: first 50 chars, lowercased,
     // whitespace-squeezed) — the "fuzzy exact" gate real curation
     // pipelines run BEFORE MinHash. Same one-shuffle hash-groupBy shape.
+    // The whitespace set is an EXPLICIT char class, not `\s`: Java's `\s`
+    // matches vertical tab (U+000B) while DuckDB's RE2 `\s` does not, so
+    // a doc with a VT in its first 50 chars would normalize differently
+    // per engine — identical-by-construction beats passes-on-this-corpus.
     QueryDef("q_dedup_normalized",
       (s, d) => Tables.table(s, d, "documents")
         .groupBy(lower(regexp_replace(substring(col("text"), 1, 50),
-          "\\s+", " ")).as("content_key"))
+          "[ \\t\\n\\r\\f\\x0b]+", " ")).as("content_key"))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
         .select("keep_id", "n_dups")
         .orderBy("keep_id"),
       Some("""SELECT min(doc_id) AS keep_id, CAST(count(1) AS BIGINT) AS n_dups
              |FROM documents
-             |GROUP BY lower(regexp_replace(substr(text, 1, 50), '\s+', ' ', 'g'))
+             |GROUP BY lower(regexp_replace(substr(text, 1, 50), '[ \t\n\r\f\x0b]+', ' ', 'g'))
              |ORDER BY keep_id""".stripMargin)),
 
     // ------------------------------------------------ MinHash sketch agg
@@ -591,7 +679,7 @@ object Dedup {
       },
       Some(s"""$duckBandsCte, cand AS (
               |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |  FROM bands a JOIN bands b USING (band_idx, band_val)
+              |  FROM bands a JOIN bands b USING (band_idx, band_val, salt)
               |  WHERE a.doc_id < b.doc_id
               |)
               |SELECT doc_a, doc_b,
@@ -621,7 +709,7 @@ object Dedup {
       },
       Some(s"""$duckBandsCte, cand AS (
               |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |  FROM bands a JOIN bands b USING (band_idx, band_val)
+              |  FROM bands a JOIN bands b USING (band_idx, band_val, salt)
               |  WHERE a.doc_id < b.doc_id
               |)
               |SELECT doc_a, doc_b,
@@ -679,13 +767,16 @@ object Dedup {
       (s, d) => {
         // norms once per vector (codegen'd self-dot), dot once per pair —
         // numerically identical to the folds the DuckDB oracle replays;
-        // the cast+norm projection is the shared [[Vector.vecs]]
-        val e = Vector.vecs(s, d)
-        val a = e.select(col("vec_id").as("vec_a"), col("label"),
+        // the cast+norm projection is the shared [[Vector.vecs]]. The
+        // label cells get the same [[subSalt]] hot-cell guard as the
+        // multiprobe path: at 100 TB a label cell is corpus-fraction-sized
+        // and its self-join otherwise emits quadratic pairs.
+        val e = subSalt(Vector.vecs(s, d), Seq("label"), "vec_id", MaxCell)
+        val a = e.select(col("vec_id").as("vec_a"), col("label"), col("__salt"),
           col("v").as("va"), col("nrm").as("na"))
-        val b = e.select(col("vec_id").as("vec_b"), col("label"),
+        val b = e.select(col("vec_id").as("vec_b"), col("label"), col("__salt"),
           col("v").as("vb"), col("nrm").as("nb"))
-        a.join(b, Seq("label"))
+        a.join(b, Seq("label", "__salt"))
           .filter(col("vec_a") < col("vec_b"))
           .withColumn("cosine",
             round(expr("dot_product(va, vb)") / (col("na") * col("nb")), 6))
@@ -693,7 +784,7 @@ object Dedup {
           .select("vec_a", "vec_b", "cosine")
           .orderBy("vec_a", "vec_b")
       },
-      Some("""WITH e AS (
+      Some(s"""WITH e AS (
              |  SELECT vec_id, label,
              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              |  FROM embeddings
@@ -702,6 +793,13 @@ object Dedup {
              |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              |      list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
              |  FROM e
+             |), csz AS (
+             |  SELECT label, count(*) AS cn FROM n GROUP BY label
+             |), ns AS (
+             |  SELECT n.vec_id, n.label, n.v, n.nrm,
+             |    ${Text.md5iDuck("CAST(vec_id AS VARCHAR)")}
+             |      % ((cn + ${MaxCell - 1}) // $MaxCell) AS salt
+             |  FROM n JOIN csz USING (label)
              |)
              |, pairs AS (
              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -709,7 +807,8 @@ object Dedup {
              |        list_transform(generate_series(1, len(a.v)),
              |          i -> a.v[i] * b.v[i])), (s0, x) -> s0 + x)
              |      / (a.nrm * b.nrm), 6) AS cosine
-             |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+             |  FROM ns a JOIN ns b
+             |    ON a.label = b.label AND a.salt = b.salt AND a.vec_id < b.vec_id
              |)
              |SELECT vec_a, vec_b, cosine FROM pairs
              |WHERE cosine >= 0.45

@@ -99,6 +99,63 @@ class DedupSpec extends SparkSpec {
         "(both vectors above the cosine threshold but in different primary cells)")
   }
 
+  test("hot-bucket guard: adversarial single-band bucket emits O(K·n), not O(n²), pairs") {
+    import spark.implicits._
+    // 5k docs all sharing ONE band value — the boilerplate-band nightmare.
+    // Unguarded self-join output: n(n-1)/2 ≈ 12.5M pairs from one bucket.
+    val n = 5000
+    val cap = 16
+    val bands = (0 until n).map(i => (i.toLong, 0, 1L))
+      .toDF("doc_id", "band_idx", "band_val")
+    val got = Dedup.candidatesFromBands(bands, cap).count()
+    assert(got > 0, "sub-salting must still compare docs inside sub-buckets")
+    // uniform-hash sub-buckets of ~cap docs → ~n·cap/2 pairs; assert the
+    // linear bound with slack for hash unevenness, and strict sub-quadratic
+    assert(got <= 2L * n * cap,
+      s"guard failed: $got pairs from one hot bucket (linear bound ${2L * n * cap})")
+    assert(got < n.toLong * (n - 1) / 8,
+      s"guard failed: $got pairs is still quadratic-scale")
+  }
+
+  test("hot-bucket guard is a provable no-op for buckets at or under the cap") {
+    import spark.implicits._
+    // buckets of size 5, 3, 2 (≤ cap) → ceil(n/cap)=1 → salt ≡ 0 → output
+    // must equal the UNGUARDED self-join exactly
+    val rows =
+      (0 until 5).map(i => (i.toLong, 0, 10L)) ++
+      (10 until 13).map(i => (i.toLong, 0, 20L)) ++
+      (20 until 22).map(i => (i.toLong, 1, 10L))
+    val bands = rows.toDF("doc_id", "band_idx", "band_val")
+    val naive = {
+      val l = bands.toDF("doc_a", "band_idx", "band_val")
+      val r = bands.toDF("doc_b", "band_idx", "band_val")
+      l.join(r, Seq("band_idx", "band_val"))
+        .filter($"doc_a" < $"doc_b").select("doc_a", "doc_b").distinct()
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    }
+    val guarded = Dedup.candidatesFromBands(bands, cap = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(guarded == naive,
+      "guard altered candidates although no bucket exceeds the cap")
+    assert(naive.size == 10 + 3 + 1, "fixture sanity: C(5,2)+C(3,2)+C(2,2)")
+  }
+
+  test("sub-salt splits an oversized bucket into ceil(n/cap) sub-buckets deterministically") {
+    import spark.implicits._
+    val bands = (0 until 100).map(i => (i.toLong, 0, 1L))
+      .toDF("doc_id", "band_idx", "band_val")
+    val salted = Dedup.subSalt(bands, Seq("band_idx", "band_val"), "doc_id", cap = 10)
+    val salts = salted.select("__salt").collect().map(_.getLong(0))
+    assert(salts.forall(s0 => s0 >= 0 && s0 < 10), "salt must be in [0, ceil(n/cap))")
+    assert(salts.distinct.length > 1, "an oversized bucket must actually split")
+    // determinism: same input → same salts
+    val again = Dedup.subSalt(bands, Seq("band_idx", "band_val"), "doc_id", cap = 10)
+      .select("doc_id", "__salt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first = salted.select("doc_id", "__salt").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == first)
+  }
+
   test("BSP parallelism scales with measured candidate volume") {
     // tiny graph → 1 partition (single-task rounds, the sf0.1 shape)
     assert(Dedup.partitionsFor(rows = 40, rowsPerTask = 1L << 20, maxParts = 32) == 1)
