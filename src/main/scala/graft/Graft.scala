@@ -75,6 +75,30 @@ object Graft {
       partitionBy: Seq[String] = Seq.empty): Unit =
     Write.toStage(df, path, overwrite, partitionBy)
 
+  /** ANN similarity search over the `embeddings` table (north-star
+    * "similarity search" block): the sample-trained IVF path — bounded
+    * driver-side quantizer fit, codegen'd cell assignment, probe-cell
+    * join. `nprobe` is the USER-FACING recall dial, an API option like
+    * `partitionSize` on [[read]]: 1 probes only each query's nearest
+    * coarse cell (fastest, misses neighbors straddling a Voronoi
+    * boundary); larger values widen the candidate set toward
+    * exact-within-quantizer at one extra probe row per query per step.
+    * VectorSpec asserts recall is monotone in `nprobe`. */
+  def similaritySearch(
+      spark: SparkSession, sfDir: String,
+      nprobe: Int = 3, sampleTarget: Int = 20000): DataFrame =
+    ops.Vector.ivfTopKTrained(spark, sfDir, sampleTarget, nprobe)
+
+  /** Embedding near-duplicate pairs (north-star "dedup" block) with the
+    * same `nprobe` recall dial: each vector lands in its `nprobe` nearest
+    * IVF cells and exact cosine runs on same-cell pairs only (hot cells
+    * sub-salted — see [[ops.Dedup.subSalt]]). nprobe=2 recovers pairs
+    * straddling a cell boundary that nprobe=1 never compares. */
+  def embeddingNearDups(
+      spark: SparkSession, sfDir: String,
+      nprobe: Int = 2, minCosine: Double = 0.45): DataFrame =
+    ops.Dedup.embeddingMultiprobePairs(spark, sfDir, nprobe, minCosine)
+
   /** The `arrow_options.types_mapper` analogue (test_core.py:106-123):
     * cast every column to `to` after the read. */
   def castAll(df: DataFrame, to: DataType): DataFrame =

@@ -69,28 +69,37 @@ object Vector {
   private val BandBits = 4
   private val NBands = Planes / BandBits
 
+  /** Embedding dimensionality — the ONE constant every LSH artifact
+    * derives from: the plane matrix ([[planeMatrix]], fed to the codegen'd
+    * [[graft.functions.LshBands]]), the plane literals, and the DuckDB
+    * twin's fold width ([[sigDuck]]). A fixture-dimension change edits
+    * this line only; a hardcoded 64 in the oracle while Spark derived the
+    * width from the matrix would make DuckDB NULL out-of-range indices
+    * and silently diverge. */
+  private[graft] val Dim = 64
+
   /** Hyperplane coefficients, precomputed once in Scala from the fixed
     * integer recurrence and embedded as E-notation literals (parsed as
     * DOUBLE by both engines; 17 significant digits round-trip exactly).
     * Deriving them per row inside a lambda defeated constant folding and
     * dominated the LSH plan. */
   private def coef(p: Int, j: Int): Double =
-    ((p.toLong * 64 + j) * 2654435761L % 1000003L) / 1000003.0 - 0.5
+    ((p.toLong * Dim + j) * 2654435761L % 1000003L) / 1000003.0 - 0.5
 
   private def planeLits(p: Int): Seq[String] =
-    (0 until 64).map(j => "%.17e".format(coef(p, j)))
+    (0 until Dim).map(j => "%.17e".format(coef(p, j)))
 
   /** Plane matrix for the codegen'd banding expression
     * ([[graft.functions.LshBands]]). Identical doubles to the E-notation
     * literals the DuckDB twin parses ("%.17e" round-trips exactly). */
   private def planeMatrix: Array[Array[Double]] =
-    Array.tabulate(Planes, 64)(coef)
+    Array.tabulate(Planes, Dim)(coef)
 
   private def sigDuck: String = {
     val bits = (0 until Planes).map { p =>
       val plane = planeLits(p).mkString("[", ", ", "]")
       s"""(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |  list_transform(generate_series(1, 64),
+         |  list_transform(generate_series(1, $Dim),
          |    i -> v[i] * ($plane)[i])),
          |  (s0, x) -> s0 + x) >= 0 THEN 1 ELSE 0 END)""".stripMargin
     }
@@ -216,10 +225,10 @@ object Vector {
     * can replay assignment exactly. */
   private[graft] def ivfTopKTrained(
       s: org.apache.spark.sql.SparkSession, d: String,
-      sampleTarget: Int = 20000): org.apache.spark.sql.DataFrame = {
+      sampleTarget: Int = 20000, nprobe: Int = 3): org.apache.spark.sql.DataFrame = {
     val sample = vecs(s, d).select("v").limit(sampleTarget)
       .collect().map(_.getSeq[Double](0).toArray)
-    ivfTopK(s, d, fitCentroids(sample, k = 8, iters = 5, seed = 42))
+    ivfTopK(s, d, fitCentroids(sample, k = 8, iters = 5, seed = 42), nprobe)
   }
 
   /** DuckDB twin of [[ivfTopK]] over the same frozen centroid literals:

@@ -86,6 +86,26 @@ class VectorSpec extends SparkSpec {
     assert(avg >= 0.5, f"IVF avg recall@5 = $avg%.2f, expected ≥ 0.5 with nprobe=3")
   }
 
+  test("nprobe is a user-facing recall dial: wider probe never loses recall") {
+    val brute = rows("q_similarity_topk")
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    def recallAt(np: Int): Double = {
+      val got = graft.Graft.similaritySearch(spark, sfDir, nprobe = np).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = brute.map { case (qid, b) =>
+        got.getOrElse(qid, Set.empty).count(b).toDouble / b.size }
+      rs.sum / rs.size
+    }
+    val narrow = recallAt(1)
+    val wide = recallAt(4)
+    // same deterministic fit (bounded sample, fixed seed) → candidates at
+    // nprobe=1 are a subset of nprobe=4's, so recall is monotone
+    assert(narrow <= wide + 1e-9,
+      f"recall fell when widening the probe: $narrow%.2f -> $wide%.2f")
+    assert(wide >= 0.5, f"nprobe=4 avg recall@5 = $wide%.2f, expected >= 0.5")
+  }
+
   test("LSH top-1 agrees with brute force for most queries (banded recall)") {
     val brute = rows("q_similarity_topk").filter(_._2 == 1L)
       .map(r => r._1 -> r._3).toMap
