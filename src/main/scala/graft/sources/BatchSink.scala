@@ -41,6 +41,20 @@ private[sources] class BatchWriteBuilder(
     // and reconstruct a phantom column, silently losing this one
     require(!c.contains("=") && !c.contains("/"),
       s"partition_by column name '$c' must not contain '=' or '/'")
+    // partition values become PATH segments, so only types with an exact
+    // reader-invertible string form are routable. Validate HERE, on the
+    // driver at build time — the routing writer's own type switch throwing
+    // mid-write surfaced the mistake as an executor task failure after
+    // staged files already existed. Readback note: IntegerType values come
+    // back as LongType (the path carries only digits and
+    // [[Partitions.inferType]] infers the widest integral type) — pinned
+    // in ConnectorSpec.
+    schema(c).dataType match {
+      case IntegerType | LongType | StringType | BooleanType | DoubleType => ()
+      case other => throw new IllegalArgumentException(
+        s"partition_by column '$c' has unsupported type $other — " +
+          "supported: int, long, string, boolean, double")
+    }
   }
   require(partitionBy.size < schema.length || partitionBy.isEmpty,
     "partition_by cannot cover every column — data files would be empty")

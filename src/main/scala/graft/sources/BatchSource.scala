@@ -90,7 +90,37 @@ class BatchSource extends TableProvider with DataSourceRegister {
     new BatchTable(schema, new CaseInsensitiveStringMap(properties), partitioning)
 }
 
+/** Insertion-ordered bounded cache: past `max` entries the OLDEST entry
+  * is evicted. Backs the per-scan footer-sweep cache — a replan-heavy
+  * workload cycling distinct runtime filters must not grow driver memory
+  * without bound. */
+private[sources] final class BoundedCache[K, V](max: Int) {
+  private val m = mutable.LinkedHashMap.empty[K, V]
+  def getOrElseUpdate(k: K, v: => V): V = synchronized {
+    m.get(k) match {
+      case Some(x) => x
+      case None =>
+        val x = v
+        m.put(k, x)
+        while (m.size > max) m.remove(m.head._1)
+        x
+    }
+  }
+  def size: Int = synchronized(m.size)
+  def contains(k: K): Boolean = synchronized(m.contains(k))
+}
+
 private[sources] object BatchSource {
+
+  /** Fixed-size digest of a file listing — the cache key holds 65 bytes
+    * per entry instead of the full path list (100k paths × several
+    * replans held megabytes of strings). Length-prefixed + NUL-separated,
+    * so no concatenation of distinct lists collides. */
+  private[sources] def pathDigest(paths: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    paths.foreach { p => md.update(p.getBytes("UTF-8")); md.update(0.toByte) }
+    s"${paths.length}:${md.digest().map("%02x".format(_)).mkString}"
+  }
 
   def dir(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -702,10 +732,14 @@ private[sources] class BatchScan(
   // waste. A runtime (DPP) filter on a NEW column changes the key and
   // invalidates once; new values on already-swept columns re-prune the
   // cached stats for free; a runtime filter on a PARTITION column
-  // shrinks the file set and sweeps only the survivors.
-  private val discoveryCache = mutable.Map.empty[
-    (Set[String], Seq[String]),
-    Seq[(BatchSource.BatchHandle, BatchSource.ColStats)]]
+  // shrinks the file set and sweeps only the survivors. The file set is
+  // keyed by a DIGEST of the path list, not the list itself (100k paths ×
+  // a few replans held megabytes of strings per entry), and the cache is
+  // capped: a replan-heavy workload cycling through distinct runtime
+  // filters evicts oldest-first instead of growing without bound.
+  private val discoveryCache = new BoundedCache[
+    (Set[String], String),
+    Seq[(BatchSource.BatchHandle, BatchSource.ColStats)]](max = 8)
 
   private def pruned: (Seq[BatchSource.BatchHandle], Int) = {
     val fs = allFilters
@@ -713,11 +747,9 @@ private[sources] class BatchScan(
     // partition columns have no footer stats: never sweep for them
     val statCols: Set[String] =
       fs.flatMap(BatchSource.filterCols).toSet -- partColNames
-    val discovered = synchronized {
-      discoveryCache.getOrElseUpdate(
-        (statCols, keptFiles.map(_.getPath.toString)),
-        BatchSource.discoverBatches(keptFiles, conf, statCols))
-    }
+    val discovered = discoveryCache.getOrElseUpdate(
+      (statCols, BatchSource.pathDigest(keptFiles.map(_.getPath.toString))),
+      BatchSource.discoverBatches(keptFiles, conf, statCols))
     val kept = discovered.filterNot { case (h, stats) =>
       fs.exists(BatchSource.excludes(_, stats, h.rows))
     }

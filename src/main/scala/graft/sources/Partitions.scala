@@ -82,18 +82,24 @@ private[sources] object Partitions {
     * EVERY file's directory segments (so a value is defined, and constant,
     * for each file), minus names the data files themselves carry (a data
     * column always wins — path-derived shadowing would silently change
-    * values). Types inferred across all files. */
+    * values), minus keys any file repeats (a hand-made `/x=1/x=2/file`
+    * layout has no single constant value for `x` — promoting it would
+    * duplicate the StructField and make pruning pick an arbitrary copy;
+    * the key stays path decoration instead). Types inferred across all
+    * files. */
   def partitionFields(
       files: Seq[FileStatus], conf: Configuration, root: String): Seq[StructField] = {
     if (files.isEmpty) return Seq.empty
     val perFile = files.map(f => parseRaw(f.getPath.toString, root))
     val common = perFile.map(_.map(_._1).toSet).reduce(_ intersect _)
     if (common.isEmpty) return Seq.empty
+    val dup = perFile.flatMap(pf =>
+      pf.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }).toSet
     val fileCols = BatchSource.footerSchema(files.head, conf)
       .getFields
     val dataNames = (0 until fileCols.size()).map(fileCols.get(_).getName).toSet
-    val ordered = perFile.head.map(_._1).filter(k =>
-      common(k) && !dataNames(k))
+    val ordered = perFile.head.map(_._1).distinct.filter(k =>
+      common(k) && !dataNames(k) && !dup(k))
     ordered.map { k =>
       val raws = perFile.flatMap(_.collect { case (`k`, v) => v })
       StructField(k, inferType(raws), nullable = true)
@@ -124,40 +130,90 @@ private[sources] object Partitions {
     case _ => false
   }
 
+  /** Evaluation state for [[matches]] — genuine SQL three-valued logic
+    * plus a fourth "varies per row" state:
+    *   - [[Unknown]] is a NULL-valued comparison. A partition value is
+    *     CONSTANT across its file, so Unknown at the top level means
+    *     every row evaluates to UNKNOWN → no row satisfies the filter →
+    *     the file is excluded, exactly like [[KnownFalse]].
+    *   - [[PerRow]] marks a sub-expression whose value can differ per
+    *     row (a reference to a non-partition column, or an incomparable
+    *     literal): some row might satisfy it → keeps the file.
+    * The distinction is what a blanket "NULL under NOT → exclude" got
+    * wrong: Not(IsNotNull(c)) over a null partition value is TRUE (IS
+    * NULL), not UNKNOWN — IsNull/IsNotNull never return UNKNOWN. */
+  private sealed trait Tri
+  private case object KnownTrue extends Tri
+  private case object KnownFalse extends Tri
+  private case object Unknown extends Tri
+  private case object PerRow extends Tri
+
   /** Exact evaluation of an [[evaluable]] filter against one file's
-    * constant partition values. True = the file's rows satisfy the
-    * filter; false = the whole file is excluded. A reference to a column
-    * not in `vals` keeps the file (conservative — only reachable for
-    * non-absorbed filters, which Spark re-evaluates row-level anyway). */
-  def matches(filter: Filter, vals: Map[String, Any]): Boolean = {
-    def cmp(c: String, v: Any): Option[Int] = vals.get(c) match {
-      case Some(x) if x != null => BatchSource.exactCmp(x, v)
-      case _ => None
+    * constant partition values. True = some row of the file may satisfy
+    * the filter; false = provably none does (file excluded). A reference
+    * to a column not in `vals` keeps the file (conservative — only
+    * reachable for non-absorbed filters, which Spark re-evaluates
+    * row-level anyway). */
+  def matches(filter: Filter, vals: Map[String, Any]): Boolean =
+    eval3(filter, vals) match {
+      case KnownTrue | PerRow => true
+      case KnownFalse | Unknown => false
     }
-    filter match {
-      case EqualTo(c, v) => if (vals.contains(c))
-        cmp(c, v).contains(0) else true
-      case In(c, vs) => if (vals.contains(c))
-        vs.exists(v => cmp(c, v).contains(0)) else true
-      case IsNull(c) => if (vals.contains(c)) vals(c) == null else true
-      case IsNotNull(c) => if (vals.contains(c)) vals(c) != null else true
-      case GreaterThan(c, v) => if (vals.contains(c))
-        cmp(c, v).exists(_ > 0) else true
-      case GreaterThanOrEqual(c, v) => if (vals.contains(c))
-        cmp(c, v).exists(_ >= 0) else true
-      case LessThan(c, v) => if (vals.contains(c))
-        cmp(c, v).exists(_ < 0) else true
-      case LessThanOrEqual(c, v) => if (vals.contains(c))
-        cmp(c, v).exists(_ <= 0) else true
-      case And(l, r) => matches(l, vals) && matches(r, vals)
-      case Or(l, r) => matches(l, vals) || matches(r, vals)
-      case Not(c) =>
-        // exact negation needs every leaf defined over these values; a
-        // NULL under NOT is three-valued-unknown → the row is excluded
-        if (!c.references.forall(vals.contains)) true
-        else if (c.references.exists(r => vals(r) == null)) false
-        else !matches(c, vals)
-      case _ => true
+
+  private def eval3(f: Filter, vals: Map[String, Any]): Tri = {
+    // comparison leaf: missing column → per-row; NULL operand → UNKNOWN;
+    // incomparable types → conservative per-row keep
+    def cmp3(c: String, v: Any)(p: Int => Boolean): Tri =
+      if (!vals.contains(c)) PerRow
+      else if (vals(c) == null || v == null) Unknown
+      else BatchSource.exactCmp(vals(c), v) match {
+        case Some(r) => if (p(r)) KnownTrue else KnownFalse
+        case None => PerRow
+      }
+    f match {
+      case EqualTo(c, v) => cmp3(c, v)(_ == 0)
+      case GreaterThan(c, v) => cmp3(c, v)(_ > 0)
+      case GreaterThanOrEqual(c, v) => cmp3(c, v)(_ >= 0)
+      case LessThan(c, v) => cmp3(c, v)(_ < 0)
+      case LessThanOrEqual(c, v) => cmp3(c, v)(_ <= 0)
+      case In(c, vs) =>
+        if (!vals.contains(c)) PerRow
+        else {
+          val rs = vs.toIndexedSeq.map(v => cmp3(c, v)(_ == 0))
+          if (rs.contains(KnownTrue)) KnownTrue
+          else if (rs.contains(PerRow)) PerRow
+          else if (rs.contains(Unknown)) Unknown // NULL in list, no match
+          else KnownFalse // includes the empty IN — vacuously false
+        }
+      case IsNull(c) =>
+        if (!vals.contains(c)) PerRow
+        else if (vals(c) == null) KnownTrue else KnownFalse
+      case IsNotNull(c) =>
+        if (!vals.contains(c)) PerRow
+        else if (vals(c) != null) KnownTrue else KnownFalse
+      case And(l, r) => (eval3(l, vals), eval3(r, vals)) match {
+        case (KnownFalse, _) | (_, KnownFalse) => KnownFalse
+        case (KnownTrue, KnownTrue) => KnownTrue
+        case (PerRow, KnownTrue) | (KnownTrue, PerRow)
+           | (PerRow, PerRow) => PerRow
+        // an Unknown conjunct bars TRUE for every row: AND(x, UNKNOWN)
+        // is FALSE or UNKNOWN, never TRUE → excludable
+        case _ => Unknown
+      }
+      case Or(l, r) => (eval3(l, vals), eval3(r, vals)) match {
+        case (KnownTrue, _) | (_, KnownTrue) => KnownTrue
+        case (KnownFalse, KnownFalse) => KnownFalse
+        case (Unknown, Unknown) | (Unknown, KnownFalse)
+           | (KnownFalse, Unknown) => Unknown
+        // OR with a per-row side can still be TRUE for some row → keep
+        case _ => PerRow
+      }
+      case Not(c) => eval3(c, vals) match {
+        case KnownTrue => KnownFalse
+        case KnownFalse => KnownTrue
+        case other => other // NOT(UNKNOWN)=UNKNOWN; NOT(per-row)=per-row
+      }
+      case _ => PerRow // non-evaluable shape: keep; Spark re-checks rows
     }
   }
 }

@@ -843,6 +843,95 @@ class BatchSourceSpec extends SparkSpec {
     assert(e2.getMessage.contains("must not contain"), e2.getMessage)
   }
 
+  test("unsupported partition_by types are rejected at write-build time, on the driver") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badpbtype").toString
+    // DATE has no reader-invertible path form here — must fail BEFORE any
+    // executor task stages a file
+    val e = intercept[IllegalArgumentException] {
+      Tables.table(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .write.format("graft").option("partition_by", "o_orderdate")
+        .mode("overwrite").save(dir)
+    }
+    assert(e.getMessage.contains("unsupported type"), e.getMessage)
+    assert(new java.io.File(dir).listFiles() == null ||
+      new java.io.File(dir).listFiles().isEmpty,
+      "a build-time rejection must leave nothing staged")
+  }
+
+  test("IntegerType partition values read back as LongType (path carries digits only)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_intpart").toString
+    Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 3).cast("int").as("bucket"))
+      .write.format("graft").option("partition_by", "bucket")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    // the documented widening: inferType sees digit strings → LongType
+    assert(back.schema("bucket").dataType == org.apache.spark.sql.types.LongType)
+    val got = back.select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got.forall { case (id, b) => b == id % 3 })
+  }
+
+  test("a path key repeated along one file's directories is not promoted to a column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupkey").toString
+    // hand-made ambiguous layout: /x=1/x=2/file.parquet — no single
+    // constant value for x exists, so promoting it would duplicate the
+    // StructField; the key must stay path decoration
+    val sub = new java.io.File(s"$dir/x=1/x=2"); sub.mkdirs()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dupkey_src").toString
+    spark.range(3).selectExpr("id AS a").coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(sub, part.getName).toPath)
+    val df = spark.read.format("graft").load(dir)
+    assert(!df.columns.contains("x"),
+      s"ambiguous repeated key 'x' must not be promoted: ${df.columns.toSeq}")
+    assert(df.columns.count(_ == "x") == 0 && df.select("a").count() == 3)
+  }
+
+  test("NULL under NOT evaluates with three-valued logic, not a blanket exclude") {
+    import org.apache.spark.sql.sources._
+    val nullVal: Map[String, Any] = Map("p" -> null)
+    // NOT(p IS NOT NULL) ≡ p IS NULL → TRUE over a null partition value:
+    // the file MUST be kept (the old blanket rule excluded it)
+    assert(Partitions.matches(Not(IsNotNull("p")), nullVal))
+    assert(!Partitions.matches(Not(IsNull("p")), nullVal))
+    // a comparison under NOT stays three-valued: NOT(p = 1) over NULL is
+    // UNKNOWN, constant for the whole file → exclude
+    assert(!Partitions.matches(Not(EqualTo("p", 1L)), nullVal))
+    // NOT over a mixed conjunction: with p=2, NOT(p=1 AND d>5) is TRUE
+    // whatever the per-row data column d holds → keep, exactly
+    val p2: Map[String, Any] = Map("p" -> 2L)
+    assert(Partitions.matches(Not(And(EqualTo("p", 1L), GreaterThan("d", 5L))), p2))
+    // ...and with p=1 the NOT's value depends on d → per-row → keep
+    assert(Partitions.matches(Not(And(EqualTo("p", 1L), GreaterThan("d", 5L))), p2 + ("p" -> 1L)))
+    // OR with an UNKNOWN side can still be satisfied by the other side
+    assert(Partitions.matches(Or(EqualTo("p", null), EqualTo("p", 2L)), p2))
+    // empty IN is vacuously false — excludable
+    assert(!Partitions.matches(In("p", Array.empty[Any]), p2))
+  }
+
+  test("footer-sweep cache is digest-keyed and bounded (oldest entry evicted)") {
+    // digest: fixed-size key, order- and boundary-sensitive
+    val d1 = BatchSource.pathDigest(Seq("a/b.parquet", "c/d.parquet"))
+    assert(d1 == BatchSource.pathDigest(Seq("a/b.parquet", "c/d.parquet")))
+    assert(d1 != BatchSource.pathDigest(Seq("c/d.parquet", "a/b.parquet")))
+    assert(BatchSource.pathDigest(Seq("ab")) != BatchSource.pathDigest(Seq("a", "b")))
+    assert(d1.length < 80, "key must be fixed-size, not the path list")
+    // bounded cache: inserting past the cap evicts the OLDEST key
+    val c = new BoundedCache[Int, String](max = 3)
+    (1 to 5).foreach(i => c.getOrElseUpdate(i, s"v$i"))
+    assert(c.size == 3)
+    assert(!c.contains(1) && !c.contains(2) && c.contains(3) && c.contains(5))
+    // a hit refreshes nothing but must not recompute
+    var computed = 0
+    c.getOrElseUpdate(5, { computed += 1; "recomputed" })
+    assert(computed == 0, "cache hit must not recompute the footer sweep")
+  }
+
   test("boolean partition values round-trip their type") {
     val dir = java.nio.file.Files.createTempDirectory("graft_boolpart").toString
     Tables.table(spark, sfDir, "documents")
