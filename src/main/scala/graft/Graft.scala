@@ -43,8 +43,10 @@ object Graft {
       params: Map[String, Any] = Map.empty,
       npartitions: Option[Int] = None,
       partitionSize: Option[String] = None,
-      typesMapper: DataType => Option[DataType] = _ => None): DataFrame = {
-    val df = Read.readTable(spark, sfDir, query, params, npartitions, partitionSize)
+      typesMapper: DataType => Option[DataType] = _ => None,
+      emptyAsZeroColumns: Boolean = false): DataFrame = {
+    val df = Read.readTable(spark, sfDir, query, params, npartitions,
+      partitionSize, emptyAsZeroColumns)
     if (!df.schema.fields.exists(f => typesMapper(f.dataType).isDefined)) df
     else df.select(df.schema.fields.toIndexedSeq.map { f =>
       typesMapper(f.dataType) match {

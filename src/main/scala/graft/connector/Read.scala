@@ -31,19 +31,33 @@ import graft.warehouse.Tables
 object Read {
 
   /** Execute `query` over the `sfDir` warehouse and size the result
-    * partitions. Mirrors `read_snowflake`'s signature semantics. */
+    * partitions. Mirrors `read_snowflake`'s signature semantics.
+    *
+    * Empty results: the reference degrades to a ZERO-COLUMN DataFrame
+    * (`dd.from_pandas(pd.DataFrame(), npartitions=1)`, core.py:277-278,
+    * asserted test_core.py:78-80) because its schema is inferred from the
+    * first non-empty Arrow batch and an empty result has none. Spark
+    * always knows the analyzed schema, so the DELIBERATE default here is
+    * schema-preserving: an empty result keeps its columns, and downstream
+    * code can union/join it without special-casing. Pass
+    * `emptyAsZeroColumns = true` for the reference's exact degrade (costs
+    * one isEmpty probe job when enabled). Both pinned in ConnectorSpec. */
   def readTable(
       spark: SparkSession,
       sfDir: String,
       query: String,
       params: Map[String, Any] = Map.empty,
       npartitions: Option[Int] = None,
-      partitionSize: Option[String] = None): DataFrame = {
+      partitionSize: Option[String] = None,
+      emptyAsZeroColumns: Boolean = false): DataFrame = {
     Tables.register(spark, sfDir)
     val (countMode, sizeMode) = Partitioner.resolveSpec(npartitions, partitionSize)
     val df =
       if (params.isEmpty) spark.sql(query)
       else spark.sql(query, params)
+    // repartition(1): emptyDataFrame has ZERO partitions, the reference
+    // degrades to exactly npartitions=1 (core.py:278)
+    if (emptyAsZeroColumns && df.isEmpty) return spark.emptyDataFrame.repartition(1)
     countMode match {
       case Some(n) => resize(df, n)
       case None    => resize(df, partitionsForBytes(df, sizeMode.get))

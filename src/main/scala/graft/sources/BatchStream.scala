@@ -86,6 +86,44 @@ private[sources] class BatchMicroBatchStream(
   private val failOnMissingLoggedFile: Boolean =
     Option(options.get("fail_on_missing_logged_file")).exists(_.toBoolean)
 
+  private lazy val rootDir = BatchSource.qualifiedDir(options, conf)
+
+  /** STREAM-SIDE partition pruning. Spark's filter pushdown never runs
+    * for streaming scans (V2 pushdown is batch-only — pinned by the
+    * "partition filter on a STREAMING read" spec), so a partitioned stage
+    * would log, admit and open EVERY subtree even when the query reads
+    * one partition — at 100 TB that is the difference between tailing one
+    * `lang=en/` subtree and tailing the world. The `partition_filter`
+    * option ("col=value[,col=value]", values in path form) prunes at
+    * DISCOVERY time: non-matching files are never logged, never admitted,
+    * never opened. Literals are typed with the partition column's
+    * inferred type, and matching reuses the batch side's exact
+    * [[Partitions.matches]]. This is a semantic dial (pruned files' rows
+    * never enter the stream) — the streaming twin of the batch side's
+    * absorbed partition filters, surfaced as an option because there is
+    * no planner to absorb them here. */
+  private val partitionFilter: Seq[(String, Any)] =
+    Option(options.get("partition_filter")).map { s =>
+      s.split(',').toIndexedSeq.map(_.trim).filter(_.nonEmpty).map { term =>
+        val i = term.indexOf('=')
+        require(i > 0, s"partition_filter term '$term' must be col=value")
+        val (c, raw) = (term.take(i), term.drop(i + 1))
+        val f = partCols.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition_filter column '$c' is not a partition column " +
+              s"[${partCols.map(_.name).mkString(",")}]"))
+        c -> Partitions.castValue(raw, f.dataType)
+      }
+    }.getOrElse(Seq.empty)
+
+  private def keepFile(path: String): Boolean =
+    partitionFilter.isEmpty || {
+      val vals = Partitions.valuesOf(path, rootDir, partCols)
+      partitionFilter.forall { case (c, v) =>
+        Partitions.matches(org.apache.spark.sql.sources.EqualTo(c, v), vals)
+      }
+    }
+
   // in-memory mirror of the log (rebuilt from it on restart)
   private val logged = mutable.LinkedHashSet.empty[String]
   restoreLog()
@@ -121,7 +159,7 @@ private[sources] class BatchMicroBatchStream(
     * a half-written segment (same discipline as [[BatchSinkWrite.commit]]). */
   private def refresh(): Int = synchronized {
     val fresh = BatchSource.listFiles(options, conf)
-      .map(_.getPath.toString).filterNot(logged.contains)
+      .map(_.getPath.toString).filter(keepFile).filterNot(logged.contains)
     if (fresh.nonEmpty) {
       val seg = new Path(logDir, s"seg-${logged.size}")
       val tmp = new Path(logDir, s".seg-${logged.size}.tmp")

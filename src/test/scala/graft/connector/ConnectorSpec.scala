@@ -33,10 +33,31 @@ class ConnectorSpec extends SparkSpec {
   }
 
   test("empty result keeps its schema (core.py:277-278, test_core.py:68-80)") {
+    // DELIBERATE divergence from the reference, pinned: dask-snowflake
+    // degrades an empty result to a zero-COLUMN frame because its schema
+    // comes from the first non-empty Arrow batch; Spark always knows the
+    // analyzed schema, so the default preserves it
     val df = Read.readTable(spark, sfDir,
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey < 0")
     assert(df.count() == 0)
     assert(df.schema.fieldNames.toSeq == Seq("c_custkey", "c_name"))
+  }
+
+  test("emptyAsZeroColumns reproduces the reference's zero-column degrade exactly") {
+    // the reference shape: len(result.index) == 0 AND len(result.columns)
+    // == 0 (test_core.py:78-80), npartitions=1 (core.py:278)
+    val df = Read.readTable(spark, sfDir,
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey < 0",
+      emptyAsZeroColumns = true)
+    assert(df.count() == 0)
+    assert(df.schema.isEmpty, s"expected zero columns, got ${df.schema.fieldNames.toSeq}")
+    assert(df.rdd.getNumPartitions == 1)
+    // and a NON-empty result is untouched by the flag
+    val nonEmpty = Read.readTable(spark, sfDir,
+      "SELECT c_custkey FROM customer WHERE c_custkey >= 0",
+      emptyAsZeroColumns = true)
+    assert(nonEmpty.schema.fieldNames.toSeq == Seq("c_custkey"))
+    assert(nonEmpty.count() > 0)
   }
 
   test("npartitions mode hits the requested count ±2 (test_core.py:305-310)") {

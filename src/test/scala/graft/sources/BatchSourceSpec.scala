@@ -984,6 +984,62 @@ class BatchSourceSpec extends SparkSpec {
     assert(rows == Map("en" -> expected), s"streamed $rows, expected en -> $expected")
   }
 
+  test("partition_filter option prunes the STREAM's file listing to matching subtrees") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = stagePartitioned()
+    val cp = java.nio.file.Files.createTempDirectory("graft_stream_pf_cp").toString
+    val schema = spark.read.format("graft").load(dir).schema
+    val q = spark.readStream.format("graft").schema(schema)
+      .option("partition_filter", "lang=en").load(dir)
+      .groupBy("lang").count()
+      .writeStream.format("memory").queryName("t_stream_pf_pruned")
+      .option("checkpointLocation", cp)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // batch == stream equality: the pruned stream aggregates exactly what
+    // the (absorbed) batch partition filter reads
+    val rows = spark.table("t_stream_pf_pruned").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Tables.table(spark, sfDir, "documents")
+      .filter(col("lang") === "en").count()
+    assert(rows == Map("en" -> expected), s"streamed $rows, expected en -> $expected")
+    // and the file LOG itself is pruned: only lang=en files were ever
+    // logged — fewer than the stage holds (discovery-time, not row-time)
+    def segLines(d: java.io.File): Seq[String] =
+      if (!d.exists()) Seq.empty
+      else d.listFiles().toIndexedSeq.flatMap {
+        case f if f.isDirectory => segLines(f)
+        case f if f.getName.startsWith("seg-") =>
+          val src = scala.io.Source.fromFile(f)
+          try src.getLines().toIndexedSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
+          finally src.close()
+        case _ => Seq.empty
+      }
+    val loggedPaths = segLines(new java.io.File(cp))
+    val total = BatchSource.listFiles(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir)), BatchSource.hadoopConf()).length
+    assert(loggedPaths.nonEmpty && loggedPaths.forall(_.contains("lang=en")),
+      s"log must contain only the lang=en subtree: $loggedPaths")
+    assert(loggedPaths.size < total,
+      s"pruned log (${loggedPaths.size}) must admit fewer files than the stage ($total)")
+  }
+
+  test("partition_filter on a non-partition column is rejected at stream construction") {
+    val dir = stagePartitioned()
+    val conf = BatchSource.hadoopConf()
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", dir, "partition_filter", "nope=1"))
+    val partCols = Partitions.partitionFields(
+      BatchSource.listFiles(opts, conf), conf, BatchSource.qualifiedDir(opts, conf))
+    val schema = spark.read.format("graft").load(dir).schema
+    val cp = java.nio.file.Files.createTempDirectory("graft_stream_pf_bad").toString
+    val e = intercept[IllegalArgumentException] {
+      new BatchMicroBatchStream(schema, opts, cp, partCols)
+    }
+    assert(e.getMessage.contains("not a partition column"), e.getMessage)
+  }
+
   test("native df.write.partitionBy flows through the sink like the partition_by option") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stage_natpb").toString
     val docs = Tables.table(spark, sfDir, "documents").select("doc_id", "lang", "n_chars")
