@@ -174,8 +174,13 @@ object Dedup {
     * candidates (minhash/ngram/levenshtein) and released by the mains — a
     * bare per-invocation persist() leaked one copy per key per run. */
   private def sparkCandidates(s: org.apache.spark.sql.SparkSession, d: String) = {
+    // the RAW bands are persisted FIRST: subSalt's count aggregate and its
+    // join side then both read cached ids — persisting only the salted
+    // result made its one-time materialization run the shingle+md5+minhash
+    // pipeline twice (once under the count, once under the join)
+    val raw = graft.CacheRegistry.getOrPersist("dedup_bands_raw", d, sparkBands(s, d))
     val salted = graft.CacheRegistry.getOrPersist("dedup_bands", d,
-      subSalt(sparkBands(s, d), Seq("band_idx", "band_val"), "doc_id", MaxBand))
+      subSalt(raw, Seq("band_idx", "band_val"), "doc_id", MaxBand))
     saltedPairJoin(salted, Seq("band_idx", "band_val"))
   }
 
@@ -397,13 +402,18 @@ object Dedup {
     // single dot fold + one division — `dot/(nrm·nrm)` is bit-identical
     // to the fused cosine (independent sequential folds either way)
     val e = Vector.vecs(s, d)
+    // the probed projection feeds THREE consumers (the guard's cell-count
+    // aggregate + both self-join sides), so it is persisted via the
+    // registry: one ivf_cells pass over the corpus instead of three
+    // (pre-guard it ran twice — the persist is a net win). Disk-backed
+    // at scale (Dataset.persist defaults to MEMORY_AND_DISK).
+    val raw = graft.CacheRegistry.getOrPersist(s"dedup_probed_$nprobe", d,
+      e.withColumn("cell", explode(expr("ivf_cells(v)")))
+        .select("vec_id", "cell", "v", "nrm"))
     // hot-CELL guard: same [[subSalt]] as the band path — a cell holding
     // more than [[MaxCell]] vectors is split into deterministic
     // sub-cells, so pair output per cell is ≤ n·MaxCell/2, not n²/2
-    val probed = subSalt(
-      e.withColumn("cell", explode(expr("ivf_cells(v)")))
-        .select("vec_id", "cell", "v", "nrm"),
-      Seq("cell"), "vec_id", MaxCell)
+    val probed = subSalt(raw, Seq("cell"), "vec_id", MaxCell)
       .select("vec_id", "cell", "__salt", "v", "nrm")
     // score INSIDE the cell join and threshold BEFORE any pair-level
     // shuffle: the only dedup shuffle carries the (tiny) passing pairs —

@@ -5,7 +5,7 @@ package graft
   * cached blocks behind. */
 class CacheRegistrySpec extends SparkSpec {
 
-  test("dedup keys share one persisted bands copy; releaseAll drops it") {
+  test("dedup keys share persisted band copies; releaseAll drops them") {
     // track persisted-RDD IDS, not counts: other suites' localCheckpoint
     // RDDs are GC'd asynchronously by the ContextCleaner, so an absolute
     // count can shrink between snapshots — new ids only appear from OUR
@@ -15,21 +15,26 @@ class CacheRegistrySpec extends SparkSpec {
     val before = ids
 
     SparkEntry.queries("q_dedup_minhash")(spark, sfDir).count()
-    assert(CacheRegistry.size == 1, "first candidate build registers the bands")
+    // two registered frames since the hot-bucket guard landed: the RAW
+    // bands (so the guard's count aggregate and its join both read cached
+    // ids instead of re-running shingle+md5+minhash) and the SALTED bands
+    // the self-join consumes
+    assert(CacheRegistry.size == 2,
+      "first candidate build registers raw + salted bands")
     val fromFirst = ids -- before
-    assert(fromFirst.size == 1,
-      s"exactly one cached RDD from the first dedup key, got $fromFirst")
+    assert(fromFirst.size == 2,
+      s"exactly two cached RDDs from the first dedup key, got $fromFirst")
 
     SparkEntry.queries("q_dedup_ngram")(spark, sfDir).count()
     SparkEntry.queries("q_dedup_levenshtein")(spark, sfDir).count()
-    assert(CacheRegistry.size == 1,
-      "sibling keys must reuse the registered copy, not persist their own")
+    assert(CacheRegistry.size == 2,
+      "sibling keys must reuse the registered copies, not persist their own")
     assert((ids -- before -- fromFirst).isEmpty,
       "sibling keys must not add cached RDDs of their own")
 
     CacheRegistry.releaseAll()
     assert(CacheRegistry.size == 0)
     assert(ids.intersect(fromFirst).isEmpty,
-      "the bands cache must not survive releaseAll")
+      "the bands caches must not survive releaseAll")
   }
 }
