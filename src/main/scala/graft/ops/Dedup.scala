@@ -599,6 +599,26 @@ object Dedup {
               |  doc = min(reach) AS is_survivor
               |FROM walk GROUP BY doc ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------------------------ cluster statistics
+    // the dedup REPORT: how big are the near-dup clusters? (cluster_size,
+    // n_clusters) histogram over the resolved components — the number a
+    // curation run publishes ("12k pairs, 4k clusters, largest 40"). Two
+    // tiny aggregations over the cluster-sized keep-list; the propagation
+    // itself is shared via the registry with resolve/curate.
+    QueryDef("q_dedup_cluster_stats",
+      (s, d) => resolveClusters(s, d)
+        .groupBy("keep_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size"),
+      Some(s"""$duckWalkCte, comp AS (
+              |  SELECT doc, min(reach) AS keep FROM walk GROUP BY doc
+              |), sizes AS (
+              |  SELECT keep, CAST(count(1) AS BIGINT) AS cluster_size
+              |  FROM comp GROUP BY keep
+              |)
+              |SELECT cluster_size, CAST(count(1) AS BIGINT) AS n_clusters
+              |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)),
+
     // ------------------------------------------------ corpus curation
     // the END-TO-END training-data gate, composed from the library's own
     // pieces: drop near-dup non-survivors (HashMin keep-list above), then

@@ -232,6 +232,39 @@ object Text {
              |    AS stopword_ratio_e6
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------------------------ repetition ratio
+    // the repeated-n-gram filter (the classic "repetition" quality gate:
+    // boilerplate and looping generations show high duplicate-shingle
+    // fractions): rep = 1 - distinct_3grams / total_3grams per document.
+    // Per-row map over one scan — zero shuffle; the distinct shingling is
+    // the codegen'd Shingles3 shared with the dedup family; floor-scaled
+    // e6 integers for engine-exact parity. Docs under 3 tokens have no
+    // 3-grams → ratio 0 by convention on both sides.
+    QueryDef("q_text_repetition",
+      (s, d) => {
+        graft.functions.Shingles3.register(s)
+        val nTok = size(toks)
+        val nSh = (nTok - 2).cast(DoubleType)
+        val nDis = size(expr("shingles3(split(text, ' '))")).cast(DoubleType)
+        Tables.table(s, d, "documents").select(
+            col("doc_id"),
+            when(nTok >= 3,
+              floor((lit(1.0) - nDis / nSh) * 1e6).cast(LongType))
+              .otherwise(lit(0L)).as("rep_ratio_e6"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk_t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+             |)
+             |SELECT doc_id,
+             |  CASE WHEN len(tk) >= 3 THEN
+             |    CAST(floor((1.0 - len(list_distinct(list_transform(
+             |        generate_series(1, len(tk) - 2),
+             |        i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))))::DOUBLE
+             |      / (len(tk) - 2)) * 1000000.0) AS BIGINT)
+             |  ELSE CAST(0 AS BIGINT) END AS rep_ratio_e6
+             |FROM tk_t ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------------------ stratified sampling
     // per-language admission quotas — the corpus-BALANCING primitive
     // (down-sample the dominant language, keep low-resource ones whole).

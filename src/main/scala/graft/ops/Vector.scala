@@ -381,6 +381,50 @@ object Vector {
       (s, d) => ivfTopK(s, d, IvfCentroids.values, nprobe = 4),
       Some(duckIvf(IvfCentroids.values, nprobe = 4))),
 
+    // ---------------------------------------- int8 scalar quantization
+    // per-vector min/max scalar quantization to int8 codes — the standard
+    // 4× storage/bandwidth shrink for a 100 TB vector corpus (codes ship
+    // through shuffles, full floats stay in cold storage). Per-row map
+    // over one scan, zero shuffle. Output is engine-exact: integer code
+    // checksum + floor-scaled max reconstruction error (identical double
+    // arithmetic both sides; a constant vector gets scale 0 → all codes
+    // 0, error 0 by the same CASE in both engines).
+    QueryDef("q_embedding_quantize",
+      (s, d) => vecs(s, d)
+        .withColumn("mn", array_min(col("v")))
+        .withColumn("sc", (array_max(col("v")) - col("mn")) / 255.0)
+        .withColumn("codes", expr(
+          "transform(v, x -> CASE WHEN sc = 0D THEN 0L " +
+            "ELSE CAST(floor((x - mn) / sc + 0.5D) AS BIGINT) END)"))
+        .select(col("vec_id"),
+          expr("aggregate(codes, 0L, (a, c) -> a + c)").as("code_sum"),
+          floor(expr(
+            "aggregate(zip_with(v, codes, (x, c) -> abs(x - (mn + c * sc))), " +
+              "0D, (a, y) -> greatest(a, y))") * 1e6)
+            .cast(LongType).as("max_err_e6"))
+        .orderBy("vec_id"),
+      Some("""WITH e AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings
+             |), p AS (
+             |  SELECT vec_id, v, list_min(v) AS mn,
+             |    (list_max(v) - list_min(v)) / 255.0 AS sc
+             |  FROM e
+             |), q AS (
+             |  SELECT vec_id, v, mn, sc,
+             |    list_transform(v, x -> CASE WHEN sc = 0 THEN 0
+             |      ELSE CAST(floor((x - mn) / sc + 0.5) AS BIGINT) END) AS codes
+             |  FROM p
+             |)
+             |SELECT vec_id,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+             |    (a, b) -> a + b) AS code_sum,
+             |  CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(generate_series(1, len(v)),
+             |        i -> abs(v[i] - (mn + codes[i] * sc)))),
+             |      (a, y) -> greatest(a, y)) * 1000000.0) AS BIGINT) AS max_err_e6
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
     // ---------------------------------------- multimodal join
     // text modality ⋈ vector modality on the shared id; ArrayType(Float)
     // is a first-class column — no serialization detour
