@@ -36,6 +36,18 @@ object Text {
   def md5iDuck(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
 
+  /** Repeated-3-gram fraction of `text`, floor-scaled to e6 integer:
+    * `1 − distinct/total` 3-grams; documents under 3 tokens have no
+    * 3-grams → 0 by convention (mirrored in the DuckDB twin). Requires
+    * [[graft.functions.Shingles3]] registered on the session. */
+  private[graft] def repetitionE6: Column = {
+    val nTok = size(toks)
+    val nSh = (nTok - 2).cast(DoubleType)
+    val nDis = size(expr("shingles3(split(text, ' '))")).cast(DoubleType)
+    when(nTok >= 3, floor((lit(1.0) - nDis / nSh) * 1e6).cast(LongType))
+      .otherwise(lit(0L))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------ token counting
@@ -243,14 +255,8 @@ object Text {
     QueryDef("q_text_repetition",
       (s, d) => {
         graft.functions.Shingles3.register(s)
-        val nTok = size(toks)
-        val nSh = (nTok - 2).cast(DoubleType)
-        val nDis = size(expr("shingles3(split(text, ' '))")).cast(DoubleType)
-        Tables.table(s, d, "documents").select(
-            col("doc_id"),
-            when(nTok >= 3,
-              floor((lit(1.0) - nDis / nSh) * 1e6).cast(LongType))
-              .otherwise(lit(0L)).as("rep_ratio_e6"))
+        Tables.table(s, d, "documents")
+          .select(col("doc_id"), repetitionE6.as("rep_ratio_e6"))
           .orderBy("doc_id")
       },
       Some("""WITH tk_t AS (

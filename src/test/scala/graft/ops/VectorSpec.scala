@@ -106,6 +106,39 @@ class VectorSpec extends SparkSpec {
     assert(wide >= 0.5, f"nprobe=4 avg recall@5 = $wide%.2f, expected >= 0.5")
   }
 
+  test("int8 quantization: codes bounded, error bounded by half a step, constant vector degrades to zero") {
+    val got = SparkEntry.queries("q_embedding_quantize")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, codeSum, errE6) =>
+      // 64 codes in [0, 255] → sum in [0, 64*255]
+      assert(codeSum >= 0 && codeSum <= 64L * 255,
+        s"vec $id code_sum $codeSum outside [0, ${64 * 255}]")
+      assert(errE6 >= 0, s"vec $id negative reconstruction error")
+    }
+    // reconstruction error ≤ scale/2 by construction; embeddings are
+    // ~N(0, 0.06)-ish, so err_e6 stays far below 1e6 (sanity not proof)
+    assert(got.map(_._3).max < 1000000L)
+    // a constant vector: scale 0 → all codes 0, error exactly 0
+    import spark.implicits._
+    val const = Seq((1L, Array.fill(8)(0.25f), 0)).toDF("vec_id", "embedding", "label")
+    const.createOrReplaceTempView("const_embeddings")
+    val row = spark.sql(
+      """SELECT aggregate(codes, 0L, (a, c) -> a + c) AS code_sum,
+        |  aggregate(zip_with(v, codes, (x, c) -> abs(x - (mn + c * sc))),
+        |    0D, (a, y) -> greatest(a, y)) AS max_err
+        |FROM (
+        |  SELECT v, array_min(v) AS mn,
+        |    (array_max(v) - array_min(v)) / 255.0 AS sc,
+        |    transform(v, x -> CASE WHEN (array_max(v) - array_min(v)) / 255.0 = 0D
+        |      THEN 0L ELSE CAST(floor((x - array_min(v)) /
+        |        ((array_max(v) - array_min(v)) / 255.0) + 0.5D) AS BIGINT) END) AS codes
+        |  FROM (SELECT cast(embedding AS array<double>) AS v FROM const_embeddings)
+        |)""".stripMargin).collect().head
+    assert(row.getLong(0) == 0L && row.getDouble(1) == 0.0,
+      "constant vector must quantize to all-zero codes with zero error")
+  }
+
   test("LSH top-1 agrees with brute force for most queries (banded recall)") {
     val brute = rows("q_similarity_topk").filter(_._2 == 1L)
       .map(r => r._1 -> r._3).toMap
