@@ -95,11 +95,16 @@ object Graft {
     * same `nprobe` recall dial: each vector lands in its `nprobe` nearest
     * IVF cells and exact cosine runs on same-cell pairs only (hot cells
     * sub-salted — see [[ops.Dedup.subSalt]]). nprobe=2 recovers pairs
-    * straddling a cell boundary that nprobe=1 never compares. */
+    * straddling a cell boundary that nprobe=1 never compares. `maxCell`
+    * is the matching COST dial: the hot-cell guard splits any cell past
+    * it into deterministic sub-cells, bounding the pair stage at
+    * O(maxCell·n) — tightening it can only remove pairs, never invent
+    * them (DedupSpec pins the subset property). */
   def embeddingNearDups(
       spark: SparkSession, sfDir: String,
-      nprobe: Int = 2, minCosine: Double = 0.45): DataFrame =
-    ops.Dedup.embeddingMultiprobePairs(spark, sfDir, nprobe, minCosine)
+      nprobe: Int = 2, minCosine: Double = 0.45,
+      maxCell: Int = ops.Dedup.MaxCell): DataFrame =
+    ops.Dedup.embeddingMultiprobePairs(spark, sfDir, nprobe, minCosine, maxCell)
 
   /** The `arrow_options.types_mapper` analogue (test_core.py:106-123):
     * cast every column to `to` after the read. */

@@ -393,7 +393,8 @@ object Dedup {
     * cross join, never a vector-payload shuffle of the pair table. */
   private[graft] def embeddingMultiprobePairs(
       s: org.apache.spark.sql.SparkSession, d: String,
-      nprobe: Int, minCosine: Double): org.apache.spark.sql.DataFrame = {
+      nprobe: Int, minCosine: Double,
+      maxCell: Int = MaxCell): org.apache.spark.sql.DataFrame = {
     graft.functions.IvfNearestCells.register(s, IvfCentroids.values, nprobe)
     // norms are computed ONCE per vector (corpus-sized work) by the
     // SHARED [[Vector.vecs]] projection (one copy of the cast+norm
@@ -411,9 +412,12 @@ object Dedup {
       e.withColumn("cell", explode(expr("ivf_cells(v)")))
         .select("vec_id", "cell", "v", "nrm"))
     // hot-CELL guard: same [[subSalt]] as the band path — a cell holding
-    // more than [[MaxCell]] vectors is split into deterministic
-    // sub-cells, so pair output per cell is ≤ n·MaxCell/2, not n²/2
-    val probed = subSalt(raw, Seq("cell"), "vec_id", MaxCell)
+    // more than `maxCell` vectors is split into deterministic sub-cells,
+    // so pair output per cell is ≤ n·maxCell/2, not n²/2. The cap is a
+    // user-facing cost/recall dial like nprobe ([[graft.Graft
+    // .embeddingNearDups]]): tighter caps bound the pair stage harder and
+    // can only ever REMOVE pairs (a sub-cell pair shares its cell).
+    val probed = subSalt(raw, Seq("cell"), "vec_id", maxCell)
       .select("vec_id", "cell", "__salt", "v", "nrm")
     // score INSIDE the cell join and threshold BEFORE any pair-level
     // shuffle: the only dedup shuffle carries the (tiny) passing pairs —

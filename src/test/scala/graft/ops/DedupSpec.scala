@@ -156,6 +156,23 @@ class DedupSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("maxCell cap is a cost dial: tightening it only removes pairs, never invents them") {
+    // minCosine = -1 exposes the raw candidate level (thresholding would
+    // hide the cap's effect when all near-dups survive the split anyway)
+    def pairsAt(cap: Int) =
+      Dedup.embeddingMultiprobePairs(spark, sfDir, nprobe = 2,
+        minCosine = -1.0, maxCell = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairsAt(Int.MaxValue)
+    val capped = pairsAt(2)
+    assert(capped.subsetOf(full),
+      "a sub-cell pair shares its cell — the cap can only remove pairs")
+    assert(capped.size < full.size,
+      s"cap=2 must split cells and drop cross-sub-cell pairs " +
+        s"(${capped.size} vs ${full.size})")
+    assert(capped.nonEmpty, "sub-cells still compare their members")
+  }
+
   test("BSP parallelism scales with measured candidate volume") {
     // tiny graph → 1 partition (single-task rounds, the sf0.1 shape)
     assert(Dedup.partitionsFor(rows = 40, rowsPerTask = 1L << 20, maxParts = 32) == 1)
