@@ -64,18 +64,28 @@ object Dedup {
 
   /** Attach the sub-salt column `__salt` to a bucketed table: per-bucket
     * count (map-side-combinable aggregate — a hot bucket collapses to one
-    * row before the shuffle) joined back on the bucket key, then
-    * `salt = md5i(id) % ceil(count/cap)` — engine-portable (the DuckDB
-    * twins replay the identical formula) and deterministic (no RNG). No
-    * window/sort: a row_number cap would sort each bucket inside ONE task
-    * (windows can't split a partition key) — the very skew being guarded. */
+    * row before the shuffle), filtered to the buckets OVER the cap, then
+    * left-joined back; `salt = md5i(id) % ceil(count/cap)` for hot rows,
+    * 0 otherwise — engine-portable (the DuckDB twins replay `md5i %
+    * ceil(bn/cap)` over ALL buckets, which is identical: ceil(bn/cap) = 1
+    * → salt 0 whenever bn ≤ cap) and deterministic (no RNG).
+    *
+    * Two scale choices baked in: joining only the HOT list (≤ one row per
+    * oversized bucket — empty on a clean corpus) lets AQE broadcast it,
+    * so the corpus-sized bucket table is never shuffled just to learn its
+    * salts (joining ALL counts would shuffle it — counts has a row per
+    * distinct bucket, unbroadcastable at 100 TB); and no window/sort — a
+    * row_number cap would sort each bucket inside ONE task (windows can't
+    * split a partition key), the very skew being guarded. */
   private[graft] def subSalt(
       df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
       idCol: String, cap: Int): org.apache.spark.sql.DataFrame = {
-    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__bn"))
-    df.join(counts, keyCols)
+    val hot = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > cap)
+    df.join(hot, keyCols, "left")
       .withColumn("__salt",
-        expr(s"${Text.md5i(s"CAST($idCol AS STRING)")} % ((__bn + ${cap - 1}) DIV $cap)"))
+        expr(s"CASE WHEN __bn IS NULL THEN 0L ELSE " +
+          s"${Text.md5i(s"CAST($idCol AS STRING)")} % ((__bn + ${cap - 1}) DIV $cap) END"))
       .drop("__bn")
   }
 
