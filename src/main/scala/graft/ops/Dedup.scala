@@ -811,11 +811,17 @@ object Dedup {
       (s, d) => {
         // norms once per vector (codegen'd self-dot), dot once per pair —
         // numerically identical to the folds the DuckDB oracle replays;
-        // the cast+norm projection is the shared [[Vector.vecs]]. The
-        // label cells get the same [[subSalt]] hot-cell guard as the
-        // multiprobe path: at 100 TB a label cell is corpus-fraction-sized
-        // and its self-join otherwise emits quadratic pairs.
-        val e = subSalt(Vector.vecs(s, d), Seq("label"), "vec_id", MaxCell)
+        // the cast+norm projection is the shared [[Vector.vecs]],
+        // registry-persisted here like the band/probe paths: the guard's
+        // per-label count aggregate and both self-join sides read ONE
+        // cached copy instead of re-running the corpus-sized cast+norm
+        // scan per consumer. The label cells get the same [[subSalt]]
+        // hot-cell guard as the multiprobe path: at 100 TB a label cell
+        // is corpus-fraction-sized and its self-join otherwise emits
+        // quadratic pairs.
+        val vecs = graft.CacheRegistry.getOrPersist("dedup_vecs", d,
+          Vector.vecs(s, d))
+        val e = subSalt(vecs, Seq("label"), "vec_id", MaxCell)
         val a = e.select(col("vec_id").as("vec_a"), col("label"), col("__salt"),
           col("v").as("va"), col("nrm").as("na"))
         val b = e.select(col("vec_id").as("vec_b"), col("label"), col("__salt"),

@@ -94,15 +94,20 @@ private[sources] class BatchMicroBatchStream(
     * would log, admit and open EVERY subtree even when the query reads
     * one partition — at 100 TB that is the difference between tailing one
     * `lang=en/` subtree and tailing the world. The `partition_filter`
-    * option ("col=value[,col=value]", values in path form) prunes at
-    * DISCOVERY time: non-matching files are never logged, never admitted,
-    * never opened. Literals are typed with the partition column's
-    * inferred type, and matching reuses the batch side's exact
-    * [[Partitions.matches]]. This is a semantic dial (pruned files' rows
-    * never enter the stream) — the streaming twin of the batch side's
-    * absorbed partition filters, surfaced as an option because there is
-    * no planner to absorb them here. */
-  private val partitionFilter: Seq[(String, Any)] =
+    * option ("col=value[,col=value]", values written exactly as they
+    * appear in the path — URL-encoded, with `__GRAFT_NULL__` selecting
+    * the null partition) prunes at DISCOVERY time: non-matching files
+    * are never logged, never admitted, never opened. Values are
+    * URL-DECODED and typed with the partition column's inferred type
+    * (the same round trip [[Partitions.parseRaw]] applies to the path
+    * itself — comparing the raw encoded form against decoded partition
+    * values would silently admit zero files forever), and matching
+    * reuses the batch side's exact [[Partitions.matches]]. This is a
+    * semantic dial (pruned files' rows never enter the stream) — the
+    * streaming twin of the batch side's absorbed partition filters,
+    * surfaced as an option because there is no planner to absorb them
+    * here. */
+  private val partitionFilter: Seq[org.apache.spark.sql.sources.Filter] =
     Option(options.get("partition_filter")).map { s =>
       s.split(',').toIndexedSeq.map(_.trim).filter(_.nonEmpty).map { term =>
         val i = term.indexOf('=')
@@ -112,16 +117,18 @@ private[sources] class BatchMicroBatchStream(
           throw new IllegalArgumentException(
             s"partition_filter column '$c' is not a partition column " +
               s"[${partCols.map(_.name).mkString(",")}]"))
-        c -> Partitions.castValue(raw, f.dataType)
+        if (raw == Partitions.NullMarker)
+          org.apache.spark.sql.sources.IsNull(c)
+        else org.apache.spark.sql.sources.EqualTo(c,
+          Partitions.castValue(java.net.URLDecoder.decode(raw,
+            java.nio.charset.StandardCharsets.UTF_8.name()), f.dataType))
       }
     }.getOrElse(Seq.empty)
 
   private def keepFile(path: String): Boolean =
     partitionFilter.isEmpty || {
       val vals = Partitions.valuesOf(path, rootDir, partCols)
-      partitionFilter.forall { case (c, v) =>
-        Partitions.matches(org.apache.spark.sql.sources.EqualTo(c, v), vals)
-      }
+      partitionFilter.forall(Partitions.matches(_, vals))
     }
 
   // in-memory mirror of the log (rebuilt from it on restart)

@@ -131,22 +131,31 @@ private[sources] object Partitions {
   }
 
   /** Evaluation state for [[matches]] — genuine SQL three-valued logic
-    * plus a fourth "varies per row" state:
-    *   - [[Unknown]] is a NULL-valued comparison. A partition value is
-    *     CONSTANT across its file, so Unknown at the top level means
-    *     every row evaluates to UNKNOWN → no row satisfies the filter →
-    *     the file is excluded, exactly like [[KnownFalse]].
-    *   - [[PerRow]] marks a sub-expression whose value can differ per
-    *     row (a reference to a non-partition column, or an incomparable
-    *     literal): some row might satisfy it → keeps the file.
-    * The distinction is what a blanket "NULL under NOT → exclude" got
-    * wrong: Not(IsNotNull(c)) over a null partition value is TRUE (IS
-    * NULL), not UNKNOWN — IsNull/IsNotNull never return UNKNOWN. */
+    * plus two per-row states:
+    *   - [[Unknown]] is a NULL-valued comparison, CONSTANT for every row
+    *     of the file (a partition value is), so at the top level no row
+    *     satisfies the filter → exclude, like [[KnownFalse]]. Its
+    *     negation is still UNKNOWN for every row → still excludable.
+    *   - [[PerRow]]: the value can be anything row to row (a reference
+    *     to a non-partition column, or an incomparable literal) — some
+    *     row might satisfy → keep.
+    *   - [[NeverTrue]]: per-row value is FALSE or UNKNOWN but provably
+    *     never TRUE (e.g. And(Unknown, PerRow): x AND UNKNOWN cannot be
+    *     TRUE). Excludable at the top level like Unknown — but its
+    *     NEGATION can be TRUE for some rows (NOT FALSE), so Not maps it
+    *     to [[PerRow]], not to Unknown. Collapsing it into Unknown made
+    *     Not(And(p = 1, d > 5)) over a null p prune files whose d ≤ 5
+    *     rows genuinely satisfy the filter.
+    * The Unknown/PerRow distinction is what a blanket "NULL under NOT →
+    * exclude" got wrong: Not(IsNotNull(c)) over a null partition value
+    * is TRUE (IS NULL), not UNKNOWN — IsNull/IsNotNull never return
+    * UNKNOWN. */
   private sealed trait Tri
   private case object KnownTrue extends Tri
   private case object KnownFalse extends Tri
   private case object Unknown extends Tri
   private case object PerRow extends Tri
+  private case object NeverTrue extends Tri
 
   /** Exact evaluation of an [[evaluable]] filter against one file's
     * constant partition values. True = some row of the file may satisfy
@@ -157,7 +166,7 @@ private[sources] object Partitions {
   def matches(filter: Filter, vals: Map[String, Any]): Boolean =
     eval3(filter, vals) match {
       case KnownTrue | PerRow => true
-      case KnownFalse | Unknown => false
+      case KnownFalse | Unknown | NeverTrue => false
     }
 
   private def eval3(f: Filter, vals: Map[String, Any]): Tri = {
@@ -194,23 +203,30 @@ private[sources] object Partitions {
       case And(l, r) => (eval3(l, vals), eval3(r, vals)) match {
         case (KnownFalse, _) | (_, KnownFalse) => KnownFalse
         case (KnownTrue, KnownTrue) => KnownTrue
-        case (PerRow, KnownTrue) | (KnownTrue, PerRow)
-           | (PerRow, PerRow) => PerRow
-        // an Unknown conjunct bars TRUE for every row: AND(x, UNKNOWN)
-        // is FALSE or UNKNOWN, never TRUE → excludable
-        case _ => Unknown
+        // a NeverTrue conjunct bars TRUE for every row — so does an
+        // Unknown one paired with anything per-row (x AND UNKNOWN is
+        // FALSE or UNKNOWN, never TRUE). Only both-constant-Unknown
+        // stays Unknown (constant for every row → negation excludable)
+        case (NeverTrue, _) | (_, NeverTrue) => NeverTrue
+        case (Unknown, PerRow) | (PerRow, Unknown) => NeverTrue
+        case (Unknown, _) | (_, Unknown) => Unknown
+        case _ => PerRow // at least one per-row side, none false/unknown
       }
       case Or(l, r) => (eval3(l, vals), eval3(r, vals)) match {
         case (KnownTrue, _) | (_, KnownTrue) => KnownTrue
+        // OR with a full per-row side can still be TRUE for some row
+        case (PerRow, _) | (_, PerRow) => PerRow
         case (KnownFalse, KnownFalse) => KnownFalse
-        case (Unknown, Unknown) | (Unknown, KnownFalse)
-           | (KnownFalse, Unknown) => Unknown
-        // OR with a per-row side can still be TRUE for some row → keep
-        case _ => PerRow
+        case (NeverTrue, KnownFalse) | (KnownFalse, NeverTrue)
+           | (NeverTrue, NeverTrue) => NeverTrue // {F,U} ∨ {F,U}: never T
+        case _ => Unknown // any Unknown side with F/U/N: always UNKNOWN
       }
       case Not(c) => eval3(c, vals) match {
         case KnownTrue => KnownFalse
         case KnownFalse => KnownTrue
+        // NOT of {FALSE, UNKNOWN} is {TRUE, UNKNOWN} — can be TRUE for
+        // some row → keep (per-row), NOT constant-unknown
+        case NeverTrue => PerRow
         case other => other // NOT(UNKNOWN)=UNKNOWN; NOT(per-row)=per-row
       }
       case _ => PerRow // non-evaluable shape: keep; Spark re-checks rows

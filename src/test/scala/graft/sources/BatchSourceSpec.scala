@@ -902,6 +902,16 @@ class BatchSourceSpec extends SparkSpec {
     // a comparison under NOT stays three-valued: NOT(p = 1) over NULL is
     // UNKNOWN, constant for the whole file → exclude
     assert(!Partitions.matches(Not(EqualTo("p", 1L)), nullVal))
+    // the never-TRUE refinement: over a NULL p, (p=1 AND d>5) is FALSE or
+    // UNKNOWN per row (d varies) but never TRUE — its NEGATION is TRUE
+    // for every d<=5 row, so the file must be KEPT (collapsing this into
+    // constant-UNKNOWN wrongly pruned rows that satisfy the filter)
+    assert(Partitions.matches(
+      Not(And(EqualTo("p", 1L), GreaterThan("d", 5L))), nullVal))
+    // whereas an all-constant conjunction over NULL p is UNKNOWN for
+    // every row, and so is its negation → still excludable
+    assert(!Partitions.matches(
+      Not(And(EqualTo("p", 1L), LessThan("p", 0L))), nullVal))
     // NOT over a mixed conjunction: with p=2, NOT(p=1 AND d>5) is TRUE
     // whatever the per-row data column d holds → keep, exactly
     val p2: Map[String, Any] = Map("p" -> 2L)
@@ -1023,6 +1033,35 @@ class BatchSourceSpec extends SparkSpec {
       s"log must contain only the lang=en subtree: $loggedPaths")
     assert(loggedPaths.size < total,
       s"pruned log (${loggedPaths.size}) must admit fewer files than the stage ($total)")
+  }
+
+  test("partition_filter values use path form: URL-encoded values and the null marker") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_pf_forms").toString
+    // three partitions: plain, space-bearing (encodes as 'a+b'), and null
+    spark.range(30).selectExpr("id",
+      "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'a b' ELSE NULL END AS v")
+      .repartition(col("v"))
+      .write.format("graft").option("partition_by", "v")
+      .mode("overwrite").save(dir)
+    val schema = spark.read.format("graft").load(dir).schema
+    def streamCount(filter: String, name: String): Long = {
+      val q = spark.readStream.format("graft").schema(schema)
+        .option("partition_filter", filter).load(dir)
+        .groupBy().count()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.table(name).collect().head.getLong(0)
+    }
+    // the doc says "values as they appear in the path": a space-bearing
+    // value is filtered by its ENCODED form and must still admit its
+    // subtree (raw-vs-decoded comparison silently admitted zero files)
+    assert(streamCount("v=a+b", "t_pf_encoded") == 10)
+    // the null partition is addressable via the null marker (an EqualTo
+    // against null would be UNKNOWN for every file → zero admitted)
+    assert(streamCount("v=__GRAFT_NULL__", "t_pf_nullpart") == 10)
+    assert(streamCount("v=en", "t_pf_plain") == 10)
   }
 
   test("partition_filter on a non-partition column is rejected at stream construction") {
