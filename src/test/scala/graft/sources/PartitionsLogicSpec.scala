@@ -103,6 +103,38 @@ class PartitionsLogicSpec extends AnyFunSuite {
       s"generator sanity: only $satisfiableCases satisfiable cases exercised")
   }
 
+  test("row-group stats pruning soundness: a batch with a satisfying row is never excluded") {
+    // same safety property one layer down: [[BatchSource.excludes]]
+    // prunes row groups from footer (min, max, nullCount) stats — if any
+    // generated row satisfies the filter, exclusion loses result rows
+    val rnd = new scala.util.Random(21)
+    var exercised = 0
+    (0 until 5000).foreach { _ =>
+      val nRows = 1 + rnd.nextInt(6)
+      val cols = Seq("p", "d")
+      val batch: Seq[Map[String, Any]] = (0 until nRows).map { _ =>
+        cols.map(c => c -> domain(rnd.nextInt(domain.length))).toMap
+      }
+      // exact footer stats; an all-null column carries no min/max in a
+      // real footer, so it is simply absent (excludes keeps, conservative)
+      val stats: BatchSource.ColStats = cols.flatMap { c =>
+        val vs = batch.map(_(c))
+        val nonNull = vs.filter(_ != null).map(_.asInstanceOf[Long])
+        if (nonNull.isEmpty) None
+        else Some(c ->
+          ((nonNull.min: Any, nonNull.max: Any, vs.count(_ == null).toLong)))
+      }.toMap
+      val f = genFilter(rnd, 3, IndexedSeq("p", "d"))
+      if (batch.exists(row => eval(f, row).contains(true))) {
+        exercised += 1
+        assert(!BatchSource.excludes(f, stats, nRows),
+          s"UNSOUND ROW-GROUP PRUNE: $f excluded a batch containing a " +
+            s"satisfying row; stats=$stats batch=$batch")
+      }
+    }
+    assert(exercised > 1000, s"generator sanity: only $exercised satisfiable cases")
+  }
+
   test("precision: partition-only filters exclude exactly the 3VL non-TRUE files") {
     val rnd = new scala.util.Random(13)
     var excluded = 0
