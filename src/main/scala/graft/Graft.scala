@@ -106,6 +106,16 @@ object Graft {
       maxCell: Int = ops.Dedup.MaxCell): DataFrame =
     ops.Dedup.embeddingMultiprobePairs(spark, sfDir, nprobe, minCosine, maxCell)
 
+  /** End-to-end corpus curation (north-star "end-to-end" pipeline) as
+    * one call: guarded MinHash/LSH candidates → connected-component
+    * keep-list → drop non-survivors → quality gate. Returns the
+    * training-corpus manifest (doc_id, lang, quality_e6). The same code
+    * path runs as a restartable micro-batch stream
+    * ([[streaming.Streams.curate]]); oracle-checked as
+    * `q_pipeline_curate`. */
+  def curate(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Dedup.curateCorpus(spark, sfDir)
+
   /** The `arrow_options.types_mapper` analogue (test_core.py:106-123):
     * cast every column to `to` after the read. */
   def castAll(df: DataFrame, to: DataType): DataFrame =

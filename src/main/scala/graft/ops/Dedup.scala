@@ -218,6 +218,21 @@ object Dedup {
       .select(col("doc_id"), col("keep_id"),
         (col("doc_id") === col("keep_id")).as("is_survivor"))
 
+  /** The END-TO-END curation pipeline as one call (backs
+    * `q_pipeline_curate` and [[graft.Graft.curate]]): drop near-dup
+    * non-survivors (guarded LSH candidates → connected components →
+    * keep-list, cluster-sized so the anti-join broadcasts), then gate on
+    * the quality score — what remains IS the training-corpus manifest.
+    * ONE code path with the streaming gate ([[graft.streaming.Streams
+    * .curate]]): the micro-batch twin can never drift from the batch
+    * oracle. */
+  private[graft] def curateCorpus(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val dupDrops = resolveClusters(s, d)
+      .filter(!col("is_survivor")).select("doc_id")
+    graft.streaming.Streams.curate(Tables.table(s, d, "documents"), dupDrops)
+  }
+
   /** BSP parallelism derived from MEASURED row volume: one task per
     * `rowsPerTask` rows, capped at `maxParts`. At sf0.1 the candidate
     * graph is tens of rows → 1 partition (each round is a single task,
@@ -640,14 +655,7 @@ object Dedup {
     // manifest. One corpus scan for the quality side; the drop list is
     // cluster-sized and anti-joins broadcast.
     QueryDef("q_pipeline_curate",
-      (s, d) => {
-        val dupDrops = resolveClusters(s, d)
-          .filter(!col("is_survivor")).select("doc_id")
-        // ONE code path with the streaming gate ([[graft.streaming.Streams
-        // .curate]]): the micro-batch twin can never drift from this oracle
-        graft.streaming.Streams.curate(Tables.table(s, d, "documents"), dupDrops)
-          .orderBy("doc_id")
-      },
+      (s, d) => curateCorpus(s, d).orderBy("doc_id"),
       Some(s"""$duckWalkCte, drops AS (
               |  SELECT doc FROM (
               |    SELECT doc, min(reach) AS keep FROM walk GROUP BY doc

@@ -64,6 +64,13 @@ class GraftSpec extends SparkSpec {
       "an identity types_mapper must not add plan nodes")
   }
 
+  test("curate facade returns the oracle-checked q_pipeline_curate manifest") {
+    val api = Graft.curate(spark, sfDir).orderBy("doc_id")
+    val key = SparkEntry.queries("q_pipeline_curate")(spark, sfDir)
+    assertSameRows(api, key)
+    assert(api.columns.toSeq == Seq("doc_id", "lang", "quality_e6"))
+  }
+
   test("npartitions surface (test_core.py:88)") {
     val df = Graft.read(spark, sfDir, "SELECT * FROM region", npartitions = Some(2))
     assert(Graft.npartitions(df) <= 2)
