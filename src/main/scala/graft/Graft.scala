@@ -106,6 +106,26 @@ object Graft {
       maxCell: Int = ops.Dedup.MaxCell): DataFrame =
     ops.Dedup.embeddingMultiprobePairs(spark, sfDir, nprobe, minCosine, maxCell)
 
+  /** Text near-duplicate CANDIDATE pairs over `documents` (MinHash → LSH
+    * band buckets → guarded self-join). `maxBand` is the hot-bucket cost
+    * dial ([[ops.Dedup.subSalt]]): buckets past it split into
+    * deterministic sub-buckets, bounding pair output at O(maxBand·n);
+    * tightening it only removes candidates. Verify with
+    * `q_dedup_ngram`-style exact measures before treating a candidate as
+    * a duplicate. */
+  def nearDupCandidates(
+      spark: SparkSession, sfDir: String,
+      maxBand: Int = ops.Dedup.MaxBand): DataFrame =
+    ops.Dedup.candidatesFromBands(ops.Dedup.sparkBands(spark, sfDir), maxBand)
+
+  /** The resolved dedup KEEP-LIST over `documents`: (doc_id, keep_id,
+    * is_survivor) for every doc in at least one candidate pair —
+    * connected components (HashMin + adaptive pointer jumping) over the
+    * guarded LSH candidate graph, survivor = component min. Oracle-checked
+    * as `q_dedup_resolve`. */
+  def dedupKeepList(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Dedup.resolveClusters(spark, sfDir)
+
   /** End-to-end corpus curation (north-star "end-to-end" pipeline) as
     * one call: guarded MinHash/LSH candidates → connected-component
     * keep-list → drop non-survivors → quality gate. Returns the

@@ -166,7 +166,7 @@ object Dedup {
   }
 
   /** Spark-side per-doc band buckets: (doc_id, band_idx, band_val). */
-  private def sparkBands(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[graft] def sparkBands(s: org.apache.spark.sql.SparkSession, d: String) = {
     val bandStructs = (0 until Bands).map { bi =>
       s"struct(CAST($bi AS INT) AS band_idx, " +
         s"element_at(mh, ${2 * bi + 1}) * $P + element_at(mh, ${2 * bi + 2}) AS band_val)"
@@ -206,7 +206,7 @@ object Dedup {
     * (HashMin + pointer jumping), parallelism derived from the measured
     * candidate volume. Shared by `q_dedup_resolve` and
     * `q_pipeline_curate`. */
-  private def resolveClusters(
+  private[graft] def resolveClusters(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     // the resolved label table is cluster-count-sized (tiny) and two keys
     // consume it — run the propagation once per (session, input)

@@ -64,6 +64,13 @@ class GraftSpec extends SparkSpec {
       "an identity types_mapper must not add plan nodes")
   }
 
+  test("dedup facades return the oracle-checked keep-list and candidate pairs") {
+    assertSameRows(Graft.dedupKeepList(spark, sfDir),
+      SparkEntry.queries("q_dedup_resolve")(spark, sfDir))
+    assertSameRows(Graft.nearDupCandidates(spark, sfDir),
+      SparkEntry.queries("q_dedup_minhash")(spark, sfDir))
+  }
+
   test("curate facade returns the oracle-checked q_pipeline_curate manifest") {
     val api = Graft.curate(spark, sfDir).orderBy("doc_id")
     val key = SparkEntry.queries("q_pipeline_curate")(spark, sfDir)
