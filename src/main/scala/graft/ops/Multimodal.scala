@@ -76,7 +76,57 @@ object Multimodal {
     * recomputes it exactly: the JVM's wrapping signed-64 multiply/add is
     * emulated with HUGEINT arithmetic mod 2^64 (documents.text is ASCII,
     * so `ord(char)` == utf-8 byte). */
+  /** Frame geometry for [[defs]]' frame-sample key: a "frame" is
+    * [[FrameBytes]] consecutive payload bytes; every [[FrameStride]]-th
+    * offset is sampled (the video keyframe-sampling shape). */
+  val FrameBytes = 16
+  val FrameStride = 64
+
   val defs: Seq[graft.QueryDef] = Seq(
+    // ---------------------------------------- frame-sample + resize
+    // the video-pipeline plumbing: sample every FrameStride-th FrameBytes
+    // window of the opaque payload ("keyframes"), and per frame emit a
+    // content digest plus a RESIZE stub digest (every 4th byte of the
+    // frame — the downsample shape; a real pipeline swaps the stub for a
+    // codec). One explode per doc, no shuffle, frames never leave their
+    // executor; payloads are ASCII text standing in for media bytes, so
+    // the DuckDB oracle replays the byte windows with substr exactly.
+    // (Chars-as-bytes holds because documents.text is ASCII — same
+    // assumption q_multimodal_decode's oracle documents.)
+    graft.QueryDef("q_multimodal_frames",
+      (s, d) => {
+        val thumb = (0 until 4).map(j =>
+          s"substring(frame, ${1 + 4 * j}, 1)").mkString("concat(", ", ", ")")
+        graft.warehouse.Tables.table(s, d, "documents")
+          .filter(length(col("text")) >= FrameBytes)
+          .withColumn("off", explode(expr(
+            s"sequence(0, length(text) - $FrameBytes, $FrameStride)")))
+          .withColumn("frame",
+            expr(s"substring(text, off + 1, $FrameBytes)"))
+          .select(
+            col("doc_id"),
+            (col("off") / FrameStride).cast(LongType).as("frame_idx"),
+            md5(col("frame").cast(BinaryType)).as("frame_md5"),
+            md5(expr(thumb).cast(BinaryType)).as("thumb_md5"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some {
+        val thumb = (0 until 4).map(j =>
+          s"substr(frame, ${1 + 4 * j}, 1)").mkString("concat(", ", ", ")")
+        s"""WITH f AS (
+           |  SELECT doc_id,
+           |    unnest(generate_series(0, length(text) - $FrameBytes, $FrameStride)) AS off,
+           |    text
+           |  FROM documents WHERE length(text) >= $FrameBytes
+           |), g AS (
+           |  SELECT doc_id, off, substr(text, off + 1, $FrameBytes) AS frame FROM f
+           |)
+           |SELECT doc_id, CAST(off // $FrameStride AS BIGINT) AS frame_idx,
+           |  md5(frame) AS frame_md5,
+           |  md5($thumb) AS thumb_md5
+           |FROM g ORDER BY doc_id, frame_idx""".stripMargin
+      }),
+
     graft.QueryDef("q_multimodal_decode",
       (s, d) => {
         val feats = extractFeatures(withPayload(
