@@ -98,8 +98,9 @@ object Graft {
     * straddling a cell boundary that nprobe=1 never compares. `maxCell`
     * is the matching COST dial: the hot-cell guard splits any cell past
     * it into deterministic sub-cells, bounding the pair stage at
-    * O(maxCell·n) — tightening it can only remove pairs, never invent
-    * them (DedupSpec pins the subset property). */
+    * O(maxCell·n). Any finite cap emits a SUBSET of the unguarded pairs
+    * (DedupSpec pins that), but membership is not monotone between two
+    * finite caps — the sub-cell modulus changes with the cap. */
   def embeddingNearDups(
       spark: SparkSession, sfDir: String,
       nprobe: Int = 2, minCosine: Double = 0.45,
@@ -109,14 +110,17 @@ object Graft {
   /** Text near-duplicate CANDIDATE pairs over `documents` (MinHash → LSH
     * band buckets → guarded self-join). `maxBand` is the hot-bucket cost
     * dial ([[ops.Dedup.subSalt]]): buckets past it split into
-    * deterministic sub-buckets, bounding pair output at O(maxBand·n);
-    * tightening it only removes candidates. Verify with
-    * `q_dedup_ngram`-style exact measures before treating a candidate as
-    * a duplicate. */
+    * deterministic sub-buckets, bounding pair output at O(maxBand·n).
+    * Any finite cap yields a SUBSET of the unguarded candidates, but
+    * membership is NOT monotone between two finite caps (the sub-bucket
+    * modulus changes, so a pair split apart at one cap can collide at a
+    * tighter one) — treat the cap as a cost bound, not a ranked recall
+    * dial. Verify with `q_dedup_ngram`-style exact measures before
+    * treating a candidate as a duplicate. */
   def nearDupCandidates(
       spark: SparkSession, sfDir: String,
       maxBand: Int = ops.Dedup.MaxBand): DataFrame =
-    ops.Dedup.candidatesFromBands(ops.Dedup.sparkBands(spark, sfDir), maxBand)
+    ops.Dedup.nearDupCandidates(spark, sfDir, maxBand)
 
   /** The resolved dedup KEEP-LIST over `documents`: (doc_id, keep_id,
     * is_survivor) for every doc in at least one candidate pair —

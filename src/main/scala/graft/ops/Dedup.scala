@@ -110,6 +110,18 @@ object Dedup {
     saltedPairJoin(subSalt(bands, Seq("band_idx", "band_val"), "doc_id", cap),
       Seq("band_idx", "band_val"))
 
+  /** Facade entry ([[graft.Graft.nearDupCandidates]]): guarded candidates
+    * at a caller-chosen cap, always reading the REGISTRY-CACHED raw bands
+    * — a bare [[sparkBands]] here would re-run the corpus-scale
+    * shingle+md5+minhash pipeline once per consumer (~4× per action:
+    * hot-count + join-back + both self-join sides). The default cap takes
+    * the fully-shared [[sparkCandidates]] path (cached salted bands too). */
+  private[graft] def nearDupCandidates(
+      s: org.apache.spark.sql.SparkSession, d: String, cap: Int): org.apache.spark.sql.DataFrame =
+    if (cap == MaxBand) sparkCandidates(s, d)
+    else candidatesFromBands(
+      graft.CacheRegistry.getOrPersist("dedup_bands_raw", d, sparkBands(s, d)), cap)
+
   // ---- Spark-dialect expression fragments --------------------------------
 
   // ---- DuckDB-dialect twins ---------------------------------------------
@@ -439,9 +451,10 @@ object Dedup {
     // hot-CELL guard: same [[subSalt]] as the band path — a cell holding
     // more than `maxCell` vectors is split into deterministic sub-cells,
     // so pair output per cell is ≤ n·maxCell/2, not n²/2. The cap is a
-    // user-facing cost/recall dial like nprobe ([[graft.Graft
-    // .embeddingNearDups]]): tighter caps bound the pair stage harder and
-    // can only ever REMOVE pairs (a sub-cell pair shares its cell).
+    // user-facing COST dial next to nprobe ([[graft.Graft
+    // .embeddingNearDups]]): any finite cap emits a subset of the
+    // unguarded pairs (a sub-cell pair shares its cell), though between
+    // two finite caps membership is not monotone (the modulus changes).
     val probed = subSalt(raw, Seq("cell"), "vec_id", maxCell)
       .select("vec_id", "cell", "__salt", "v", "nrm")
     // score INSIDE the cell join and threshold BEFORE any pair-level

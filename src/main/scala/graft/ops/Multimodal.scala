@@ -67,21 +67,22 @@ object Multimodal {
     out
   }
 
-  /** queries() surface: decode plumbing end-to-end. The driver-checkable
-    * output is scalar — per-dim `floor(feature * 1e6)::BIGINT` digests of
-    * the decoded feature vector (raw `array<float>` columns aren't
-    * sortable by the driver's pandas check; the array-valued variant
-    * stays a ScalaTest surface in MultimodalSpec). The stub decoder is
-    * pure integer arithmetic over the payload bytes, so the DuckDB oracle
-    * recomputes it exactly: the JVM's wrapping signed-64 multiply/add is
-    * emulated with HUGEINT arithmetic mod 2^64 (documents.text is ASCII,
-    * so `ord(char)` == utf-8 byte). */
   /** Frame geometry for [[defs]]' frame-sample key: a "frame" is
     * [[FrameBytes]] consecutive payload bytes; every [[FrameStride]]-th
     * offset is sampled (the video keyframe-sampling shape). */
   val FrameBytes = 16
   val FrameStride = 64
 
+  /** queries() surface: decode + frame plumbing end-to-end. The
+    * driver-checkable outputs are scalar — for decode, per-dim
+    * `floor(feature * 1e6)::BIGINT` digests of the decoded feature vector
+    * (raw `array<float>` columns aren't sortable by the driver's pandas
+    * check; the array-valued variant stays a ScalaTest surface in
+    * MultimodalSpec). The stub decoder is pure integer arithmetic over
+    * the payload bytes, so the DuckDB oracle recomputes it exactly: the
+    * JVM's wrapping signed-64 multiply/add is emulated with HUGEINT
+    * arithmetic mod 2^64 (documents.text is ASCII, so `ord(char)` ==
+    * utf-8 byte). */
   val defs: Seq[graft.QueryDef] = Seq(
     // ---------------------------------------- frame-sample + resize
     // the video-pipeline plumbing: sample every FrameStride-th FrameBytes

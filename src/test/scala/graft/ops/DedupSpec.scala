@@ -156,7 +156,7 @@ class DedupSpec extends SparkSpec {
     assert(again == first)
   }
 
-  test("maxCell cap is a cost dial: tightening it only removes pairs, never invents them") {
+  test("a finite maxCell cap emits a strict subset of the unguarded candidate pairs") {
     // minCosine = -1 exposes the raw candidate level (thresholding would
     // hide the cap's effect when all near-dups survive the split anyway)
     def pairsAt(cap: Int) =
