@@ -1064,6 +1064,43 @@ class BatchSourceSpec extends SparkSpec {
     assert(streamCount("v=en", "t_pf_plain") == 10)
   }
 
+  test("partition_filter pruning survives a stream restart and applies to newly-landed files") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_pf_restart").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_pf_restart_cp").toString
+    def stage(ids: Range): Unit =
+      spark.range(ids.start, ids.end).selectExpr("id",
+        "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS v")
+        .repartition(col("v"))
+        .write.format("graft").option("partition_by", "v")
+        .mode("append").save(dir)
+    // parquet file sink: supports checkpoint RECOVERY (the memory sink
+    // does not) — same pattern as StreamingSpec's restart test
+    val outDir = java.nio.file.Files.createTempDirectory("graft_pf_restart_out").toString
+    def runOnce(): Set[Long] = {
+      val q = spark.readStream.format("graft")
+        .schema(spark.read.format("graft").load(dir).schema)
+        .option("partition_filter", "v=en").load(dir)
+        .select("id")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", cp)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.read.parquet(outDir).collect().map(_.getLong(0)).toSet
+    }
+    stage(0 until 10)
+    val first = runOnce()
+    assert(first == (0 until 10 by 2).map(_.toLong).toSet,
+      s"first run must stream only v=en rows, got $first")
+    // new files land (both partitions) while the stream is DOWN; the
+    // restarted query must admit only the matching subtree's new files
+    // and re-admit nothing from before
+    stage(10 until 20)
+    val all = runOnce()
+    assert(all == (0 until 20 by 2).map(_.toLong).toSet,
+      s"restart must add only NEW v=en rows with no re-admission, got $all")
+  }
+
   test("partition_filter on a non-partition column is rejected at stream construction") {
     val dir = stagePartitioned()
     val conf = BatchSource.hadoopConf()
