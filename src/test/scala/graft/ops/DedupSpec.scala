@@ -173,6 +173,24 @@ class DedupSpec extends SparkSpec {
     assert(capped.nonEmpty, "sub-cells still compare their members")
   }
 
+  test("guarded candidate generation is repartition-stable") {
+    import spark.implicits._
+    // salts derive from content (md5 of doc_id) and bucket counts, never
+    // from partition layout — so physical repartitioning must not change
+    // the candidate set (greedy/per-partition schemes fail exactly here)
+    val rnd = new scala.util.Random(11)
+    val bands = (0 until 400).map { i =>
+      (i.toLong, rnd.nextInt(2), rnd.nextInt(5).toLong)
+    }.toDF("doc_id", "band_idx", "band_val")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.candidatesFromBands(df, cap = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = pairs(bands)
+    assert(base.nonEmpty)
+    assert(pairs(bands.repartition(7)) == base)
+    assert(pairs(bands.repartition(1)) == base)
+  }
+
   test("BSP parallelism scales with measured candidate volume") {
     // tiny graph → 1 partition (single-task rounds, the sf0.1 shape)
     assert(Dedup.partitionsFor(rows = 40, rowsPerTask = 1L << 20, maxParts = 32) == 1)
