@@ -130,6 +130,18 @@ object Graft {
   def dedupKeepList(spark: SparkSession, sfDir: String): DataFrame =
     ops.Dedup.resolveClusters(spark, sfDir)
 
+  /** Generic LEFT AS-OF join (Snowflake's ASOF JOIN — the reference's
+    * warehouse offers it through the SQL pass-through; Spark has no
+    * built-in): for every left row, the most recent right row with
+    * `rightTime` ≤ `leftTime` on equal `keys`, nulls when none. One
+    * shuffle on the keys (union + window), no range explosion. For
+    * determinism, pre-aggregate right-side (keys, time) ties. The
+    * oracle-checked `q_join_asof` runs through this function. */
+  def asofJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String): DataFrame =
+    ops.Temporal.asofJoin(left, right, keys, leftTime, rightTime)
+
   /** End-to-end corpus curation (north-star "end-to-end" pipeline) as
     * one call: guarded MinHash/LSH candidates → connected-component
     * keep-list → drop non-survivors → quality gate. Returns the

@@ -32,6 +32,49 @@ object Temporal {
       .agg(max("event_id").as("p_id"),
         max_by(col("value"), col("event_id")).as("p_value"))
 
+  /** Generic LEFT AS-OF join (the warehouse ASOF JOIN shape,
+    * [[graft.Graft.asofJoin]]): for every left row, attach the value
+    * columns of the most recent right row with `rightTime` ≤ `leftTime`,
+    * matched on equal `keys`; no match → nulls. Union + last(ignoreNulls)
+    * over ONE window: one shuffle on the keys, no range explosion, never
+    * O(n²). At equal timestamps the right row IS visible (the `>=`
+    * ASOF semantics — right rows sort before left rows at a tie). For a
+    * deterministic result the right side should be unique per
+    * (keys, rightTime) — pre-aggregate ties like [[purchasesDeduped]]
+    * does. Right value column names must not collide with left columns.
+    * The oracle-checked `q_join_asof` runs THROUGH this function, so the
+    * DuckDB ASOF JOIN pins its semantics. */
+  private[graft] def asofJoin(
+      left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String): org.apache.spark.sql.DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightVals = right.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == rightTime)
+    require(rightVals.intersect(leftCols).isEmpty,
+      s"right value columns ${rightVals.intersect(leftCols)} collide with left columns")
+    val leftOnly = leftCols.filterNot(keys.contains)
+    val unionCols = (keys ++ leftOnly ++ rightVals ++ Seq("__t", "__side")).map(col)
+    val lSide = rightVals.foldLeft(
+      left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))) {
+      (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }.select(unionCols: _*)
+    val rSide = leftOnly.foldLeft(
+      right.withColumn("__t", col(rightTime)).withColumn("__side", lit(0))) {
+      (df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(unionCols: _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attached = rightVals.foldLeft(lSide.unionByName(rSide)) { (df, c) =>
+      df.withColumn(c,
+        last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    attached.filter(col("__side") === 1)
+      .select((leftCols ++ rightVals).map(col): _*)
+  }
+
   /** Shared DuckDB oracle for both as-of variants. */
   private val asofOracle =
     """WITH clicks AS (
@@ -72,21 +115,11 @@ object Temporal {
       (s, d) => {
         val ev = Tables.table(s, d, "events")
         val clicks = ev.filter(col("event_type") === "click")
-          .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("side"),
-            lit(null).cast(LongType).as("p_id"), lit(null).cast(DoubleType).as("p_value"))
+          .select(col("user_id"), col("ts"), col("event_id"))
         val purchases = purchasesDeduped(ev)
-          .select(col("user_id"), col("ts"), lit(null).cast(LongType).as("event_id"),
-            lit(0).as("side"), col("p_id"), col("p_value"))
-        // at equal ts the purchase (side=0) sorts first, so a click at the
-        // same instant sees it — matching ASOF's l.ts >= r.ts semantics
-        val w = Window.partitionBy("user_id").orderBy("ts", "side")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        clicks.unionByName(purchases)
-          .withColumn("asof_p_id", last(when(col("side") === 0, col("p_id")), ignoreNulls = true).over(w))
-          .withColumn("asof_p_value", last(when(col("side") === 0, col("p_value")), ignoreNulls = true).over(w))
-          .filter(col("side") === 1)
+        asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts")
           .select(col("event_id").as("click_id"), col("user_id"),
-            col("asof_p_id"), col("asof_p_value"))
+            col("p_id").as("asof_p_id"), col("p_value").as("asof_p_value"))
           .orderBy("click_id")
       },
       Some(asofOracle)),

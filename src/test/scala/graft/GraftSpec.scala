@@ -71,6 +71,33 @@ class GraftSpec extends SparkSpec {
       SparkEntry.queries("q_dedup_minhash")(spark, sfDir))
   }
 
+  test("generic asofJoin: most-recent-at-or-before match, nulls when none, tie visible") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "a"),  // after right rows at 5 and 10 → matches ts=10 (tie visible)
+      (1L, 7L, "b"),   // between 5 and 10 → matches 5
+      (1L, 3L, "c"),   // before any right row → nulls
+      (2L, 100L, "d")  // key with no right rows at all → nulls
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 5L, "r5"),
+      (1L, 10L, "r10")
+    ).toDF("k", "rt", "payload")
+    val got = Graft.asofJoin(left, right, Seq("k"), "t", "rt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+    assert(got == Set(
+      (1L, 10L, "a", Some("r10")),
+      (1L, 7L, "b", Some("r5")),
+      (1L, 3L, "c", None),
+      (2L, 100L, "d", None)))
+    // and the two warehouse as-of plans (window via this util, broadcast
+    // max_by) agree on the events fixture — two plans, one truth
+    assertSameRows(
+      SparkEntry.queries("q_join_asof")(spark, sfDir),
+      SparkEntry.queries("q_join_asof_broadcast")(spark, sfDir))
+  }
+
   test("curate facade returns the oracle-checked q_pipeline_curate manifest") {
     val api = Graft.curate(spark, sfDir).orderBy("doc_id")
     val key = SparkEntry.queries("q_pipeline_curate")(spark, sfDir)
