@@ -85,11 +85,15 @@ object Graft {
     * coarse cell (fastest, misses neighbors straddling a Voronoi
     * boundary); larger values widen the candidate set toward
     * exact-within-quantizer at one extra probe row per query per step.
-    * VectorSpec asserts recall is monotone in `nprobe`. */
+    * `queryIds` picks the query vectors (small by contract — the probe
+    * side broadcasts) and `k` the hits per query. VectorSpec asserts
+    * recall is monotone in `nprobe`. */
   def similaritySearch(
       spark: SparkSession, sfDir: String,
-      nprobe: Int = 3, sampleTarget: Int = 20000): DataFrame =
-    ops.Vector.ivfTopKTrained(spark, sfDir, sampleTarget, nprobe)
+      nprobe: Int = 3, sampleTarget: Int = 20000,
+      queryIds: Seq[Long] = 0L until 5, k: Int = 5): DataFrame =
+    ops.Vector.ivfTopKTrained(spark, sfDir, sampleTarget, nprobe,
+      org.apache.spark.sql.functions.col("vec_id").isin(queryIds: _*), k)
 
   /** Embedding near-duplicate pairs (north-star "dedup" block) with the
     * same `nprobe` recall dial: each vector lands in its `nprobe` nearest

@@ -197,13 +197,18 @@ object Vector {
     * misses neighbors straddling a Voronoi boundary). */
   private[graft] def ivfTopK(
       s: org.apache.spark.sql.SparkSession, d: String,
-      cents: Array[Array[Double]], nprobe: Int = 3): org.apache.spark.sql.DataFrame = {
+      cents: Array[Array[Double]], nprobe: Int = 3,
+      queryPred: org.apache.spark.sql.Column = col("vec_id") < 5,
+      k: Int = 5): org.apache.spark.sql.DataFrame = {
     graft.functions.IvfNearestCells.register(s, cents, nprobe)
     val base = vecs(s, d)
     val cells = base
       .withColumn("cell", expr("element_at(ivf_cells(v), 1)"))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-    val probed = base.filter(col("vec_id") < 5)
+    // the query set stays a PREDICATE over the corpus (default: the keyed
+    // fixture's first five vectors) so the probe side is a pruned scan,
+    // small by contract → broadcast; the corpus side never shuffles
+    val probed = base.filter(queryPred)
       .withColumn("cell", explode(expr("ivf_cells(v)")))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell"))
@@ -211,7 +216,7 @@ object Vector {
         col("nrm").as("cn"), col("cell"))
       .join(broadcast(probed), Seq("cell"))
       .filter(col("cid") =!= col("qid"))
-      .select("qid", "qv", "qn", "cid", "cv", "cn"))
+      .select("qid", "qv", "qn", "cid", "cv", "cn"), k)
   }
 
   /** The sample-trained IVF path (the production API): fit the coarse
@@ -225,10 +230,13 @@ object Vector {
     * can replay assignment exactly. */
   private[graft] def ivfTopKTrained(
       s: org.apache.spark.sql.SparkSession, d: String,
-      sampleTarget: Int = 20000, nprobe: Int = 3): org.apache.spark.sql.DataFrame = {
+      sampleTarget: Int = 20000, nprobe: Int = 3,
+      queryPred: org.apache.spark.sql.Column = col("vec_id") < 5,
+      k: Int = 5): org.apache.spark.sql.DataFrame = {
     val sample = vecs(s, d).select("v").limit(sampleTarget)
       .collect().map(_.getSeq[Double](0).toArray)
-    ivfTopK(s, d, fitCentroids(sample, k = 8, iters = 5, seed = 42), nprobe)
+    ivfTopK(s, d, fitCentroids(sample, k = 8, iters = 5, seed = 42),
+      nprobe, queryPred, k)
   }
 
   /** DuckDB twin of [[ivfTopK]] over the same frozen centroid literals:

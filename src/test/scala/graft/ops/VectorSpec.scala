@@ -86,6 +86,19 @@ class VectorSpec extends SparkSpec {
     assert(avg >= 0.5, f"IVF avg recall@5 = $avg%.2f, expected ≥ 0.5 with nprobe=3")
   }
 
+  test("similaritySearch queryIds and k dials pick the query set and hit count") {
+    val got = graft.Graft.similaritySearch(spark, sfDir,
+      queryIds = Seq(7L, 11L), k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.map(_._1).toSet.subsetOf(Set(7L, 11L)),
+      s"only the requested queries may appear: ${got.map(_._1).toSet}")
+    got.groupBy(_._1).foreach { case (qid, hits) =>
+      assert(hits.length <= 3, s"query $qid returned ${hits.length} > k=3 hits")
+      assert(hits.forall(_._3 != qid), "a query must not match itself")
+    }
+  }
+
   test("nprobe is a user-facing recall dial: wider probe never loses recall") {
     val brute = rows("q_similarity_topk")
       .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
