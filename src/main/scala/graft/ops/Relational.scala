@@ -369,6 +369,48 @@ object Relational {
              |GROUP BY CUBE (o_orderstatus, o_orderpriority)
              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
+    // GROUPING SETS — the general form rollup/cube specialize; arbitrary
+    // grouping combinations in ONE pass (Spark expands to a single
+    // aggregate with a grouping-id column, not N scans). Identical ANSI
+    // syntax both engines; nulls-first total order like the rollup key.
+    QueryDef("q_agg_grouping_sets",
+      (s, d) => {
+        t(s, d, "orders") // registers the warehouse views for spark.sql
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                |  CAST(count(1) AS BIGINT) AS n
+                |FROM orders
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+                |ORDER BY o_orderstatus ASC NULLS FIRST,
+                |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(count(1) AS BIGINT) AS n
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY o_orderstatus ASC NULLS FIRST,
+             |  o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // distribution windows: percent_rank / cume_dist — both are pure
+    // integer-ratio doubles ((rank-1)/(n-1), rank/n) so the engines
+    // divide the same exact integers → identical doubles before rounding
+    QueryDef("q_window_percentile_rank",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders").select(
+            col("o_orderkey"), col("o_orderstatus"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |  round(percent_rank() OVER w, 6) AS pct_rank,
+             |  round(cume_dist() OVER w, 6) AS cume
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderstatus
+             |             ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // avg/stddev: explicit sum/count arithmetic so both engines divide the
     // same exact decimal sum — engine avg() scale/rounding semantics differ
     QueryDef("q_agg_stats",
