@@ -21,6 +21,16 @@ object Relational {
 
   private val D386 = DecimalType(38, 6)
 
+  /** ONE ANSI string for `q_agg_grouping_sets`, run verbatim by BOTH
+    * Spark and the DuckDB oracle (the asofOracle sharing pattern). */
+  private val groupingSetsSql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(count(1) AS BIGINT) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderstatus ASC NULLS FIRST,
+      |  o_orderpriority ASC NULLS FIRST""".stripMargin
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.table(s, dir, n)
 
@@ -371,24 +381,15 @@ object Relational {
 
     // GROUPING SETS — the general form rollup/cube specialize; arbitrary
     // grouping combinations in ONE pass (Spark expands to a single
-    // aggregate with a grouping-id column, not N scans). Identical ANSI
-    // syntax both engines; nulls-first total order like the rollup key.
+    // aggregate with a grouping-id column, not N scans). The SAME ANSI
+    // string runs verbatim on both engines — one definition, so the two
+    // sides can never drift; nulls-first total order like the rollup key.
     QueryDef("q_agg_grouping_sets",
       (s, d) => {
-        t(s, d, "orders") // registers the warehouse views for spark.sql
-        s.sql("""SELECT o_orderstatus, o_orderpriority,
-                |  CAST(count(1) AS BIGINT) AS n
-                |FROM orders
-                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-                |ORDER BY o_orderstatus ASC NULLS FIRST,
-                |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+        Tables.register(s, d)
+        s.sql(groupingSetsSql)
       },
-      Some("""SELECT o_orderstatus, o_orderpriority,
-             |  CAST(count(1) AS BIGINT) AS n
-             |FROM orders
-             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-             |ORDER BY o_orderstatus ASC NULLS FIRST,
-             |  o_orderpriority ASC NULLS FIRST""".stripMargin)),
+      Some(groupingSetsSql)),
 
     // distribution windows: percent_rank / cume_dist — both are pure
     // integer-ratio doubles ((rank-1)/(n-1), rank/n) so the engines

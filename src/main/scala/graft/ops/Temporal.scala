@@ -41,8 +41,16 @@ object Temporal {
     * ASOF semantics — right rows sort before left rows at a tie). For a
     * deterministic result the right side should be unique per
     * (keys, rightTime) — pre-aggregate ties like [[purchasesDeduped]]
-    * does. Right value column names must not collide with left columns.
-    * The oracle-checked `q_join_asof` runs THROUGH this function, so the
+    * does. Right value column names must not collide with left columns,
+    * and neither side may use the reserved `__t`/`__side`/`__rv` names.
+    *
+    * The right row's value columns travel as ONE struct, not
+    * independently: a struct is non-null even when every field is, so
+    * the window's last(ignoreNulls) always picks the MOST RECENT right
+    * row — per-column carries would skip a genuinely-NULL newest value
+    * (returning a stale older one) and could stitch fields from
+    * different right rows into one that never existed. The
+    * oracle-checked `q_join_asof` runs THROUGH this function, so the
     * DuckDB ASOF JOIN pins its semantics. */
   private[graft] def asofJoin(
       left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
@@ -50,16 +58,25 @@ object Temporal {
     val leftCols = left.columns.toSeq
     val rightVals = right.columns.toSeq
       .filterNot(c => keys.contains(c) || c == rightTime)
+    require(rightVals.nonEmpty,
+      "the right side carries no value columns beyond the keys and time")
     require(rightVals.intersect(leftCols).isEmpty,
       s"right value columns ${rightVals.intersect(leftCols)} collide with left columns")
+    val reserved = Seq("__t", "__side", "__rv")
+    val clashes = (leftCols ++ right.columns).filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"columns $clashes collide with asofJoin's reserved internal names $reserved")
     val leftOnly = leftCols.filterNot(keys.contains)
-    val unionCols = (keys ++ leftOnly ++ rightVals ++ Seq("__t", "__side")).map(col)
-    val lSide = rightVals.foldLeft(
-      left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))) {
-      (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))
-    }.select(unionCols: _*)
+    val unionCols = (keys ++ leftOnly ++ Seq("__rv", "__t", "__side")).map(col)
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(right.schema.fieldIndex(c))))
+    val lSide = left
+      .withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(rvType))
+      .select(unionCols: _*)
     val rSide = leftOnly.foldLeft(
-      right.withColumn("__t", col(rightTime)).withColumn("__side", lit(0))) {
+      right.withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
+        .withColumn("__rv", struct(rightVals.map(col): _*))) {
       (df, c) =>
         if (df.columns.contains(c)) df
         else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
@@ -67,12 +84,10 @@ object Temporal {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = rightVals.foldLeft(lSide.unionByName(rSide)) { (df, c) =>
-      df.withColumn(c,
-        last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
-    }
-    attached.filter(col("__side") === 1)
-      .select((leftCols ++ rightVals).map(col): _*)
+    lSide.unionByName(rSide)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightVals.map(c => col(s"__rv.$c").as(c)): _*)
   }
 
   /** Shared DuckDB oracle for both as-of variants. */

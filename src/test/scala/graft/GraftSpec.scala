@@ -91,6 +91,24 @@ class GraftSpec extends SparkSpec {
       (1L, 7L, "b", Some("r5")),
       (1L, 3L, "c", None),
       (2L, 100L, "d", None)))
+    // a genuinely-NULL newest right value must come back NULL — not a
+    // stale older value, and never fields stitched from two right rows
+    // (the right row travels as ONE struct through the window)
+    val rightWithNull = Seq(
+      (1L, 5L, Option("r5"), Option(50L)),
+      (1L, 10L, Option.empty[String], Option(100L))
+    ).toDF("k", "rt", "payload", "amount")
+    val nulled = Graft.asofJoin(
+        Seq((1L, 12L)).toDF("k", "t"), rightWithNull, Seq("k"), "t", "rt")
+      .collect().head
+    assert(nulled.isNullAt(2) && nulled.getLong(3) == 100L,
+      s"ASOF must take the newest row wholesale (payload NULL, amount 100): $nulled")
+    // reserved internal names are rejected loudly, not silently corrupted
+    val e = intercept[IllegalArgumentException] {
+      Graft.asofJoin(Seq((1L, 1L, 9L)).toDF("k", "t", "__side"),
+        right, Seq("k"), "t", "rt")
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
     // and the two warehouse as-of plans (window via this util, broadcast
     // max_by) agree on the events fixture — two plans, one truth
     assertSameRows(

@@ -963,7 +963,7 @@ class BatchSourceSpec extends SparkSpec {
       .groupBy("lang").count()
       .writeStream.format("memory").queryName("t_part_stream")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish within 120s")
     val got = spark.table("t_part_stream").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val expected = Tables.table(spark, sfDir, "documents")
@@ -986,7 +986,7 @@ class BatchSourceSpec extends SparkSpec {
       .groupBy("lang").count()
       .writeStream.format("memory").queryName("t_stream_pfilter")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish within 120s")
     val rows = spark.table("t_stream_pfilter").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val expected = Tables.table(spark, sfDir, "documents")
@@ -1005,7 +1005,7 @@ class BatchSourceSpec extends SparkSpec {
       .writeStream.format("memory").queryName("t_stream_pf_pruned")
       .option("checkpointLocation", cp)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish within 120s")
     // batch == stream equality: the pruned stream aggregates exactly what
     // the (absorbed) batch partition filter reads
     val rows = spark.table("t_stream_pf_pruned").collect()
@@ -1051,7 +1051,7 @@ class BatchSourceSpec extends SparkSpec {
         .groupBy().count()
         .writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "stream did not finish within 120s")
       spark.table(name).collect().head.getLong(0)
     }
     // the doc says "values as they appear in the path": a space-bearing
@@ -1085,7 +1085,7 @@ class BatchSourceSpec extends SparkSpec {
         .writeStream.format("parquet").option("path", outDir)
         .option("checkpointLocation", cp)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "stream did not finish within 120s")
       spark.read.parquet(outDir).collect().map(_.getLong(0)).toSet
     }
     stage(0 until 10)
