@@ -102,6 +102,24 @@ object Dedup {
       .distinct()
   }
 
+  /** Attach the per-signature bucket size to a (doc_id, simhash) table
+    * via groupBy + broadcast join-back — NOT `count(*) over (partition
+    * by simhash)`: the window form sorts each signature inside ONE task,
+    * so a degenerate signature (boilerplate corpus — the exact scenario
+    * the [[subSalt]] guards exist for) serializes the whole corpus onto
+    * one executor. The aggregate is map-side combinable and fully
+    * parallel whatever the skew, and the count side is ≤ 2^16 rows by
+    * construction (16-bit signature space) → always broadcastable. Same
+    * rows as the window form; SkewSpec drives it with a one-signature
+    * corpus and PlanSpec pins the no-Window shape. */
+  private[graft] def simhashBuckets(
+      sigs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bucketCounts = sigs.groupBy("simhash")
+      .agg(count(lit(1)).cast(LongType).as("n_bucket"))
+    sigs.join(broadcast(bucketCounts), "simhash")
+      .select("doc_id", "simhash", "n_bucket")
+  }
+
   /** Guarded candidate generation from an arbitrary (doc_id, band_idx,
     * band_val) table — the unit DedupSpec's adversarial fixture drives
     * directly with a small cap. */
@@ -797,13 +815,15 @@ object Dedup {
         val simhash = (0 until 16).map(i =>
           s"(CASE WHEN s_$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
           .mkString(" + ")
-        th.groupBy("doc_id")
-          .agg(bitSums.head, bitSums.tail: _*)
-          .select(col("doc_id"), expr(simhash).as("simhash"))
-          .withColumn("n_bucket",
-            count(lit(1)).over(org.apache.spark.sql.expressions.Window
-              .partitionBy("simhash")).cast(LongType))
-          .orderBy("doc_id")
+        // bucket sizes via [[simhashBuckets]] (groupBy + broadcast
+        // join-back — no corpus-wide Window task under a degenerate
+        // signature); signatures are registry-cached so the per-doc bit
+        // aggregation runs once, not once per join branch.
+        val sigs = graft.CacheRegistry.getOrPersist("simhash_sigs", d,
+          th.groupBy("doc_id")
+            .agg(bitSums.head, bitSums.tail: _*)
+            .select(col("doc_id"), expr(simhash).as("simhash")))
+        simhashBuckets(sigs).orderBy("doc_id")
       },
       Some {
         val bitSums = (0 until 16).map(i =>

@@ -51,7 +51,24 @@ object Temporal {
     * (returning a stale older one) and could stitch fields from
     * different right rows into one that never existed. The
     * oracle-checked `q_join_asof` runs THROUGH this function, so the
-    * DuckDB ASOF JOIN pins its semantics. */
+    * DuckDB ASOF JOIN pins its semantics.
+    *
+    * NULL keys NEVER match (warehouse ASOF equality semantics): right
+    * rows with any NULL key are dropped before the union, so a NULL-key
+    * left row shares its window partition with no right rows and comes
+    * back with NULL values — not with "the most recent NULL-key right
+    * row", which `Window.partitionBy`'s NULL-grouping would otherwise
+    * silently produce.
+    *
+    * Scale note (hot keys): the window partitions by `keys`, so ALL
+    * rows of one key — left and right together — sort inside a single
+    * task. Cost is the sort, O(n log n) per key with no pair blowup
+    * (the carried state is one struct), which stays tractable into the
+    * low millions of rows per key (SkewSpec pins a 100k-event hot
+    * key); beyond that, pre-aggregate the right side coarser (as
+    * `purchasesDeduped` does per (key, ts)) or split the time axis into
+    * coarse epochs and as-of join per epoch carrying each epoch's last
+    * right row forward — the same chunk trick `Text.packChunked` uses. */
   private[graft] def asofJoin(
       left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
       keys: Seq[String], leftTime: String, rightTime: String): org.apache.spark.sql.DataFrame = {
@@ -74,8 +91,13 @@ object Temporal {
       .withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
       .withColumn("__rv", lit(null).cast(rvType))
       .select(unionCols: _*)
+    // NULL keys never match under ASOF equality: a NULL-key right row
+    // must not be carried to NULL-key left rows (which the window's
+    // NULL-grouping would do), so drop it here. NULL-key LEFT rows stay
+    // (left-join semantics) and get all-NULL values.
+    val rightKeyed = keys.foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
     val rSide = leftOnly.foldLeft(
-      right.withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
+      rightKeyed.withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
         .withColumn("__rv", struct(rightVals.map(col): _*))) {
       (df, c) =>
         if (df.columns.contains(c)) df

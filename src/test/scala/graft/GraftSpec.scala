@@ -109,6 +109,22 @@ class GraftSpec extends SparkSpec {
         right, Seq("k"), "t", "rt")
     }
     assert(e.getMessage.contains("reserved"), e.getMessage)
+    // NULL keys never match (warehouse ASOF equality): a NULL-key left
+    // row must come back with NULL values even when NULL-key right rows
+    // exist — Window.partitionBy groups NULLs together, so without the
+    // right-side NULL-key filter this would return a phantom match
+    val leftNullKey = Seq(
+      (Option(1L), 12L, "real"),
+      (Option.empty[Long], 12L, "nullkey")
+    ).toDF("k", "t", "tag")
+    val rightNullKey = Seq(
+      (Option(1L), 5L, "r5"),
+      (Option.empty[Long], 6L, "rNULL")
+    ).toDF("k", "rt", "payload")
+    val nullKeyGot = Graft.asofJoin(leftNullKey, rightNullKey, Seq("k"), "t", "rt")
+      .collect().map(r => (r.getString(2), Option(r.getString(3)))).toSet
+    assert(nullKeyGot == Set(("real", Some("r5")), ("nullkey", None)),
+      s"NULL keys must never match: $nullKeyGot")
     // and the two warehouse as-of plans (window via this util, broadcast
     // max_by) agree on the events fixture — two plans, one truth
     assertSameRows(

@@ -90,6 +90,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_dedup_simhash counts buckets by aggregate + broadcast join — no corpus-wide Window") {
+    val p = plan("q_dedup_simhash")
+    // count(*) over (partition by simhash) would sort each signature in
+    // ONE task — a degenerate signature serializes the corpus. The
+    // groupBy count side (≤ 2^16 rows) must broadcast instead.
+    assert(!p.contains("Window"),
+      s"bucket sizing must not run through a Window over the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ≤65k-row bucket-count side must broadcast:\n$p")
+    assert(p.contains("partial_count"),
+      s"bucket counting must combine map-side:\n$p")
+  }
+
   test("q_dedup_decontaminate broadcasts the held-out shingle set (corpus never shuffles text)") {
     val p = plan("q_dedup_decontaminate")
     assert(p.contains("BroadcastHashJoin"),

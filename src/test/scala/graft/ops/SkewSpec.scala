@@ -76,6 +76,57 @@ class SkewSpec extends SparkSpec {
     assert(naive.size == 5)
   }
 
+  test("simhash bucket sizing stays parallel under a one-signature corpus") {
+    import spark.implicits._
+    // 200k docs where 99% share ONE signature (boilerplate corpus): the
+    // old count(*)-over-window form sorts all 198k rows of that signature
+    // in a single task; the groupBy+broadcast-join form keeps every
+    // shuffle partition bounded and must produce identical rows
+    val n = 200000
+    val sigs = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") % 100 =!= 0, lit(42L)).otherwise(col("id") % 16).as("simhash"))
+    val got = Dedup.simhashBuckets(sigs)
+    val rows = got.collect()
+    assert(rows.length == n)
+    val bySig = rows.groupBy(_.getLong(1)).map { case (s, rs) =>
+      s -> rs.map(_.getLong(2)).distinct.toSeq
+    }
+    assert(bySig(42L) == Seq(n - n / 100),
+      s"hot signature must count all its members: ${bySig(42L)}")
+    // cold ids (multiples of 100) land on {0,4,8,12} — 4 cold signatures
+    assert(bySig.size == 5 && bySig.forall(_._2.length == 1),
+      s"expected the hot signature plus 4 cold ones: ${bySig.keySet}")
+    val p = got.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"degenerate signature must not serialize into one Window task:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket-count side must broadcast:\n$p")
+  }
+
+  test("asofJoin stays tractable and exact under a 100k-event hot key") {
+    import spark.implicits._
+    // The as-of window partitions by key, so one hyperactive user — the
+    // documented honest limit (Temporal.scala scale note) — sorts all
+    // its events in ONE task. That's O(n log n) with a one-struct carry,
+    // no pair blowup: this fixture pins the bound at 100k events on one
+    // key (vs the broadcast-max_by plan, which pays |left|×|right| pairs
+    // per key and would need ~2.5G comparisons here). Exactness is
+    // checked against the closed form: left t matches right floor(t/10)*10.
+    val n = 100000
+    val left = spark.range(n).select(lit(7L).as("k"), col("id").as("t"))
+    val right = spark.range(n / 10).select(
+      lit(7L).as("k"), (col("id") * 10).as("rt"),
+      (col("id") * 10).as("payload"))
+    val (rows, secs) = timed {
+      graft.Graft.asofJoin(left, right, Seq("k"), "t", "rt").collect()
+    }
+    info(f"SKEWBENCH asof: $n%d-event hot key in $secs%.2f s")
+    assert(rows.length == n)
+    assert(rows.forall(r => r.getLong(2) == r.getLong(1) / 10 * 10),
+      "every left row must match the most recent right row at or before it")
+  }
+
   test("hot-bucket guard beats the naive self-join on an adversarial bucket") {
     import spark.implicits._
     // 5k docs sharing ONE band value: naive candidate generation emits
