@@ -134,6 +134,26 @@ object Graft {
   def dedupKeepList(spark: SparkSession, sfDir: String): DataFrame =
     ops.Dedup.resolveClusters(spark, sfDir)
 
+  /** Sequence packing over `documents` (north-star batch-construction
+    * primitive): per-document bucket assignment for context-window-sized
+    * training groups — bucket = how many full `budget`s precede the
+    * doc's running token total, in doc_id order per source. Returns
+    * (doc_id, source, n_tokens, bucket).
+    *
+    * `rangeWidth = None` (default, oracle-pinned via `q_pack_sequences`)
+    * packs CONTIGUOUSLY per source — one window task per source, the
+    * honest limit when one source dominates. `rangeWidth = Some(w)` is
+    * the 100 TB scale-out: the same cumsum inside fixed-width doc_id
+    * ranges (fully parallel) with globally dense bucket numbers from a
+    * chunk-level offset scan; identical buckets except where a
+    * contiguous bucket would straddle a range boundary (≤1 underfilled
+    * bucket per boundary — TextSpec pins the equivalence). */
+  def packSequences(
+      spark: SparkSession, sfDir: String, budget: Long = 2048L,
+      rangeWidth: Option[Long] = None): DataFrame =
+    ops.Text.packAssignments(
+      warehouse.Tables.table(spark, sfDir, "documents"), budget, rangeWidth)
+
   /** Generic LEFT AS-OF join (Snowflake's ASOF JOIN — the reference's
     * warehouse offers it through the SQL pass-through; Spark has no
     * built-in): for every left row, the most recent right row with

@@ -48,6 +48,74 @@ object Text {
       .otherwise(lit(0L))
   }
 
+  /** Per-document packed-bucket assignment ([[graft.Graft.packSequences]];
+    * the grouped report is `q_pack_sequences`): documents pack into
+    * token-budget buckets in doc_id order per source — bucket = how many
+    * full budgets precede the doc's running token total.
+    *
+    * `rangeWidth = None` (the oracle-pinned default) is CONTIGUOUS per
+    * source: one window cumsum, deterministic, but one source = one
+    * window partition = one task — the documented honest limit when a
+    * single source dominates a 100 TB corpus.
+    *
+    * `rangeWidth = Some(w)` is the scale-out refinement: a TWO-LEVEL
+    * parallel scan. Level 1 runs the same cumsum inside fixed doc_id
+    * ranges (`partitionBy(source, doc_id DIV w)`) — fully parallel, the
+    * corpus-sized work. Level 2 numbers buckets globally by a cumsum
+    * over the per-chunk counts of buckets actually started
+    * (`(chunk_tokens − last_doc_tokens) DIV budget + 1` — each chunk
+    * starts a fresh bucket, so ≤1 underfilled bucket per boundary, and
+    * the global ids stay dense); that window is still one task per
+    * source but over
+    * chunk-count rows (corpus_rows/w of them), not documents — the
+    * skew-collapse trick aggregation trees use. Same determinism,
+    * repartition-stable, identical buckets except where a contiguous
+    * bucket would straddle a range boundary (TextSpec pins both
+    * properties). The offsets join is left unhinted: one row per
+    * (source, chunk) is broadcast-sized for sane widths, but a
+    * degenerate `w` makes it corpus-sized — the size-based planner
+    * decides, and the level-1 side already carries the right hash
+    * partitioning for a shuffle-free merge. */
+  private[graft] def packAssignments(
+      docs: DataFrame, budget: Long = 2048L,
+      rangeWidth: Option[Long] = None): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+    rangeWidth match {
+      case None =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+        toks.withColumn("bucket",
+          floor((sum("n_tokens").over(w) - col("n_tokens")) / lit(budget))
+            .cast(LongType))
+      case Some(rw) =>
+        require(rw > 0, s"rangeWidth must be positive: $rw")
+        val chunked = toks.withColumn("__chunk", expr(s"doc_id DIV $rw"))
+        val wLocal = org.apache.spark.sql.expressions.Window
+          .partitionBy("source", "__chunk").orderBy("doc_id")
+        val local = chunked.withColumn("__start",
+          sum("n_tokens").over(wLocal) - col("n_tokens"))
+        val wChunks = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("__chunk")
+        // buckets a chunk actually STARTS: assignment keys on a doc's
+        // start offset, so the count is last-start DIV budget + 1, not
+        // ceil(total/budget) (which would reserve a bucket no doc starts
+        // in and leave holes in the numbering). Exact integer math — no
+        // double rounding at 100 TB token sums.
+        val offsets = chunked.groupBy("source", "__chunk")
+          .agg(expr(
+            s"(sum(n_tokens) - max_by(n_tokens, doc_id)) DIV $budget + 1"
+          ).as("__nb"))
+          .withColumn("__off", sum("__nb").over(wChunks) - col("__nb"))
+          .select("source", "__chunk", "__off")
+        local.join(offsets, Seq("source", "__chunk"))
+          .withColumn("bucket",
+            (col("__off") + floor(col("__start") / lit(budget))).cast(LongType))
+          .select("doc_id", "source", "n_tokens", "bucket")
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------ token counting
@@ -304,25 +372,18 @@ object Text {
     // Scale note (honest limit): a window partition is one task, so ONE
     // source's cumsum serializes on one executor — fine for many-source
     // corpora, a bottleneck if a single source dominates 100 TB. The
-    // scale-out refinement keeps the same math inside fixed-width doc_id
-    // ranges (partitionBy(source, doc_id DIV range)): fully parallel,
-    // same determinism, at the cost of ≤1 underfilled bucket per range
-    // boundary. Deliberately NOT the default: the contiguous-per-source
-    // semantics here are what the oracle pins.
+    // scale-out refinement is IMPLEMENTED as [[packAssignments]]'
+    // `rangeWidth` option (Graft.packSequences(rangeWidth=…)): the same
+    // math inside fixed-width doc_id ranges, fully parallel, at the
+    // cost of ≤1 underfilled bucket per range boundary. Deliberately
+    // NOT the default: the contiguous-per-source semantics here are
+    // what the oracle pins.
     QueryDef("q_pack_sequences",
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("source").orderBy("doc_id")
-        Tables.table(s, d, "documents")
-          .select(col("doc_id"), col("source"),
-            size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
-          .withColumn("bucket",
-            floor((sum("n_tokens").over(w) - col("n_tokens"))
-              / lit(2048)).cast(LongType))
+      (s, d) =>
+        packAssignments(Tables.table(s, d, "documents"))
           .groupBy("source", "bucket")
           .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
-          .orderBy("source", "bucket")
-      },
+          .orderBy("source", "bucket"),
       Some("""WITH toks AS (
              |  SELECT doc_id, source,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

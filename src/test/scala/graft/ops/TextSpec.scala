@@ -23,4 +23,62 @@ class TextSpec extends SparkSpec {
     assert(got(2L) == 700000L, s"looping doc scored ${got(2L)}, expected 700000")
     assert(got(3L) == 0L, "an all-distinct doc must score 0")
   }
+
+  test("chunked sequence packing: per-chunk contiguous math, dense numbering, parallel plan") {
+    import spark.implicits._
+    // ONE dominant source (the 100 TB worst case for the contiguous
+    // default) with irregular doc lengths; budget 10 tokens, chunks of
+    // 8 doc_ids → the heavy cumsum runs per (source, chunk), not per
+    // source
+    val docs = (0L until 64L).map { i =>
+      (i, "web", Seq.fill((i % 7 + 1).toInt)("t").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val budget = 10L
+    val contiguous = Text.packAssignments(docs, budget, None)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val chunkedDf = Text.packAssignments(docs, budget, Some(8L))
+    val chunked = chunkedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // exact driver replay of the documented semantics: contiguous
+    // packing applied independently per chunk, buckets numbered densely
+    // by the chunks' ceil(tokens/budget) counts
+    var off = 0L
+    val expected = chunked.groupBy(_._1 / 8).toSeq.sortBy(_._1).flatMap {
+      case (_, rows) =>
+        var cum = 0L
+        var lastB = 0L
+        val assigned = rows.sortBy(_._1).map { case (id, n, _) =>
+          val b = off + cum / budget
+          lastB = b
+          cum += n
+          id -> b
+        }
+        off = lastB + 1 // next chunk numbers from the first unused bucket
+        assigned
+    }.toMap
+    assert(chunked.map(t => t._1 -> t._3).toMap == expected,
+      "chunked packing must be contiguous-per-chunk with dense global numbering")
+    // buckets are dense 0..max (no gaps — level-2 offsets are exact)
+    val buckets = chunked.map(_._3).distinct.sorted.toSeq
+    assert(buckets == (0L until off).toSeq,
+      s"bucket ids must be dense: $buckets")
+    // differs from contiguous ONLY by the fresh-bucket-per-boundary
+    // resets: a chunk whose first doc would CONTINUE a contiguous bucket
+    // shifts, one that starts budget-aligned doesn't — first chunk
+    // always agrees
+    val chunkedMap = chunked.map(t => t._1 -> t._3).toMap
+    assert((0L until 8L).forall(id => chunkedMap(id) == contiguous(id)),
+      "the first chunk must match contiguous packing exactly")
+    // a rangeWidth spanning all doc_ids IS contiguous packing
+    val oneChunk = Text.packAssignments(docs, budget, Some(1000L))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(oneChunk == contiguous,
+      "one covering chunk must reproduce the contiguous assignment")
+    // the corpus-sized window partitions by (source, chunk) — the plan
+    // carries __chunk into the exchange, so one source ≠ one task
+    val p = chunkedDf.queryExecution.executedPlan.toString
+    assert(p.contains("__chunk"),
+      s"the heavy cumsum must partition by the doc_id chunk:\n$p")
+  }
 }
