@@ -88,12 +88,46 @@ object Graft {
     * `queryIds` picks the query vectors (small by contract — the probe
     * side broadcasts) and `k` the hits per query. VectorSpec asserts
     * recall is monotone in `nprobe`. */
+  /** Upper bound on the query-side size of the similarity searches: the
+    * probe set broadcasts (so the corpus never shuffles), which is the
+    * right plan only while the query batch is executor-memory-small —
+    * ~10k × 64 f64 vectors ≈ 5 MB, comfortably under any broadcast
+    * budget. Enforced loudly instead of "small by contract" docs: an
+    * unbounded `queryIds` would force a corpus-scale broadcast and OOM.
+    * For query sets past the cap, run them in batches (one pass over the
+    * corpus per batch — the documented shape for bulk scoring). */
+  val MaxQueryBatch = 10000
+
+  private def requireQueryBatch(queryIds: Seq[Long]): Unit =
+    require(queryIds.size <= MaxQueryBatch,
+      s"query batch of ${queryIds.size} exceeds MaxQueryBatch=$MaxQueryBatch " +
+        "(the probe side broadcasts); split the ids into batches")
+
   def similaritySearch(
       spark: SparkSession, sfDir: String,
       nprobe: Int = 3, sampleTarget: Int = 20000,
-      queryIds: Seq[Long] = 0L until 5, k: Int = 5): DataFrame =
+      queryIds: Seq[Long] = 0L until 5, k: Int = 5): DataFrame = {
+    requireQueryBatch(queryIds)
     ops.Vector.ivfTopKTrained(spark, sfDir, sampleTarget, nprobe,
       org.apache.spark.sql.functions.col("vec_id").isin(queryIds: _*), k)
+  }
+
+  /** Two-stage quantized similarity search (north-star "similarity"
+    * block, the path that CONSUMES `q_embedding_quantize`'s int8 codes):
+    * stage 1 ranks every candidate by the affine-reconstructed CODE dot —
+    * 8× less data in flight than f64 vectors — and stage 2 reranks the
+    * top-`rerank` survivors per query by exact cosine. Returns
+    * (qid, rank, cid, cosine, approx_cos); oracle-checked as
+    * `q_similarity_quantized`. Raise `rerank` to push recall toward the
+    * exact top-k at linear extra stage-2 cost. */
+  def similaritySearchQuantized(
+      spark: SparkSession, sfDir: String,
+      queryIds: Seq[Long] = 0L until 5, k: Int = 5,
+      rerank: Int = ops.Vector.Rerank): DataFrame = {
+    requireQueryBatch(queryIds)
+    ops.Vector.quantizedTopK(spark, sfDir,
+      org.apache.spark.sql.functions.col("vec_id").isin(queryIds: _*), k, rerank)
+  }
 
   /** Embedding near-duplicate pairs (north-star "dedup" block) with the
     * same `nprobe` recall dial: each vector lands in its `nprobe` nearest

@@ -63,6 +63,77 @@ object Vector {
       |      list_transform(generate_series(1, len(q.v)),
       |        i -> q.v[i] * c.v[i])), (s0, x) -> s0 + x)""".stripMargin
 
+  /** [[vecs]] + the per-vector int8 scalar-quantization artifacts shared
+    * by `q_embedding_quantize` and the two-stage `q_similarity_quantized`
+    * (registry key `quant_vecs`): per-vector min/max affine codes
+    * (`x ≈ mn + code·sc`), the codes as array<double> (`cd` — integer
+    * values ≤255 are exact in doubles, so the codegen'd
+    * [[graft.functions.DotProduct]] computes the INTEGER code dot
+    * exactly instead of an interpreted zip_with lambda), and the exact
+    * code sum (the affine cross-term both consumers need). */
+  private[ops] def quantizedVecs(s: org.apache.spark.sql.SparkSession, d: String) =
+    vecs(s, d)
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("sc", (array_max(col("v")) - col("mn")) / 255.0)
+      .withColumn("codes", expr(
+        "transform(v, x -> CASE WHEN sc = 0D THEN 0L " +
+          "ELSE CAST(floor((x - mn) / sc + 0.5D) AS BIGINT) END)"))
+      .withColumn("cd", col("codes").cast("array<double>"))
+      .withColumn("csum", expr("aggregate(codes, 0L, (a, c) -> a + c)"))
+
+  /** Stage-1 survivor count of the quantized two-stage search: exact
+    * cosine reranks only this many code-scored candidates per query. */
+  private[graft] val Rerank = 20
+
+  /** Quantized two-stage top-k ([[graft.Graft.similaritySearchQuantized]];
+    * oracle key `q_similarity_quantized`): stage 1 scores EVERY candidate
+    * against the broadcast query set using only the int8 artifacts — the
+    * affine expansion Σ(qmn+qcᵢ·qsc)(cmn+ccᵢ·csc) = Dim·qmn·cmn +
+    * qmn·csc·Σcc + cmn·qsc·Σqc + qsc·csc·(qc·cc), one exact integer code
+    * dot plus three scalar cross-terms — so the candidate stage ships
+    * codes (8× narrower than the f64 vectors) and four scalars per
+    * vector; stage 2 re-attaches full vectors to the top-`rerank`
+    * survivors per query ONLY (a broadcast-sized list) and ranks by
+    * exact cosine. The corpus streams through both stages unshuffled. */
+  private[graft] def quantizedTopK(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      queryPred: org.apache.spark.sql.Column = col("vec_id") < 5,
+      k: Int = 5, rerank: Int = Rerank): org.apache.spark.sql.DataFrame = {
+    val qv8 = graft.CacheRegistry.getOrPersist("quant_vecs", d,
+      quantizedVecs(s, d))
+    val q = qv8.filter(queryPred).select(
+      col("vec_id").as("qid"), col("cd").as("qcd"), col("mn").as("qmn"),
+      col("sc").as("qsc"), col("csum").as("qsum"), col("nrm").as("qn"))
+    val c = qv8.select(col("vec_id").as("cid"), col("cd").as("ccd"),
+      col("mn").as("cmn"), col("sc").as("csc"), col("csum").as("ccsum"),
+      col("nrm").as("cn"))
+    val stage1 = c.join(broadcast(q), col("cid") =!= col("qid"))
+      .withColumn("idot", expr("dot_product(qcd, ccd)"))
+      .withColumn("approx_cos", expr(
+        s"round(($Dim * qmn * cmn + qmn * csc * ccsum + cmn * qsc * qsum" +
+          s" + qsc * csc * idot) / (qn * cn), 6)"))
+      .select("qid", "cid", "approx_cos")
+    val wA = Window.partitionBy("qid")
+      .orderBy(col("approx_cos").desc, col("cid"))
+    val survivors = stage1
+      .withColumn("rk", row_number().over(wA))
+      .filter(col("rk") <= rerank)
+      .select("qid", "cid", "approx_cos")
+    val qfull = qv8.filter(queryPred).select(
+      col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = survivors.join(broadcast(qfull), Seq("qid"))
+    val scored = qv8
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+      .join(broadcast(pairs), Seq("cid"))
+      .withColumn("cosine",
+        round(expr("dot_product(qv, cv)") / (col("qn") * col("cn")), 6))
+    val wE = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(wE).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "cosine", "approx_cos")
+      .orderBy("qid", "rank")
+  }
+
   // 16 hyperplanes × 4-bit bands: coefficient c(p,j) from a fixed integer
   // recurrence — exact in BIGINT, identical in both engines
   private val Planes = 16
@@ -398,14 +469,9 @@ object Vector {
     // arithmetic both sides; a constant vector gets scale 0 → all codes
     // 0, error 0 by the same CASE in both engines).
     QueryDef("q_embedding_quantize",
-      (s, d) => vecs(s, d)
-        .withColumn("mn", array_min(col("v")))
-        .withColumn("sc", (array_max(col("v")) - col("mn")) / 255.0)
-        .withColumn("codes", expr(
-          "transform(v, x -> CASE WHEN sc = 0D THEN 0L " +
-            "ELSE CAST(floor((x - mn) / sc + 0.5D) AS BIGINT) END)"))
+      (s, d) => graft.CacheRegistry.getOrPersist("quant_vecs", d, quantizedVecs(s, d))
         .select(col("vec_id"),
-          expr("aggregate(codes, 0L, (a, c) -> a + c)").as("code_sum"),
+          col("csum").as("code_sum"),
           floor(expr(
             "aggregate(zip_with(v, codes, (x, c) -> abs(x - (mn + c * sc))), " +
               "0D, (a, y) -> greatest(a, y))") * 1e6)
@@ -432,6 +498,71 @@ object Vector {
              |        i -> abs(v[i] - (mn + codes[i] * sc)))),
              |      (a, y) -> greatest(a, y)) * 1000000.0) AS BIGINT) AS max_err_e6
              |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // ---------------------------------------- quantized two-stage ANN
+    // the search path that CONSUMES the int8 codes (closing the
+    // bandwidth claim q_embedding_quantize's storage shrink opens):
+    // stage 1 scores every candidate with the affine-reconstructed code
+    // dot — Σ(qmn+qcᵢ·qsc)(cmn+ccᵢ·csc) expanded to one exact integer
+    // code dot plus three scalar cross-terms — so only CODES (8× narrower
+    // than the f64 vectors) plus four per-vector scalars ride the
+    // candidate stage; stage 2 reranks the top-Rerank survivors per query
+    // with the exact cosine, re-attaching full vectors to survivor rows
+    // only (survivor list broadcast; the corpus streams, never shuffles).
+    // The approximate scores are engine-exact: the integer code dot is
+    // exact in doubles (products ≤255², Dim-length sums ≪ 2^53 — the
+    // codegen'd dot over `cd` equals DuckDB's BIGINT fold), and the
+    // scalar correction uses the identical expression text both sides.
+    QueryDef("q_similarity_quantized",
+      (s, d) => quantizedTopK(s, d),
+      Some(s"""$duckVecs, p AS (
+              |  SELECT vec_id, v, nrm, list_min(v) AS mn,
+              |    (list_max(v) - list_min(v)) / 255.0 AS sc
+              |  FROM n
+              |), q8 AS (
+              |  SELECT vec_id, v, nrm, mn, sc,
+              |    list_transform(v, x -> CASE WHEN sc = 0 THEN 0
+              |      ELSE CAST(floor((x - mn) / sc + 0.5) AS BIGINT) END) AS codes
+              |  FROM p
+              |), qs AS (
+              |  SELECT vec_id, v, nrm, mn, sc, codes,
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+              |      (a, b) -> a + b) AS csum
+              |  FROM q8
+              |), cand AS (
+              |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+              |    q.v AS qv, q.nrm AS qn, c.v AS cv, c.nrm AS cn,
+              |    q.mn AS qmn, q.sc AS qsc, q.csum AS qsum,
+              |    c.mn AS cmn, c.sc AS csc, c.csum AS ccsum,
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(generate_series(1, $Dim),
+              |        i -> q.codes[i] * c.codes[i])), (a, b) -> a + b) AS idot
+              |  FROM qs q JOIN qs c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+              |), approx AS (
+              |  SELECT qid, cid, qv, qn, cv, cn,
+              |    round(($Dim * qmn * cmn + qmn * csc * ccsum + cmn * qsc * qsum
+              |      + qsc * csc * idot) / (qn * cn), 6) AS approx_cos
+              |  FROM cand
+              |), survivors AS (
+              |  SELECT qid, cid, qv, qn, cv, cn, approx_cos,
+              |    row_number() OVER (PARTITION BY qid
+              |      ORDER BY approx_cos DESC, cid) AS rk
+              |  FROM approx
+              |), exact AS (
+              |  SELECT qid, cid, approx_cos,
+              |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              |        list_transform(generate_series(1, len(qv)),
+              |          i -> qv[i] * cv[i])), (s0, x) -> s0 + x)
+              |      / (qn * cn), 6) AS cosine
+              |  FROM survivors WHERE rk <= $Rerank
+              |), ranked AS (
+              |  SELECT qid, cid, cosine, approx_cos,
+              |    CAST(row_number() OVER (PARTITION BY qid
+              |      ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+              |  FROM exact
+              |)
+              |SELECT qid, rank, cid, cosine, approx_cos FROM ranked
+              |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
     // ---------------------------------------- multimodal join
     // text modality ⋈ vector modality on the shared id; ArrayType(Float)

@@ -99,6 +99,28 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("query-batch cap: oversized queryIds are rejected loudly, not broadcast") {
+    val tooMany = 0L to graft.Graft.MaxQueryBatch.toLong // cap + 1 ids
+    val e = intercept[IllegalArgumentException] {
+      graft.Graft.similaritySearch(spark, sfDir, queryIds = tooMany)
+    }
+    assert(e.getMessage.contains("MaxQueryBatch"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.Graft.similaritySearchQuantized(spark, sfDir, queryIds = tooMany)
+    }
+    assert(e2.getMessage.contains("MaxQueryBatch"), e2.getMessage)
+    // the quantized facade honors its dials like similaritySearch does
+    val got = graft.Graft.similaritySearchQuantized(spark, sfDir,
+      queryIds = Seq(7L, 11L), k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.map(_._1).toSet.subsetOf(Set(7L, 11L)))
+    got.groupBy(_._1).foreach { case (qid, hits) =>
+      assert(hits.length <= 3, s"query $qid returned ${hits.length} > k=3 hits")
+      assert(hits.forall(_._3 != qid))
+    }
+  }
+
   test("nprobe is a user-facing recall dial: wider probe never loses recall") {
     val brute = rows("q_similarity_topk")
       .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
@@ -117,6 +139,48 @@ class VectorSpec extends SparkSpec {
     assert(narrow <= wide + 1e-9,
       f"recall fell when widening the probe: $narrow%.2f -> $wide%.2f")
     assert(wide >= 0.5, f"nprobe=4 avg recall@5 = $wide%.2f, expected >= 0.5")
+  }
+
+  test("quantized two-stage search: high recall vs exact, codes not vectors in the candidate stage") {
+    // recall: the int8 approximation ranks candidates for the exact
+    // rerank; with Rerank=20 survivors the final top-5 should nearly
+    // always contain the true top-5 (8-bit error ≪ neighbor gaps)
+    val brute = rows("q_similarity_topk")
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val df = SparkEntry.queries("q_similarity_quantized")(spark, sfDir)
+    val quant = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val byQ = quant.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = brute.map { case (qid, b) =>
+      byQ.getOrElse(qid, Set.empty).count(b).toDouble / b.size }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.8, f"quantized rerank avg recall@5 = $avg%.2f, expected ≥ 0.8")
+    // exact cosines of reported hits match the brute-force scores for
+    // the same pairs (stage 2 IS the exact measure)
+    val bruteScores = rows("q_similarity_topk")
+      .map(t => (t._1, t._3) -> t._4).toMap
+    quant.foreach { case (qid, _, cid, cos, approx) =>
+      bruteScores.get((qid, cid)).foreach(b =>
+        assert(math.abs(b - cos) < 1e-9, s"exact rerank score drifted for ($qid,$cid)"))
+      assert(math.abs(approx - cos) < 0.05,
+        f"int8 approximation off by ${math.abs(approx - cos)}%.4f for ($qid,$cid)")
+    }
+    // the bandwidth claim, pinned in the plan: the stage-1 candidate
+    // scoring runs dot_product over the CODE arrays (qcd/ccd — the f64
+    // vectors never feed that expression; column pruning keeps `v` out
+    // of the stage-1 join by construction), and the survivor cut
+    // (rk ≤ Rerank) gates the single full-vector dot of stage 2
+    df.collect() // finalize the adaptive plan
+    // AQE prints "== Final Plan ==" and "== Initial Plan ==" sections —
+    // count expression sites in the final section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("dot_product(qcd"),
+      s"stage 1 must score with the code arrays:\n$p")
+    assert("rk#\\d+ <= 20".r.findFirstIn(p).isDefined,
+      s"the exact rerank must be gated on the top-20 survivors:\n$p")
+    // exactly one full-vector dot site (stage 2) — stage 1 never touches v
+    assert("dot_product\\(qv".r.findAllIn(p).size == 1,
+      s"the full-vector dot may appear only in the stage-2 rerank:\n$p")
   }
 
   test("int8 quantization: codes bounded, error bounded by half a step, constant vector degrades to zero") {
