@@ -25,25 +25,43 @@ object Bench {
       "count(distinct md5(lower(regexp_replace(cast(id as string) || ' x', '[ ]+', ' '))))"
     ).collect()
     // Local-iteration filter, same contract as Verify's: the driver never
-    // sets SPARK_GRAFT_KEYS, so its runs stay complete.
+    // sets SPARK_GRAFT_KEYS, so its runs stay complete. A typo'd key must
+    // NOT silently yield an rc=0 "0.0 s" run — unknown keys are reported
+    // in the JSON line and fail the run (rc=2) after the known keys ran.
     val only = sys.env.get("SPARK_GRAFT_KEYS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val unknown = only.map(_ -- SparkEntry.queries.keySet).getOrElse(Set.empty)
     val selected = only match {
       case Some(ks) => SparkEntry.queries.filter { case (n, _) => ks(n) }
       case None     => SparkEntry.queries
     }
+    // Min-of-N per key (SPARK_GRAFT_BENCH_ITERS, default 1 — the driver
+    // contract is unchanged): two driver rounds running, box load has
+    // manufactured phantom per-key regressions (r7: 14 keys, r8: 10 keys,
+    // each costing a judge rerun to disprove); the min over 2+ iterations
+    // is the stable per-key number on a noisy machine. Registry caches
+    // stay warm across iterations, so the min measures steady state.
+    val iters = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt).getOrElse(1))
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // NonFatal only: a failing key must be VISIBLE in the output, not a -1
     // timing inside an rc=0 run — but after an OOM or other fatal JVM error
     // every remaining timing (and the zero exit code) would be a lie, so
     // fatal errors propagate and fail the run with a nonzero rc.
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case NonFatal(e) =>
-          errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+      var best = Double.MaxValue
+      var i = 0
+      while (i < iters && !errors.contains(name)) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case NonFatal(e) =>
+            errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (!errors.contains(name)) best = math.min(best, dt)
+        i += 1
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (if (errors.contains(name)) 0.0 else best)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -66,7 +84,8 @@ object Bench {
     // truncated line loses per-query detail, never the total (r6 and r7
     // both lost the leading total to truncation); the full line is also
     // written to target/bench_last.json as a capture-proof copy
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"value":$total}"""
+    val unknownJson = unknown.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","iters":$iters,"queries":$qs,"errors":$errJson,"n_errors":${errors.size},"unknown_keys":$unknownJson,"value":$total}"""
     println(line)
     try {
       val out = java.nio.file.Paths.get("target", "bench_last.json")
@@ -76,5 +95,10 @@ object Bench {
     CacheRegistry.releaseAll()
     connector.StageCache.clearAll()
     spark.stop()
+    if (unknown.nonEmpty) {
+      System.err.println(s"SPARK_GRAFT_KEYS entries match no query: " +
+        unknown.toSeq.sorted.mkString(", "))
+      sys.exit(2)
+    }
   }
 }

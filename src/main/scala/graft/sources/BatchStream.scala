@@ -131,9 +131,50 @@ private[sources] class BatchMicroBatchStream(
       partitionFilter.forall(Partitions.matches(_, vals))
     }
 
+  /** One `partition_filter` per checkpoint, PINNED in the checkpoint
+    * itself: the filter prunes at DISCOVERY time, so files admitted to
+    * the log under one filter are replayed forever regardless of the
+    * current option — restarting with a different (or no) filter would
+    * silently mix two semantics in one stream (old files from the old
+    * filter, new files from the new). The canonical filter string
+    * (terms trimmed + sorted, "" when unfiltered) is written atomically
+    * next to the segments on first start and VALIDATED on every
+    * restart; a mismatch is a hard error telling the user to start a
+    * fresh checkpoint. */
+  private val filterPin = new Path(logDir, "partition-filter")
+
+  private def filterCanonical: String =
+    Option(options.get("partition_filter"))
+      .map(_.split(',').toIndexedSeq.map(_.trim).filter(_.nonEmpty).sorted
+        .mkString(","))
+      .getOrElse("")
+
+  private def pinPartitionFilter(): Unit = synchronized {
+    if (fs.exists(filterPin)) {
+      val in = fs.open(filterPin)
+      val pinned =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim
+        finally in.close()
+      require(pinned == filterCanonical,
+        s"this checkpoint's file log was built with partition_filter " +
+          s"'$pinned' but this run sets '$filterCanonical'; one filter per " +
+          "checkpoint — already-logged files would replay under the old " +
+          "semantics while new discoveries used the new. Start a fresh " +
+          "checkpoint to change the filter.")
+    } else {
+      val tmp = new Path(logDir, ".partition-filter.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(filterCanonical.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      require(fs.rename(tmp, filterPin),
+        s"failed to pin partition_filter at $filterPin")
+    }
+  }
+
   // in-memory mirror of the log (rebuilt from it on restart)
   private val logged = mutable.LinkedHashSet.empty[String]
   restoreLog()
+  pinPartitionFilter()
 
   private def fs = logDir.getFileSystem(conf)
 

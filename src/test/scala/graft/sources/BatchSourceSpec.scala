@@ -1101,6 +1101,45 @@ class BatchSourceSpec extends SparkSpec {
       s"restart must add only NEW v=en rows with no re-admission, got $all")
   }
 
+  test("partition_filter is pinned per checkpoint: a restart with a different filter fails") {
+    // the filter prunes at DISCOVERY time, so a checkpoint's logged files
+    // embody the filter they were admitted under — restarting with
+    // another filter (or none) would mix two semantics in one stream
+    val dir = stagePartitioned()
+    val conf = BatchSource.hadoopConf()
+    def opts(filter: Option[String]) = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      filter match {
+        case Some(f) => java.util.Map.of("path", dir, "partition_filter", f)
+        case None    => java.util.Map.of("path", dir)
+      })
+    val partCols = Partitions.partitionFields(
+      BatchSource.listFiles(opts(None), conf), conf,
+      BatchSource.qualifiedDir(opts(None), conf))
+    val schema = spark.read.format("graft").load(dir).schema
+    val cp = java.nio.file.Files.createTempDirectory("graft_stream_pf_pin").toString
+    new BatchMicroBatchStream(schema, opts(Some("lang=en")), cp, partCols)
+    // same filter restarts fine (term order is canonicalized, not literal)
+    new BatchMicroBatchStream(schema, opts(Some(" lang=en ")), cp, partCols)
+    val changed = intercept[IllegalArgumentException] {
+      new BatchMicroBatchStream(schema, opts(Some("lang=de")), cp, partCols)
+    }
+    assert(changed.getMessage.contains("one filter per checkpoint"),
+      changed.getMessage)
+    val dropped = intercept[IllegalArgumentException] {
+      new BatchMicroBatchStream(schema, opts(None), cp, partCols)
+    }
+    assert(dropped.getMessage.contains("one filter per checkpoint"),
+      dropped.getMessage)
+    // and an unfiltered checkpoint refuses to gain a filter later
+    val cp2 = java.nio.file.Files.createTempDirectory("graft_stream_pf_pin2").toString
+    new BatchMicroBatchStream(schema, opts(None), cp2, partCols)
+    val gained = intercept[IllegalArgumentException] {
+      new BatchMicroBatchStream(schema, opts(Some("lang=en")), cp2, partCols)
+    }
+    assert(gained.getMessage.contains("one filter per checkpoint"),
+      gained.getMessage)
+  }
+
   test("partition_filter on a non-partition column is rejected at stream construction") {
     val dir = stagePartitioned()
     val conf = BatchSource.hadoopConf()
