@@ -191,14 +191,28 @@ object Graft {
   /** Generic LEFT AS-OF join (Snowflake's ASOF JOIN — the reference's
     * warehouse offers it through the SQL pass-through; Spark has no
     * built-in): for every left row, the most recent right row with
-    * `rightTime` ≤ `leftTime` on equal `keys`, nulls when none. One
-    * shuffle on the keys (union + window), no range explosion. For
-    * determinism, pre-aggregate right-side (keys, time) ties. The
-    * oracle-checked `q_join_asof` runs through this function. */
+    * `rightTime` ≤ `leftTime` on equal `keys`, nulls when none; NULL
+    * keys never match. One shuffle on the keys (union + window), no
+    * range explosion. For determinism, pre-aggregate right-side
+    * (keys, time) ties. The oracle-checked `q_join_asof` runs through
+    * this function.
+    *
+    * `epochWidth` is the hot-key scale dial: the default (None) sorts
+    * each key inside one task — fine into the low millions of rows per
+    * key; `Some(w)` computes the IDENTICAL result as a two-level
+    * parallel scan over `floor(time/w)` epochs (in-epoch join + tiny
+    * per-epoch carry), spreading a hyperactive key over range/w tasks.
+    * Chunked mode needs integral time columns (unix_micros for
+    * timestamps). */
   def asofJoin(
       left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTime: String, rightTime: String): DataFrame =
-    ops.Temporal.asofJoin(left, right, keys, leftTime, rightTime)
+      leftTime: String, rightTime: String,
+      epochWidth: Option[Long] = None): DataFrame =
+    epochWidth match {
+      case Some(w) =>
+        ops.Temporal.asofJoinChunked(left, right, keys, leftTime, rightTime, w)
+      case None => ops.Temporal.asofJoin(left, right, keys, leftTime, rightTime)
+    }
 
   /** End-to-end corpus curation (north-star "end-to-end" pipeline) as
     * one call: guarded MinHash/LSH candidates → connected-component

@@ -69,9 +69,9 @@ object Temporal {
     * `purchasesDeduped` does per (key, ts)) or split the time axis into
     * coarse epochs and as-of join per epoch carrying each epoch's last
     * right row forward — the same chunk trick `Text.packChunked` uses. */
-  private[graft] def asofJoin(
+  private def asofValidate(
       left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
-      keys: Seq[String], leftTime: String, rightTime: String): org.apache.spark.sql.DataFrame = {
+      keys: Seq[String], rightTime: String): Seq[String] = {
     val leftCols = left.columns.toSeq
     val rightVals = right.columns.toSeq
       .filterNot(c => keys.contains(c) || c == rightTime)
@@ -79,23 +79,32 @@ object Temporal {
       "the right side carries no value columns beyond the keys and time")
     require(rightVals.intersect(leftCols).isEmpty,
       s"right value columns ${rightVals.intersect(leftCols)} collide with left columns")
-    val reserved = Seq("__t", "__side", "__rv")
+    val reserved = Seq("__t", "__side", "__rv", "__epoch", "__carry")
     val clashes = (leftCols ++ right.columns).filter(reserved.contains)
     require(clashes.isEmpty,
       s"columns $clashes collide with asofJoin's reserved internal names $reserved")
-    val leftOnly = leftCols.filterNot(keys.contains)
-    val unionCols = (keys ++ leftOnly ++ Seq("__rv", "__t", "__side")).map(col)
+    rightVals
+  }
+
+  /** The union+window carry at the heart of both as-of variants:
+    * left rows come back with the matched right row as ONE struct
+    * column `__rv` (null = no right row at or before the left time
+    * within the partition keys). Callers run [[asofValidate]] first;
+    * `partKeys` may extend the user keys (the chunked variant adds
+    * `__epoch`). */
+  private def asofCore(
+      left: org.apache.spark.sql.DataFrame, rightKeyed: org.apache.spark.sql.DataFrame,
+      partKeys: Seq[String], leftTime: String, rightTime: String,
+      rightVals: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val leftCols = left.columns.toSeq
+    val leftOnly = leftCols.filterNot(partKeys.contains)
+    val unionCols = (partKeys ++ leftOnly ++ Seq("__rv", "__t", "__side")).map(col)
     val rvType = org.apache.spark.sql.types.StructType(
-      rightVals.map(c => right.schema(right.schema.fieldIndex(c))))
+      rightVals.map(c => rightKeyed.schema(rightKeyed.schema.fieldIndex(c))))
     val lSide = left
       .withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
       .withColumn("__rv", lit(null).cast(rvType))
       .select(unionCols: _*)
-    // NULL keys never match under ASOF equality: a NULL-key right row
-    // must not be carried to NULL-key left rows (which the window's
-    // NULL-grouping would do), so drop it here. NULL-key LEFT rows stay
-    // (left-join semantics) and get all-NULL values.
-    val rightKeyed = keys.foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
     val rSide = leftOnly.foldLeft(
       rightKeyed.withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
         .withColumn("__rv", struct(rightVals.map(col): _*))) {
@@ -103,12 +112,97 @@ object Temporal {
         if (df.columns.contains(c)) df
         else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }.select(unionCols: _*)
-    val w = Window.partitionBy(keys.map(col): _*)
+    val w = Window.partitionBy(partKeys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lSide.unionByName(rSide)
       .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+  }
+
+  /** NULL keys never match under ASOF equality — drop NULL-key right
+    * rows before the union (see the Scaladoc above [[asofJoin]]). */
+  private def dropNullKeys(
+      right: org.apache.spark.sql.DataFrame, keys: Seq[String]) =
+    keys.foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
+
+  private[graft] def asofJoin(
+      left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String): org.apache.spark.sql.DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightVals = asofValidate(left, right, keys, rightTime)
+    asofCore(left, dropNullKeys(right, keys), keys, leftTime, rightTime, rightVals)
+      .select(leftCols.map(col) ++ rightVals.map(c => col(s"__rv.$c").as(c)): _*)
+  }
+
+  /** Floor division that is a true floor for negative times too (SQL
+    * `DIV` truncates toward zero, which would put t ∈ (-w, 0) in epoch
+    * 0 alongside t ∈ [0, w)). */
+  private def floorDivExpr(c: String, w: Long): String =
+    s"CASE WHEN $c >= 0 THEN $c DIV $w ELSE -(((-$c) + ${w - 1}) DIV $w) END"
+
+  /** EXACT as-of join for hot keys ([[graft.Graft.asofJoin]] with
+    * `epochWidth`): the same result as [[asofJoin]], computed as a
+    * two-level parallel scan instead of one window task per key — the
+    * packing trick ([[Text.packAssignments]]) applied to time.
+    *
+    * Level 1 runs the union+carry INSIDE `(keys, epoch)` chunks
+    * (`epoch = floor(time / epochWidth)`) — the corpus-sized work, fully
+    * parallel across epochs, so a hyperactive key spreads over
+    * range/epochWidth tasks. Level 2 fixes up left rows whose match
+    * precedes their epoch: per (keys, epoch) the LAST right row
+    * aggregates to one struct row (map-side combinable), a per-key
+    * window over that epoch summary (one row per occupied epoch — the
+    * skew-collapse) carries the latest earlier right row forward, and a
+    * coalesce takes the in-epoch match when present, the carry
+    * otherwise. The most recent right row at or before a left time is
+    * either in the left row's own epoch (level 1 finds it) or the last
+    * right row of the nearest earlier occupied epoch (the carry) — so
+    * the decomposition is exact, not approximate; the spec asserts
+    * row-for-row equality with [[asofJoin]] on boundary-straddling
+    * fixtures. Time columns must be integral (convert timestamps with
+    * `unix_micros` first); ties on (keys, rightTime) must be
+    * pre-aggregated for determinism, as in [[asofJoin]]. */
+  private[graft] def asofJoinChunked(
+      left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      epochWidth: Long): org.apache.spark.sql.DataFrame = {
+    require(epochWidth > 0, s"epochWidth must be positive: $epochWidth")
+    val leftCols = left.columns.toSeq
+    val rightVals = asofValidate(left, right, keys, rightTime)
+    Seq(left.schema(leftTime).dataType, right.schema(rightTime).dataType)
+      .foreach(t => require(t match {
+        case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+        case _ => false
+      }, s"chunked as-of needs integral time columns, got $t " +
+        "(convert timestamps with unix_micros)"))
+    val lE = left.withColumn("__epoch", expr(floorDivExpr(leftTime, epochWidth)))
+    val rE = dropNullKeys(right, keys)
+      .withColumn("__epoch", expr(floorDivExpr(rightTime, epochWidth)))
+    val chunkKeys = keys :+ "__epoch"
+    val inEpoch = asofCore(lE, rE, chunkKeys, leftTime, rightTime, rightVals)
+    // one struct row per occupied (keys, epoch): the chunk's last right
+    // row (max_by is an ordinary aggregate — no window over raw rows)
+    val lastPerEpoch = rE.groupBy(chunkKeys.map(col): _*)
+      .agg(max_by(struct(rightVals.map(col): _*), col(rightTime)).as("__rv"))
+    // epoch axis = every (keys, epoch) either side occupies, so the
+    // carry window sees left-only epochs too; its input is EPOCH
+    // SUMMARIES (range/epochWidth rows per key), not raw rows
+    val axis = lE.select(chunkKeys.map(col): _*)
+      .unionByName(rE.select(chunkKeys.map(col): _*)).distinct()
+    val wC = Window.partitionBy(keys.map(col): _*).orderBy(col("__epoch"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = axis.join(lastPerEpoch, chunkKeys, "left")
+      .withColumn("__carry", last(col("__rv"), ignoreNulls = true).over(wC))
+      .select(chunkKeys.map(col) :+ col("__carry"): _*)
+    // both sides arrive hash-partitioned by (keys, epoch); carry is
+    // epoch-summary-sized, so AQE broadcasts it at any sane width.
+    // LEFT join: a NULL-key left row never equals its own axis row
+    // (SQL join equality), and it must survive with NULL values, not
+    // vanish — the windowed variant keeps it via the window's
+    // NULL-grouping (whose partition holds no right rows post-filter)
+    inEpoch.join(carry, chunkKeys, "left")
+      .withColumn("__rv", coalesce(col("__rv"), col("__carry")))
       .select(leftCols.map(col) ++ rightVals.map(c => col(s"__rv.$c").as(c)): _*)
   }
 

@@ -132,6 +132,43 @@ class GraftSpec extends SparkSpec {
       SparkEntry.queries("q_join_asof_broadcast")(spark, sfDir))
   }
 
+  test("chunked asofJoin is EXACTLY the windowed asofJoin, at any epoch width") {
+    import spark.implicits._
+    // adversarial shape for the epoch decomposition: matches that cross
+    // one or many empty epochs, an exact-boundary tie, a key with no
+    // right rows, a NULL-key left row, and negative times (floor-vs-
+    // truncate division disagrees there)
+    val left = Seq(
+      (Option(1L), 10L, "a"), (Option(1L), 7L, "b"), (Option(1L), 3L, "c"),
+      (Option(1L), 100L, "far"),   // carry across many empty epochs
+      (Option(1L), -5L, "neg"),    // negative time
+      (Option(2L), 50L, "lonely"), // key with no right rows
+      (Option.empty[Long], 50L, "nullkey"),
+      (Option(3L), 21L, "tie")     // left time == right time at a boundary
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, -7L, "rneg"), (1L, 5L, "r5"), (1L, 10L, "r10"),
+      (3L, 21L, "r21")
+    ).toDF("k", "rt", "payload")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (Option(r.get(0)), r.getLong(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+    val windowed = canon(Graft.asofJoin(left, right, Seq("k"), "t", "rt"))
+    for (w <- Seq(1L, 3L, 7L, 1000L)) {
+      val chunked = canon(Graft.asofJoin(left, right, Seq("k"), "t", "rt",
+        epochWidth = Some(w)))
+      assert(chunked == windowed,
+        s"epochWidth=$w diverged:\n  chunked  $chunked\n  windowed $windowed")
+    }
+    // non-integral time columns are rejected loudly in chunked mode
+    val ts = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "x"))
+      .toDF("k", "t", "tag")
+    val e = intercept[IllegalArgumentException] {
+      Graft.asofJoin(ts, right, Seq("k"), "t", "rt", epochWidth = Some(10L))
+    }
+    assert(e.getMessage.contains("integral time"), e.getMessage)
+  }
+
   test("curate facade returns the oracle-checked q_pipeline_curate manifest") {
     val api = Graft.curate(spark, sfDir).orderBy("doc_id")
     val key = SparkEntry.queries("q_pipeline_curate")(spark, sfDir)

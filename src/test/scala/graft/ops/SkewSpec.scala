@@ -125,6 +125,19 @@ class SkewSpec extends SparkSpec {
     assert(rows.length == n)
     assert(rows.forall(r => r.getLong(2) == r.getLong(1) / 10 * 10),
       "every left row must match the most recent right row at or before it")
+    // the epochWidth scale dial: identical rows, but the heavy work
+    // partitions by (k, __epoch) — the hot key spreads over n/w epoch
+    // tasks instead of one
+    val chunkedDf = graft.Graft.asofJoin(left, right, Seq("k"), "t", "rt",
+      epochWidth = Some(1000L))
+    val (chunked, secsC) = timed(chunkedDf.collect())
+    info(f"SKEWBENCH asof chunked(w=1000): same hot key in $secsC%.2f s")
+    assert(chunked.length == n)
+    assert(chunked.forall(r => r.getLong(2) == r.getLong(1) / 10 * 10),
+      "chunked as-of must produce the identical match for every row")
+    val p = chunkedDf.queryExecution.executedPlan.toString
+    assert(p.contains("__epoch"),
+      s"the in-epoch pass must partition by the time chunk:\n$p")
   }
 
   test("hot-bucket guard beats the naive self-join on an adversarial bucket") {
