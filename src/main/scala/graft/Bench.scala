@@ -42,7 +42,10 @@ object Bench {
     // is the stable per-key number on a noisy machine. Registry caches
     // stay warm across iterations, so the min measures steady state.
     val iters = math.max(1,
-      sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt).getOrElse(1))
+      sys.env.get("SPARK_GRAFT_BENCH_ITERS").map { s =>
+        s.trim.toIntOption.getOrElse(sys.error(
+          s"SPARK_GRAFT_BENCH_ITERS must be an integer, got '$s'"))
+      }.getOrElse(1))
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // NonFatal only: a failing key must be VISIBLE in the output, not a -1
     // timing inside an rc=0 run — but after an OOM or other fatal JVM error

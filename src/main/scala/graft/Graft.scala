@@ -125,6 +125,12 @@ object Graft {
       queryIds: Seq[Long] = 0L until 5, k: Int = 5,
       rerank: Int = ops.Vector.Rerank): DataFrame = {
     requireQueryBatch(queryIds)
+    require(k >= 1, s"k must be positive: $k")
+    // a rerank below k would silently return fewer than the k hits the
+    // caller asked for (stage 2 only ever sees `rerank` survivors)
+    require(rerank >= k,
+      s"rerank=$rerank must be >= k=$k: the exact stage reranks only the " +
+        "stage-1 survivors")
     ops.Vector.quantizedTopK(spark, sfDir,
       org.apache.spark.sql.functions.col("vec_id").isin(queryIds: _*), k, rerank)
   }

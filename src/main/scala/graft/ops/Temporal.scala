@@ -120,26 +120,38 @@ object Temporal {
       .filter(col("__side") === 1)
   }
 
-  /** NULL keys never match under ASOF equality — drop NULL-key right
-    * rows before the union (see the Scaladoc above [[asofJoin]]). */
+  /** NULL keys never match under ASOF equality, and a NULL rightTime
+    * never satisfies `rightTime ≤ leftTime` (three-valued comparison) —
+    * drop both before the union. Without the time filter a NULL-__t
+    * right row sorts FIRST (nulls first) and its struct would be
+    * carried into every left row as a phantom match. A NULL LEFT time
+    * needs no filter: it sorts to the partition start ahead of every
+    * (non-NULL-time) right row, so the carry is empty → NULL values,
+    * the correct unknown-comparison result. */
   private def dropNullKeys(
-      right: org.apache.spark.sql.DataFrame, keys: Seq[String]) =
-    keys.foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
+      right: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      rightTime: String) =
+    (keys :+ rightTime).foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
 
   private[graft] def asofJoin(
       left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
       keys: Seq[String], leftTime: String, rightTime: String): org.apache.spark.sql.DataFrame = {
     val leftCols = left.columns.toSeq
     val rightVals = asofValidate(left, right, keys, rightTime)
-    asofCore(left, dropNullKeys(right, keys), keys, leftTime, rightTime, rightVals)
+    asofCore(left, dropNullKeys(right, keys, rightTime), keys, leftTime,
+        rightTime, rightVals)
       .select(leftCols.map(col) ++ rightVals.map(c => col(s"__rv.$c").as(c)): _*)
   }
 
   /** Floor division that is a true floor for negative times too (SQL
     * `DIV` truncates toward zero, which would put t ∈ (-w, 0) in epoch
-    * 0 alongside t ∈ [0, w)). */
-  private def floorDivExpr(c: String, w: Long): String =
-    s"CASE WHEN $c >= 0 THEN $c DIV $w ELSE -(((-$c) + ${w - 1}) DIV $w) END"
+    * 0 alongside t ∈ [0, w)). The column name is backtick-quoted — it
+    * is USER input interpolated into a SQL fragment, and an unquoted
+    * name like `t-1` would silently parse as arithmetic. */
+  private def floorDivExpr(c: String, w: Long): String = {
+    val q = s"`${c.replace("`", "``")}`"
+    s"CASE WHEN $q >= 0 THEN $q DIV $w ELSE -(((-$q) + ${w - 1}) DIV $w) END"
+  }
 
   /** EXACT as-of join for hot keys ([[graft.Graft.asofJoin]] with
     * `epochWidth`): the same result as [[asofJoin]], computed as a
@@ -177,7 +189,7 @@ object Temporal {
       }, s"chunked as-of needs integral time columns, got $t " +
         "(convert timestamps with unix_micros)"))
     val lE = left.withColumn("__epoch", expr(floorDivExpr(leftTime, epochWidth)))
-    val rE = dropNullKeys(right, keys)
+    val rE = dropNullKeys(right, keys, rightTime)
       .withColumn("__epoch", expr(floorDivExpr(rightTime, epochWidth)))
     val chunkKeys = keys :+ "__epoch"
     val inEpoch = asofCore(lE, rE, chunkKeys, leftTime, rightTime, rightVals)

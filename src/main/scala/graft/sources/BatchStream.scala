@@ -162,8 +162,12 @@ private[sources] class BatchMicroBatchStream(
           "semantics while new discoveries used the new. Start a fresh " +
           "checkpoint to change the filter.")
     } else {
+      // overwrite=true: the tmp name is private to this checkpoint's
+      // writer, and a stale tmp left by a crash between create and
+      // rename must not brick every subsequent start with
+      // FileAlreadyExistsException
       val tmp = new Path(logDir, ".partition-filter.tmp")
-      val out = fs.create(tmp, false)
+      val out = fs.create(tmp, true)
       try out.write(filterCanonical.getBytes(StandardCharsets.UTF_8))
       finally out.close()
       require(fs.rename(tmp, filterPin),

@@ -125,6 +125,25 @@ class GraftSpec extends SparkSpec {
       .collect().map(r => (r.getString(2), Option(r.getString(3)))).toSet
     assert(nullKeyGot == Set(("real", Some("r5")), ("nullkey", None)),
       s"NULL keys must never match: $nullKeyGot")
+    // a NULL rightTime can never satisfy rt <= t (three-valued
+    // comparison) — without the filter it would sort FIRST in the
+    // window and be carried into every left row as a phantom match;
+    // and a NULL leftTime left row matches nothing but survives
+    val rightNullTime = Seq(
+      (1L, Option(5L), "r5"),
+      (1L, Option.empty[Long], "rNULLTIME")
+    ).toDF("k", "rt", "payload")
+    val leftNullTime = Seq(
+      (1L, Option(3L), "early"),   // before r5 → no match
+      (1L, Option.empty[Long], "nulltime")
+    ).toDF("k", "t", "tag")
+    for (w <- Seq(None, Some(10L))) {
+      val got = Graft.asofJoin(leftNullTime, rightNullTime,
+          Seq("k"), "t", "rt", epochWidth = w)
+        .collect().map(r => (r.getString(2), Option(r.getString(3)))).toSet
+      assert(got == Set(("early", None), ("nulltime", None)),
+        s"NULL times must never produce a match (epochWidth=$w): $got")
+    }
     // and the two warehouse as-of plans (window via this util, broadcast
     // max_by) agree on the events fixture — two plans, one truth
     assertSameRows(
