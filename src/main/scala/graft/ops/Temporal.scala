@@ -290,6 +290,29 @@ object Temporal {
       },
       Some(asofOracle)),
 
+    // The same as-of semantics by the THIRD physical strategy — the
+    // hot-key scale-out ([[asofJoinChunked]]): in-epoch union+carry per
+    // (user, hour-of-unix-micros) chunk plus the per-epoch-summary carry
+    // window. Same DuckDB ASOF oracle as both siblings: three plans, one
+    // truth — a decomposition bug (boundary straddle, empty epochs,
+    // carry ordering) breaks the hash here even if the specs' synthetic
+    // fixtures miss it.
+    QueryDef("q_join_asof_chunked",
+      (s, d) => {
+        val ev = Tables.table(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+            col("event_id"))
+        val purchases = purchasesDeduped(ev)
+          .withColumn("rt_us", unix_micros(col("ts"))).drop("ts")
+        asofJoinChunked(clicks, purchases, Seq("user_id"), "t_us", "rt_us",
+            epochWidth = 3600L * 1000000L)
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("p_id").as("asof_p_id"), col("p_value").as("asof_p_value"))
+          .orderBy("click_id")
+      },
+      Some(asofOracle)),
+
     // tumbling window (streaming: groupBy(window($"ts","1 hour"))) — the
     // epoch-aligned 1h window start equals date_trunc('hour')
     QueryDef("q_stream_tumbling",

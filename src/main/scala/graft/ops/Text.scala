@@ -398,6 +398,46 @@ object Text {
              |SELECT source, bucket, CAST(count(1) AS BIGINT) AS n_docs,
              |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
              |FROM packed GROUP BY source, bucket
+             |ORDER BY source, bucket""".stripMargin)),
+
+    // The chunked scale-out of the same packing ([[packAssignments]]
+    // with rangeWidth): the heavy cumsum runs per (source, doc_id DIV
+    // 100) chunk, bucket ids numbered densely by a chunk-summary scan.
+    // The DuckDB oracle replays BOTH levels — local starts, per-chunk
+    // started-bucket counts, the offset window — so the driver
+    // hash-checks the parallel math every round, not just the spec's
+    // driver replay.
+    QueryDef("q_pack_sequences_chunked",
+      (s, d) =>
+        packAssignments(Tables.table(s, d, "documents"), rangeWidth = Some(100L))
+          .groupBy("source", "bucket")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+          .orderBy("source", "bucket"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source, doc_id // 100 AS chunk,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents
+             |), local AS (
+             |  SELECT doc_id, source, chunk, n_tokens,
+             |    sum(n_tokens) OVER (PARTITION BY source, chunk
+             |      ORDER BY doc_id) - n_tokens AS strt
+             |  FROM toks
+             |), summ AS (
+             |  SELECT source, chunk,
+             |    (sum(n_tokens) - max_by(n_tokens, doc_id)) // 2048 + 1 AS nb
+             |  FROM toks GROUP BY source, chunk
+             |), offs AS (
+             |  SELECT source, chunk,
+             |    sum(nb) OVER (PARTITION BY source ORDER BY chunk) - nb AS off
+             |  FROM summ
+             |), packed AS (
+             |  SELECT l.source,
+             |    CAST(o.off + l.strt // 2048 AS BIGINT) AS bucket, l.n_tokens
+             |  FROM local l JOIN offs o USING (source, chunk)
+             |)
+             |SELECT source, bucket, CAST(count(1) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+             |FROM packed GROUP BY source, bucket
              |ORDER BY source, bucket""".stripMargin))
   )
 }
