@@ -188,6 +188,47 @@ class GraftSpec extends SparkSpec {
     assert(e.getMessage.contains("integral time"), e.getMessage)
   }
 
+  test("asofJoin property: windowed, chunked and a brute-force reference agree on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      // random keys (with NULLs), random times (with NULL right times),
+      // right side unique per (k, rt) as the determinism contract asks
+      val left = Seq.tabulate(120) { i =>
+        (if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(5).toLong),
+          rnd.nextInt(101).toLong - 50, i.toLong)
+      }.toDF("k", "t", "lid")
+      val rightRows = Seq.tabulate(80) { _ =>
+        (if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(5).toLong),
+          if (rnd.nextInt(12) == 0) None else Some(rnd.nextInt(101).toLong - 50),
+          rnd.nextInt(1000).toLong)
+      }.distinctBy(r => (r._1, r._2)) // unique (k, rt)
+      val right = rightRows.toDF("k", "rt", "payload")
+      // driver brute force: max-rt right row with equal non-null key, rt <= t
+      val expected = left.collect().map { lr =>
+        val k = if (lr.isNullAt(0)) None else Some(lr.getLong(0))
+        val t = lr.getLong(1)
+        val best = k.flatMap { kk =>
+          rightRows.filter(r => r._1.contains(kk) && r._2.exists(_ <= t))
+            .sortBy(_._2.get).lastOption
+        }
+        (lr.getLong(2), best.map(_._3))
+      }.toMap
+      def got(w: Option[Long]) =
+        Graft.asofJoin(left, right, Seq("k"), "t", "rt", epochWidth = w)
+          .collect()
+          .map(r => r.getLong(2) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+          .toMap
+      val windowed = got(None)
+      assert(windowed == expected, s"trial $trial: windowed != brute force")
+      for (w <- Seq(1L, 7L, 64L)) {
+        val chunked = got(Some(w))
+        assert(chunked == expected,
+          s"trial $trial, epochWidth=$w: chunked != brute force")
+      }
+    }
+  }
+
   test("curate facade returns the oracle-checked q_pipeline_curate manifest") {
     val api = Graft.curate(spark, sfDir).orderBy("doc_id")
     val key = SparkEntry.queries("q_pipeline_curate")(spark, sfDir)

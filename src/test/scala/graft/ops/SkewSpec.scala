@@ -138,6 +138,11 @@ class SkewSpec extends SparkSpec {
     val p = chunkedDf.queryExecution.executedPlan.toString
     assert(p.contains("__epoch"),
       s"the in-epoch pass must partition by the time chunk:\n$p")
+    // the carry side is epoch-summary-sized (n/w = 100 rows here), so
+    // AQE must resolve the fix-up join to a broadcast — the raw rows
+    // never shuffle a second time for it
+    assert(p.split("== Initial Plan ==").head.contains("BroadcastHashJoin"),
+      s"the epoch-summary carry join should broadcast at runtime:\n$p")
   }
 
   test("hot-bucket guard beats the naive self-join on an adversarial bucket") {
