@@ -339,6 +339,54 @@ object Text {
              |  ELSE CAST(0 AS BIGINT) END AS rep_ratio_e6
              |FROM tk_t ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------------------------ unigram log-prob
+    // per-doc average unigram log-probability under the corpus's OWN
+    // unigram distribution — the classic cheap perplexity-style quality
+    // signal (a doc of corpus-rare tokens scores low). Same two-
+    // aggregate shape as tf-idf: (doc, token) counts, vocabulary-sized
+    // frequency table joined back (broadcast here; a token-key shuffle
+    // join at 100 TB vocabularies), then ONE per-doc aggregate.
+    // avg = Σ tf·ln(cnt) / n_tok − ln(N). Cross-engine determinism: the
+    // per-token ln is rounded to 12 digits and the Σ runs in DECIMAL
+    // (order-independent, exact), so partition order can never wiggle
+    // the 6-digit output; only the final scalar ops are double.
+    QueryDef("q_text_unigram_logprob",
+      (s, d) => {
+        val docs = Tables.table(s, d, "documents")
+        val term = docs.select(col("doc_id"), explode(toks).as("token"))
+        val tf = term.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val freq = tf.groupBy("token").agg(sum("tf").as("cnt"))
+        val totals = freq.agg(sum("cnt").as("n_total"))
+        tf.join(broadcast(freq), "token")
+          .groupBy("doc_id")
+          .agg(
+            sum(expr("CAST(tf AS DECIMAL(10,0)) * " +
+              "CAST(round(ln(cnt), 12) AS DECIMAL(20,12))")).as("slp"),
+            sum("tf").as("n_tok"))
+          .join(broadcast(totals))
+          .select(col("doc_id"),
+            round(col("slp").cast(DoubleType) / col("n_tok")
+              - log(col("n_total").cast(DoubleType)), 6).as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH term AS (
+             |  SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents
+             |), tf AS (
+             |  SELECT doc_id, token, count(1) AS tf FROM term GROUP BY 1, 2
+             |), freq AS (
+             |  SELECT token, sum(tf) AS cnt FROM tf GROUP BY 1
+             |), perdoc AS (
+             |  SELECT doc_id,
+             |    sum(CAST(tf AS DECIMAL(10,0))
+             |      * CAST(round(ln(cnt), 12) AS DECIMAL(20,12))) AS slp,
+             |    sum(tf) AS n_tok
+             |  FROM tf JOIN freq USING (token) GROUP BY doc_id
+             |)
+             |SELECT doc_id,
+             |  round(CAST(slp AS DOUBLE) / n_tok
+             |    - ln(CAST((SELECT sum(cnt) FROM freq) AS DOUBLE)), 6) AS avg_logprob
+             |FROM perdoc ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------------------ stratified sampling
     // per-language admission quotas — the corpus-BALANCING primitive
     // (down-sample the dominant language, keep low-resource ones whole).
