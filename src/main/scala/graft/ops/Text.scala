@@ -448,6 +448,55 @@ object Text {
              |FROM packed GROUP BY source, bucket
              |ORDER BY source, bucket""".stripMargin)),
 
+    // ------------------------------------------------ budgeted selection
+    // fill a token budget with the BEST documents: admit docs in
+    // (n_chars DESC, doc_id) order — n_chars standing in for any
+    // monotone quality key — while the running token total fits. The
+    // naive plan is a cumsum over ONE global sort (a single window
+    // task); this runs the packing trick on the SORT KEY instead of
+    // doc_id: the heavy cumsum partitions by quality bucket
+    // (n_chars DIV 64 — a coarsening of the order, so buckets ARE
+    // contiguous runs of the global sort), and a per-bucket-summary
+    // window (≤ max_chars/64 rows) supplies each bucket's preceding
+    // token total. global running total = bucket offset + local cumsum,
+    // EXACTLY the single-window result — the DuckDB oracle computes the
+    // naive global version and must hash-match.
+    QueryDef("q_select_token_budget",
+      (s, d) => {
+        val budget = 50000L
+        val toks = Tables.table(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+          .withColumn("__bucket", expr("n_chars DIV 64"))
+        val wLocal = org.apache.spark.sql.expressions.Window
+          .partitionBy("__bucket")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        val local = toks.withColumn("__cum", sum("n_tokens").over(wLocal))
+        val wBuckets = org.apache.spark.sql.expressions.Window
+          .orderBy(col("__bucket").desc)
+        val offsets = toks.groupBy("__bucket")
+          .agg(sum("n_tokens").as("__bt"))
+          .withColumn("__off", sum("__bt").over(wBuckets) - col("__bt"))
+          .select("__bucket", "__off")
+        local.join(broadcast(offsets), Seq("__bucket"))
+          .withColumn("cum_tokens", col("__off") + col("__cum"))
+          .filter(col("cum_tokens") <= budget)
+          .select("doc_id", "n_tokens", "cum_tokens")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, n_chars,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents
+             |), ranked AS (
+             |  SELECT doc_id, n_tokens,
+             |    sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id) AS cum_tokens
+             |  FROM toks
+             |)
+             |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+             |FROM ranked WHERE cum_tokens <= 50000
+             |ORDER BY doc_id""".stripMargin)),
+
     // The chunked scale-out of the same packing ([[packAssignments]]
     // with rangeWidth): the heavy cumsum runs per (source, doc_id DIV
     // 100) chunk, bucket ids numbered densely by a chunk-summary scan.
