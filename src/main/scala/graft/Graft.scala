@@ -194,6 +194,19 @@ object Graft {
     ops.Text.packAssignments(
       warehouse.Tables.table(spark, sfDir, "documents"), budget, rangeWidth)
 
+  /** Token-budget corpus selection (north-star training-mix primitive):
+    * admit the best documents — quality order, n_chars as the monotone
+    * stand-in key — until the running token total reaches `budget`.
+    * Returns (doc_id, n_tokens, cum_tokens) for admitted docs. The
+    * global-order cumsum runs partitioned by quality bucket with a
+    * bucket-summary offset window, never one corpus-sized window task;
+    * oracle-checked as `q_select_token_budget` against the naive global
+    * cumsum. `bucketWidth` dials the heavy pass's parallelism. */
+  def selectTokenBudget(
+      spark: SparkSession, sfDir: String, budget: Long,
+      bucketWidth: Long = 64L): DataFrame =
+    ops.Text.selectTokenBudget(spark, sfDir, budget, bucketWidth)
+
   /** Generic LEFT AS-OF join (Snowflake's ASOF JOIN — the reference's
     * warehouse offers it through the SQL pass-through; Spark has no
     * built-in): for every left row, the most recent right row with

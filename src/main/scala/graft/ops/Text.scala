@@ -116,6 +116,45 @@ object Text {
     }
   }
 
+  /** Token-budget corpus selection ([[graft.Graft.selectTokenBudget]];
+    * oracle key `q_select_token_budget`): admit documents in
+    * (n_chars DESC, doc_id) order — n_chars standing in for any
+    * monotone quality key — while the running token total fits the
+    * budget. The global-order cumsum runs WITHOUT a global window: the
+    * heavy pass partitions by quality bucket (`n_chars DIV bucketWidth`,
+    * a coarsening of the sort key, so buckets are contiguous runs of
+    * the global order) and a bucket-summary window (≤ max_chars /
+    * bucketWidth rows — deliberately unpartitioned, that's the
+    * skew-collapse) supplies each bucket's preceding total. Identical
+    * rows to the naive single-window cumsum, which the DuckDB oracle
+    * computes. Smaller `bucketWidth` → more parallel tasks in the
+    * heavy pass. */
+  private[graft] def selectTokenBudget(
+      s: SparkSession, d: String, budget: Long,
+      bucketWidth: Long = 64L): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val toks = Tables.table(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .withColumn("__bucket", expr(s"n_chars DIV $bucketWidth"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("__bucket")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val local = toks.withColumn("__cum", sum("n_tokens").over(wLocal))
+    val wBuckets = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__bucket").desc)
+    val offsets = toks.groupBy("__bucket")
+      .agg(sum("n_tokens").as("__bt"))
+      .withColumn("__off", sum("__bt").over(wBuckets) - col("__bt"))
+      .select("__bucket", "__off")
+    local.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn("cum_tokens", col("__off") + col("__cum"))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------ token counting
@@ -462,28 +501,7 @@ object Text {
     // EXACTLY the single-window result — the DuckDB oracle computes the
     // naive global version and must hash-match.
     QueryDef("q_select_token_budget",
-      (s, d) => {
-        val budget = 50000L
-        val toks = Tables.table(s, d, "documents")
-          .select(col("doc_id"), col("n_chars"),
-            size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
-          .withColumn("__bucket", expr("n_chars DIV 64"))
-        val wLocal = org.apache.spark.sql.expressions.Window
-          .partitionBy("__bucket")
-          .orderBy(col("n_chars").desc, col("doc_id"))
-        val local = toks.withColumn("__cum", sum("n_tokens").over(wLocal))
-        val wBuckets = org.apache.spark.sql.expressions.Window
-          .orderBy(col("__bucket").desc)
-        val offsets = toks.groupBy("__bucket")
-          .agg(sum("n_tokens").as("__bt"))
-          .withColumn("__off", sum("__bt").over(wBuckets) - col("__bt"))
-          .select("__bucket", "__off")
-        local.join(broadcast(offsets), Seq("__bucket"))
-          .withColumn("cum_tokens", col("__off") + col("__cum"))
-          .filter(col("cum_tokens") <= budget)
-          .select("doc_id", "n_tokens", "cum_tokens")
-          .orderBy("doc_id")
-      },
+      (s, d) => selectTokenBudget(s, d, budget = 50000L),
       Some("""WITH toks AS (
              |  SELECT doc_id, n_chars,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

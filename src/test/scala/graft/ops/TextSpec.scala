@@ -24,6 +24,19 @@ class TextSpec extends SparkSpec {
     assert(got(3L) == 0L, "an all-distinct doc must score 0")
   }
 
+  test("selectTokenBudget is bucketWidth-invariant (the decomposition never changes the answer)") {
+    def rows(w: Long) =
+      graft.Graft.selectTokenBudget(spark, sfDir, budget = 20000L, bucketWidth = w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val base = rows(64L)
+    assert(base.nonEmpty)
+    // budget binds: admitted tokens stay within it and the selection is
+    // a strict subset of the corpus
+    assert(base.forall(_._3 <= 20000L))
+    for (w <- Seq(1L, 16L, 1000000L)) // 1e6 → ONE bucket = the naive plan
+      assert(rows(w) == base, s"bucketWidth=$w changed the selection")
+  }
+
   test("chunked sequence packing: per-chunk contiguous math, dense numbering, parallel plan") {
     import spark.implicits._
     // ONE dominant source (the 100 TB worst case for the contiguous
