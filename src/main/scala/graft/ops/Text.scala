@@ -148,7 +148,11 @@ object Text {
       .agg(sum("n_tokens").as("__bt"))
       .withColumn("__off", sum("__bt").over(wBuckets) - col("__bt"))
       .select("__bucket", "__off")
-    local.join(broadcast(offsets), Seq("__bucket"))
+    // offsets is left UNHINTED like packAssignments' twin: one row per
+    // bucket is broadcast-sized at sane widths, but bucketWidth=1 makes
+    // it one row per distinct n_chars — the size-based planner decides,
+    // and the local side already carries the __bucket hash partitioning
+    local.join(offsets, Seq("__bucket"))
       .withColumn("cum_tokens", col("__off") + col("__cum"))
       .filter(col("cum_tokens") <= budget)
       .select("doc_id", "n_tokens", "cum_tokens")
@@ -400,7 +404,7 @@ object Text {
           .groupBy("doc_id")
           .agg(
             sum(expr("CAST(tf AS DECIMAL(10,0)) * " +
-              "CAST(round(ln(cnt), 12) AS DECIMAL(20,12))")).as("slp"),
+              "CAST(round(ln(cnt), 9) AS DECIMAL(20,9))")).as("slp"),
             sum("tf").as("n_tok"))
           .join(broadcast(totals))
           .select(col("doc_id"),
@@ -417,7 +421,7 @@ object Text {
              |), perdoc AS (
              |  SELECT doc_id,
              |    sum(CAST(tf AS DECIMAL(10,0))
-             |      * CAST(round(ln(cnt), 12) AS DECIMAL(20,12))) AS slp,
+             |      * CAST(round(ln(cnt), 9) AS DECIMAL(20,9))) AS slp,
              |    sum(tf) AS n_tok
              |  FROM tf JOIN freq USING (token) GROUP BY doc_id
              |)

@@ -149,7 +149,7 @@ private[sources] class BatchMicroBatchStream(
         .mkString(","))
       .getOrElse("")
 
-  private def pinPartitionFilter(): Unit = synchronized {
+  private def pinPartitionFilter(attempt: Int = 0): Unit = synchronized {
     if (fs.exists(filterPin)) {
       val in = fs.open(filterPin)
       val pinned =
@@ -162,16 +162,25 @@ private[sources] class BatchMicroBatchStream(
           "semantics while new discoveries used the new. Start a fresh " +
           "checkpoint to change the filter.")
     } else {
-      // overwrite=true: the tmp name is private to this checkpoint's
-      // writer, and a stale tmp left by a crash between create and
-      // rename must not brick every subsequent start with
-      // FileAlreadyExistsException
-      val tmp = new Path(logDir, ".partition-filter.tmp")
-      val out = fs.create(tmp, true)
+      // PER-WRITER tmp name: a fixed name with overwrite would let a
+      // concurrent first-start silently replace this writer's bytes
+      // before the rename (pinning B's filter under A's running
+      // stream); a fixed name without overwrite lets a crashed start's
+      // stale tmp brick the checkpoint. Unique tmp + atomic rename has
+      // neither problem: the rename LOSER falls through to the
+      // validation branch and either agrees with the winner's pin or
+      // fails with the real mismatch error.
+      val tmp = new Path(logDir,
+        s".partition-filter.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
       try out.write(filterCanonical.getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      require(fs.rename(tmp, filterPin),
-        s"failed to pin partition_filter at $filterPin")
+      if (!fs.rename(tmp, filterPin)) {
+        fs.delete(tmp, false)
+        require(attempt == 0 && fs.exists(filterPin),
+          s"failed to pin partition_filter at $filterPin")
+        pinPartitionFilter(attempt + 1) // validate against the winner
+      }
     }
   }
 

@@ -139,10 +139,14 @@ class SkewSpec extends SparkSpec {
     assert(p.contains("__epoch"),
       s"the in-epoch pass must partition by the time chunk:\n$p")
     // the carry side is epoch-summary-sized (n/w = 100 rows here), so
-    // AQE must resolve the fix-up join to a broadcast — the raw rows
-    // never shuffle a second time for it
-    assert(p.split("== Initial Plan ==").head.contains("BroadcastHashJoin"),
-      s"the epoch-summary carry join should broadcast at runtime:\n$p")
+    // AQE must resolve the fix-up join to a broadcast. A positive
+    // BroadcastHashJoin check could be satisfied by the tiny
+    // axis⋈lastPerEpoch join alone — assert the absence of any
+    // sort-merge join in the FINAL plan instead: if the fix-up join
+    // ever re-shuffled the raw rows (the pathology under test), it
+    // would surface as a SortMergeJoin here
+    assert(!p.split("== Initial Plan ==").head.contains("SortMergeJoin"),
+      s"no join in the chunked as-of may shuffle the raw rows:\n$p")
   }
 
   test("hot-bucket guard beats the naive self-join on an adversarial bucket") {
