@@ -637,6 +637,53 @@ object Dedup {
            |GROUP BY source ORDER BY source""".stripMargin
       }),
 
+    // ------------------------------------------------ source overlap
+    // cross-source duplication report from the per-source sketches: the
+    // standard MinHash Jaccard estimator (fraction of agreeing sketch
+    // positions) for every source pair — the "how duplicated are my
+    // sources against each other" number a curation run checks BEFORE
+    // mixing corpora. One corpus pass builds the registry-cached
+    // sketches (K longs per source via the mergeable union aggregate);
+    // the pair matrix is a #sources² self-join of that tiny table —
+    // driver-trivial at any corpus size. Integer-exact output
+    // (matches·1e6 DIV K), so both engines hash-match by construction.
+    QueryDef("q_source_overlap",
+      (s, d) => {
+        val union = graft.functions.MinHashSketch.udaf(8)
+        val docs = Tables.table(s, d, "documents").select("doc_id", "source")
+        val sketches = graft.CacheRegistry.getOrPersist("source_sketches", d,
+          sparkMinhash(s, d)
+            .join(docs, "doc_id")
+            .groupBy("source")
+            .agg(union(col("mh")).as("sketch")))
+        val a = sketches.select(col("source").as("source_a"), col("sketch").as("sa"))
+        val b = sketches.select(col("source").as("source_b"), col("sketch").as("sb"))
+        val matches = (0 until 8).map(i =>
+          when(element_at(col("sa"), i + 1) === element_at(col("sb"), i + 1), 1L)
+            .otherwise(0L)).reduce(_ + _)
+        a.join(b, col("source_a") < col("source_b"))
+          .withColumn("n_match", matches)
+          .withColumn("jaccard_e6", expr("n_match * 1000000 DIV 8"))
+          .select("source_a", "source_b", "n_match", "jaccard_e6")
+          .orderBy("source_a", "source_b")
+      },
+      Some {
+        val mins = (0 until 8).map(i => s"min(mh[${i + 1}]) AS mh_$i").mkString(", ")
+        val matchSum = (0 until 8)
+          .map(i => s"(CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""$duckBandsCte, sk AS (
+           |  SELECT source, $mins
+           |  FROM mh_t JOIN documents USING (doc_id)
+           |  GROUP BY source
+           |)
+           |SELECT a.source AS source_a, b.source AS source_b,
+           |  CAST($matchSum AS BIGINT) AS n_match,
+           |  CAST(($matchSum) * 1000000 // 8 AS BIGINT) AS jaccard_e6
+           |FROM sk a JOIN sk b ON a.source < b.source
+           |ORDER BY source_a, source_b""".stripMargin
+      }),
+
     // ------------------------------------------------ MinHash + LSH
     // candidate near-dup pairs sharing ≥1 of 4 LSH bands over 8 minhashes
     QueryDef("q_dedup_minhash",
