@@ -144,12 +144,26 @@ object Graft {
     * it into deterministic sub-cells, bounding the pair stage at
     * O(maxCell·n). Any finite cap emits a SUBSET of the unguarded pairs
     * (DedupSpec pins that), but membership is not monotone between two
-    * finite caps — the sub-cell modulus changes with the cap. */
+    * finite caps — the sub-cell modulus changes with the cap.
+    *
+    * `quantized = true` (opt-in) swaps the candidate stage to the int8
+    * path ([[ops.Dedup.embeddingNearDupsQuantized]]): the cell join
+    * ships Dim-byte packed codes + 4 scalars instead of the f64
+    * vectors (8× narrower at the dominant 100 TB shuffle), scores
+    * pairs by the engine-exact affine code dot with a `margin` slack
+    * below `minCosine`, and exact-cosine-verifies only the surviving
+    * pairs. Output adds the `approx_cos` column; a genuine pair is
+    * lost only if quantization error exceeds `margin`. */
   def embeddingNearDups(
       spark: SparkSession, sfDir: String,
       nprobe: Int = 2, minCosine: Double = 0.45,
-      maxCell: Int = ops.Dedup.MaxCell): DataFrame =
-    ops.Dedup.embeddingMultiprobePairs(spark, sfDir, nprobe, minCosine, maxCell)
+      maxCell: Int = ops.Dedup.MaxCell,
+      quantized: Boolean = false, margin: Double = 0.05): DataFrame =
+    if (quantized)
+      ops.Dedup.embeddingNearDupsQuantized(
+        spark, sfDir, nprobe, minCosine, maxCell, margin)
+    else
+      ops.Dedup.embeddingMultiprobePairs(spark, sfDir, nprobe, minCosine, maxCell)
 
   /** Text near-duplicate CANDIDATE pairs over `documents` (MinHash → LSH
     * band buckets → guarded self-join). `maxBand` is the hot-bucket cost

@@ -111,9 +111,25 @@ object Dedup {
     * parallel whatever the skew, and the count side is ≤ 2^16 rows by
     * construction (16-bit signature space) → always broadcastable. Same
     * rows as the window form; SkewSpec drives it with a one-signature
-    * corpus and PlanSpec pins the no-Window shape. */
+    * corpus and PlanSpec pins the no-Window shape.
+    *
+    * CONTRACT (why the forced broadcast is safe): the `simhash` column
+    * MUST come from a bounded signature space — ≤ `maxSignatureBits`
+    * (default 16 → ≤65,536 distinct count rows, a few MB broadcast
+    * regardless of corpus size). The helper accepts an arbitrary
+    * (doc_id, simhash) frame (SkewSpec feeds synthetic longs), so a new
+    * call site with a WIDER signature (e.g. a 64-bit simhash) would
+    * broadcast an unboundedly large count table; such a caller must pass
+    * its real width so the guard can reject it — switch to a plain
+    * (non-broadcast) join-back past ~20 bits. */
   private[graft] def simhashBuckets(
-      sigs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      sigs: org.apache.spark.sql.DataFrame,
+      maxSignatureBits: Int = 16): org.apache.spark.sql.DataFrame = {
+    require(maxSignatureBits <= 20,
+      s"simhashBuckets force-broadcasts the per-signature counts; a " +
+        s"$maxSignatureBits-bit signature space (2^$maxSignatureBits " +
+        "possible count rows) is too wide to broadcast — use a plain " +
+        "join-back for wide signatures")
     val bucketCounts = sigs.groupBy("simhash")
       .agg(count(lit(1)).cast(LongType).as("n_bucket"))
     sigs.join(broadcast(bucketCounts), "simhash")
@@ -551,6 +567,167 @@ object Dedup {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** The QUANTIZED-candidate variant of [[embeddingMultiprobePairs]]
+    * ([[graft.Graft.embeddingNearDups]] `quantized = true`; oracle key
+    * `q_dedup_embedding_quantized`) — the candidate stage, THE dominant
+    * vector shuffle of a 100 TB near-dup pass, ships int8 codes instead
+    * of f64 vectors:
+    *
+    *   - stage 1 (candidates): the probed cell table carries each
+    *     vector as its PACKED Dim-byte code cell (`cb`, the codegen'd
+    *     [[graft.functions.PackCodes]] binary — 8× narrower than the
+    *     Dim×8-byte double array) plus four scalars (mn, sc, csum, nrm).
+    *     Same-cell/same-salt pairs are scored in-join by the affine
+    *     expansion Σ(amn+acᵢ·asc)(bmn+bcᵢ·bsc) = Dim·amn·bmn +
+    *     amn·bsc·Σbc + bmn·asc·Σac + asc·bsc·(ac·bc) — one exact integer
+    *     code dot ([[graft.functions.CodeDot]], unsigned bytes, exact in
+    *     doubles) plus three scalar cross-terms — and thresholded at
+    *     `minCosine - margin` BEFORE any pair-level shuffle: only id
+    *     pairs + one double survive into the distinct.
+    *   - stage 2 (exact verify): full vectors re-attach BY ID to the
+    *     (tiny) surviving pairs only, and the exact cosine applies the
+    *     real `minCosine`. The corpus-sized f64 vectors never enter the
+    *     pair join — they ride exactly two survivor-sized id joins.
+    *
+    * Both stages are engine-exact (the integer dot and the identical
+    * affine/cosine expression text), so the DuckDB twin replays every
+    * score bit-for-bit. Recall contract: a genuine pair is lost iff
+    * quantization error pushes its approx score below the cutoff; the
+    * error of the affine dot is bounded by ~Dim·(|x|·sc/2 terms), so
+    * `margin` (default 0.05, an order of magnitude above the observed
+    * fixture error) makes stage 1 a pure cost filter in practice —
+    * DedupSpec asserts full recall vs the unquantized sibling on the
+    * fixture. */
+  private[graft] def embeddingNearDupsQuantized(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      nprobe: Int, minCosine: Double,
+      maxCell: Int = MaxCell, margin: Double = 0.05): org.apache.spark.sql.DataFrame = {
+    graft.functions.IvfNearestCells.register(s, IvfCentroids.values, nprobe)
+    val cutoff = "%.6f".format(minCosine - margin) // same literal both engines
+    val qv = graft.CacheRegistry.getOrPersist("quant_vecs", d,
+      Vector.quantizedVecs(s, d))
+    // the probed QUANTIZED projection: codes + scalars only — no `v`.
+    // Persisted like the unquantized sibling (guard count + two join
+    // sides read one copy); `v` stays behind in quant_vecs for stage 2.
+    val raw = graft.CacheRegistry.getOrPersist(s"dedup_probed_q8_$nprobe", d,
+      qv.withColumn("cell", explode(expr("ivf_cells(v)")))
+        .select("vec_id", "cell", "cb", "mn", "sc", "csum", "nrm"))
+    val probed = subSalt(raw, Seq("cell"), "vec_id", maxCell)
+      .select("vec_id", "cell", "__salt", "cb", "mn", "sc", "csum", "nrm")
+    val survivors = probed
+      .toDF("vec_a", "cell", "__salt", "cba", "mna", "sca", "csa", "na")
+      .join(probed
+        .toDF("vec_b", "cell", "__salt", "cbb", "mnb", "scb", "csb", "nb"),
+        Seq("cell", "__salt"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("idot", expr("code_dot(cba, cbb)"))
+      .withColumn("approx_cos", expr(
+        s"round((${Vector.Dim} * mna * mnb + mna * scb * csb + " +
+          "mnb * sca * csa + sca * scb * idot) / (na * nb), 6)"))
+      .filter(col("approx_cos") >= expr(cutoff))
+      .select("vec_a", "vec_b", "approx_cos")
+      .distinct() // a pair sharing both probe cells scores identically twice
+    val fa = qv.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nrm").as("fna"))
+    val fb = qv.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("nrm").as("fnb"))
+    survivors.join(fa, Seq("vec_a")).join(fb, Seq("vec_b"))
+      .withColumn("cosine",
+        round(expr("dot_product(va, vb)") / (col("fna") * col("fnb")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select("vec_a", "vec_b", "cosine", "approx_cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** DuckDB twin of [[embeddingNearDupsQuantized]]: replays cell ranking,
+    * the salt, the int8 quantizer, the exact BIGINT code dot + affine
+    * expansion (identical term order), the approx cutoff literal, and the
+    * exact-cosine verify. */
+  private[graft] def duckEmbeddingNearDupsQuantized(
+      nprobe: Int, minCosine: Double, margin: Double = 0.05): String = {
+    val cents = IvfCentroids.values
+    val cutoff = "%.6f".format(minCosine - margin)
+    val values = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.map(x => "%.17e".format(x)).mkString("[", ", ", "]")})"
+    }.mkString(",\n    ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), cents(cell, cv) AS (VALUES
+       |    $values
+       |), dists AS (
+       |  SELECT e.vec_id, c.cell,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, ${cents.head.length}),
+       |        i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))),
+       |      (s0, x) -> s0 + x) AS d
+       |  FROM e, cents c
+       |), cellranks AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rk
+       |  FROM dists
+       |), probed_raw AS (
+       |  SELECT vec_id, cell FROM cellranks WHERE rk <= $nprobe
+       |), csz AS (
+       |  SELECT cell, count(*) AS cn FROM probed_raw GROUP BY cell
+       |), probed AS (
+       |  SELECT vec_id, cell,
+       |    ${Text.md5iDuck("CAST(vec_id AS VARCHAR)")}
+       |      % ((cn + ${MaxCell - 1}) // $MaxCell) AS salt
+       |  FROM probed_raw JOIN csz USING (cell)
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM probed a JOIN probed b USING (cell, salt)
+       |  WHERE a.vec_id < b.vec_id
+       |), n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+       |  FROM e
+       |), p AS (
+       |  SELECT vec_id, v, nrm, list_min(v) AS mn,
+       |    (list_max(v) - list_min(v)) / 255.0 AS sc
+       |  FROM n
+       |), q8 AS (
+       |  SELECT vec_id, v, nrm, mn, sc,
+       |    list_transform(v, x -> CASE WHEN sc = 0 THEN 0
+       |      ELSE CAST(floor((x - mn) / sc + 0.5) AS BIGINT) END) AS codes
+       |  FROM p
+       |), qc AS (
+       |  SELECT vec_id, nrm, mn, sc, codes,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+       |      (a, b) -> a + b) AS csum
+       |  FROM q8
+       |), approx AS (
+       |  SELECT vec_a, vec_b,
+       |    round((${Vector.Dim} * a.mn * b.mn + a.mn * b.sc * b.csum
+       |      + b.mn * a.sc * a.csum
+       |      + a.sc * b.sc * list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(generate_series(1, ${Vector.Dim}),
+       |            i -> a.codes[i] * b.codes[i])), (s0, x) -> s0 + x))
+       |      / (a.nrm * b.nrm), 6) AS approx_cos
+       |  FROM cand
+       |  JOIN qc a ON a.vec_id = vec_a
+       |  JOIN qc b ON b.vec_id = vec_b
+       |), surv AS (
+       |  SELECT vec_a, vec_b, approx_cos FROM approx
+       |  WHERE approx_cos >= $cutoff
+       |), exact AS (
+       |  SELECT vec_a, vec_b,
+       |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(generate_series(1, len(na.v)),
+       |          i -> na.v[i] * nb.v[i])), (s0, x) -> s0 + x)
+       |      / (na.nrm * nb.nrm), 6) AS cosine,
+       |    approx_cos
+       |  FROM surv
+       |  JOIN n na ON na.vec_id = vec_a
+       |  JOIN n nb ON nb.vec_id = vec_b
+       |)
+       |SELECT vec_a, vec_b, cosine, approx_cos FROM exact
+       |WHERE cosine >= $minCosine
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   /** Recursive-CTE prefix shared by the resolve/curate oracles: the bands
     * CTEs + candidate pairs + undirected reachability walk. */
   private def duckWalkCte: String =
@@ -962,6 +1139,19 @@ object Dedup {
     // superset. Threshold 0.45 matches q_dedup_embedding.
     QueryDef("q_dedup_embedding_multiprobe",
       (s, d) => embeddingMultiprobePairs(s, d, nprobe = 2, minCosine = 0.45),
-      Some(duckEmbeddingMultiprobe(nprobe = 2, minCosine = 0.45)))
+      Some(duckEmbeddingMultiprobe(nprobe = 2, minCosine = 0.45))),
+
+    // ------------------------------------- quantized-candidate near-dup
+    // the int8 candidate stage for the near-dup pass: same IVF cells and
+    // hot-cell guard as q_dedup_embedding_multiprobe, but the cell join
+    // ships Dim-byte packed codes + 4 scalars (8× narrower than the f64
+    // vectors — THE dominant shuffle of a 100 TB near-dup run), scores
+    // pairs by the engine-exact affine code dot, and re-attaches full
+    // vectors only to the surviving id pairs for the exact-cosine
+    // verify. DedupSpec pins full recall vs the unquantized sibling on
+    // the fixture; PlanSpec pins codes-not-vectors in the exchange.
+    QueryDef("q_dedup_embedding_quantized",
+      (s, d) => embeddingNearDupsQuantized(s, d, nprobe = 2, minCosine = 0.45),
+      Some(duckEmbeddingNearDupsQuantized(nprobe = 2, minCosine = 0.45)))
   )
 }

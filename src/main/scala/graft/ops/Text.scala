@@ -131,10 +131,18 @@ object Text {
     * heavy pass. */
   private[graft] def selectTokenBudget(
       s: SparkSession, d: String, budget: Long,
+      bucketWidth: Long = 64L): DataFrame =
+    selectTokenBudgetDf(Tables.table(s, d, "documents"), budget, bucketWidth)
+
+  /** DataFrame-input core of [[selectTokenBudget]] — split out so the
+    * ScalaCheck property (TextSpec) can drive random corpora through the
+    * exact production decomposition. */
+  private[graft] def selectTokenBudgetDf(
+      docs: DataFrame, budget: Long,
       bucketWidth: Long = 64L): DataFrame = {
     require(budget > 0, s"token budget must be positive: $budget")
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
-    val toks = Tables.table(s, d, "documents")
+    val toks = docs
       .select(col("doc_id"), col("n_chars"),
         size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
       .withColumn("__bucket", expr(s"n_chars DIV $bucketWidth"))
@@ -390,7 +398,8 @@ object Text {
     // frequency table joined back (broadcast here; a token-key shuffle
     // join at 100 TB vocabularies), then ONE per-doc aggregate.
     // avg = Σ tf·ln(cnt) / n_tok − ln(N). Cross-engine determinism: the
-    // per-token ln is rounded to 12 digits and the Σ runs in DECIMAL
+    // per-token ln is rounded to 9 digits (both engines: round(ln(cnt),
+    // 9) into DECIMAL(20,9)) and the Σ runs in DECIMAL
     // (order-independent, exact), so partition order can never wiggle
     // the 6-digit output; only the final scalar ops are double.
     QueryDef("q_text_unigram_logprob",

@@ -69,9 +69,14 @@ object Vector {
     * (`x ≈ mn + code·sc`), the codes as array<double> (`cd` — integer
     * values ≤255 are exact in doubles, so the codegen'd
     * [[graft.functions.DotProduct]] computes the INTEGER code dot
-    * exactly instead of an interpreted zip_with lambda), and the exact
-    * code sum (the affine cross-term both consumers need). */
-  private[ops] def quantizedVecs(s: org.apache.spark.sql.SparkSession, d: String) =
+    * exactly instead of an interpreted zip_with lambda), the exact
+    * code sum (the affine cross-term both consumers need), and the
+    * PACKED byte form (`cb` — one unsigned byte per code via the
+    * codegen'd [[graft.functions.PackCodes]]): the Dim-byte binary cell
+    * that rides the near-dup candidate shuffle 8× narrower than the f64
+    * vector, scored there by [[graft.functions.CodeDot]]. */
+  private[ops] def quantizedVecs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    graft.functions.CodePack.register(s)
     vecs(s, d)
       .withColumn("mn", array_min(col("v")))
       .withColumn("sc", (array_max(col("v")) - col("mn")) / 255.0)
@@ -80,6 +85,8 @@ object Vector {
           "ELSE CAST(floor((x - mn) / sc + 0.5D) AS BIGINT) END)"))
       .withColumn("cd", col("codes").cast("array<double>"))
       .withColumn("csum", expr("aggregate(codes, 0L, (a, c) -> a + c)"))
+      .withColumn("cb", expr("pack_codes(codes)"))
+  }
 
   /** Stage-1 survivor count of the quantized two-stage search: exact
     * cosine reranks only this many code-scored candidates per query. */

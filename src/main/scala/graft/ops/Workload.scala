@@ -116,6 +116,115 @@ object Workload {
              |  AND c_nationkey = n_nationkey
              |GROUP BY c_custkey, c_name, c_acctbal, n_name
              |ORDER BY revenue DESC, c_custkey
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    // ---------------------------------------------------------- TPC-H Q1
+    // pricing-summary shape: the HEAVY SCAN-AGG workload — no join at
+    // all, one pass over the fact table into a 6-group aggregate. The
+    // plan the key exists to pin: the date filter pushed into the
+    // parquet scan, partial (map-side) aggregation before the one tiny
+    // shuffle, and NO join/window anywhere. Money sums run in
+    // DECIMAL(38,6) (exact, order-independent); averages are derived
+    // from the decimal sums AFTER aggregation (CAST(sum AS DOUBLE) /
+    // count — identical text both engines), never a float avg() whose
+    // accumulation order could wiggle the hash.
+    QueryDef("q_tpch_q1",
+      (s, d) => {
+        val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        val charge = disc * (lit(1.0) + col("l_tax"))
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("l_quantity").cast(D386)).as("dq"),
+            sum(col("l_extendedprice").cast(D386)).as("dbp"),
+            sum(disc.cast(D386)).as("ddp"),
+            sum(charge.cast(D386)).as("dch"),
+            sum(col("l_discount").cast(D386)).as("ddisc"),
+            count(lit(1)).as("count_order"))
+          .select(
+            col("l_returnflag"), col("l_linestatus"),
+            col("dq").cast(DoubleType).as("sum_qty"),
+            col("dbp").cast(DoubleType).as("sum_base_price"),
+            col("ddp").cast(DoubleType).as("sum_disc_price"),
+            col("dch").cast(DoubleType).as("sum_charge"),
+            (col("dq").cast(DoubleType) / col("count_order")).as("avg_qty"),
+            (col("dbp").cast(DoubleType) / col("count_order")).as("avg_price"),
+            (col("ddisc").cast(DoubleType) / col("count_order")).as("avg_disc"),
+            col("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""WITH agg AS (
+             |  SELECT l_returnflag, l_linestatus,
+             |    sum(CAST(l_quantity AS DECIMAL(38,6))) AS dq,
+             |    sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS dbp,
+             |    sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |      AS DECIMAL(38,6))) AS ddp,
+             |    sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+             |      AS DECIMAL(38,6))) AS dch,
+             |    sum(CAST(l_discount AS DECIMAL(38,6))) AS ddisc,
+             |    count(1) AS count_order
+             |  FROM lineitem
+             |  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |  GROUP BY l_returnflag, l_linestatus
+             |)
+             |SELECT l_returnflag, l_linestatus,
+             |  CAST(dq AS DOUBLE) AS sum_qty,
+             |  CAST(dbp AS DOUBLE) AS sum_base_price,
+             |  CAST(ddp AS DOUBLE) AS sum_disc_price,
+             |  CAST(dch AS DOUBLE) AS sum_charge,
+             |  CAST(dq AS DOUBLE) / count_order AS avg_qty,
+             |  CAST(dbp AS DOUBLE) / count_order AS avg_price,
+             |  CAST(ddisc AS DOUBLE) / count_order AS avg_disc,
+             |  count_order
+             |FROM agg
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // --------------------------------------------------------- TPC-H Q18
+    // large-volume-customer shape: orders whose total lineitem quantity
+    // clears a HAVING threshold, joined back to customers, top-100 by
+    // order value. The decomposition IS the scale design: the per-order
+    // quantity aggregate (map-side-combinable, one fact shuffle by
+    // orderkey) produces the qualified keylist WITH its total attached,
+    // so lineitem is scanned once, not twice (the classic Q18 rewrite
+    // of the `IN (GROUP BY ... HAVING)` subquery). The orders⋈qualified
+    // join is FORCED to shuffle-merge: the qualified side's size is a
+    // threshold dial (a lenient threshold at 100 TB qualifies millions
+    // of orders), so the conservative orderkey-shuffle plan — never a
+    // broadcast of either fact side — is the one the key pins.
+    // `customer` stays with the size-based planner (broadcasts at bench
+    // scale, correctly shuffle-joins at 3B customers), same policy as
+    // q_tpch_q3.
+    QueryDef("q_tpch_q18",
+      (s, d) => {
+        val qual = t(s, d, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast(D386)).as("qsum"))
+          .filter(col("qsum") > lit(250).cast(D386))
+        val ord = t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        val cust = t(s, d, "customer").select("c_custkey", "c_name")
+        ord.hint("merge")
+          .join(qual, col("o_orderkey") === col("l_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"),
+            col("qsum").cast(DoubleType).as("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""WITH qual AS (
+             |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(38,6))) AS qsum
+             |  FROM lineitem
+             |  GROUP BY l_orderkey
+             |  HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > 250
+             |)
+             |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             |  CAST(qsum AS DOUBLE) AS total_qty
+             |FROM orders
+             |JOIN qual ON o_orderkey = l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_totalprice DESC, o_orderkey
+             |LIMIT 100""".stripMargin))
   )
 }

@@ -162,6 +162,21 @@ private[sources] class BatchMicroBatchStream(
           "semantics while new discoveries used the new. Start a fresh " +
           "checkpoint to change the filter.")
     } else {
+      // A pin that is ABSENT while segments already exist means the log
+      // predates the pin feature (or the pin was hand-deleted): adopting
+      // the current filter would silently legitimize a filter changed
+      // across the upgrade — the mixed-semantics state the pin exists to
+      // reject. There is no recorded filter to validate against, so warn
+      // loudly before adopting; a user who changed the filter across the
+      // upgrade sees exactly what was assumed.
+      if (fs.exists(logDir) &&
+          fs.listStatus(logDir).exists(_.getPath.getName.startsWith("seg-")))
+        System.err.println(s"[graft] checkpoint $logDir has logged " +
+          s"segments but no partition-filter pin (pre-pin checkpoint?); " +
+          s"adopting the CURRENT filter '$filterCanonical' as the pin — " +
+          "if the filter changed since those segments were written, " +
+          "already-logged files carry the old semantics; start a fresh " +
+          "checkpoint if unsure")
       // PER-WRITER tmp name: a fixed name with overwrite would let a
       // concurrent first-start silently replace this writer's bytes
       // before the rename (pinning B's filter under A's running
@@ -177,10 +192,22 @@ private[sources] class BatchMicroBatchStream(
       finally out.close()
       if (!fs.rename(tmp, filterPin)) {
         fs.delete(tmp, false)
-        require(attempt == 0 && fs.exists(filterPin),
+        require(fs.exists(filterPin),
           s"failed to pin partition_filter at $filterPin")
-        pinPartitionFilter(attempt + 1) // validate against the winner
       }
+      // Read-back validation EVEN after a successful rename: POSIX-backed
+      // filesystems (Hadoop's RawLocalFileSystem) implement rename as
+      // REPLACE-and-return-true, so two concurrent first-starts with
+      // different filters could both "win" the rename — without this
+      // re-read the second would silently overwrite the first's pin with
+      // neither validating. Re-reading the surviving pin makes the
+      // outcome correct on rename-overwrite filesystems too: whichever
+      // content survived, every writer validates against it (agree, or
+      // fail with the real mismatch error). On HDFS (rename-fails-if-
+      // exists) this is a no-op confirmation of our own bytes.
+      require(attempt == 0,
+        s"failed to pin partition_filter at $filterPin")
+      pinPartitionFilter(attempt + 1) // validate the surviving pin
     }
   }
 

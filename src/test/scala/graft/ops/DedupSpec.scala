@@ -99,6 +99,25 @@ class DedupSpec extends SparkSpec {
         "(both vectors above the cosine threshold but in different primary cells)")
   }
 
+  test("quantized candidate stage: full recall vs the exact sibling, identical cosines") {
+    // the int8 candidate path may only lose a pair if quantization error
+    // exceeds the margin (0.05 default — an order of magnitude above the
+    // affine dot's error bound on this fixture); precision is structural
+    // (stage 2 applies the exact cosine at the real threshold). Equality
+    // of the full (pair, cosine) sets proves both directions at once.
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = collectPairs(
+      Dedup.embeddingMultiprobePairs(spark, sfDir, nprobe = 2, minCosine = 0.45))
+    val quant = collectPairs(
+      Dedup.embeddingNearDupsQuantized(spark, sfDir, nprobe = 2, minCosine = 0.45))
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    assert(quant == exact,
+      s"quantized candidates must keep full recall at margin 0.05: " +
+        s"lost=${(exact -- quant).take(5)} gained=${(quant -- exact).take(5)}")
+  }
+
   test("hot-bucket guard: adversarial single-band bucket emits O(K·n), not O(n²), pairs") {
     import spark.implicits._
     // 5k docs all sharing ONE band value — the boilerplate-band nightmare.

@@ -122,6 +122,64 @@ class PlanSpec extends SparkSpec {
       s"top-10 must be TakeOrdered, not a global sort:\n$p")
   }
 
+  test("q_tpch_q1 is a pure scan-agg: pushed date filter, partial agg, no join anywhere") {
+    val p = plan("q_tpch_q1")
+    assert(p.contains("LessThanOrEqual(l_shipdate"),
+      s"the date filter must reach the parquet scan:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the six-group aggregate must combine map-side:\n$p")
+    assert(!p.contains("Join"),
+      s"Q1 is the no-join heavy-scan shape — a join means a wrong plan:\n$p")
+    assert(!p.contains("Window"),
+      s"averages must derive from the decimal sums, not a window:\n$p")
+  }
+
+  test("q_tpch_q18 shuffle-merges the fact join — neither fact side broadcasts") {
+    val p = plan("q_tpch_q18")
+    // the qualified-orders keylist size is a threshold dial: a lenient
+    // threshold at 100 TB qualifies millions of orders, so the
+    // orderkey join must be the forced shuffle-merge, never a broadcast
+    // of orders or the aggregate
+    assert(p.contains("SortMergeJoin"),
+      s"orders⋈qualified must shuffle-merge on orderkey:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the per-order quantity aggregate must combine map-side:\n$p")
+    val bcasts = p.linesIterator.filter(_.contains("BroadcastHashJoin")).toSeq
+    assert(bcasts.forall(_.contains("c_custkey")),
+      s"only the customer dim may broadcast at bench scale:\n${bcasts.mkString("\n")}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must not globally sort:\n$p")
+  }
+
+  test("q_dedup_embedding_quantized ships packed codes, never vectors, through the candidate stage") {
+    val p = plan("q_dedup_embedding_quantized")
+    // stage 1 scores with the codegen'd integer code dot; stage 2
+    // verifies survivors with the exact double dot
+    assert(p.contains("code_dot"),
+      s"candidate scoring must be the native integer code dot:\n$p")
+    assert(p.contains("dot_product"),
+      s"survivors must be verified by the exact cosine:\n$p")
+    // the candidate side reads the packed-code cache (cb + 4 scalars) —
+    // if the f64 vector column `v` ever joins that projection, the cell
+    // join ships 8× the bytes at 100 TB
+    // the candidate-side cache scans carry `cell` (the probed projection);
+    // the quant_vecs scans nested in that cache's one-time BUILD lineage
+    // legitimately read `v` (ivf_cells(v)) and are excluded by the filter
+    val candScans = p.linesIterator
+      .filter(l => l.contains("InMemoryTableScan") && l.contains("cb#") &&
+        l.contains("cell#")).toSeq
+    assert(candScans.nonEmpty,
+      s"candidate side should read the packed-code cache:\n$p")
+    assert(candScans.forall(!_.contains("v#")),
+      s"full vectors leaked into the candidate cache scan:\n${candScans.mkString("\n")}")
+    // the survivor distinct shuffles id pairs + one double, no payloads
+    val distincts = p.linesIterator
+      .filter(l => l.contains("HashAggregate") && l.contains("keys=[vec_a")).toSeq
+    assert(distincts.nonEmpty, s"expected an id-pair distinct:\n$p")
+    assert(distincts.forall(l => !l.contains("cb#") && !l.contains("v#")),
+      s"payloads leaked into the survivor distinct:\n${distincts.mkString("\n")}")
+  }
+
   test("q_tpch_q10 broadcasts nation at any SF and aggregates partially") {
     val p = plan("q_tpch_q10")
     assert(p.contains("EqualTo(l_returnflag,R)"),

@@ -149,6 +149,60 @@ class SkewSpec extends SparkSpec {
       s"no join in the chunked as-of may shuffle the raw rows:\n$p")
   }
 
+  test("stream interval join: hot-user pairs are the answer; chunking spreads them exactly") {
+    import spark.implicits._
+    // ONE user owns every event: C clicks × P purchases all inside the
+    // join window. The pairs ARE the query result (unlike a candidate
+    // generator, no guard may drop them), so the honest bound is C·P
+    // OUTPUT rows — what this fixture pins is (a) that bound exactly and
+    // (b) that the chunked variant produces the IDENTICAL pair set while
+    // keying the join on (user, time-chunk), so the hot user's state and
+    // pair work spread over many partitions instead of one.
+    val c = 400
+    val p = 400
+    // clicks at t=0..399s, purchases at t=300..699s, window 30 min →
+    // every (click, purchase) pair matches: 160k pairs from one user
+    val clicks = spark.range(c).select(col("id").as("click_id"),
+      lit(7L).as("user_id"),
+      expr("timestamp_micros(id * 1000000)").as("click_ts"))
+    val purchases = spark.range(p).select(col("id").as("purchase_id"),
+      lit(7L).as("p_user_id"),
+      expr("timestamp_micros((id + 300) * 1000000)").as("p_ts"),
+      lit(1.0).as("value"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (plain, secs) = timed(
+      pairs(graft.streaming.Streams.intervalJoin(clicks, purchases)))
+    info(f"SKEWBENCH interval: $c x $p hot user -> ${plain.size}%d pairs in $secs%.2f s")
+    // every pair within the window matches: p_ts - click_ts ∈ [−99, 699]s
+    // intersected with [0, 1800]s → exactly the pairs with p_ts >= click_ts
+    val expected = (for {
+      ci <- 0L until c; pi <- 0L until p
+      if pi + 300 >= ci // p_ts >= click_ts; upper bound never binds here
+    } yield (ci, pi)).toSet
+    assert(plain == expected, "the interval join must emit every in-window pair")
+    // chunked: same rows, bit-for-bit, with the join keyed on
+    // (user_id, time-chunk) — chunk width 30 min = the window, the
+    // tightest legal width
+    val chunkedDf = graft.streaming.Streams.intervalJoinChunked(
+      clicks, purchases, windowSeconds = 1800L, chunkSeconds = 1800L)
+    val (chunked, secsC) = timed(pairs(chunkedDf))
+    info(f"SKEWBENCH interval chunked: same fixture in $secsC%.2f s")
+    assert(chunked == plain,
+      "chunking must not add or lose a single pair (exact decomposition)")
+    val plan = chunkedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("__chunk"),
+      s"the chunked join must key on the time chunk:\n$plan")
+    // a chunk narrower than the window would drop cross-chunk pairs —
+    // the require is the guard rail
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.intervalJoinChunked(
+        clicks, purchases, windowSeconds = 1800L, chunkSeconds = 60L)
+    }
+    assert(e.getMessage.contains("chunkSeconds"), e.getMessage)
+  }
+
   test("hot-bucket guard beats the naive self-join on an adversarial bucket") {
     import spark.implicits._
     // 5k docs sharing ONE band value: naive candidate generation emits

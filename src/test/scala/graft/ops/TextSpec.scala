@@ -94,4 +94,98 @@ class TextSpec extends SparkSpec {
     assert(p.contains("__chunk"),
       s"the heavy cumsum must partition by the doc_id chunk:\n$p")
   }
+
+  // ---------------------------------------------------------------------
+  // ScalaCheck properties: the fixture tests above pin ONE corpus; these
+  // pin the two-level math itself — ∀ random corpora and widths, the
+  // parallel decomposition equals a driver brute force of the documented
+  // semantics. Fixed seed → deterministic runs.
+
+  private val seedParams = org.scalacheck.Test.Parameters.default
+    .withMinSuccessfulTests(8)
+    .withInitialSeed(org.scalacheck.rng.Seed(42L))
+
+  private def checkProp(prop: org.scalacheck.Prop): Unit = {
+    val res = org.scalacheck.Test.check(seedParams, prop)
+    assert(res.passed, s"property falsified: ${res.status}")
+  }
+
+  test("ScalaCheck: chunked packing ≡ per-chunk contiguous replay, ∀ corpora/widths") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.propBoolean
+    import spark.implicits._
+    // NoShrink: the default shrinker ignores Gen bounds (it would offer
+    // negative token counts), so a shrunk "counterexample" is garbage
+    val corpusGen = for {
+      n <- Gen.choose(1, 50)
+      nSrc <- Gen.choose(1, 3)
+      docs <- Gen.listOfN(n, for {
+        id <- Gen.choose(0L, 150L)
+        src <- Gen.choose(0, nSrc - 1)
+        toks <- Gen.choose(1, 12) // above AND below the budget range —
+        // oversize docs exercise the overflow rule (skipped bucket slots)
+      } yield (id, s"s$src", toks))
+    } yield docs.distinctBy(_._1) // doc_id unique, like the real table
+    val prop = Prop.forAllNoShrink(corpusGen, Gen.choose(3L, 30L),
+      Gen.choose(1L, 40L)) { (corpus, budget, rw) =>
+      val docs = corpus
+        .map { case (id, src, t) => (id, src, Seq.fill(t)("t").mkString(" ")) }
+        .toDF("doc_id", "source", "text")
+      // driver replay of the DOCUMENTED semantics: contiguous cumsum
+      // (bucket = start offset DIV budget) restarted per
+      // (source, doc_id DIV rw) chunk, chunk offsets numbered by each
+      // chunk's last-start DIV budget + 1 slot count
+      val expected = corpus.groupBy(_._2).flatMap { case (_, srcDocs) =>
+        var off = 0L
+        srcDocs.groupBy(_._1 / rw).toSeq.sortBy(_._1).flatMap {
+          case (_, rows) =>
+            val sorted = rows.sortBy(_._1)
+            var cum = 0L
+            val assigned = sorted.map { case (id, _, t) =>
+              val b = off + cum / budget
+              cum += t
+              id -> b
+            }
+            off += (cum - sorted.last._3) / budget + 1
+            assigned
+        }
+      }.toMap
+      val got = Text.packAssignments(docs, budget, Some(rw))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      (got == expected) :| s"assignment diverged (budget=$budget rw=$rw)"
+    }
+    checkProp(prop)
+  }
+
+  test("ScalaCheck: bucketed token-budget selection ≡ naive global cumsum, ∀ corpora/widths") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.propBoolean
+    import spark.implicits._
+    val corpusGen = for {
+      n <- Gen.choose(1, 50)
+      docs <- Gen.listOfN(n, for {
+        id <- Gen.choose(0L, 150L)
+        chars <- Gen.choose(0L, 300L) // ties + zero both legal
+        toks <- Gen.choose(1, 12)
+      } yield (id, chars, toks))
+    } yield docs.distinctBy(_._1)
+    val prop = Prop.forAllNoShrink(corpusGen, Gen.choose(5L, 120L),
+      Gen.choose(1L, 100L)) { (corpus, budget, bw) =>
+      val docs = corpus
+        .map { case (id, c, t) => (id, c, Seq.fill(t)("t").mkString(" ")) }
+        .toDF("doc_id", "n_chars", "text")
+      // naive driver cumsum in the global (n_chars DESC, doc_id) order —
+      // what ONE window over the whole corpus would compute
+      var cum = 0L
+      val expected = corpus.sortBy(d => (-d._2, d._1)).flatMap {
+        case (id, _, t) =>
+          cum += t
+          if (cum <= budget) Some((id, t.toLong, cum)) else None
+      }.toSet
+      val got = Text.selectTokenBudgetDf(docs, budget, bw)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      (got == expected) :| s"selection diverged (budget=$budget bw=$bw)"
+    }
+    checkProp(prop)
+  }
 }
