@@ -398,6 +398,35 @@ object Temporal {
              | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
              |ORDER BY click_id, purchase_id""".stripMargin)),
 
+    // the chunked interval join against the SAME truth as q_stream_join —
+    // the as-of pattern (three plans, one oracle) applied to the last
+    // pair-producing join: the equi-key becomes (user, 30-min time chunk)
+    // with each click replicated to the ≤2 chunks its window touches, so
+    // a hot user's pairs spread over many partitions. Identical rows by
+    // construction (SkewSpec proves it on the 160k-pair hot-user
+    // fixture); the oracle is the SAME SQL as q_stream_join's.
+    QueryDef("q_stream_join_chunked",
+      (s, d) => {
+        val ev = Tables.table(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+            col("ts").as("p_ts"), col("value"))
+        graft.streaming.Streams.intervalJoinChunked(clicks, purchases,
+            windowSeconds = 1800L, chunkSeconds = 1800L)
+          .select(col("click_id"), col("purchase_id"), col("user_id"), col("value"))
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+             |  c.user_id, p.value
+             |FROM events c JOIN events p
+             |  ON c.user_id = p.user_id
+             | AND c.event_type = 'click' AND p.event_type = 'purchase'
+             | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+             |ORDER BY click_id, purchase_id""".stripMargin)),
+
     // watermark / late-data batch analogue: keep events within 1 day of the
     // observed max ts. The scalar max is broadcast — no single-partition
     // window, no second scan of a sorted stream.

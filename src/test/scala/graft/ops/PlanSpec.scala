@@ -192,6 +192,52 @@ class PlanSpec extends SparkSpec {
       s"top-20 must be TakeOrdered, not a global sort:\n$p")
   }
 
+  test("no unpartitioned window in ANY key consumes a corpus-sized input") {
+    // the deliberate unpartitioned windows (token-budget bucket offsets,
+    // epoch carries) are safe because their inputs are aggregate
+    // summaries — this sweep turns that comment into a contract: every
+    // WindowExec with an empty partitionSpec, in every keyed plan, must
+    // have an aggregate (or a one-row limit) between it and the source.
+    // A corpus-sized frame ever reaching a global window fails here.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def children(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+      case other => other.children
+    }
+    def collectBare(p: SparkPlan): Seq[WindowExec] = {
+      val here = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+        case _ => Seq.empty
+      }
+      here ++ children(p).flatMap(collectBare)
+    }
+    def summarized(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case _: org.apache.spark.sql.execution.LocalLimitExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case other => children(other).exists(summarized)
+    }
+    val found = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { key =>
+      val df = graft.SparkEntry.queries(key)(spark, sfDir)
+      collectBare(df.queryExecution.executedPlan).map(w => key -> w)
+    }
+    // the collector itself must work: the deliberate summary window
+    // (token-budget bucket offsets) is known to be unpartitioned
+    assert(found.exists(_._1 == "q_select_token_budget"),
+      s"sweep failed to find the known summary window; found: ${found.map(_._1).distinct}")
+    val offenders = found.collect {
+      case (key, w) if !summarized(w.child) =>
+        s"$key: ${w.nodeName} over:\n${w.child}"
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows over non-summary inputs:\n${offenders.mkString("\n")}")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and

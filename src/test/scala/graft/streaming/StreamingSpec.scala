@@ -99,6 +99,43 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 10L), (2L, 13L)))
   }
 
+  test("chunked interval join runs as a REAL stream and matches the plain variant") {
+    // the hot-user scale-out must stay a legal stream-stream join: the
+    // added (time-chunk) equi-key and the click-side explode may not
+    // break watermark-based state GC or drop/duplicate matches across
+    // micro-batch boundaries (a click replicated to 2 chunks meets each
+    // purchase in exactly one of them)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp, Double)]
+    val joined = Streams.intervalJoinChunked(
+      clicks.toDF().toDF("click_id", "user_id", "click_ts"),
+      purchases.toDF().toDF("purchase_id", "p_user_id", "p_ts", "value"),
+      windowSeconds = 1800L, chunkSeconds = 1800L)
+    val q = joined.writeStream
+      .format("memory").queryName("t_sjoinc").outputMode("append").start()
+    clicks.addData((1L, 1L, ts(1)), (2L, 2L, ts(2)),
+      (3L, 1L, ts(28))) // window [28, 58) straddles the 30-min chunk edge
+    purchases.addData(
+      (10L, 1L, ts(10), 5.0),  // in window for click 1 (same chunk)
+      (11L, 1L, ts(45), 7.0),  // next chunk: matches click 3 ONLY (via its replica)
+      (12L, 3L, ts(5), 9.0))   // no matching user
+    q.processAllAvailable()
+    purchases.addData((13L, 2L, ts(25), 3.0))
+    q.processAllAvailable()
+    clicks.addData((99L, 999L, ts(5000)))
+    purchases.addData((99L, 998L, ts(5000), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_sjoinc")
+      .select("click_id", "purchase_id").orderBy("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // click 3 (t=28min) matches purchases 10? no (t=10 < 28) — matches 11
+    // (t=45 ∈ [28, 58]) across the chunk boundary, exactly once
+    assert(rows.toSeq == Seq((1L, 10L), (2L, 13L), (3L, 11L)))
+  }
+
   test("stateful dedup within watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
