@@ -162,8 +162,14 @@ object Graft {
     if (quantized)
       ops.Dedup.embeddingNearDupsQuantized(
         spark, sfDir, nprobe, minCosine, maxCell, margin)
-    else
+    else {
+      // a custom margin with quantized = false would be silently ignored —
+      // the caller believes they widened the recall slack and they didn't
+      require(margin == 0.05,
+        s"margin=$margin only applies to the quantized candidate stage; " +
+          "set quantized = true")
       ops.Dedup.embeddingMultiprobePairs(spark, sfDir, nprobe, minCosine, maxCell)
+    }
 
   /** Text near-duplicate CANDIDATE pairs over `documents` (MinHash → LSH
     * band buckets → guarded self-join). `maxBand` is the hot-bucket cost

@@ -34,6 +34,12 @@ case class PackCodes(child: Expression) extends UnaryExpression {
     val out = new Array[Byte](n)
     var i = 0
     while (i < n) {
+      // a NULL element packed as byte 0 would be indistinguishable from a
+      // real 0 code and silently corrupt every downstream code_dot score —
+      // codes are NOT NULL by construction, so a null here is a bug
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"pack_codes: null code element at index $i")
       out(i) = (a.getLong(i) & 0xffL).toByte
       i += 1
     }
@@ -49,6 +55,10 @@ case class PackCodes(child: Expression) extends UnaryExpression {
          |int $n = $a.numElements();
          |byte[] $out = new byte[$n];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "pack_codes: null code element at index " + $i);
+         |  }
          |  $out[$i] = (byte) ($a.getLong($i) & 0xffL);
          |}
          |${ev.value} = $out;
@@ -69,10 +79,15 @@ case class CodeDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Array[Byte]]
     val y = b.asInstanceOf[Array[Byte]]
-    val n = math.min(x.length, y.length)
+    // a silent min-length truncation would mask a dimension bug AND
+    // diverge from the DuckDB twin (which indexes both lists over the
+    // full Dim) — mismatched code widths must fail loudly
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"code_dot: code cells differ in width (${x.length} vs ${y.length})")
     var dot = 0L
     var i = 0
-    while (i < n) {
+    while (i < x.length) {
       dot += (x(i) & 0xff).toLong * (y(i) & 0xff).toLong
       i += 1
     }
@@ -82,12 +97,15 @@ case class CodeDot(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.length, $b.length);
+         |if ($a.length != $b.length) {
+         |  throw new IllegalArgumentException(
+         |    "code_dot: code cells differ in width (" + $a.length +
+         |      " vs " + $b.length + ")");
+         |}
          |long $dot = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; $i < $a.length; $i++) {
          |  $dot += ((long) ($a[$i] & 0xff)) * ((long) ($b[$i] & 0xff));
          |}
          |${ev.value} = $dot;

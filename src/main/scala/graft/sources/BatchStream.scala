@@ -204,9 +204,14 @@ private[sources] class BatchMicroBatchStream(
       // outcome correct on rename-overwrite filesystems too: whichever
       // content survived, every writer validates against it (agree, or
       // fail with the real mismatch error). On HDFS (rename-fails-if-
-      // exists) this is a no-op confirmation of our own bytes.
-      require(attempt == 0,
-        s"failed to pin partition_filter at $filterPin")
+      // exists) this is a no-op confirmation of our own bytes. The
+      // attempt bound only guards against a pin that REPEATEDLY
+      // vanishes between write and validation (external deletion) —
+      // one re-pin attempt is legitimate, endless looping is not.
+      require(attempt < 2,
+        s"failed to pin partition_filter at $filterPin: the pin " +
+          "vanished between write and validation twice — something is " +
+          "deleting checkpoint files concurrently")
       pinPartitionFilter(attempt + 1) // validate the surviving pin
     }
   }

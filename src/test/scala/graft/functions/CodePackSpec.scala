@@ -32,6 +32,24 @@ class CodePackSpec extends SparkSpec {
     assert(bad == 0, s"$bad rows failed the pack round-trip")
   }
 
+  test("null code elements and mismatched widths fail loudly, never silently corrupt") {
+    CodePack.register(spark)
+    // a null code packed as 0 would corrupt downstream scores invisibly
+    val eNull = intercept[Exception] {
+      spark.sql("SELECT pack_codes(array(1L, CAST(NULL AS BIGINT), 3L))").collect()
+    }
+    assert(eNull.getMessage.contains("null code element"),
+      s"expected the null-element error, got: ${eNull.getMessage}")
+    // a min-length truncation would mask a dimension bug and diverge from
+    // the oracle's full-width fold
+    val eLen = intercept[Exception] {
+      spark.sql(
+        "SELECT code_dot(pack_codes(array(1L, 2L)), pack_codes(array(1L)))").collect()
+    }
+    assert(eLen.getMessage.contains("differ in width"),
+      s"expected the width-mismatch error, got: ${eLen.getMessage}")
+  }
+
   test("both expressions participate in whole-stage codegen") {
     CodePack.register(spark)
     val df = spark.range(100).toDF("id")

@@ -197,8 +197,12 @@ class PlanSpec extends SparkSpec {
     // epoch carries) are safe because their inputs are aggregate
     // summaries — this sweep turns that comment into a contract: every
     // WindowExec with an empty partitionSpec, in every keyed plan, must
-    // have an aggregate (or a one-row limit) between it and the source.
-    // A corpus-sized frame ever reaching a global window fails here.
+    // have an aggregate (or a limit) between it and the source. This is
+    // a STRUCTURAL heuristic, not a cardinality proof: an aggregate
+    // grouped on a corpus-sized key (e.g. per-(doc, token)) would still
+    // pass — reviewers must check the grouping grain of any new
+    // unpartitioned window; what the sweep catches outright is the worst
+    // class, a raw scan/join feeding a global window.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
