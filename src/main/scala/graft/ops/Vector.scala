@@ -64,17 +64,17 @@ object Vector {
       |        i -> q.v[i] * c.v[i])), (s0, x) -> s0 + x)""".stripMargin
 
   /** [[vecs]] + the per-vector int8 scalar-quantization artifacts shared
-    * by `q_embedding_quantize` and the two-stage `q_similarity_quantized`
-    * (registry key `quant_vecs`): per-vector min/max affine codes
-    * (`x ≈ mn + code·sc`), the codes as array<double> (`cd` — integer
-    * values ≤255 are exact in doubles, so the codegen'd
-    * [[graft.functions.DotProduct]] computes the INTEGER code dot
-    * exactly instead of an interpreted zip_with lambda), the exact
-    * code sum (the affine cross-term both consumers need), and the
-    * PACKED byte form (`cb` — one unsigned byte per code via the
-    * codegen'd [[graft.functions.PackCodes]]): the Dim-byte binary cell
-    * that rides the near-dup candidate shuffle 8× narrower than the f64
-    * vector, scored there by [[graft.functions.CodeDot]]. */
+    * by `q_embedding_quantize`, the two-stage `q_similarity_quantized`
+    * and the quantized near-dup candidate stage (registry key
+    * `quant_vecs`): per-vector min/max affine codes (`x ≈ mn +
+    * code·sc`), the exact code sum (the affine cross-term every
+    * consumer needs), and the PACKED byte form (`cb` — one unsigned
+    * byte per code via the codegen'd [[graft.functions.PackCodes]]):
+    * the Dim-byte binary cell that rides every quantized candidate
+    * shuffle 8× narrower than the f64 vector, scored there by the
+    * exact integer [[graft.functions.CodeDot]] (products ≤255², sums
+    * ≪2^53 → also exact when the score formula mixes it into double
+    * arithmetic, matching the DuckDB twins' BIGINT folds). */
   private[ops] def quantizedVecs(s: org.apache.spark.sql.SparkSession, d: String) = {
     graft.functions.CodePack.register(s)
     vecs(s, d)
@@ -83,7 +83,6 @@ object Vector {
       .withColumn("codes", expr(
         "transform(v, x -> CASE WHEN sc = 0D THEN 0L " +
           "ELSE CAST(floor((x - mn) / sc + 0.5D) AS BIGINT) END)"))
-      .withColumn("cd", col("codes").cast("array<double>"))
       .withColumn("csum", expr("aggregate(codes, 0L, (a, c) -> a + c)"))
       .withColumn("cb", expr("pack_codes(codes)"))
   }
@@ -109,13 +108,13 @@ object Vector {
     val qv8 = graft.CacheRegistry.getOrPersist("quant_vecs", d,
       quantizedVecs(s, d))
     val q = qv8.filter(queryPred).select(
-      col("vec_id").as("qid"), col("cd").as("qcd"), col("mn").as("qmn"),
+      col("vec_id").as("qid"), col("cb").as("qcb"), col("mn").as("qmn"),
       col("sc").as("qsc"), col("csum").as("qsum"), col("nrm").as("qn"))
-    val c = qv8.select(col("vec_id").as("cid"), col("cd").as("ccd"),
+    val c = qv8.select(col("vec_id").as("cid"), col("cb").as("ccb"),
       col("mn").as("cmn"), col("sc").as("csc"), col("csum").as("ccsum"),
       col("nrm").as("cn"))
     val stage1 = c.join(broadcast(q), col("cid") =!= col("qid"))
-      .withColumn("idot", expr("dot_product(qcd, ccd)"))
+      .withColumn("idot", expr("code_dot(qcb, ccb)"))
       .withColumn("approx_cos", expr(
         s"round(($Dim * qmn * cmn + qmn * csc * ccsum + cmn * qsc * qsum" +
           s" + qsc * csc * idot) / (qn * cn), 6)"))
@@ -517,8 +516,8 @@ object Vector {
     // with the exact cosine, re-attaching full vectors to survivor rows
     // only (survivor list broadcast; the corpus streams, never shuffles).
     // The approximate scores are engine-exact: the integer code dot is
-    // exact in doubles (products ≤255², Dim-length sums ≪ 2^53 — the
-    // codegen'd dot over `cd` equals DuckDB's BIGINT fold), and the
+    // exact (the codegen'd code_dot over the packed byte cells sums
+    // products ≤255² in a long, equal to DuckDB's BIGINT fold), and the
     // scalar correction uses the identical expression text both sides.
     QueryDef("q_similarity_quantized",
       (s, d) => quantizedTopK(s, d),

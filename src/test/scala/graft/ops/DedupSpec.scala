@@ -116,6 +116,17 @@ class DedupSpec extends SparkSpec {
     assert(quant == exact,
       s"quantized candidates must keep full recall at margin 0.05: " +
         s"lost=${(exact -- quant).take(5)} gained=${(quant -- exact).take(5)}")
+    // margin headroom, measured: the affine code dot's error on real
+    // embeddings is ~0.0016 max here — the 0.05 margin carries >5×
+    // slack even against this 0.01 ceiling, so "full recall in
+    // practice" is arithmetic, not luck
+    val F = org.apache.spark.sql.functions
+    val maxErr = Dedup.embeddingNearDupsQuantized(spark, sfDir,
+        nprobe = 2, minCosine = 0.45)
+      .select(F.abs(F.col("cosine") - F.col("approx_cos")).as("err"))
+      .agg(F.max("err")).head.getDouble(0)
+    assert(maxErr < 0.01,
+      f"int8 approximation error $maxErr%.4f exceeds the headroom ceiling")
   }
 
   test("hot-bucket guard: adversarial single-band bucket emits O(K·n), not O(n²), pairs") {

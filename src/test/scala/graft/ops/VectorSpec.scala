@@ -166,16 +166,17 @@ class VectorSpec extends SparkSpec {
         f"int8 approximation off by ${math.abs(approx - cos)}%.4f for ($qid,$cid)")
     }
     // the bandwidth claim, pinned in the plan: the stage-1 candidate
-    // scoring runs dot_product over the CODE arrays (qcd/ccd — the f64
-    // vectors never feed that expression; column pruning keeps `v` out
-    // of the stage-1 join by construction), and the survivor cut
-    // (rk ≤ Rerank) gates the single full-vector dot of stage 2
+    // scoring runs the integer code_dot over the PACKED Dim-byte cells
+    // (qcb/ccb — 8× narrower than the f64 vectors, which never feed
+    // that expression; column pruning keeps `v` out of the stage-1 join
+    // by construction), and the survivor cut (rk ≤ Rerank) gates the
+    // single full-vector dot of stage 2
     df.collect() // finalize the adaptive plan
     // AQE prints "== Final Plan ==" and "== Initial Plan ==" sections —
     // count expression sites in the final section only
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    assert(p.contains("dot_product(qcd"),
-      s"stage 1 must score with the code arrays:\n$p")
+    assert(p.contains("code_dot(qcb"),
+      s"stage 1 must score with the packed code cells:\n$p")
     assert("rk#\\d+ <= 20".r.findFirstIn(p).isDefined,
       s"the exact rerank must be gated on the top-20 survivors:\n$p")
     // exactly one full-vector dot site (stage 2) — stage 1 never touches v
