@@ -225,6 +225,68 @@ object Workload {
              |JOIN qual ON o_orderkey = l_orderkey
              |JOIN customer ON o_custkey = c_custkey
              |ORDER BY o_totalprice DESC, o_orderkey
-             |LIMIT 100""".stripMargin))
+             |LIMIT 100""".stripMargin)),
+
+    // ---------------------------------------------------------- TPC-H Q5
+    // local-supplier-volume shape: the one classic shape Q3/Q10/Q18 do
+    // not cover — TWO dim chains constrain the same fact rows (customer
+    // AND supplier must both sit in the filtered region), tied together
+    // by the non-key local-supplier equality c_nationkey = s_nationkey.
+    // The plan the key pins, and why it holds at 100 TB:
+    //   - region (5 rows) is explicitly broadcast into nation (25 rows),
+    //     and the region-pruned nation (≤5 rows) explicitly broadcast
+    //     into supplier — the dim chain collapses to a supplier-side
+    //     semi-filter BEFORE any fact is touched;
+    //   - orders carries the pushed date filter; lineitem⋈orders is the
+    //     one fact-fact orderkey shuffle;
+    //   - customer and the pruned supplier are left to the size-based
+    //     planner (broadcast at bench scale; at 3B customers / 100M
+    //     suppliers they correctly become shuffle joins — same policy
+    //     as q_tpch_q3/q18);
+    //   - the local-supplier predicate rides the supplier join as a
+    //     second equi-key (suppkey, nationkey), not a post-join filter,
+    //     so the join never materializes non-local pairs;
+    //   - the final group-by is 5 nations — the agg is all map-side.
+    QueryDef("q_tpch_q5",
+      (s, d) => {
+        val lo = lit("1996-01-01").cast("timestamp")
+        val hi = lit("1998-01-01").cast("timestamp")
+        val nat = t(s, d, "nation")
+          .join(broadcast(t(s, d, "region")
+            .filter(col("r_name") === "ASIA").select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val supp = t(s, d, "supplier")
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_nationkey", "n_name")
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+          .select("o_orderkey", "o_custkey")
+        val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), revenue.as("rev"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy("n_name")
+          .agg(sum(col("rev")).cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+             |FROM customer, orders, lineitem, supplier, nation, region
+             |WHERE c_custkey = o_custkey
+             |  AND l_orderkey = o_orderkey
+             |  AND l_suppkey = s_suppkey
+             |  AND c_nationkey = s_nationkey
+             |  AND s_nationkey = n_nationkey
+             |  AND n_regionkey = r_regionkey
+             |  AND r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY n_name
+             |ORDER BY revenue DESC, n_name""".stripMargin))
   )
 }

@@ -180,6 +180,24 @@ class PlanSpec extends SparkSpec {
       s"payloads leaked into the survivor distinct:\n${distincts.mkString("\n")}")
   }
 
+  test("q_tpch_q5 rides the local-supplier predicate as a join key, dims collapse before facts") {
+    val p = plan("q_tpch_q5")
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      s"region filter must reach the region scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date range must reach the orders scan:\n$p")
+    // the local-supplier equality c_nationkey = s_nationkey must be a
+    // second equi-key of the supplier join — a post-join Filter would
+    // materialize every (lineitem, non-local supplier) pair first
+    val suppJoin = p.linesIterator
+      .filter(l => l.contains("Join") && l.contains("s_suppkey")).toSeq
+    assert(suppJoin.nonEmpty && suppJoin.forall(_.contains("s_nationkey")),
+      s"nationkey must ride the supplier join as an equi-key:\n${suppJoin.mkString("\n")}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"no non-equi join anywhere in Q5:\n$p")
+    assert(p.contains("partial_sum"), s"revenue agg must combine map-side:\n$p")
+  }
+
   test("q_tpch_q10 broadcasts nation at any SF and aggregates partially") {
     val p = plan("q_tpch_q10")
     assert(p.contains("EqualTo(l_returnflag,R)"),
