@@ -441,6 +441,28 @@ object Temporal {
       },
       Some("""SELECT event_id, ts, event_type, value FROM events
              |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL '1' DAY
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // at-least-once replay dedup — the batch analogue of
+    // streaming.Streams.dedupWithinWatermark (SAME code path; the
+    // watermark is a no-op in batch and the stateful dedup degrades to
+    // an ordinary hash dedup on event_id). The input simulates a
+    // replayed delivery — the events feed unioned with itself, every
+    // row delivered twice — and the dedup must restore exactly the
+    // original table, which IS the oracle. Deterministic even though
+    // dropDuplicates keeps "an arbitrary" row: replays are full-row
+    // identical, so whichever copy survives, the bytes are the same.
+    // At scale: one hash shuffle on event_id; in streaming mode the
+    // per-key state is GC'd by the watermark instead of growing with
+    // the stream (StreamingSpec drives the true-streaming path).
+    QueryDef("q_stream_dedup",
+      (s, d) => {
+        val ev = Tables.table(s, d, "events")
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        graft.streaming.Streams.dedupWithinWatermark(ev.unionAll(ev))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, ts, user_id, event_type, value
+             |FROM events ORDER BY event_id""".stripMargin))
   )
 }

@@ -167,6 +167,39 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** EXACT top-N rows per group without a group-sized window partition —
+    * the two-level decomposition ([[packAssignments]]/[[selectTokenBudgetDf]])
+    * applied to RANKING. Level 1 ranks within (group, salt) slices — any
+    * global top-N row is top-N within its own slice, so each slice's
+    * local top-N is a superset of the answer — and level 2 ranks only
+    * the surviving ≤ salts·n candidates per group. A hot group costs
+    * `salts` parallel tasks of corpus/salts rows instead of ONE task
+    * sorting the whole group; the final window's input is
+    * candidate-sized, never corpus-sized. Exact for any deterministic
+    * total order (TextSpec proves salted ≡ naive by ScalaCheck).
+    *
+    * `order` must be a total order (tie-break to a unique column) or
+    * ranks at the cut boundary are ambiguous. The salt key only routes
+    * rows — it never reaches the output, so any column works.
+    */
+  private[graft] def topNPerGroup(df: DataFrame, group: Seq[String],
+      order: Seq[Column], n: Int, saltKey: Column,
+      salts: Int = 16): DataFrame = {
+    require(n > 0, s"top-N needs a positive n: $n")
+    require(salts > 0, s"salts must be positive: $salts")
+    val W = org.apache.spark.sql.expressions.Window
+    val salted = df.withColumn("__salt", pmod(hash(saltKey), lit(salts)))
+    val cand = salted
+      .withColumn("__lr", row_number().over(
+        W.partitionBy((group :+ "__salt").map(col): _*).orderBy(order: _*)))
+      .filter(col("__lr") <= n)
+      .drop("__lr", "__salt")
+    cand
+      .withColumn("rank", row_number().over(
+        W.partitionBy(group.map(col): _*).orderBy(order: _*)).cast(LongType))
+      .filter(col("rank") <= n)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------ token counting
@@ -459,6 +492,72 @@ object Text {
               |WHERE ${md5iDuck("CAST(doc_id AS VARCHAR)")} % 100 <
               |  CASE WHEN lang = 'en' THEN 25 ELSE 80 END
               |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------ per-source quotas
+    // exact top-N per source by quality (n_chars standing in for any
+    // monotone quality key, as in q_select_token_budget) — the
+    // MIXTURE-construction primitive: cap each source's contribution to
+    // the training corpus at its best N documents. Unlike the hash
+    // quotas above (a fixed admission RATE), this is a fixed COUNT with
+    // a total order, i.e. a ranking problem — and the naive rank is a
+    // per-source window, one task per source, serialized on whichever
+    // source dominates the corpus. [[topNPerGroup]] runs it as the
+    // salted two-level rank instead: 16 parallel slices per source keep
+    // local top-10s, the final window ranks ≤160 candidates per source.
+    // The oracle computes the naive single-window version; identical
+    // rows because the slice survivors are a superset of the answer.
+    QueryDef("q_sample_quota",
+      (s, d) => topNPerGroup(
+          Tables.table(s, d, "documents"),
+          Seq("source"), Seq(col("n_chars").desc, col("doc_id")), 10,
+          saltKey = col("doc_id"))
+        .select("source", "doc_id", "lang", "n_chars", "rank")
+        .orderBy("source", "rank"),
+      Some("""SELECT source, doc_id, lang, n_chars, rank FROM (
+             |  SELECT source, doc_id, lang, n_chars,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id) AS rank
+             |  FROM documents)
+             |WHERE rank <= 10 ORDER BY source, rank""".stripMargin)),
+
+    // ------------------------------------------------ top bigrams / lang
+    // corpus-level n-gram statistics (the vocabulary-inspection /
+    // contamination-eyeball primitive): top-10 bigrams per language by
+    // frequency. The heavy pass is explode → partial+final hash agg on
+    // (lang, bigram) — the corpus never feeds a window. Ranking runs on
+    // the distinct-bigram COUNT frame (vocab-sized, not corpus-sized),
+    // and even that avoids one-task-per-language via the same salted
+    // two-level rank as q_sample_quota. Ties break on the bigram string
+    // so the cut is a total order on both engines. zip_with of the two
+    // shifted token slices forms bigrams without an index join; a
+    // single-token document yields two empty slices, not an error.
+    QueryDef("q_text_bigrams",
+      (s, d) => {
+        val tail = greatest(size(toks) - 1, lit(0))
+        val counts = Tables.table(s, d, "documents")
+          .select(col("lang"), explode(zip_with(
+            slice(toks, lit(1), tail), slice(toks, lit(2), tail),
+            (a, b) => concat(a, lit(" "), b))).as("bigram"))
+          .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+        topNPerGroup(counts, Seq("lang"),
+            Seq(col("n").desc, col("bigram")), 10, saltKey = col("bigram"))
+          .select("lang", "bigram", "n", "rank")
+          .orderBy("lang", "rank")
+      },
+      Some("""WITH tk AS (
+             |  SELECT lang, string_split(text, ' ') AS t FROM documents
+             |), bg AS (
+             |  SELECT lang, t[i] || ' ' || t[i + 1] AS bigram
+             |  FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+             |), c AS (
+             |  SELECT lang, bigram, count(1) AS n FROM bg GROUP BY 1, 2
+             |)
+             |SELECT lang, bigram, n, rank FROM (
+             |  SELECT lang, bigram, n,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY n DESC, bigram) AS rank
+             |  FROM c)
+             |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin)),
 
     // ------------------------------------------------ sequence packing
     // pack documents into context-window-sized groups (token budget 2048)

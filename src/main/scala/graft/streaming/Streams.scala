@@ -122,11 +122,21 @@ object Streams {
       .drop("__chunk", "__pchunk")
   }
 
-  /** stateful exact dedup on event_id, state GC'd by the watermark —
-    * streaming twin of `q_dedup_exact`. */
+  /** Stateful exact dedup on event_id, state GC'd by the watermark —
+    * the at-least-once-delivery repair stage (streaming twin of
+    * `q_dedup_exact`). Mode-adaptive because Spark REJECTS
+    * `dropDuplicatesWithinWatermark` on batch frames (unlike
+    * `withWatermark`, which is a batch no-op): on a stream the
+    * watermark bounds per-key state, on a batch frame the same
+    * semantics are exactly `dropDuplicates` — every duplicate is
+    * "within the watermark" when the whole input is one batch. The
+    * `q_stream_dedup` oracle key pins the batch form; StreamingSpec
+    * drives the true-streaming form through this same function. */
   def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("event_id")
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   /** Running per-user spend monitor on the MODERN state API
     * (`transformWithState`, Spark 4): a typed [[ValueState]] accumulates

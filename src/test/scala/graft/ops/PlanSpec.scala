@@ -198,6 +198,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"revenue agg must combine map-side:\n$p")
   }
 
+  test("q_sample_quota ranks in salted slices first — no group-sized window partition") {
+    val p = plan("q_sample_quota")
+    val wins = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(wins.size >= 2, s"expected the two-level salted rank:\n$p")
+    assert(wins.exists(_.contains("__salt")),
+      s"level-1 rank must partition by (source, __salt):\n$p")
+  }
+
+  test("q_text_bigrams counts map-side; only the vocab-sized count frame is ranked") {
+    val p = plan("q_text_bigrams")
+    assert(p.contains("partial_count"),
+      s"bigram counting must combine map-side before the shuffle:\n$p")
+    val wins = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(wins.nonEmpty && wins.exists(_.contains("__salt")),
+      s"ranking must run as the salted two-level top-N:\n$p")
+    // the explode output must never reach a Window: every window sits
+    // above the (lang, bigram) aggregate, not above Generate
+    val gen = p.linesIterator.zipWithIndex.collectFirst {
+      case (l, i) if l.contains("Generate explode") => i }
+    val win = p.linesIterator.zipWithIndex.collectFirst {
+      case (l, i) if l.contains("Window") => i }
+    assert(gen.nonEmpty, s"bigram explode missing from the plan:\n$p")
+    assert(win.nonEmpty && win.get < gen.get,
+      s"a Window must only consume the aggregated frame (plan reads top-down):\n$p")
+  }
+
   test("q_tpch_q10 broadcasts nation at any SF and aggregates partially") {
     val p = plan("q_tpch_q10")
     assert(p.contains("EqualTo(l_returnflag,R)"),

@@ -188,4 +188,38 @@ class TextSpec extends SparkSpec {
     }
     checkProp(prop)
   }
+
+  test("ScalaCheck: salted two-level top-N ≡ naive per-group rank, ∀ corpora/n/salts") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.propBoolean
+    import spark.implicits._
+    val corpusGen = for {
+      n <- Gen.choose(1, 60)
+      nGrp <- Gen.choose(1, 4)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.choose(0L, 200L)
+        g <- Gen.choose(0, nGrp - 1)
+        v <- Gen.choose(0L, 20L) // narrow range → heavy ties at the cut;
+        // the unique id tie-break is what makes the cut a total order
+      } yield (id, s"g$g", v))
+    } yield rows.distinctBy(_._1)
+    val prop = Prop.forAllNoShrink(corpusGen, Gen.choose(1, 8),
+      Gen.choose(1, 7)) { (corpus, n, salts) =>
+      val df = corpus.toDF("doc_id", "grp", "v")
+      // naive driver rank: ONE sorted pass per group — what the
+      // single-window plan would compute
+      val expected = corpus.groupBy(_._2).flatMap { case (g, rows) =>
+        rows.sortBy(r => (-r._3, r._1)).take(n).zipWithIndex
+          .map { case ((id, _, v), i) => (g, id, v, i + 1L) }
+      }.toSet
+      val got = Text.topNPerGroup(df, Seq("grp"),
+          Seq(col("v").desc, col("doc_id")), n,
+          saltKey = col("doc_id"), salts = salts)
+        .select("grp", "doc_id", "v", "rank").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      (got == expected) :| s"top-N diverged (n=$n salts=$salts)"
+    }
+    checkProp(prop)
+  }
 }

@@ -140,13 +140,24 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val mem = MemoryStream[Event]
+    val q = Streams.dedupWithinWatermark(mem.toDF()).writeStream
+      .format("memory").queryName("t_dedup").outputMode("append").start()
     mem.addData(
       Event(1, ts(1), 1, "click", 1.0),
       Event(1, ts(1), 1, "click", 1.0), // dup id in same batch
       Event(2, ts(2), 1, "click", 1.0))
-    val out = runToCompletion(
-      Streams.dedupWithinWatermark(mem.toDF()), "append", "t_dedup")
-    assert(out.count() == 2)
+    q.processAllAvailable()
+    // batch 2: an at-least-once REPLAY of batch 1 plus one new event —
+    // the state store dedups ACROSS micro-batches, not just within one
+    mem.addData(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(2, ts(2), 1, "click", 1.0),
+      Event(3, ts(3), 1, "click", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("t_dedup")
+    assert(out.count() == 3)
+    assert(out.select("event_id").distinct().count() == 3)
   }
 
   test("custom sessionization via flatMapGroupsWithState (batch mode)") {
