@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types.DataType
 import org.apache.spark.util.SizeEstimator
 
@@ -226,6 +226,21 @@ object Graft {
       spark: SparkSession, sfDir: String, budget: Long,
       bucketWidth: Long = 64L): DataFrame =
     ops.Text.selectTokenBudget(spark, sfDir, budget, bucketWidth)
+
+  /** Exact top-N rows per group under any total order (north-star
+    * mixture-construction primitive: cap each source's contribution to a
+    * training corpus at its best N documents). Runs as the salted
+    * two-level rank — `salts` parallel slices per group keep local
+    * top-Ns, the final window ranks only the ≤ salts·N candidates — so
+    * ONE dominant group never serializes into one window task the way a
+    * plain `row_number() OVER (PARTITION BY group)` would. Appends a
+    * 1-based `rank` column. `order` must reach a unique tie-break column
+    * or ranks at the cut are ambiguous; oracle-checked as
+    * `q_sample_quota` against the naive single-window rank, ScalaCheck-
+    * proven equal to it for random corpora, n, and salt counts. */
+  def topPerGroup(df: DataFrame, group: Seq[String], order: Seq[Column],
+      n: Int, saltKey: Column, salts: Int = 16): DataFrame =
+    ops.Text.topNPerGroup(df, group, order, n, saltKey, salts)
 
   /** Generic LEFT AS-OF join (Snowflake's ASOF JOIN — the reference's
     * warehouse offers it through the SQL pass-through; Spark has no
