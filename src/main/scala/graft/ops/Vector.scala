@@ -505,6 +505,52 @@ object Vector {
              |      (a, y) -> greatest(a, y)) * 1000000.0) AS BIGINT) AS max_err_e6
              |FROM q ORDER BY vec_id""".stripMargin)),
 
+    // ---------------------------------------- per-label centroids
+    // the class-prototype / k-means-E-step primitive: mean vector per
+    // label in ONE corpus pass through the mergeable
+    // [[graft.functions.VectorSum]] aggregator. Elements are
+    // integer-scaled first (floor(x·1e7) longs) so the sum is exact and
+    // order-independent — a double sum would wobble in the low bits with
+    // partition order and break the cross-engine hash — and the
+    // aggregator's merge is associative+commutative, so the plan is a
+    // partial+final ObjectHashAggregate: each executor ships ONE
+    // Dim-length long array per label to the shuffle regardless of group
+    // size. The built-in alternative (posexplode → groupBy(label, pos))
+    // would inflate the corpus ×Dim rows BEFORE its shuffle; the oracle
+    // replays exactly that naive expansion and hash-matches. Averages
+    // leave integer space only at the very end (identical double ops on
+    // both engines; round(·,6) can't tie — k.5·10⁻⁷ is never a dyadic
+    // rational, so no double lands on a rounding boundary).
+    QueryDef("q_embedding_centroids",
+      (s, d) => {
+        val vsum = graft.functions.VectorSum.udaf(Dim)
+        Tables.table(s, d, "embeddings")
+          .select(col("label").cast(LongType).as("label"),
+            expr("transform(embedding, " +
+              "x -> CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("sv"))
+          .groupBy("label")
+          .agg(vsum(col("sv")).as("s"), count(lit(1)).as("n"))
+          .select(col("label"), col("n"),
+            expr("transform(s, x -> round(CAST(x AS DOUBLE) / 1e7 / n, 6))")
+              .as("centroid"))
+          .orderBy("label")
+      },
+      Some(s"""WITH sv AS (
+              |  SELECT label,
+              |    list_transform(embedding,
+              |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS v
+              |  FROM embeddings
+              |), el AS (
+              |  SELECT label, i, v[i] AS x
+              |  FROM sv, UNNEST(generate_series(1, $Dim)) AS u(i)
+              |), agg AS (
+              |  SELECT label, i, sum(x) AS sx, count(1) AS n
+              |  FROM el GROUP BY 1, 2
+              |)
+              |SELECT CAST(label AS BIGINT) AS label, n,
+              |  list(round(CAST(sx AS DOUBLE) / 1e7 / n, 6) ORDER BY i) AS centroid
+              |FROM agg GROUP BY label, n ORDER BY label""".stripMargin)),
+
     // ---------------------------------------- quantized two-stage ANN
     // the search path that CONSUMES the int8 codes (closing the
     // bandwidth claim q_embedding_quantize's storage shrink opens):

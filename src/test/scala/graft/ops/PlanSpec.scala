@@ -224,6 +224,17 @@ class PlanSpec extends SparkSpec {
       s"a Window must only consume the aggregated frame (plan reads top-down):\n$p")
   }
 
+  test("q_embedding_centroids combines map-side and never explodes the corpus") {
+    val p = plan("q_embedding_centroids")
+    // the typed VectorSum aggregator must plan as partial+final
+    // ObjectHashAggregate — one dim-length buffer per (executor, label)
+    // crosses the shuffle, the property that makes the one-pass centroid
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"expected partial+final ObjectHashAggregate:\n$p")
+    assert(!p.contains("Generate"),
+      s"centroids must not posexplode the corpus ×Dim before the shuffle:\n$p")
+  }
+
   test("q_tpch_q10 broadcasts nation at any SF and aggregates partially") {
     val p = plan("q_tpch_q10")
     assert(p.contains("EqualTo(l_returnflag,R)"),
