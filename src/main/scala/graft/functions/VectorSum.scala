@@ -24,8 +24,13 @@ class VectorSum(dim: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Long]] 
   override def zero: Array[Long] = Array.fill(dim)(0L)
 
   override def reduce(buf: Array[Long], v: Seq[Long]): Array[Long] = {
+    // same convention as CodeDot: a silent min-length truncation would
+    // mask a dimension bug upstream (the row would still be COUNTED while
+    // contributing only a prefix of its elements)
+    require(v.length == dim,
+      s"VectorSum(dim=$dim) got a ${v.length}-element vector")
     var i = 0
-    while (i < dim && i < v.length) {
+    while (i < dim) {
       buf(i) += v(i)
       i += 1
     }

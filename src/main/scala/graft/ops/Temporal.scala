@@ -452,6 +452,9 @@ object Temporal {
     // original table, which IS the oracle. Deterministic even though
     // dropDuplicates keeps "an arbitrary" row: replays are full-row
     // identical, so whichever copy survives, the bytes are the same.
+    // PRECONDITION: event_id is unique in the fixture (FIXTURES.md
+    // declares it; duplicate source ids would make the surviving row
+    // genuinely arbitrary and the oracle unmatchable).
     // At scale: one hash shuffle on event_id; in streaming mode the
     // per-key state is GC'd by the watermark instead of growing with
     // the stream (StreamingSpec drives the true-streaming path).

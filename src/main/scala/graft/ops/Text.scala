@@ -187,6 +187,13 @@ object Text {
       salts: Int = 16): DataFrame = {
     require(n > 0, s"top-N needs a positive n: $n")
     require(salts > 0, s"salts must be positive: $salts")
+    // public entry point (Graft.topPerGroup): reject inputs whose columns
+    // would be silently clobbered by the internal names or the appended
+    // output column — withColumn OVERWRITES an existing name
+    for (c <- Seq("__salt", "__lr", "rank"))
+      require(!df.columns.contains(c),
+        s"topPerGroup appends/uses column '$c'; the input already has one " +
+          "— rename it first")
     val W = org.apache.spark.sql.expressions.Window
     val salted = df.withColumn("__salt", pmod(hash(saltKey), lit(salts)))
     val cand = salted

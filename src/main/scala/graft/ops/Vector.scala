@@ -518,9 +518,15 @@ object Vector {
     // size. The built-in alternative (posexplode → groupBy(label, pos))
     // would inflate the corpus ×Dim rows BEFORE its shuffle; the oracle
     // replays exactly that naive expansion and hash-matches. Averages
-    // leave integer space only at the very end (identical double ops on
-    // both engines; round(·,6) can't tie — k.5·10⁻⁷ is never a dyadic
-    // rational, so no double lands on a rounding boundary).
+    // leave integer space only at the very end: identical double ops on
+    // both engines up to the final round(·,6). That last rounding is the
+    // same residual cross-engine risk every rounded-double key in this
+    // repo carries (Spark rounds the exact decimal HALF_UP, DuckDB
+    // rounds via double arithmetic): no double sits exactly ON a tie
+    // (k.5·10⁻⁷ is never dyadic), but a value whose true product with
+    // 1e6 falls within half an ulp of one could in principle round
+    // differently. Accepted as data-dependent and vanishingly rare, not
+    // proven impossible — don't cite this key as a determinism proof.
     QueryDef("q_embedding_centroids",
       (s, d) => {
         val vsum = graft.functions.VectorSum.udaf(Dim)

@@ -105,13 +105,16 @@ class DedupSpec extends SparkSpec {
     // affine dot's error bound on this fixture); precision is structural
     // (stage 2 applies the exact cosine at the real threshold). Equality
     // of the full (pair, cosine) sets proves both directions at once.
-    def collectPairs(df: org.apache.spark.sql.DataFrame) =
-      df.select("vec_a", "vec_b", "cosine").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val exact = collectPairs(
-      Dedup.embeddingMultiprobePairs(spark, sfDir, nprobe = 2, minCosine = 0.45))
-    val quant = collectPairs(
-      Dedup.embeddingNearDupsQuantized(spark, sfDir, nprobe = 2, minCosine = 0.45))
+    val exact = Dedup.embeddingMultiprobePairs(spark, sfDir,
+        nprobe = 2, minCosine = 0.45)
+      .select("vec_a", "vec_b", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ONE materialization of the quantized pipeline serves both checks
+    val quantRows = Dedup.embeddingNearDupsQuantized(spark, sfDir,
+        nprobe = 2, minCosine = 0.45)
+      .select("vec_a", "vec_b", "cosine", "approx_cos").collect()
+    val quant = quantRows
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(exact.nonEmpty, "fixture should contain near-dup pairs")
     assert(quant == exact,
       s"quantized candidates must keep full recall at margin 0.05: " +
@@ -119,12 +122,10 @@ class DedupSpec extends SparkSpec {
     // margin headroom, measured: the affine code dot's error on real
     // embeddings is ~0.0016 max here — the 0.05 margin carries >5×
     // slack even against this 0.01 ceiling, so "full recall in
-    // practice" is arithmetic, not luck
-    val F = org.apache.spark.sql.functions
-    val maxErr = Dedup.embeddingNearDupsQuantized(spark, sfDir,
-        nprobe = 2, minCosine = 0.45)
-      .select(F.abs(F.col("cosine") - F.col("approx_cos")).as("err"))
-      .agg(F.max("err")).head.getDouble(0)
+    // practice" is arithmetic, not luck (quantRows is non-empty: quant
+    // == exact and exact was asserted non-empty above)
+    val maxErr = quantRows
+      .map(r => math.abs(r.getDouble(2) - r.getDouble(3))).max
     assert(maxErr < 0.01,
       f"int8 approximation error $maxErr%.4f exceeds the headroom ceiling")
   }
