@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -362,6 +363,24 @@ object Vector {
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
+  /** (label, n, centroid) — the per-label mean vectors behind
+    * `q_embedding_centroids` and the nearest-centroid assignment
+    * (`q_embedding_assign`); see the centroids QueryDef for the
+    * exactness/scale argument. Centroid elements are rounded to 6
+    * digits, which is the form BOTH consumers and both engines share. */
+  private def labelCentroids(s: SparkSession, d: String): DataFrame = {
+    val vsum = graft.functions.VectorSum.udaf(Dim)
+    Tables.table(s, d, "embeddings")
+      .select(col("label").cast(LongType).as("label"),
+        expr("transform(embedding, " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("sv"))
+      .groupBy("label")
+      .agg(vsum(col("sv")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("n"),
+        expr("transform(s, x -> round(CAST(x AS DOUBLE) / 1e7 / n, 6))")
+          .as("centroid"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---------------------------------------- brute-force cosine top-k
@@ -528,19 +547,7 @@ object Vector {
     // differently. Accepted as data-dependent and vanishingly rare, not
     // proven impossible — don't cite this key as a determinism proof.
     QueryDef("q_embedding_centroids",
-      (s, d) => {
-        val vsum = graft.functions.VectorSum.udaf(Dim)
-        Tables.table(s, d, "embeddings")
-          .select(col("label").cast(LongType).as("label"),
-            expr("transform(embedding, " +
-              "x -> CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("sv"))
-          .groupBy("label")
-          .agg(vsum(col("sv")).as("s"), count(lit(1)).as("n"))
-          .select(col("label"), col("n"),
-            expr("transform(s, x -> round(CAST(x AS DOUBLE) / 1e7 / n, 6))")
-              .as("centroid"))
-          .orderBy("label")
-      },
+      (s, d) => labelCentroids(s, d).orderBy("label"),
       Some(s"""WITH sv AS (
               |  SELECT label,
               |    list_transform(embedding,
@@ -556,6 +563,79 @@ object Vector {
               |SELECT CAST(label AS BIGINT) AS label, n,
               |  list(round(CAST(sx AS DOUBLE) / 1e7 / n, 6) ORDER BY i) AS centroid
               |FROM agg GROUP BY label, n ORDER BY label""".stripMargin)),
+
+    // ---------------------------------------- nearest-centroid assign
+    // the k-means E-step / classifier-by-prototype, composing with
+    // [[labelCentroids]]: every vector is assigned the label of its
+    // nearest (squared-L2) centroid. Zero row inflation: the K
+    // centroids collapse into ONE sorted array-of-structs row that is
+    // BROADCAST to the corpus scan, and a higher-order `aggregate` fold
+    // arg-mins over it per row — the corpus neither shuffles nor
+    // multiplies ×K, so at 100 TB the cost is exactly one streaming
+    // pass (vs the join-then-groupBy form, which inflates ×K before
+    // re-aggregating every row back down). Cross-engine exactness:
+    // both engines fold the SAME rounded-6 centroid doubles in the
+    // SAME array order with identical IEEE ops; ties on raw dist²
+    // break toward the lower label on both sides (the fold keeps the
+    // earlier entry of the label-sorted array; the oracle ranks by
+    // (dist2, label)). Output dist² is rounded for display only —
+    // the comparison uses the raw double.
+    QueryDef("q_embedding_assign",
+      (s, d) => {
+        val cents = labelCentroids(s, d)
+          .agg(array_sort(collect_list(struct(col("label"), col("centroid"))))
+            .as("cents"))
+        val dist2 = "aggregate(zip_with(v, c.centroid, " +
+          "(x, m) -> (x - m) * (x - m)), 0D, (a, y) -> a + y)"
+        Tables.table(s, d, "embeddings")
+          .select(col("vec_id"), col("label").cast(LongType).as("true_label"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .join(broadcast(cents))
+          .withColumn("best", expr(
+            "aggregate(cents, " +
+              "named_struct('d', CAST('Infinity' AS DOUBLE), " +
+              "'label', CAST(-1 AS BIGINT)), " +
+              s"(acc, c) -> CASE WHEN $dist2 < acc.d THEN " +
+              s"named_struct('d', $dist2, 'label', c.label) ELSE acc END)"))
+          .select(col("vec_id"), col("best.label").as("assigned"),
+            col("true_label"), round(col("best.d"), 6).as("dist2"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH sv AS (
+              |  SELECT label,
+              |    list_transform(embedding,
+              |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS v
+              |  FROM embeddings
+              |), el AS (
+              |  SELECT label, i, v[i] AS x
+              |  FROM sv, UNNEST(generate_series(1, $Dim)) AS u(i)
+              |), agg AS (
+              |  SELECT label, i, sum(x) AS sx, count(1) AS n
+              |  FROM el GROUP BY 1, 2
+              |), cent AS (
+              |  SELECT CAST(label AS BIGINT) AS clabel,
+              |    list(round(CAST(sx AS DOUBLE) / 1e7 / n, 6) ORDER BY i)
+              |      AS centroid
+              |  FROM agg GROUP BY label
+              |), vv AS (
+              |  SELECT vec_id, CAST(label AS BIGINT) AS true_label,
+              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              |  FROM embeddings
+              |), d2 AS (
+              |  SELECT vec_id, true_label, clabel,
+              |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              |      list_transform(generate_series(1, $Dim),
+              |        i -> (v[i] - centroid[i]) * (v[i] - centroid[i]))),
+              |      (a, y) -> a + y) AS dist2
+              |  FROM vv, cent
+              |)
+              |SELECT vec_id, clabel AS assigned, true_label,
+              |  round(dist2, 6) AS dist2
+              |FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY vec_id
+              |    ORDER BY dist2, clabel) AS rn
+              |  FROM d2)
+              |WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
 
     // ---------------------------------------- quantized two-stage ANN
     // the search path that CONSUMES the int8 codes (closing the

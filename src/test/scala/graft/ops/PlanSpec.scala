@@ -235,6 +235,24 @@ class PlanSpec extends SparkSpec {
       s"centroids must not posexplode the corpus ×Dim before the shuffle:\n$p")
   }
 
+  test("q_embedding_assign broadcasts one centroid row; the corpus never inflates or reshuffles") {
+    val p = plan("q_embedding_assign")
+    // the K centroids collapse to a single array row broadcast to the
+    // scan — a nested-loop join over a 1-row build side is the intended
+    // shape (there is no equi-key; the fold does the argmin per row)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid array must broadcast to the corpus scan:\n$p")
+    assert(!p.contains("Generate"),
+      s"assignment must not explode the corpus ×K:\n$p")
+    // no aggregation downstream of the join: the corpus is assigned in
+    // one streaming pass, never re-grouped (the only aggregates are the
+    // centroid computation on the build side)
+    val joinLine = p.linesIterator.indexWhere(_.contains("BroadcastNestedLoopJoin"))
+    val aggAbove = p.linesIterator.take(joinLine)
+      .exists(l => l.contains("Aggregate") && !l.contains("Sort"))
+    assert(!aggAbove, s"no aggregate may consume the joined corpus:\n$p")
+  }
+
   test("q_tpch_q10 broadcasts nation at any SF and aggregates partially") {
     val p = plan("q_tpch_q10")
     assert(p.contains("EqualTo(l_returnflag,R)"),
