@@ -261,8 +261,16 @@ object Graft {
   def asofJoin(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
-      epochWidth: Option[Long] = None): DataFrame =
-    epochWidth match {
+      epochWidth: Option[Long] = None,
+      forward: Boolean = false): DataFrame =
+    if (forward)
+      // earliest right row with rightTime >= leftTime (the next-event /
+      // conversion shape) — exact time-reversal reuse of the backward
+      // join, numeric time columns required; oracle key
+      // `q_join_asof_forward` pins it against DuckDB's forward ASOF
+      ops.Temporal.asofJoinForward(left, right, keys, leftTime, rightTime,
+        epochWidth)
+    else epochWidth match {
       case Some(w) =>
         ops.Temporal.asofJoinChunked(left, right, keys, leftTime, rightTime, w)
       case None => ops.Temporal.asofJoin(left, right, keys, leftTime, rightTime)

@@ -143,6 +143,32 @@ object Temporal {
       .select(leftCols.map(col) ++ rightVals.map(c => col(s"__rv.$c").as(c)): _*)
   }
 
+  /** FORWARD as-of join ([[graft.Graft.asofJoin]] with
+    * `forward = true`): for every left row, the EARLIEST right row with
+    * `rightTime` >= `leftTime` on equal keys — the conversion/next-event
+    * shape (each click's first following purchase). Implemented by exact
+    * time reversal: negate both time axes, run the backward join, negate
+    * back — so it inherits every backward hardening verbatim (NULL keys
+    * never match, NULL right times never match, the one-struct carry,
+    * and the `epochWidth` hot-key chunking, whose epoch math is a true
+    * floor for the negative times this creates). Equality is inclusive
+    * in both directions: rt == lt matches forward exactly as it does
+    * backward. Time columns must be numeric (negation), which
+    * [[asofValidate]]'s integral-time check already demands for
+    * chunking; the facade requires it for both variants. */
+  private[graft] def asofJoinForward(
+      left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      epochWidth: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val l2 = left.withColumn(leftTime, -col(leftTime))
+    val r2 = right.withColumn(rightTime, -col(rightTime))
+    val joined = epochWidth match {
+      case Some(w) => asofJoinChunked(l2, r2, keys, leftTime, rightTime, w)
+      case None => asofJoin(l2, r2, keys, leftTime, rightTime)
+    }
+    joined.withColumn(leftTime, -col(leftTime))
+  }
+
   /** Floor division that is a true floor for negative times too (SQL
     * `DIV` truncates toward zero, which would put t ∈ (-w, 0) in epoch
     * 0 alongside t ∈ [0, w)). The column name is backtick-quoted — it
@@ -312,6 +338,41 @@ object Temporal {
           .orderBy("click_id")
       },
       Some(asofOracle)),
+
+    // FORWARD as-of: each click's FIRST purchase at-or-after it by the
+    // same user — the conversion/next-event query every funnel pipeline
+    // runs. Runs through Temporal.asofJoinForward (time-reversal reuse
+    // of the backward join — fourth plan, its own DuckDB forward-ASOF
+    // truth), so NULL-key/NULL-time semantics and the epochWidth
+    // scale-out are inherited rather than re-implemented; the GraftSpec
+    // property drives the forward+chunked combination on random data.
+    QueryDef("q_join_asof_forward",
+      (s, d) => {
+        val ev = Tables.table(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+            col("event_id"))
+        val purchases = purchasesDeduped(ev)
+          .withColumn("rt_us", unix_micros(col("ts"))).drop("ts")
+        asofJoinForward(clicks, purchases, Seq("user_id"), "t_us", "rt_us")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("p_id").as("next_p_id"), col("p_value").as("next_p_value"))
+          .orderBy("click_id")
+      },
+      Some("""WITH clicks AS (
+             |  SELECT event_id AS click_id, user_id, ts
+             |  FROM events WHERE event_type = 'click'
+             |), purchases AS (
+             |  SELECT user_id, ts, max(event_id) AS p_id,
+             |         arg_max(value, event_id) AS p_value
+             |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+             |)
+             |SELECT c.click_id, c.user_id,
+             |       p.p_id AS next_p_id, p.p_value AS next_p_value
+             |FROM clicks c
+             |ASOF LEFT JOIN purchases p
+             |  ON c.user_id = p.user_id AND c.ts <= p.ts
+             |ORDER BY c.click_id""".stripMargin)),
 
     // tumbling window (streaming: groupBy(window($"ts","1 hour"))) — the
     // epoch-aligned 1h window start equals date_trunc('hour')

@@ -226,6 +226,29 @@ class GraftSpec extends SparkSpec {
         assert(chunked == expected,
           s"trial $trial, epochWidth=$w: chunked != brute force")
       }
+      // FORWARD direction against its own brute force: min-rt right row
+      // with equal non-null key, rt >= t — windowed and chunked both
+      // (the chunked path exercises the negative-epoch floor math)
+      val expectedFwd = left.collect().map { lr =>
+        val k = if (lr.isNullAt(0)) None else Some(lr.getLong(0))
+        val t = lr.getLong(1)
+        val best = k.flatMap { kk =>
+          rightRows.filter(r => r._1.contains(kk) && r._2.exists(_ >= t))
+            .sortBy(_._2.get).headOption
+        }
+        (lr.getLong(2), best.map(_._3))
+      }.toMap
+      def gotFwd(w: Option[Long]) =
+        Graft.asofJoin(left, right, Seq("k"), "t", "rt",
+            epochWidth = w, forward = true)
+          .collect()
+          .map(r => r.getLong(2) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+          .toMap
+      assert(gotFwd(None) == expectedFwd,
+        s"trial $trial: forward windowed != brute force")
+      for (w <- Seq(1L, 7L, 64L))
+        assert(gotFwd(Some(w)) == expectedFwd,
+          s"trial $trial, epochWidth=$w: forward chunked != brute force")
     }
   }
 
