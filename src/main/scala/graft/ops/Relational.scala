@@ -353,6 +353,33 @@ object Relational {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // approx percentile, same contract as q_agg_approx_distinct: each
+    // engine runs ITS OWN sketch (Spark QuantileSummaries accuracy=1e4,
+    // DuckDB t-digest) and emits the exact value plus a within-5%
+    // boolean — the sketches need not agree with each other, only each
+    // stay inside the documented bound (both are ≲1% on this data, so
+    // the bound carries ~5× headroom). The mergeable sketch is the
+    // 100 TB point: percentile state combines map-side like a sum,
+    // where the exact percentile needs the full sorted group.
+    QueryDef("q_agg_approx_percentile",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("exact_p50"),
+          (abs(expr("approx_percentile(l_extendedprice, 0.5, 10000)") -
+              expr("percentile(l_extendedprice, 0.5)")) /
+            expr("percentile(l_extendedprice, 0.5)") <= 0.05)
+            .as("approx_within_5pct"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+             |  abs(approx_quantile(l_extendedprice, 0.5)
+             |      - quantile_cont(l_extendedprice, 0.5))
+             |    / quantile_cont(l_extendedprice, 0.5) <= 0.05
+             |    AS approx_within_5pct
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     QueryDef("q_agg_rollup",
       (s, d) => t(s, d, "lineitem")
         .rollup("l_returnflag", "l_linestatus")

@@ -235,6 +235,48 @@ object Text {
              |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------------------- feature hashing (TF)
+    // the vocabulary-FREE featurizer (hashing trick): every token hashes
+    // into one of 32 fixed buckets, per-doc bucket counts become a dense
+    // fixed-dim count vector — no vocabulary build, no second pass, no
+    // global dictionary to broadcast, which is what makes the trick the
+    // 100 TB featurizer. One hash-agg on (doc_id, bucket) with map-side
+    // combine; per-doc assembly is a ≤32-entry map lookup over a
+    // sequence, never a pivot. md5-derived buckets are engine-portable
+    // (same trick as q_sample_split); the oracle fills the grid by
+    // LEFT JOIN instead and hash-matches.
+    QueryDef("q_text_hashing_tf",
+      (s, d) => {
+        val D = 32
+        Tables.table(s, d, "documents")
+          .select(col("doc_id"), explode(toks).as("token"))
+          .select(col("doc_id"),
+            expr(s"CAST(${md5i("token")} % $D AS INT)").as("b"))
+          .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
+            .as("m"))
+          .select(col("doc_id"),
+            expr(s"transform(sequence(0, ${D - 1}), " +
+              "i -> coalesce(m[i], CAST(0 AS BIGINT)))").as("tf"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH term AS (
+              |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              |  FROM documents
+              |), cnt AS (
+              |  SELECT doc_id, ${md5iDuck("token")} % 32 AS b,
+              |    count(1) AS c
+              |  FROM term GROUP BY 1, 2
+              |), grid AS (
+              |  SELECT doc_id, i AS b
+              |  FROM documents, UNNEST(generate_series(0, 31)) AS u(i)
+              |)
+              |SELECT g.doc_id,
+              |  list(CAST(coalesce(c.c, 0) AS BIGINT) ORDER BY g.b) AS tf
+              |FROM grid g LEFT JOIN cnt c ON g.doc_id = c.doc_id AND g.b = c.b
+              |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
+
     // ------------------------------------------------ tf-idf
     // two aggregations + a broadcast-able join: term counts per doc,
     // document frequency per term (computed over ALL docs), N as a
