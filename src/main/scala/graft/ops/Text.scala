@@ -277,6 +277,49 @@ object Text {
               |FROM grid g LEFT JOIN cnt c ON g.doc_id = c.doc_id AND g.b = c.b
               |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
 
+    // ------------------------------- linear quality model (fastText-ish)
+    // the CCNet/fastText-style quality filter as a LINEAR model over the
+    // hashing-trick features: score(doc) = Σ_tokens w[bucket(token)],
+    // i.e. the dot product of the q_text_hashing_tf count vector with a
+    // fixed 32-bucket weight vector — evaluated per TOKEN so the dense
+    // vector is never materialized: one explode + one map-side-combinable
+    // hash-agg, same shape (and scale story) as token counting. Weights
+    // are md5-derived integers in milli-units (wm ∈ [-500, 500]), so the
+    // score sum is EXACT cross-engine (BIGINT, no float accumulation
+    // order); the logistic prob on top is the only float and is rounded
+    // to 6 digits (double exp agrees to ~1 ulp across engines — same
+    // margin argument as q_text_unigram_logprob's 9-digit ln).
+    QueryDef("q_text_quality_model",
+      (s, d) => {
+        val D = 32
+        val wm = s"(${md5i(s"CAST(b AS STRING)")} % 1001 - 500)"
+        Tables.table(s, d, "documents")
+          .select(col("doc_id"), explode(toks).as("token"))
+          .select(col("doc_id"),
+            expr(s"CAST(${md5i("token")} % $D AS INT)").as("b"))
+          .groupBy("doc_id")
+          .agg(sum(expr(wm)).as("score_milli"))
+          .select(col("doc_id"), col("score_milli"),
+            round(lit(1.0) /
+              (lit(1.0) + exp(-col("score_milli") / lit(1000.0))), 6)
+              .as("prob"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH term AS (
+              |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              |  FROM documents
+              |), tok AS (
+              |  SELECT doc_id, ${md5iDuck("token")} % 32 AS b FROM term
+              |), sc AS (
+              |  SELECT doc_id,
+              |    sum(${md5iDuck("CAST(b AS VARCHAR)")} % 1001 - 500)
+              |      AS score_milli
+              |  FROM tok GROUP BY doc_id
+              |)
+              |SELECT doc_id, CAST(score_milli AS BIGINT) AS score_milli,
+              |  round(1.0 / (1.0 + exp(-score_milli / 1000.0)), 6) AS prob
+              |FROM sc ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------------------ tf-idf
     // two aggregations + a broadcast-able join: term counts per doc,
     // document frequency per term (computed over ALL docs), N as a
@@ -541,6 +584,58 @@ object Text {
               |WHERE ${md5iDuck("CAST(doc_id AS VARCHAR)")} % 100 <
               |  CASE WHEN lang = 'en' THEN 25 ELSE 80 END
               |ORDER BY doc_id""".stripMargin)),
+
+    // -------------------------------------- temperature source mixing
+    // the mixture-WEIGHT computation (Pile/PaLM-style): source s gets
+    // weight ∝ n_tokens(s)^α with temperature α = 0.5 — up-weights
+    // low-resource sources relative to proportional sampling — then a
+    // token budget B turns weights into per-source sampling rates
+    // (rate > 1 ⇒ multiple epochs over that source). One corpus pass
+    // (map-side-combinable token-count agg); everything after runs on
+    // the sources-sized summary with a 1-row broadcast total — at 100 TB
+    // the mixture math costs the same as a count.
+    //
+    // Cross-engine determinism: IEEE-754 sqrt is EXACTLY rounded, so
+    // sqrt(n_tokens) is bit-identical in any engine; it's then pinned to
+    // DECIMAL(28,9) and the normalization total is an exact decimal sum
+    // (float summation order never enters). The final ratios are written
+    // as the identical double expression on both sides and rounded to 6.
+    QueryDef("q_sample_mixture",
+      (s, d) => {
+        val src = Tables.table(s, d, "documents")
+          .groupBy("source")
+          .agg(sum(size(toks).cast(LongType)).as("n_tokens"))
+          .withColumn("w_raw",
+            expr("CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 9) " +
+              "AS DECIMAL(28,9))"))
+        val tot = src.agg(sum(col("w_raw")).as("tot"))
+        src.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_tokens"),
+            expr("round(CAST(w_raw AS DOUBLE) / CAST(tot AS DOUBLE), 6)")
+              .as("mix_weight"),
+            expr("round(1000000.0 * (CAST(w_raw AS DOUBLE) " +
+              "/ CAST(tot AS DOUBLE)) / CAST(n_tokens AS DOUBLE), 6)")
+              .as("sample_rate"))
+          .orderBy("source")
+      },
+      Some("""WITH src AS (
+             |  SELECT source,
+             |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+             |      AS n_tokens
+             |  FROM documents GROUP BY source
+             |), w AS (
+             |  SELECT source, n_tokens,
+             |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 9)
+             |      AS DECIMAL(28,9)) AS w_raw
+             |  FROM src
+             |), tot AS (SELECT sum(w_raw) AS tot FROM w)
+             |SELECT source, n_tokens,
+             |  round(CAST(w_raw AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+             |    AS mix_weight,
+             |  round(1000000.0 * (CAST(w_raw AS DOUBLE)
+             |    / CAST(tot AS DOUBLE)) / CAST(n_tokens AS DOUBLE), 6)
+             |    AS sample_rate
+             |FROM w, tot ORDER BY source""".stripMargin)),
 
     // ------------------------------------------------ per-source quotas
     // exact top-N per source by quality (n_chars standing in for any
