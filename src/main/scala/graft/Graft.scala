@@ -194,6 +194,19 @@ object Graft {
   def dedupKeepList(spark: SparkSession, sfDir: String): DataFrame =
     ops.Dedup.resolveClusters(spark, sfDir)
 
+  /** Incremental dedup verdicts for the "new batch" slice of `documents`
+    * against the standing corpus: (doc_id, exact_dup, n_bands_old,
+    * verdict ∈ drop_exact|drop_near|keep). Both old-side probes are
+    * MEMBERSHIP sets (distinct digests, distinct LSH buckets), never
+    * pairs — O(new + old) with no hot-bucket quadratic risk, and the two
+    * old-side sets are the reusable per-batch dedup registry. A
+    * `drop_near` verdict is a CANDIDATE gate (≥1 band shared with an old
+    * doc); pipelines wanting exact confirmation verify survivors with
+    * the `q_dedup_ngram`-style measures. Oracle-checked as
+    * `q_dedup_incremental`. */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Dedup.incrementalVerdicts(spark, sfDir)
+
   /** Sequence packing over `documents` (north-star batch-construction
     * primitive): per-document bucket assignment for context-window-sized
     * training groups — bucket = how many full `budget`s precede the

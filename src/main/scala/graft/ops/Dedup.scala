@@ -144,6 +144,43 @@ object Dedup {
     saltedPairJoin(subSalt(bands, Seq("band_idx", "band_val"), "doc_id", cap),
       Seq("band_idx", "band_val"))
 
+  /** Incremental-dedup verdicts ([[graft.Graft.dedupIncremental]];
+    * `q_dedup_incremental`): for every doc in the "new batch" slice
+    * (deterministic `doc_id % 7 = 0`), `(doc_id, exact_dup,
+    * n_bands_old, verdict)` against the standing corpus (the other 6/7).
+    *
+    * Both old-side probes are MEMBERSHIP sets, never pairs: the exact
+    * layer semi-checks the new doc's md5 digest against the old corpus's
+    * distinct digests; the near layer semi-joins the new doc's ≤[[Bands]]
+    * LSH bands against the old corpus's distinct bucket set. A new doc
+    * therefore contributes O(Bands) probe rows whatever the bucket's
+    * popularity — no pair blow-up, no [[subSalt]] guard needed on this
+    * path — and the two old-side sets are precisely the registry a
+    * warehouse materializes once and reuses per ingest batch. Bands are
+    * shared with the full-corpus keys via [[graft.CacheRegistry]]. */
+  private[graft] def incrementalVerdicts(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val isNew = col("doc_id") % 7 === 0
+    val docs = Tables.table(s, d, "documents")
+    val newd = docs.filter(isNew).select(col("doc_id"), md5(col("text")).as("dg"))
+    val oldDg = docs.filter(!isNew).select(md5(col("text")).as("dg"))
+      .distinct().withColumn("dg_hit", lit(true))
+    val raw = graft.CacheRegistry.getOrPersist("dedup_bands_raw", d, sparkBands(s, d))
+    val oldBk = raw.filter(!isNew).select("band_idx", "band_val").distinct()
+    val nb = raw.filter(isNew)
+      .join(oldBk, Seq("band_idx", "band_val"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bands_old"))
+    newd
+      .join(oldDg, Seq("dg"), "left")
+      .join(nb, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dg_hit"), lit(false)).as("exact_dup"),
+        coalesce(col("n_bands_old"), lit(0L)).as("n_bands_old"),
+        when(coalesce(col("dg_hit"), lit(false)), "drop_exact")
+          .when(coalesce(col("n_bands_old"), lit(0L)) >= 1, "drop_near")
+          .otherwise("keep").as("verdict"))
+  }
+
   /** Facade entry ([[graft.Graft.nearDupCandidates]]): guarded candidates
     * at a caller-chosen cap, always reading the REGISTRY-CACHED raw bands
     * — a bare [[sparkBands]] here would re-run the corpus-scale
@@ -866,6 +903,47 @@ object Dedup {
     QueryDef("q_dedup_minhash",
       (s, d) => sparkCandidates(s, d).orderBy("doc_a", "doc_b"),
       Some(s"$duckCandidates\nORDER BY doc_a, doc_b")),
+
+    // ------------------------------------------------ incremental dedup
+    // the PRODUCTION dedup mode: a newly-ingested batch is deduped
+    // against the standing corpus, without ever re-touching old×old.
+    // The scale insight: the per-new-doc decision ("is this a dup of
+    // anything old?") never needs the old PAIRS — only old MEMBERSHIP.
+    // Exact layer = digest semi-lookup (32 bytes/old doc); near layer =
+    // the new docs' LSH bands SEMI-joined against the old corpus's
+    // distinct (band_idx, band_val) bucket set. No pair enumeration ⇒
+    // no quadratic hot-bucket risk ⇒ no salting guard needed on this
+    // path, O(new + old) by construction — and both old-side sets
+    // (digests, buckets) are exactly what a warehouse would materialize
+    // once as a dedup registry and reuse for every nightly batch.
+    // "New batch" here is the deterministic doc_id % 7 slice so both
+    // engines carve identical batches; band machinery (and its cache)
+    // is shared with q_dedup_minhash via the registry.
+    QueryDef("q_dedup_incremental",
+      (s, d) => incrementalVerdicts(s, d).orderBy("doc_id"),
+      Some(s"""$duckBandsCte,
+              |newdocs AS (
+              |  SELECT doc_id, md5(text) AS dg FROM documents
+              |  WHERE doc_id % 7 = 0
+              |), olddg AS (
+              |  SELECT DISTINCT md5(text) AS dg FROM documents
+              |  WHERE doc_id % 7 <> 0
+              |), oldbk AS (
+              |  SELECT DISTINCT band_idx, band_val FROM bands_raw
+              |  WHERE doc_id % 7 <> 0
+              |), nb AS (
+              |  SELECT r.doc_id, count(*) AS n_bands_old
+              |  FROM bands_raw r JOIN oldbk USING (band_idx, band_val)
+              |  WHERE r.doc_id % 7 = 0 GROUP BY r.doc_id
+              |)
+              |SELECT n.doc_id,
+              |  (n.dg IN (SELECT dg FROM olddg)) AS exact_dup,
+              |  CAST(coalesce(nb.n_bands_old, 0) AS BIGINT) AS n_bands_old,
+              |  CASE WHEN n.dg IN (SELECT dg FROM olddg) THEN 'drop_exact'
+              |       WHEN coalesce(nb.n_bands_old, 0) >= 1 THEN 'drop_near'
+              |       ELSE 'keep' END AS verdict
+              |FROM newdocs n LEFT JOIN nb USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------ cluster resolution
     // candidate pairs → a KEEP-LIST: connected components over the LSH

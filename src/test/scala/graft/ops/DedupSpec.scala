@@ -222,6 +222,37 @@ class DedupSpec extends SparkSpec {
     assert(pairs(bands.repartition(1)) == base)
   }
 
+  test("incremental verdicts: coverage, precedence, and pair consistency") {
+    import org.apache.spark.sql.functions._
+    val v = SparkEntry.queries("q_dedup_incremental")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getString(3)))
+    // exactly the doc_id % 7 == 0 slice, each doc once
+    val expectedIds = graft.warehouse.Tables.table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 7 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(v.map(_._1).toSet == expectedIds && v.length == expectedIds.size)
+    // verdict is a pure function of the two signals, exact first
+    v.foreach { case (id, ex, nb, verdict) =>
+      val want = if (ex) "drop_exact" else if (nb >= 1) "drop_near" else "keep"
+      assert(verdict == want, s"doc $id: ($ex, $nb) -> $verdict")
+      assert(nb >= 0 && nb <= 4)
+    }
+    // the salted full-corpus pairs are a SUBSET of unsalted bucket
+    // sharing: any minhash pair straddling the batch boundary must have
+    // given its new endpoint n_bands_old >= 1
+    val nbOf = v.map(r => r._1 -> r._3).toMap
+    val isNew = (id: Long) => id % 7 == 0
+    pairs.foreach { case (a, b) =>
+      for ((nw, old) <- Seq((a, b), (b, a)) if isNew(nw) && !isNew(old))
+        assert(nbOf(nw) >= 1,
+          s"pair ($a,$b): new doc $nw saw no old bucket")
+    }
+    // at least one of each verdict fires on the fixture corpus
+    val verdicts = v.map(_._4).toSet
+    assert(verdicts.contains("keep"))
+    assert(verdicts.contains("drop_near") || verdicts.contains("drop_exact"))
+  }
+
   test("BSP parallelism scales with measured candidate volume") {
     // tiny graph → 1 partition (single-task rounds, the sf0.1 shape)
     assert(Dedup.partitionsFor(rows = 40, rowsPerTask = 1L << 20, maxParts = 32) == 1)
