@@ -207,6 +207,26 @@ object Graft {
   def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame =
     ops.Dedup.incrementalVerdicts(spark, sfDir)
 
+  /** Z-order (Morton) layout for a two-dimensionally-queried table:
+    * range-partition by `zorder2(x, y)` and sort within partitions, so
+    * each written file's [min, max] footer stats become a TILE in
+    * (x, y) space and predicates on EITHER column prune files — a
+    * lexicographic sort prunes only its leading key. Columns are cast
+    * to BIGINT and masked to 16 bits by [[functions.ZOrder2]] (map
+    * wider domains into rank space first). `partitions` controls the
+    * file count; ranges come from Spark's sampling-based range
+    * partitioner, so tiles are balanced by ROW COUNT, not area. The
+    * bit math is oracle-checked as `q_layout_zorder`; ZOrderSpec
+    * demonstrates the pruning win under the footer-stat model. */
+  def zorderLayout(
+      spark: SparkSession, df: DataFrame,
+      xCol: String, yCol: String, partitions: Int): DataFrame = {
+    functions.ZOrder2.register(spark)
+    val z = org.apache.spark.sql.functions
+      .expr(s"zorder2(CAST($xCol AS BIGINT), CAST($yCol AS BIGINT))")
+    df.repartitionByRange(partitions, z).sortWithinPartitions(z)
+  }
+
   /** Sequence packing over `documents` (north-star batch-construction
     * primitive): per-document bucket assignment for context-window-sized
     * training groups — bucket = how many full `budget`s precede the

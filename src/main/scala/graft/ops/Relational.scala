@@ -805,6 +805,28 @@ object Relational {
              |  ON c_custkey = o_custkey
              |ORDER BY c_custkey, price_or_zero""".stripMargin)),
 
+    // ---------------------------------------------- z-order layout key
+    // the Morton-interleave layout primitive ([[graft.functions.ZOrder2]]):
+    // sort/range-partition by zorder2(a, b) and file/row-group footer
+    // stats become TILES in (a, b) space — predicates on EITHER dimension
+    // prune, where a lexicographic sort prunes only the leading key.
+    // ZOrderSpec demonstrates the pruning win against the footer-stat
+    // model; this key pins the bit math itself (a native codegen'd
+    // expression on the Spark side, the identical magic-number spread in
+    // plain SQL on the DuckDB side).
+    QueryDef("q_layout_zorder",
+      (s, d) => {
+        graft.functions.ZOrder2.register(s)
+        t(s, d, "part")
+          .select(col("p_partkey"),
+            expr("zorder2(CAST(p_size AS BIGINT), p_partkey)").as("z"))
+          .orderBy("p_partkey")
+      },
+      Some(s"""SELECT p_partkey,
+              |  ${graft.functions.ZOrder2.computeDuck(
+                   "CAST(p_size AS BIGINT)", "p_partkey")} AS z
+              |FROM part ORDER BY p_partkey""".stripMargin)),
+
     QueryDef("q_cast",
       (s, d) => t(s, d, "customer").select(
           col("c_custkey"),
