@@ -180,6 +180,38 @@ object Workload {
              |FROM agg
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // --------------------------------------------------------- TPC-H Q6
+    // the forecasting-revenue-change shape: ALL predicate, NO grouping —
+    // the purest pushdown exercise in the suite. Every filter (date
+    // range, discount band, quantity cap) sits directly on the parquet
+    // scan, so row-group footer stats prune before a single row
+    // decodes; what survives feeds one map-side-combinable global sum.
+    // At 100 TB this query IS its scan: the plan must be scan → filter
+    // → partial agg → 1-row exchange → final agg, nothing else
+    // (PlanSpec pins no-join/no-window and the pushed filters). The
+    // revenue sum runs in DECIMAL(38,6) like every money sum here;
+    // dates use the fixture's 1996 window (synthetic shipdates span
+    // 1995-2001, spec dates select nothing).
+    QueryDef("q_tpch_q6",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(
+          sum((col("l_extendedprice") * col("l_discount")).cast(D386))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_rows")),
+      Some("""SELECT
+             |  CAST(sum(CAST(l_extendedprice * l_discount
+             |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+             |  count(1) AS n_rows
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_discount BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
     // --------------------------------------------------------- TPC-H Q18
     // large-volume-customer shape: orders whose total lineitem quantity
     // clears a HAVING threshold, joined back to customers, top-100 by

@@ -12,6 +12,9 @@ import graft.{SparkEntry, SparkSpec}
 class PlanSpec extends SparkSpec {
 
   private def plan(key: String): String = {
+    // default 100-char metadata truncation can cut a PushedFilters list
+    // mid-entry, hiding exactly the filter a pin asserts on
+    spark.conf.set("spark.sql.maxMetadataStringLength", 2000)
     val df: DataFrame = SparkEntry.queries(key)(spark, sfDir)
     df.queryExecution.executedPlan.toString
   }
@@ -132,6 +135,21 @@ class PlanSpec extends SparkSpec {
       s"Q1 is the no-join heavy-scan shape — a join means a wrong plan:\n$p")
     assert(!p.contains("Window"),
       s"averages must derive from the decimal sums, not a window:\n$p")
+  }
+
+  test("q_tpch_q6 is scan → pushed filters → partial agg → 1-row final, nothing else") {
+    val p = plan("q_tpch_q6")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"the date-range filter must reach the parquet scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_discount") ||
+      p.contains("LessThanOrEqual(l_discount"),
+      s"the discount band must reach the parquet scan:\n$p")
+    assert(p.contains("LessThan(l_quantity"),
+      s"the quantity cap must reach the parquet scan:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the global sum must combine map-side:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"Q6 is its scan — any join/window is a wrong plan:\n$p")
   }
 
   test("q_tpch_q18 shuffle-merges the fact join — neither fact side broadcasts") {
