@@ -207,6 +207,21 @@ object Graft {
   def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame =
     ops.Dedup.incrementalVerdicts(spark, sfDir)
 
+  /** Distributed Lloyd's k-means over the `embeddings` corpus:
+    * (cluster_id, n, centroid) after `iters` full E/M rounds from a
+    * deterministic init (the k lowest-vec_id vectors). Each round is
+    * ONE streaming corpus pass: K·Dim centroid broadcast + per-row
+    * higher-order argmin (no shuffle, no ×K inflation) + the mergeable
+    * integer-scaled VectorSum re-centroid — no data visits the driver,
+    * so this is the at-scale refinement path beyond the bounded-sample
+    * quantizer fit behind [[similaritySearch]]. Emptied clusters keep
+    * their previous center with n = 0. Oracle-checked as `q_kmeans`
+    * (DuckDB replays every round bit-for-bit). */
+  def kmeansFit(
+      spark: SparkSession, sfDir: String,
+      k: Int = 4, iters: Int = 2): DataFrame =
+    ops.Vector.kmeansCentroids(spark, sfDir, k, iters)
+
   /** Z-order (Morton) layout for a two-dimensionally-queried table:
     * range-partition by `zorder2(x, y)` and sort within partitions, so
     * each written file's [min, max] footer stats become a TILE in

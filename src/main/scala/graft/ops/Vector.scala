@@ -363,6 +363,118 @@ object Vector {
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
+  /** Distributed Lloyd's k-means over `embeddings`
+    * ([[graft.Graft.kmeansFit]]; oracle key `q_kmeans`): `iters` full
+    * E/M rounds, each ONE streaming corpus pass — the K current
+    * centroids collapse to a single broadcast array row, a higher-order
+    * fold arg-mins per vector (the `q_embedding_assign` shape: zero row
+    * inflation, no shuffle on the corpus side), and the M-step re-sums
+    * through the mergeable integer-scaled [[graft.functions.VectorSum]]
+    * (the `q_embedding_centroids` shape: partial+final agg, one
+    * dim-length buffer per (executor, cluster)). No data ever visits
+    * the driver, so this is the at-scale REFINEMENT path beyond
+    * [[fitCentroids]]' bounded-sample fit: iters × (broadcast K·Dim +
+    * one corpus pass + a K-row agg).
+    *
+    * Determinism contract (what lets DuckDB replay it bit-for-bit):
+    * init = the `k` lowest-`vec_id` vectors rounded to 6; every M-step
+    * mean goes through exact integer sums (floor(x·1e7)) then
+    * `round(·/1e7/n, 6)`, so each iteration's centroids are identical
+    * doubles in both engines and the E-step folds them in the same
+    * cluster-id order with identical IEEE ops (dist² ties break toward
+    * the lower cluster id on both sides). An emptied cluster keeps its
+    * previous center (standard Lloyd's), n = 0. */
+  private[graft] def kmeansCentroids(
+      s: SparkSession, d: String, k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, s"need k >= 1, iters >= 1; got ($k, $iters)")
+    val vsum = graft.functions.VectorSum.udaf(Dim)
+    val corpus = Tables.table(s, d, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"),
+        expr("transform(embedding, " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("sv"))
+    val init = corpus.orderBy("vec_id").limit(k)
+      .select(col("vec_id"),
+        expr("transform(v, x -> round(x, 6))").as("centroid"))
+      .withColumn("cid",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("vec_id")).cast(LongType) - 1)
+      .select(col("cid"), col("centroid"))
+    val dist2 = "aggregate(zip_with(v, c.centroid, " +
+      "(x, m) -> (x - m) * (x - m)), 0D, (a, y) -> a + y)"
+    (1 to iters).foldLeft(init) { (cents, _) =>
+      val centsRow = cents
+        .agg(array_sort(collect_list(struct(col("cid"), col("centroid"))))
+          .as("cents"))
+      val assigned = corpus.join(broadcast(centsRow))
+        .withColumn("best", expr(
+          "aggregate(cents, " +
+            "named_struct('d', CAST('Infinity' AS DOUBLE), " +
+            "'cid', CAST(-1 AS BIGINT)), " +
+            s"(acc, c) -> CASE WHEN $dist2 < acc.d THEN " +
+            s"named_struct('d', $dist2, 'cid', c.cid) ELSE acc END)"))
+        .select(col("best.cid").as("cid"), col("sv"))
+      val next = assigned.groupBy("cid")
+        .agg(vsum(col("sv")).as("sums"), count(lit(1)).as("n"))
+        .select(col("cid"), col("n"),
+          expr("transform(sums, x -> round(CAST(x AS DOUBLE) / 1e7 / n, 6))")
+            .as("centroid"))
+      cents.select(col("cid"), col("centroid").as("prev"))
+        .join(next, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("centroid"), col("prev")).as("centroid"))
+    }.select(col("cid").as("cluster_id"), col("n"), col("centroid"))
+  }
+
+  /** DuckDB replay of [[kmeansCentroids]]: the same init, the same
+    * per-iteration assign (row_number by (dist², cid)) and integer-sum
+    * M-step, chained as CTEs `c0 → c1 → … → c$iters`. */
+  private[graft] def duckKmeans(k: Int, iters: Int): String = {
+    def dist2(c: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(1, $Dim),
+         |        i -> (v[i] - $c.centroid[i]) * (v[i] - $c.centroid[i]))),
+         |      (a, y) -> a + y)""".stripMargin
+    val iterCtes = (1 to iters).map { it =>
+      val prev = s"c${it - 1}"
+      s"""a$it AS (
+         |  SELECT vec_id, sv, cid FROM (
+         |    SELECT vv.vec_id, vv.sv, c.cid,
+         |      row_number() OVER (PARTITION BY vv.vec_id
+         |        ORDER BY ${dist2("c")}, c.cid) AS rn
+         |    FROM vv, $prev c)
+         |  WHERE rn = 1
+         |), el$it AS (
+         |  SELECT cid, i, sv[i] AS x
+         |  FROM a$it, UNNEST(generate_series(1, $Dim)) AS u(i)
+         |), g$it AS (
+         |  SELECT cid, n, list(round(CAST(sx AS DOUBLE) / 1e7 / n, 6)
+         |      ORDER BY i) AS centroid
+         |  FROM (SELECT cid, i, sum(x) AS sx, count(1) AS n
+         |        FROM el$it GROUP BY 1, 2)
+         |  GROUP BY cid, n
+         |), c$it AS (
+         |  SELECT p.cid, CAST(coalesce(g.n, 0) AS BIGINT) AS n,
+         |    coalesce(g.centroid, p.centroid) AS centroid
+         |  FROM $prev p LEFT JOIN g$it g USING (cid)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS sv
+       |  FROM embeddings
+       |), c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+       |    list_transform(v, x -> round(x, 6)) AS centroid
+       |  FROM (SELECT vec_id, v FROM vv ORDER BY vec_id LIMIT $k)
+       |),
+       |$iterCtes
+       |SELECT cid AS cluster_id, n, centroid
+       |FROM c$iters ORDER BY cluster_id""".stripMargin
+  }
+
   /** (label, n, centroid) — the per-label mean vectors behind
     * `q_embedding_centroids` and the nearest-centroid assignment
     * (`q_embedding_assign`); see the centroids QueryDef for the
@@ -636,6 +748,19 @@ object Vector {
               |    ORDER BY dist2, clabel) AS rn
               |  FROM d2)
               |WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // ---------------------------------------- distributed k-means
+    // full Lloyd's over the corpus — E-step and M-step both
+    // distributed, chained for 2 rounds from a deterministic init (the
+    // 4 lowest-vec_id vectors): per round one K·Dim broadcast, one
+    // streaming argmin pass (no corpus shuffle, no ×K inflation), one
+    // mergeable integer-scaled VectorSum agg. The at-scale REFINEMENT
+    // path beyond the bounded-sample driver fit behind q_similarity_ivf
+    // — see [[kmeansCentroids]] for the exactness contract that lets
+    // DuckDB replay both rounds bit-for-bit.
+    QueryDef("q_kmeans",
+      (s, d) => kmeansCentroids(s, d, k = 4, iters = 2).orderBy("cluster_id"),
+      Some(duckKmeans(k = 4, iters = 2))),
 
     // ---------------------------------------- quantized two-stage ANN
     // the search path that CONSUMES the int8 codes (closing the

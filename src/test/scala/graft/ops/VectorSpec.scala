@@ -217,6 +217,51 @@ class VectorSpec extends SparkSpec {
       "constant vector must quantize to all-zero codes with zero error")
   }
 
+  test("distributed k-means ≡ driver-side Lloyd's with the same contract") {
+    // replicate the exactness contract (lowest-vec_id init, rounded-6
+    // centroids, integer-scaled sums, lower-cid ties) sequentially on
+    // the collected corpus; the distributed plan must match bit-for-bit
+    val raw = graft.warehouse.Tables.table(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val k = 3; val iters = 2
+    val dim = raw.head._2.length
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var cents = raw.take(k).map(_._2.map(r6))
+    var ns = Array.fill(k)(0L)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Long](dim))
+      val counts = new Array[Long](k)
+      for ((_, v) <- raw) {
+        var best = -1; var bestD = Double.PositiveInfinity
+        for (c <- 0 until k) {
+          var d2 = 0.0
+          var j = 0
+          while (j < dim) { val t = v(j) - cents(c)(j); d2 += t * t; j += 1 }
+          if (d2 < bestD) { bestD = d2; best = c }
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += math.floor(v(j) * 1e7).toLong; j += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dim)(j => r6(sums(c)(j) / 1e7 / counts(c)))
+      }
+      ns = counts
+    }
+    val got = Vector.kmeansCentroids(spark, sfDir, k, iters)
+      .orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    assert(got.map(_._1).toSeq == (0 until k).map(_.toLong))
+    assert(got.map(_._2).toSeq == ns.toSeq, "cluster sizes differ")
+    assert(got.map(_._2).sum == raw.length, "every vector assigned once")
+    for (c <- 0 until k)
+      assert(got(c)._3.toSeq == cents(c).toSeq, s"centroid $c differs")
+  }
+
   test("LSH top-1 agrees with brute force for most queries (banded recall)") {
     val brute = rows("q_similarity_topk").filter(_._2 == 1L)
       .map(r => r._1 -> r._3).toMap
