@@ -236,9 +236,15 @@ object Graft {
   def zorderLayout(
       spark: SparkSession, df: DataFrame,
       xCol: String, yCol: String, partitions: Int): DataFrame = {
+    // register on BOTH sessions: the expression resolves against the
+    // frame's own session, which need not be the one passed in
     functions.ZOrder2.register(spark)
+    functions.ZOrder2.register(df.sparkSession)
+    // backtick-quote the names so spaces/dots/keywords stay column
+    // references instead of being parsed as expression syntax
+    def q(c: String) = "`" + c.replace("`", "``") + "`"
     val z = org.apache.spark.sql.functions
-      .expr(s"zorder2(CAST($xCol AS BIGINT), CAST($yCol AS BIGINT))")
+      .expr(s"zorder2(CAST(${q(xCol)} AS BIGINT), CAST(${q(yCol)} AS BIGINT))")
     df.repartitionByRange(partitions, z).sortWithinPartitions(z)
   }
 

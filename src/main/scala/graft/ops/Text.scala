@@ -248,7 +248,8 @@ object Text {
     QueryDef("q_text_hashing_tf",
       (s, d) => {
         val D = 32
-        Tables.table(s, d, "documents")
+        val docs = Tables.table(s, d, "documents")
+        val counts = docs
           .select(col("doc_id"), explode(toks).as("token"))
           .select(col("doc_id"),
             expr(s"CAST(${md5i("token")} % $D AS INT)").as("b"))
@@ -256,6 +257,11 @@ object Text {
           .groupBy("doc_id")
           .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
             .as("m"))
+        // row set driven from documents (left join) like the oracle's
+        // grid: a doc whose token array is NULL/empty still emits its
+        // all-zero vector instead of vanishing with the explode
+        docs.select(col("doc_id"))
+          .join(counts, Seq("doc_id"), "left")
           .select(col("doc_id"),
             expr(s"transform(sequence(0, ${D - 1}), " +
               "i -> coalesce(m[i], CAST(0 AS BIGINT)))").as("tf"))
@@ -288,7 +294,10 @@ object Text {
     // score sum is EXACT cross-engine (BIGINT, no float accumulation
     // order); the logistic prob on top is the only float and is rounded
     // to 6 digits (double exp agrees to ~1 ulp across engines — same
-    // margin argument as q_text_unigram_logprob's 9-digit ln).
+    // margin argument as q_text_unigram_logprob's 9-digit ln). The
+    // weight md5 runs on the (doc, bucket) COUNTS (≤ 32/doc), never per
+    // token — Σ_b c_b·w_b ≡ Σ_tokens w_b(token), but one corpus-scale
+    // md5 pass instead of two.
     QueryDef("q_text_quality_model",
       (s, d) => {
         val D = 32
@@ -297,8 +306,10 @@ object Text {
           .select(col("doc_id"), explode(toks).as("token"))
           .select(col("doc_id"),
             expr(s"CAST(${md5i("token")} % $D AS INT)").as("b"))
+          .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+          .select(col("doc_id"), (col("c") * expr(wm)).as("w"))
           .groupBy("doc_id")
-          .agg(sum(expr(wm)).as("score_milli"))
+          .agg(sum(col("w")).as("score_milli"))
           .select(col("doc_id"), col("score_milli"),
             round(lit(1.0) /
               (lit(1.0) + exp(-col("score_milli") / lit(1000.0))), 6)
@@ -308,13 +319,15 @@ object Text {
       Some(s"""WITH term AS (
               |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
               |  FROM documents
-              |), tok AS (
-              |  SELECT doc_id, ${md5iDuck("token")} % 32 AS b FROM term
+              |), cnt AS (
+              |  SELECT doc_id, ${md5iDuck("token")} % 32 AS b,
+              |    count(1) AS c
+              |  FROM term GROUP BY 1, 2
               |), sc AS (
               |  SELECT doc_id,
-              |    sum(${md5iDuck("CAST(b AS VARCHAR)")} % 1001 - 500)
+              |    sum(c * (${md5iDuck("CAST(b AS VARCHAR)")} % 1001 - 500))
               |      AS score_milli
-              |  FROM tok GROUP BY doc_id
+              |  FROM cnt GROUP BY doc_id
               |)
               |SELECT doc_id, CAST(score_milli AS BIGINT) AS score_milli,
               |  round(1.0 / (1.0 + exp(-score_milli / 1000.0)), 6) AS prob

@@ -363,6 +363,34 @@ object Vector {
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
+  /** Squared-L2 distance from row vector `v` to the fold variable `c`'s
+    * `centroid` field — the ONE exactness-critical fragment both the
+    * nearest-centroid assignment (`q_embedding_assign`) and k-means
+    * E-steps share: sequential zip_with/aggregate fold so both engines
+    * add in the same index order. */
+  private[ops] val dist2ToCent = "aggregate(zip_with(v, c.centroid, " +
+    "(x, m) -> (x - m) * (x - m)), 0D, (a, y) -> a + y)"
+
+  /** Argmin fold over the 1-row broadcast `cents` array-of-structs:
+    * keeps the struct with the smallest [[dist2ToCent]]; strict `<`
+    * breaks dist² ties toward the EARLIER (lower-`idField`) entry of
+    * the sorted array — the contract every DuckDB twin replays with
+    * `row_number() OVER (ORDER BY dist2, id)`. */
+  private[ops] def argminFold(idField: String): String =
+    "aggregate(cents, " +
+      s"named_struct('d', CAST('Infinity' AS DOUBLE), " +
+      s"'$idField', CAST(-1 AS BIGINT)), " +
+      s"(acc, c) -> CASE WHEN $dist2ToCent < acc.d THEN " +
+      s"named_struct('d', $dist2ToCent, '$idField', c.$idField) ELSE acc END)"
+
+  /** DuckDB twin of [[dist2ToCent]]: `centRef` is the SQL reference to
+    * the centroid list (e.g. `centroid` or `c.centroid`). */
+  private[ops] def duckDist2(centRef: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, $Dim),
+       |        i -> (v[i] - $centRef[i]) * (v[i] - $centRef[i]))),
+       |      (a, y) -> a + y)""".stripMargin
+
   /** Distributed Lloyd's k-means over `embeddings`
     * ([[graft.Graft.kmeansFit]]; oracle key `q_kmeans`): `iters` full
     * E/M rounds, each ONE streaming corpus pass — the K current
@@ -371,10 +399,16 @@ object Vector {
     * inflation, no shuffle on the corpus side), and the M-step re-sums
     * through the mergeable integer-scaled [[graft.functions.VectorSum]]
     * (the `q_embedding_centroids` shape: partial+final agg, one
-    * dim-length buffer per (executor, cluster)). No data ever visits
-    * the driver, so this is the at-scale REFINEMENT path beyond
-    * [[fitCentroids]]' bounded-sample fit: iters × (broadcast K·Dim +
-    * one corpus pass + a K-row agg).
+    * dim-length buffer per (executor, cluster)). Only the k-row
+    * centroid STATE round-trips the driver between rounds (k·(Dim+2)
+    * values — the MLlib iteration shape); the corpus never does, and
+    * materializing the state per round keeps the logical plan
+    * CONSTANT-SIZE in `iters` (chaining frames instead doubles the
+    * plan every round — unusable past ~15 iterations). Each round
+    * re-scans the source; a production caller iterating many rounds
+    * caches the projected corpus first. This is the at-scale
+    * REFINEMENT path beyond [[fitCentroids]]' bounded-sample fit:
+    * iters × (broadcast K·Dim + one corpus pass + a K-row agg).
     *
     * Determinism contract (what lets DuckDB replay it bit-for-bit):
     * init = the `k` lowest-`vec_id` vectors rounded to 6; every M-step
@@ -387,61 +421,56 @@ object Vector {
   private[graft] def kmeansCentroids(
       s: SparkSession, d: String, k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 1, s"need k >= 1, iters >= 1; got ($k, $iters)")
+    import s.implicits._
     val vsum = graft.functions.VectorSum.udaf(Dim)
     val corpus = Tables.table(s, d, "embeddings")
       .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"),
+        col("embedding").cast("array<double>").as("v"),
         expr("transform(embedding, " +
           "x -> CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("sv"))
-    val init = corpus.orderBy("vec_id").limit(k)
-      .select(col("vec_id"),
-        expr("transform(v, x -> round(x, 6))").as("centroid"))
-      .withColumn("cid",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy("vec_id")).cast(LongType) - 1)
-      .select(col("cid"), col("centroid"))
-    val dist2 = "aggregate(zip_with(v, c.centroid, " +
-      "(x, m) -> (x - m) * (x - m)), 0D, (a, y) -> a + y)"
-    (1 to iters).foldLeft(init) { (cents, _) =>
-      val centsRow = cents
+    // bounded k-row collect: the deterministic init
+    var cents: Seq[(Long, Long, Seq[Double])] = corpus.orderBy("vec_id")
+      .limit(k)
+      .select(col("vec_id"), expr("transform(v, x -> round(x, 6))").as("c"))
+      .collect().sortBy(_.getLong(0)).zipWithIndex
+      .map { case (r, i) => (i.toLong, 0L, r.getSeq[Double](1)) }.toSeq
+    for (_ <- 1 to iters) {
+      val centsRow = cents.map { case (cid, _, c) => (cid, c) }
+        .toDF("cid", "centroid")
         .agg(array_sort(collect_list(struct(col("cid"), col("centroid"))))
           .as("cents"))
       val assigned = corpus.join(broadcast(centsRow))
-        .withColumn("best", expr(
-          "aggregate(cents, " +
-            "named_struct('d', CAST('Infinity' AS DOUBLE), " +
-            "'cid', CAST(-1 AS BIGINT)), " +
-            s"(acc, c) -> CASE WHEN $dist2 < acc.d THEN " +
-            s"named_struct('d', $dist2, 'cid', c.cid) ELSE acc END)"))
+        .withColumn("best", expr(argminFold("cid")))
         .select(col("best.cid").as("cid"), col("sv"))
+      // bounded k-row collect: the new per-cluster state
       val next = assigned.groupBy("cid")
         .agg(vsum(col("sv")).as("sums"), count(lit(1)).as("n"))
         .select(col("cid"), col("n"),
           expr("transform(sums, x -> round(CAST(x AS DOUBLE) / 1e7 / n, 6))")
             .as("centroid"))
-      cents.select(col("cid"), col("centroid").as("prev"))
-        .join(next, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("n"), lit(0L)).as("n"),
-          coalesce(col("centroid"), col("prev")).as("centroid"))
-    }.select(col("cid").as("cluster_id"), col("n"), col("centroid"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Double](2)))).toMap
+      cents = cents.map { case (cid, _, prev) =>
+        next.get(cid) match {
+          case Some((n, c)) => (cid, n, c)
+          case None => (cid, 0L, prev) // emptied cluster keeps its center
+        }
+      }
+    }
+    cents.toDF("cluster_id", "n", "centroid")
   }
 
   /** DuckDB replay of [[kmeansCentroids]]: the same init, the same
     * per-iteration assign (row_number by (dist², cid)) and integer-sum
     * M-step, chained as CTEs `c0 → c1 → … → c$iters`. */
   private[graft] def duckKmeans(k: Int, iters: Int): String = {
-    def dist2(c: String) =
-      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(generate_series(1, $Dim),
-         |        i -> (v[i] - $c.centroid[i]) * (v[i] - $c.centroid[i]))),
-         |      (a, y) -> a + y)""".stripMargin
     val iterCtes = (1 to iters).map { it =>
       val prev = s"c${it - 1}"
       s"""a$it AS (
          |  SELECT vec_id, sv, cid FROM (
          |    SELECT vv.vec_id, vv.sv, c.cid,
          |      row_number() OVER (PARTITION BY vv.vec_id
-         |        ORDER BY ${dist2("c")}, c.cid) AS rn
+         |        ORDER BY ${duckDist2("c.centroid")}, c.cid) AS rn
          |    FROM vv, $prev c)
          |  WHERE rn = 1
          |), el$it AS (
@@ -697,18 +726,11 @@ object Vector {
         val cents = labelCentroids(s, d)
           .agg(array_sort(collect_list(struct(col("label"), col("centroid"))))
             .as("cents"))
-        val dist2 = "aggregate(zip_with(v, c.centroid, " +
-          "(x, m) -> (x - m) * (x - m)), 0D, (a, y) -> a + y)"
         Tables.table(s, d, "embeddings")
           .select(col("vec_id"), col("label").cast(LongType).as("true_label"),
             expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
           .join(broadcast(cents))
-          .withColumn("best", expr(
-            "aggregate(cents, " +
-              "named_struct('d', CAST('Infinity' AS DOUBLE), " +
-              "'label', CAST(-1 AS BIGINT)), " +
-              s"(acc, c) -> CASE WHEN $dist2 < acc.d THEN " +
-              s"named_struct('d', $dist2, 'label', c.label) ELSE acc END)"))
+          .withColumn("best", expr(argminFold("label")))
           .select(col("vec_id"), col("best.label").as("assigned"),
             col("true_label"), round(col("best.d"), 6).as("dist2"))
           .orderBy("vec_id")
@@ -735,10 +757,7 @@ object Vector {
               |  FROM embeddings
               |), d2 AS (
               |  SELECT vec_id, true_label, clabel,
-              |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-              |      list_transform(generate_series(1, $Dim),
-              |        i -> (v[i] - centroid[i]) * (v[i] - centroid[i]))),
-              |      (a, y) -> a + y) AS dist2
+              |    ${duckDist2("centroid")} AS dist2
               |  FROM vv, cent
               |)
               |SELECT vec_id, clabel AS assigned, true_label,

@@ -39,10 +39,21 @@ class ZOrderSpec extends SparkSpec {
     val df = (0 until 1000)
       .map(i => (i.toLong * 131 % 65536, i.toLong * 31 % 65536))
       .toDF("x", "y")
-    val got = df.select(expr("zorder2(x, y)")).collect().map(_.getLong(0))
     val want = (0 until 1000)
       .map(i => naive(i.toLong * 131 % 65536, i.toLong * 31 % 65536))
+    val got = df.select(expr("zorder2(x, y)")).collect().map(_.getLong(0))
     assert(got.toSeq == want)
+    // force the interpreted nullSafeEval path too — a codegen-only run
+    // would let a divergence in the eval path through untested
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(expr("zorder2(x, y)")).collect().map(_.getLong(0))
+      assert(interp.toSeq == want)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
   }
 
   test("z-order layout prunes the secondary dimension; linear sort cannot") {
