@@ -456,6 +456,55 @@ object Relational {
              |  round(var_samp(l_discount), 6) AS var_disc
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // correlation WITHOUT the order-dependent streaming estimator:
+    // Spark's corr() merges Welford-style partials in task-completion
+    // order, so its low bits wiggle run to run — instead the five
+    // moment sums (Σx, Σy, Σxy, Σx², Σy²) accumulate as EXACT decimals
+    // (map-side-combinable, order-free) and the one float expression on
+    // top is written identically in both engines. The moment-sum shape
+    // is also the 100 TB design: five decimal columns through one
+    // hash-agg, mergeable across any partitioning.
+    QueryDef("q_agg_corr",
+      (s, d) => {
+        val x = col("l_quantity"); val y = col("l_extendedprice")
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x.cast(D386)).as("sx"),
+            sum(y.cast(D386)).as("sy"),
+            sum((x * y).cast(D386)).as("sxy"),
+            sum((x * x).cast(D386)).as("sxx"),
+            sum((y * y).cast(D386)).as("syy"))
+          .select(col("l_returnflag"), col("n"),
+            expr("""round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  |   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                  |""".stripMargin).as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, count(1) AS n,
+             |    sum(CAST(l_quantity AS DECIMAL(38,6))) AS sx,
+             |    sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sy,
+             |    sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS sxy,
+             |    sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS sxx,
+             |    sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS syy
+             |  FROM lineitem GROUP BY l_returnflag
+             |)
+             |SELECT l_returnflag, n,
+             |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             |    AS corr_qty_price
+             |FROM m ORDER BY l_returnflag""".stripMargin)),
+
     // the skew pattern, semantics-preserving: two-phase salted aggregation
     // (partial by (key, salt), final by key). At 100 TB a hot key's rows
     // spread over `salts` reducers in phase 1; phase 2 merges `salts` tiny
@@ -608,6 +657,32 @@ object Relational {
              |FROM orders
              |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
              |             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_orderstatus, o_orderkey""".stripMargin)),
+
+    // quantile-bucketing + tie-stable ranking in one pass: ntile is only
+    // deterministic when the window order is TOTAL (ties straddling a
+    // bucket boundary land arbitrarily), so the order carries the unique
+    // o_orderkey tiebreak; dense_rank on the price alone shows the
+    // tie-collapsing rank beside it. Same shuffle as any partitioned
+    // window — one exchange on the partition key.
+    QueryDef("q_window_ntile",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val wd = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice"))
+        t(s, d, "orders").select(
+            col("o_orderstatus"), col("o_orderkey"),
+            ntile(4).over(w).as("quartile"),
+            dense_rank().over(wd).as("price_dense_rank"))
+          .orderBy("o_orderstatus", "o_orderkey")
+      },
+      Some("""SELECT o_orderstatus, o_orderkey,
+             |  CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+             |    ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile,
+             |  CAST(dense_rank() OVER (PARTITION BY o_orderstatus
+             |    ORDER BY o_totalprice) AS INT) AS price_dense_rank
+             |FROM orders
              |ORDER BY o_orderstatus, o_orderkey""".stripMargin)),
 
     // ---------------------------------------------------------- sort / limit

@@ -333,6 +333,36 @@ object Text {
               |  round(1.0 / (1.0 + exp(-score_milli / 1000.0)), 6) AS prob
               |FROM sc ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------------------------ regex redaction
+    // the PII-scrub shape (emails/phones/IDs → placeholder tokens): one
+    // streaming regexp_replace pass, no shuffle, no UDF — at 100 TB
+    // this is a map-only pipeline stage whose cost is the scan itself.
+    // The fixture corpus is lowercase word soup, so the demonstration
+    // pattern redacts a word SHAPE (s-words ≥ 4 chars) rather than
+    // digit runs that never occur; the operator is the same. Both
+    // engines run the identical pattern (plain character classes — the
+    // Java-regex/RE2 dialect overlap); DuckDB needs the explicit 'g'
+    // flag for the global replace Spark does by default.
+    QueryDef("q_text_redact",
+      (s, d) => {
+        // DataFrame-function form, NOT expr(): the SQL parser would eat
+        // the \b escapes inside a string literal
+        val pat = "\\bs[a-z]{3,}\\b"
+        Tables.table(s, d, "documents")
+          .select(col("doc_id"),
+            regexp_count(col("text"), lit(pat)).cast(LongType)
+              .as("n_redacted"),
+            substring(regexp_replace(col("text"), pat, "<TOK>"), 1, 60)
+              .as("cleaned_prefix"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '\bs[a-z]{3,}\b'))
+             |    AS BIGINT) AS n_redacted,
+             |  substr(regexp_replace(text, '\bs[a-z]{3,}\b', '<TOK>', 'g'),
+             |    1, 60) AS cleaned_prefix
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------------------ tf-idf
     // two aggregations + a broadcast-able join: term counts per doc,
     // document frequency per term (computed over ALL docs), N as a
