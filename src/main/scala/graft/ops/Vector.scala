@@ -423,11 +423,14 @@ object Vector {
     require(k >= 1 && iters >= 1, s"need k >= 1, iters >= 1; got ($k, $iters)")
     import s.implicits._
     val vsum = graft.functions.VectorSum.udaf(Dim)
-    val corpus = Tables.table(s, d, "embeddings")
-      .select(col("vec_id"),
-        col("embedding").cast("array<double>").as("v"),
-        expr("transform(embedding, " +
-          "x -> CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("sv"))
+    // registry-cached: every E/M round reads this projection, so without
+    // the persist each of the iters+1 jobs would re-run the parquet scan
+    val corpus = graft.CacheRegistry.getOrPersist("kmeans_corpus", d,
+      Tables.table(s, d, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"),
+          expr("transform(embedding, " +
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("sv")))
     // bounded k-row collect: the deterministic init
     var cents: Seq[(Long, Long, Seq[Double])] = corpus.orderBy("vec_id")
       .limit(k)

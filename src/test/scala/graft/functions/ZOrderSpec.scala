@@ -100,6 +100,10 @@ class ZOrderSpec extends SparkSpec {
   test("zorderLayout partitions carry disjoint z-ranges (tile files)") {
     import spark.implicits._
     val pts = for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong)
+    // awkward column names must survive as references (backtick quoting)
+    val quoted = graft.Graft.zorderLayout(
+      spark, pts.toDF("x col", "select"), "x col", "select", partitions = 2)
+    assert(quoted.count() == pts.length)
     val laid = graft.Graft.zorderLayout(
       spark, pts.toDF("x", "y"), "x", "y", partitions = 4)
     val ranges = laid
