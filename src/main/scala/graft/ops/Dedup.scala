@@ -162,13 +162,35 @@ object Dedup {
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val isNew = col("doc_id") % 7 === 0
     val docs = Tables.table(s, d, "documents")
-    val newd = docs.filter(isNew).select(col("doc_id"), md5(col("text")).as("dg"))
-    val oldDg = docs.filter(!isNew).select(md5(col("text")).as("dg"))
-      .distinct().withColumn("dg_hit", lit(true))
+    val oldDg = docs.filter(!isNew).select(md5(col("text")).as("dg")).distinct()
     val raw = graft.CacheRegistry.getOrPersist("dedup_bands_raw", d, sparkBands(s, d))
     val oldBk = raw.filter(!isNew).select("band_idx", "band_val").distinct()
-    val nb = raw.filter(isNew)
-      .join(oldBk, Seq("band_idx", "band_val"), "left_semi")
+    ingestVerdicts(docs.filter(isNew), oldDg, oldBk,
+      newBands = Some(raw.filter(isNew)))
+  }
+
+  /** The ingest-verdict CORE shared by the batch key and the streaming
+    * nightly-ingest path ([[graft.streaming.Streams.ingestVerdictQuery]]):
+    * verdicts for an arbitrary `(doc_id, text)` batch of NEW docs probed
+    * against a standing registry — `oldDigests` (distinct `dg` md5 column)
+    * and `oldBuckets` (distinct `(band_idx, band_val)`). One code path =
+    * batch ≡ stream by construction (StreamingSpec proves it end-to-end).
+    *
+    * `newBands` lets the batch caller reuse the registry-cached corpus
+    * band table instead of re-running the minhash pipeline on the new
+    * slice; when absent (the streaming micro-batch case) the bands are
+    * computed row-locally from the batch via [[bandsOf]]. */
+  private[graft] def ingestVerdicts(
+      newDocs: org.apache.spark.sql.DataFrame,
+      oldDigests: org.apache.spark.sql.DataFrame,
+      oldBuckets: org.apache.spark.sql.DataFrame,
+      newBands: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val newd = newDocs.select(col("doc_id"), md5(col("text")).as("dg"))
+    val oldDg = oldDigests.select("dg").withColumn("dg_hit", lit(true))
+    val nb = newBands.getOrElse(bandsOf(newDocs))
+      .join(oldBuckets.select("band_idx", "band_val"),
+        Seq("band_idx", "band_val"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_bands_old"))
     newd
       .join(oldDg, Seq("dg"), "left")
@@ -249,13 +271,29 @@ object Dedup {
   }
 
   /** Spark-side per-doc band buckets: (doc_id, band_idx, band_val). */
-  private[graft] def sparkBands(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[graft] def sparkBands(s: org.apache.spark.sql.SparkSession, d: String) =
+    bandsOf(sparkMinhash(s, d), preMinhashed = true)
+
+  /** Band buckets for an ARBITRARY `(doc_id, text)` frame — the row-local
+    * shingle→minhash→band pipeline with no corpus dependency, so it runs
+    * unchanged inside a streaming micro-batch ([[ingestVerdicts]] with
+    * `newBands = None`). `preMinhashed` skips the minhash step when the
+    * caller already has the `mh` column (the corpus-table path above). */
+  private[graft] def bandsOf(
+      docs: org.apache.spark.sql.DataFrame,
+      preMinhashed: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val mh =
+      if (preMinhashed) docs
+      else {
+        graft.functions.MinHashSig.register(docs.sparkSession, A, B, P)
+        docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .select(col("doc_id"), expr("minhash_sig(tk)").as("mh"))
+      }
     val bandStructs = (0 until Bands).map { bi =>
       s"struct(CAST($bi AS INT) AS band_idx, " +
         s"element_at(mh, ${2 * bi + 1}) * $P + element_at(mh, ${2 * bi + 2}) AS band_val)"
     }.mkString("array(", ", ", ")")
-    sparkMinhash(s, d)
-      .select(col("doc_id"), explode(expr(bandStructs)).as("b"))
+    mh.select(col("doc_id"), explode(expr(bandStructs)).as("b"))
       .select(col("doc_id"), col("b.band_idx"), col("b.band_val"))
   }
 

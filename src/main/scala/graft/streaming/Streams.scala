@@ -195,6 +195,37 @@ object Streams {
         graft.ops.Dedup.qualityE6.as("quality_e6"))
       .filter(col("quality_e6") >= minQualityE6)
 
+  /** Nightly-ingest dedup verdicts as a micro-batch stream: every batch of
+    * newly-landed documents is probed against the STANDING corpus registry
+    * (distinct md5 digests + distinct LSH band buckets — the two
+    * membership sets [[graft.ops.Dedup.incrementalVerdicts]] builds once
+    * per corpus) and each doc gets its `(exact_dup, n_bands_old, verdict)`
+    * row, written idempotently to `outDir/batch-<id>`.
+    *
+    * Why `foreachBatch`, not a pure streaming transform: the verdict needs
+    * a per-doc COUNT over the band semi-join (an aggregation) and the
+    * ingest batch has no event time to watermark — `foreachBatch` gives
+    * each ingest batch full batch semantics against the static registry,
+    * which is exactly the nightly-ingest contract (the registry is the
+    * state; the stream is stateless). Exactly-once comes from the
+    * per-`batchId` overwrite: a replayed batch rewrites its own directory,
+    * so restarts never duplicate verdicts — StreamingSpec proves
+    * stream ≡ batch across a stop/restart. At scale both registry sides
+    * are id-only distinct sets (32-byte digests, 12-byte buckets), shuffled
+    * once and reused every night. */
+  def ingestVerdictQuery(
+      newDocs: DataFrame, oldDigests: DataFrame, oldBuckets: DataFrame,
+      outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Dedup.ingestVerdicts(batch, oldDigests, oldBuckets)
+          .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Custom sessionization via arbitrary state (`flatMapGroupsWithState`):
     * emits a [[Session]] when a user goes quiet for `gapMs`. This is the
     * escape hatch for semantics `session_window` can't express (e.g.

@@ -310,4 +310,62 @@ class StreamingSpec extends SparkSpec {
       s"stream output (${all.size}) must equal the batch gate (${batch.size})")
     drops.unpersist()
   }
+
+  test("nightly-ingest dedup verdicts: stream == q_dedup_incremental, restart-safe") {
+    // the nightly-ingest scenario: new document batches land in a stage
+    // dir; each micro-batch is probed against the STANDING corpus registry
+    // (distinct digests + distinct band buckets over the 6/7 old slice)
+    // and must produce byte-identical verdicts to the oracle-checked batch
+    // key q_dedup_incremental — including across a stop/restart, with no
+    // duplicated verdicts (idempotent per-batchId output).
+    val docs = graft.warehouse.Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val isNew = col("doc_id") % 7 === 0
+    val old = docs.filter(!isNew)
+    val oldDg = old.select(md5(col("text")).as("dg")).distinct().cache()
+    val oldBk = graft.ops.Dedup.bandsOf(old)
+      .select("band_idx", "band_val").distinct().cache()
+
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_ingest_stage").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ingest_out").toString
+    val schema = docs.schema
+
+    def runStream(): Unit = {
+      val stream = spark.readStream.format("graft").schema(schema)
+        .load(stageDir)
+      val q = Streams.ingestVerdictQuery(stream, oldDg, oldBk, outDir, ckpt)
+      q.awaitTermination(120000)
+    }
+    def verdicts(): Seq[(Long, Boolean, Long, String)] =
+      spark.read.parquet(s"$outDir/batch-*").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getString(3)))
+        .toSeq
+
+    // phase 1: half the new batch lands
+    docs.filter(isNew && col("doc_id") % 2 === 0).repartition(2)
+      .write.mode("append").parquet(stageDir)
+    runStream()
+    val phase1 = verdicts()
+    assert(phase1.nonEmpty, "first stream pass must emit verdicts")
+
+    // phase 2: the rest lands; SAME checkpoint → only the new files run
+    docs.filter(isNew && col("doc_id") % 2 === 1).repartition(2)
+      .write.mode("append").parquet(stageDir)
+    runStream()
+    val all = verdicts()
+    assert(all.size > phase1.size, "restart must pick up the new files")
+
+    // no duplicate verdicts across the restart, and stream == the
+    // oracle-checked batch key over the same corpus slice
+    assert(all.map(_._1).distinct.size == all.size,
+      "a restarted stream must not re-emit verdicts the checkpoint covered")
+    val batch = graft.SparkEntry.queries("q_dedup_incremental")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(all.toSet == batch.toSet,
+      s"stream verdicts (${all.size}) must equal batch q_dedup_incremental (${batch.size})")
+    oldDg.unpersist(); oldBk.unpersist()
+  }
 }
