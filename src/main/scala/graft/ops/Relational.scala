@@ -527,6 +527,28 @@ object Relational {
              |  CAST(count(1) AS BIGINT) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // ---------------------------------------- one-pass profiling histogram
+    // equi-width histogram over a fact column — the data-profiling shape
+    // (understand a 100 TB table before querying it): ONE hash-agg pass,
+    // output bounded by the bin count (~22 rows) whatever the input size,
+    // partial aggregation map-side so the shuffle carries bins not rows.
+    // Bin id by floor(x / width) — pure double division + floor, identical
+    // IEEE ops both engines, no rounding caveat. Per-bin min/max double
+    // back the bin edges for a profiler UI.
+    QueryDef("q_profile_histogram",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(floor(col("l_extendedprice") / lit(5000.0)).cast(LongType)
+          .as("bin"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_extendedprice").as("bin_min"),
+          max("l_extendedprice").as("bin_max"))
+        .orderBy("bin"),
+      Some("""SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+             |  count(1) AS n_rows,
+             |  min(l_extendedprice) AS bin_min,
+             |  max(l_extendedprice) AS bin_max
+             |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin)),
+
     // DISTINCT on a column subset with a deterministic survivor
     QueryDef("q_distinct_subset",
       (s, d) => t(s, d, "orders")

@@ -376,6 +376,53 @@ object Temporal {
 
     // tumbling window (streaming: groupBy(window($"ts","1 hour"))) — the
     // epoch-aligned 1h window start equals date_trunc('hour')
+    // ---------------------------------------- ordered funnel analysis
+    // the product-analytics sequential-pattern shape: how many users did
+    // view → click → purchase IN ORDER (each step strictly after the
+    // user's earliest completion of the previous one). Three key-local
+    // passes: min-per-user of step 1, then each later step filters on
+    // the prior step's time and re-aggregates — every shuffle is on
+    // user_id, so at 100 TB the three stages reuse one hash partitioning
+    // (no corpus-wide window, no cross-user data movement), and each
+    // stage's output is ≤ one row per surviving user. Strict `>` on both
+    // engines; counts (not timestamps) are the output, so the ns-vs-µs
+    // parquet precision difference never reaches the hash compare.
+    QueryDef("q_events_funnel",
+      (s, d) => {
+        val ev = Tables.table(s, d, "events")
+          .select("user_id", "event_type", "ts")
+        val s1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, Seq("user_id")).where(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, Seq("user_id")).where(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        s1.agg(count(lit(1)).as("users")).select(lit("1_view").as("step"), col("users"))
+          .unionAll(s2.agg(count(lit(1)).as("users"))
+            .select(lit("2_click").as("step"), col("users")))
+          .unionAll(s3.agg(count(lit(1)).as("users"))
+            .select(lit("3_purchase").as("step"), col("users")))
+          .orderBy("step")
+      },
+      Some("""WITH s1 AS (
+             |  SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id
+             |), s2 AS (
+             |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+             |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+             |  WHERE e.event_type = 'click' GROUP BY e.user_id
+             |), s3 AS (
+             |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+             |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+             |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+             |)
+             |SELECT '1_view' AS step, count(1) AS users FROM s1
+             |UNION ALL SELECT '2_click', count(1) FROM s2
+             |UNION ALL SELECT '3_purchase', count(1) FROM s3
+             |ORDER BY step""".stripMargin)),
+
     QueryDef("q_stream_tumbling",
       (s, d) => Tables.table(s, d, "events")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))

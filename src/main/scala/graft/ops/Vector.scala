@@ -156,6 +156,21 @@ object Vector {
     * and silently diverge. */
   private[graft] val Dim = 64
 
+  /** Output dimensionality of the signed random projection
+    * (`q_embedding_project`). */
+  private val RpK = 8
+
+  /** Deterministic ±1 projection-matrix entry: md5("rp:<j>:<i>") first 8
+    * hex chars as an int, parity → sign. Computed ONCE at plan-build time
+    * and embedded as literals in both engines' plans — the Spark plan and
+    * the DuckDB oracle share the exact matrix by construction. */
+  private def rpSign(j: Int, i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"rp:$j:$i".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    if (java.lang.Long.parseLong(h, 16) % 2 == 0) 1L else -1L
+  }
+
   /** Hyperplane coefficients, precomputed once in Scala from the fixed
     * integer recurrence and embedded as E-notation literals (parsed as
     * DOUBLE by both engines; 17 significant digits round-trip exactly).
@@ -667,6 +682,48 @@ object Vector {
              |        i -> abs(v[i] - (mn + codes[i] * sc)))),
              |      (a, y) -> greatest(a, y)) * 1000000.0) AS BIGINT) AS max_err_e6
              |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // ------------------------------- signed random projection (JL lemma)
+    // dimensionality reduction 64 → 8 before ANN / clustering: proj_j =
+    // Σ_i vec[i]·sign(j,i) with a DETERMINISTIC ±1 matrix (md5-derived at
+    // plan-build time, embedded as literals in BOTH engines' plans — the
+    // same shared-constant scheme as the minhash A/B coefficients).
+    // Row-local, zero shuffle, embarrassingly parallel: at 100 TB this is
+    // a map over the scan producing 8 longs from 64 floats (8× narrower
+    // than even the int8 codes for distance work that tolerates JL
+    // distortion). Elements are floor(x·1e6) longs first, so the signed
+    // sums are exact integer arithmetic — order-independent, no
+    // cross-engine rounding caveat anywhere in this key.
+    QueryDef("q_embedding_project",
+      (s, d) => {
+        val e6 = "transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+        val projCols = (0 until RpK).map { j =>
+          val signs = (0 until Dim).map(i => rpSign(j, i)).mkString("array(", ", ", ")")
+          expr(s"aggregate(zip_with(e6, $signs, (x, sg) -> x * sg), " +
+            "CAST(0 AS BIGINT), (a, y) -> a + y)").as(s"proj_$j")
+        }
+        Tables.table(s, d, "embeddings")
+          .withColumn("e6", expr(e6))
+          .select(col("vec_id") +: projCols: _*)
+          .orderBy("vec_id")
+      },
+      Some {
+        val projSelects = (0 until RpK).map { j =>
+          val signs = (0 until Dim).map(i => rpSign(j, i)).mkString("[", ", ", "]")
+          s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(generate_series(1, $Dim),
+             |      i -> e6[i] * ($signs)[i])), (a, b) -> a + b) AS proj_$j""".stripMargin
+        }.mkString(",\n  ")
+        s"""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x ->
+           |    CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS e6
+           |  FROM embeddings
+           |)
+           |SELECT vec_id,
+           |  $projSelects
+           |FROM e ORDER BY vec_id""".stripMargin
+      }),
 
     // ---------------------------------------- per-label centroids
     // the class-prototype / k-means-E-step primitive: mean vector per

@@ -333,6 +333,36 @@ class PlanSpec extends SparkSpec {
       s"unpartitioned windows over non-summary inputs:\n${offenders.mkString("\n")}")
   }
 
+  test("q_profile_histogram is one pruned-scan hash-agg pass, bins combine map-side") {
+    val p = plan("q_profile_histogram")
+    assert(p.contains("ReadSchema: struct<l_extendedprice:double>"),
+      s"the profiler must read exactly the profiled column:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"bin stats must combine map-side (shuffle carries bins, not rows):\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"a histogram is one agg pass — any join/window is a wrong plan:\n$p")
+  }
+
+  test("q_events_funnel shuffles only on user_id, step filters reach the scans") {
+    val p = plan("q_events_funnel")
+    assert(p.contains("EqualTo(event_type,view)"),
+      s"each step's type filter must reach its parquet scan:\n$p")
+    assert(!p.contains("Window"),
+      s"the funnel is key-local aggs + joins, never a corpus window:\n$p")
+    val hashParts = "hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(hashParts.subsetOf(Set("user_id")),
+      s"every funnel shuffle must key on user_id, got $hashParts:\n$p")
+  }
+
+  test("q_embedding_project is a row-local map — no join, no hash shuffle") {
+    val p = plan("q_embedding_project")
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("hashpartitioning"),
+      s"the projection is per-row arithmetic; only the output sort may " +
+        s"exchange:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and
