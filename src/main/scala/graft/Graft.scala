@@ -296,6 +296,33 @@ object Graft {
       n: Int, saltKey: Column, salts: Int = 16): DataFrame =
     ops.Text.topNPerGroup(df, group, order, n, saltKey, salts)
 
+  /** Ordered funnel analysis over any events-shaped frame: per step, the
+    * count of users whose earliest completion of that step is strictly
+    * after their earliest completion of the previous one. N key-local
+    * agg passes, every shuffle on `userCol` (one reused partitioning, no
+    * corpus-wide window); at 100 TB each stage's output is ≤ one row per
+    * surviving user. Oracle-checked as `q_events_funnel`. */
+  def eventFunnel(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame =
+    ops.Temporal.eventFunnel(events, steps, userCol, typeCol, tsCol)
+
+  /** Equi-width histogram of a numeric column — the one-pass profiling
+    * primitive for a table too large to eyeball: output is bounded by
+    * the bin count, partial aggregation keeps the shuffle bin-sized.
+    * Oracle-checked as `q_profile_histogram`. */
+  def histogram(df: DataFrame, column: Column, width: Double): DataFrame =
+    ops.Relational.histogram(df, column, width)
+
+  /** Signed random projection of a float-vector column to `k` exact
+    * integer sums (JL-style distance proxy — the narrowest per-row
+    * distance artifact in the vector family, 8 longs from 64 floats at
+    * the defaults). Row-local, zero shuffle, deterministic matrix.
+    * Oracle-checked as `q_embedding_project`. */
+  def randomProjection(df: DataFrame, vecCol: String, idCols: Seq[String],
+      k: Int = 8, dim: Int = 64): DataFrame =
+    ops.Vector.randomProjection(df, vecCol, idCols, k, dim)
+
   /** Generic LEFT AS-OF join (Snowflake's ASOF JOIN — the reference's
     * warehouse offers it through the SQL pass-through; Spark has no
     * built-in): for every left row, the most recent right row with

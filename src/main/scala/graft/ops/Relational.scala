@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -33,6 +33,18 @@ object Relational {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.table(s, dir, n)
+
+  /** Generic equi-width histogram ([[graft.Graft.histogram]];
+    * `q_profile_histogram`): ONE hash-agg pass over the scan, output
+    * bounded by the bin count whatever the input size, partial
+    * aggregation map-side so the shuffle carries bins not rows. Bin id
+    * by `floor(x / width)` — pure IEEE double division + floor. */
+  private[graft] def histogram(
+      df: DataFrame, c: Column, width: Double): DataFrame =
+    df.groupBy(floor(c / lit(width)).cast(LongType).as("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(c).as("bin_min"), max(c).as("bin_max"))
+      .orderBy("bin")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -536,13 +548,7 @@ object Relational {
     // IEEE ops both engines, no rounding caveat. Per-bin min/max double
     // back the bin edges for a profiler UI.
     QueryDef("q_profile_histogram",
-      (s, d) => t(s, d, "lineitem")
-        .groupBy(floor(col("l_extendedprice") / lit(5000.0)).cast(LongType)
-          .as("bin"))
-        .agg(count(lit(1)).as("n_rows"),
-          min("l_extendedprice").as("bin_min"),
-          max("l_extendedprice").as("bin_max"))
-        .orderBy("bin"),
+      (s, d) => histogram(t(s, d, "lineitem"), col("l_extendedprice"), 5000.0),
       Some("""SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
              |  count(1) AS n_rows,
              |  min(l_extendedprice) AS bin_min,

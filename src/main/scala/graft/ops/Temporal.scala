@@ -261,6 +261,41 @@ object Temporal {
       |  ON c.user_id = p.user_id AND c.ts >= p.ts
       |ORDER BY c.click_id""".stripMargin
 
+  /** Generic ordered-funnel analysis ([[graft.Graft.eventFunnel]];
+    * `q_events_funnel`): per-user count of users whose earliest
+    * completion of each step comes STRICTLY after their earliest
+    * completion of the previous one. One frame per step, each ≤ one row
+    * per surviving user; every shuffle keys on `userCol`, so the N
+    * stages reuse a single hash partitioning and nothing corpus-sized
+    * crosses users. Step labels are `<idx+1>_<type>` (lexicographic
+    * output order — 10+-step funnels interleave labels, counts stay
+    * correct). */
+  private[graft] def eventFunnel(
+      events: org.apache.spark.sql.DataFrame, steps: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): org.apache.spark.sql.DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(
+      col(userCol).as("user_id"), col(typeCol).as("et"), col(tsCol).as("ts"))
+    val stepFrames = steps.zipWithIndex
+      .foldLeft(List.empty[(String, org.apache.spark.sql.DataFrame)]) {
+        case (acc, (et, i)) =>
+          val base = ev.filter(col("et") === et)
+          val gated = acc.headOption match {
+            case None => base
+            case Some((_, prev)) =>
+              base.join(prev.select(col("user_id"), col("t").as("t_prev")),
+                Seq("user_id")).where(col("ts") > col("t_prev"))
+          }
+          val f = gated.groupBy("user_id").agg(min("ts").as("t"))
+          (s"${i + 1}_$et", f) :: acc
+      }.reverse
+    stepFrames.map { case (label, f) =>
+      f.agg(count(lit(1)).as("users"))
+        .select(lit(label).as("step"), col("users"))
+    }.reduce(_ unionAll _).orderBy("step")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // JSON / VARIANT path extraction (events.props is a JSON object string
@@ -379,33 +414,18 @@ object Temporal {
     // ---------------------------------------- ordered funnel analysis
     // the product-analytics sequential-pattern shape: how many users did
     // view → click → purchase IN ORDER (each step strictly after the
-    // user's earliest completion of the previous one). Three key-local
-    // passes: min-per-user of step 1, then each later step filters on
+    // user's earliest completion of the previous one). Runs through the
+    // generic [[eventFunnel]] ([[graft.Graft.eventFunnel]]): N key-local
+    // passes — min-per-user of step 1, then each later step filters on
     // the prior step's time and re-aggregates — every shuffle is on
-    // user_id, so at 100 TB the three stages reuse one hash partitioning
+    // user_id, so at 100 TB the stages reuse one hash partitioning
     // (no corpus-wide window, no cross-user data movement), and each
     // stage's output is ≤ one row per surviving user. Strict `>` on both
     // engines; counts (not timestamps) are the output, so the ns-vs-µs
     // parquet precision difference never reaches the hash compare.
     QueryDef("q_events_funnel",
-      (s, d) => {
-        val ev = Tables.table(s, d, "events")
-          .select("user_id", "event_type", "ts")
-        val s1 = ev.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min("ts").as("t1"))
-        val s2 = ev.filter(col("event_type") === "click")
-          .join(s1, Seq("user_id")).where(col("ts") > col("t1"))
-          .groupBy("user_id").agg(min("ts").as("t2"))
-        val s3 = ev.filter(col("event_type") === "purchase")
-          .join(s2, Seq("user_id")).where(col("ts") > col("t2"))
-          .groupBy("user_id").agg(min("ts").as("t3"))
-        s1.agg(count(lit(1)).as("users")).select(lit("1_view").as("step"), col("users"))
-          .unionAll(s2.agg(count(lit(1)).as("users"))
-            .select(lit("2_click").as("step"), col("users")))
-          .unionAll(s3.agg(count(lit(1)).as("users"))
-            .select(lit("3_purchase").as("step"), col("users")))
-          .orderBy("step")
-      },
+      (s, d) => eventFunnel(Tables.table(s, d, "events"),
+        Seq("view", "click", "purchase")),
       Some("""WITH s1 AS (
              |  SELECT user_id, min(ts) AS t1 FROM events
              |  WHERE event_type = 'view' GROUP BY user_id

@@ -171,6 +171,28 @@ object Vector {
     if (java.lang.Long.parseLong(h, 16) % 2 == 0) 1L else -1L
   }
 
+  /** Generic signed random projection ([[graft.Graft.randomProjection]];
+    * `q_embedding_project`): reduce a `dim`-dimensional float vector
+    * column to `k` signed-sum longs (JL-style distance proxy). Row-local,
+    * zero shuffle; elements are floor(x·1e6) longs first, so the sums are
+    * exact integer arithmetic whatever the partition order. The ±1 matrix
+    * comes from [[rpSign]] at plan-build time — deterministic across
+    * runs, sessions, and engines. */
+  private[graft] def randomProjection(
+      df: org.apache.spark.sql.DataFrame, vecCol: String,
+      idCols: Seq[String], k: Int, dim: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0 && dim > 0, s"need positive dims, got k=$k dim=$dim")
+    val e6 = s"transform($vecCol, x -> " +
+      "CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+    val projCols = (0 until k).map { j =>
+      val signs = (0 until dim).map(i => rpSign(j, i)).mkString("array(", ", ", ")")
+      expr(s"aggregate(zip_with(__rp_e6, $signs, (x, sg) -> x * sg), " +
+        "CAST(0 AS BIGINT), (a, y) -> a + y)").as(s"proj_$j")
+    }
+    df.withColumn("__rp_e6", expr(e6))
+      .select(idCols.map(col) ++ projCols: _*)
+  }
+
   /** Hyperplane coefficients, precomputed once in Scala from the fixed
     * integer recurrence and embedded as E-notation literals (parsed as
     * DOUBLE by both engines; 17 significant digits round-trip exactly).
@@ -695,19 +717,8 @@ object Vector {
     // sums are exact integer arithmetic — order-independent, no
     // cross-engine rounding caveat anywhere in this key.
     QueryDef("q_embedding_project",
-      (s, d) => {
-        val e6 = "transform(embedding, x -> " +
-          "CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
-        val projCols = (0 until RpK).map { j =>
-          val signs = (0 until Dim).map(i => rpSign(j, i)).mkString("array(", ", ", ")")
-          expr(s"aggregate(zip_with(e6, $signs, (x, sg) -> x * sg), " +
-            "CAST(0 AS BIGINT), (a, y) -> a + y)").as(s"proj_$j")
-        }
-        Tables.table(s, d, "embeddings")
-          .withColumn("e6", expr(e6))
-          .select(col("vec_id") +: projCols: _*)
-          .orderBy("vec_id")
-      },
+      (s, d) => randomProjection(Tables.table(s, d, "embeddings"),
+        "embedding", Seq("vec_id"), RpK, Dim).orderBy("vec_id"),
       Some {
         val projSelects = (0 until RpK).map { j =>
           val signs = (0 until Dim).map(i => rpSign(j, i)).mkString("[", ", ", "]")

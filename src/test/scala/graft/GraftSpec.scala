@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.FloatType
 
 /** Facade-level behavior mirroring the reference's public-API tests. */
@@ -257,6 +258,49 @@ class GraftSpec extends SparkSpec {
     val key = SparkEntry.queries("q_pipeline_curate")(spark, sfDir)
     assertSameRows(api, key)
     assert(api.columns.toSeq == Seq("doc_id", "lang", "quality_e6"))
+  }
+
+  test("eventFunnel facade: fixture == key, steps monotone, prefix consistent") {
+    val ev = graft.warehouse.Tables.table(spark, sfDir, "events")
+    val api = Graft.eventFunnel(ev, Seq("view", "click", "purchase"))
+    val key = SparkEntry.queries("q_events_funnel")(spark, sfDir)
+    assertSameRows(api, key)
+    // each step can only lose users, never gain them
+    val counts = api.orderBy("step").collect().map(_.getLong(1))
+    assert(counts.sliding(2).forall(w => w(0) >= w(1)),
+      s"funnel must be monotone non-increasing: ${counts.mkString(",")}")
+    // a prefix funnel agrees with the full funnel on the shared steps
+    val prefix = Graft.eventFunnel(ev, Seq("view", "click"))
+      .orderBy("step").collect().map(_.getLong(1))
+    assert(prefix.toSeq == counts.take(2).toSeq,
+      "dropping a trailing step must not change earlier step counts")
+  }
+
+  test("histogram facade: fixture == key, bins partition the row count") {
+    val li = graft.warehouse.Tables.table(spark, sfDir, "lineitem")
+    val api = Graft.histogram(li, col("l_extendedprice"), 5000.0)
+    assertSameRows(api, SparkEntry.queries("q_profile_histogram")(spark, sfDir))
+    val rows = api.collect()
+    assert(rows.map(_.getLong(1)).sum == li.count(),
+      "bin counts must partition the table exactly")
+    assert(rows.forall { r =>
+      r.getDouble(2) >= r.getLong(0) * 5000.0 &&
+        r.getDouble(3) < (r.getLong(0) + 1) * 5000.0
+    }, "per-bin min/max must sit inside the bin's edges")
+  }
+
+  test("randomProjection facade: fixture == key, k and id columns honored") {
+    val em = graft.warehouse.Tables.table(spark, sfDir, "embeddings")
+    val api = Graft.randomProjection(em, "embedding", Seq("vec_id"))
+      .orderBy("vec_id")
+    assertSameRows(api, SparkEntry.queries("q_embedding_project")(spark, sfDir))
+    val narrow = Graft.randomProjection(em, "embedding", Seq("vec_id", "label"), k = 2)
+    assert(narrow.columns.toSeq == Seq("vec_id", "label", "proj_0", "proj_1"))
+    // same matrix rows → k=2 output is a prefix of the k=8 output
+    val two = narrow.orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val eight = api.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(two.toSeq == eight.toSeq,
+      "proj_0/proj_1 must not depend on how many further dims are requested")
   }
 
   test("npartitions surface (test_core.py:88)") {
