@@ -135,6 +135,28 @@ object Graft {
       org.apache.spark.sql.functions.col("vec_id").isin(queryIds: _*), k, rerank)
   }
 
+  /** Two-stage similarity search over signed-random-projection sums: the
+    * candidate stage scores the EXACT integer dot of the 32-long JL
+    * projections (half the width of the f64 vectors; the projK dial on
+    * the underlying op trades payload for recall), the rerank stage
+    * restores exact cosine on the `rerank` survivors per query.
+    * Measured recall@5 = 0.84/0.80 at sf0.001/sf0.01 on the synthetic
+    * near-uniform corpus — the JL worst case; see
+    * [[ops.Vector.RpSearchK]]. Same batch-query contract as the
+    * quantized variant; oracle-checked as `q_similarity_projected`. */
+  def similaritySearchProjected(
+      spark: SparkSession, sfDir: String,
+      queryIds: Seq[Long] = 0L until 5, k: Int = 5,
+      rerank: Int = ops.Vector.RpRerank): DataFrame = {
+    requireQueryBatch(queryIds)
+    require(k >= 1, s"k must be positive: $k")
+    require(rerank >= k,
+      s"rerank=$rerank must be >= k=$k: the exact stage reranks only the " +
+        "stage-1 survivors")
+    ops.Vector.projectedTopK(spark, sfDir,
+      org.apache.spark.sql.functions.col("vec_id").isin(queryIds: _*), k, rerank)
+  }
+
   /** Embedding near-duplicate pairs (north-star "dedup" block) with the
     * same `nprobe` recall dial: each vector lands in its `nprobe` nearest
     * IVF cells and exact cosine runs on same-cell pairs only (hot cells

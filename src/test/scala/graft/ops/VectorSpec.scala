@@ -184,6 +184,44 @@ class VectorSpec extends SparkSpec {
       s"the full-vector dot may appear only in the stage-2 rerank:\n$p")
   }
 
+  test("projected two-stage search: pinned recall vs exact, projections not vectors in stage 1") {
+    val brute = rows("q_similarity_topk")
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val df = SparkEntry.queries("q_similarity_projected")(spark, sfDir)
+    val proj = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byQ = proj.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = brute.map { case (qid, b) =>
+      byQ.getOrElse(qid, Set.empty).count(b).toDouble / b.size }
+    val avg = recalls.sum / recalls.size
+    // deterministic, not statistical: same corpus + same md5-derived
+    // matrix every run → exactly 0.84 on this fixture (near-uniform
+    // vectors are the JL worst case; see RpSearchK scaladoc)
+    assert(avg >= 0.8,
+      f"projected rerank avg recall@5 = $avg%.2f, expected the measured 0.84")
+    // reported hits carry the EXACT cosine (stage 2 is the exact measure)
+    val bruteScores = rows("q_similarity_topk")
+      .map(t => (t._1, t._3) -> t._4).toMap
+    proj.foreach { case (qid, _, cid, cos) =>
+      bruteScores.get((qid, cid)).foreach(b =>
+        assert(math.abs(b - cos) < 1e-9,
+          s"exact rerank score drifted for ($qid,$cid)"))
+    }
+    // the payload claim, pinned in the plan: stage-1 scans of the
+    // projection cache read proj longs and never the f64 vector column;
+    // only the stage-2 rerank scans (no proj columns) may read v
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val stage1Scans = p.linesIterator
+      .filter(l => l.contains("InMemoryTableScan") && l.contains("proj_0#")).toSeq
+    assert(stage1Scans.nonEmpty,
+      s"stage 1 should read the cached projections:\n$p")
+    assert(stage1Scans.forall(!_.contains("v#")),
+      s"full vectors leaked into the stage-1 projection scan:\n${stage1Scans.mkString("\n")}")
+    assert("dot_product\\(qv".r.findAllIn(p).size == 1,
+      s"the full-vector dot may appear only in the stage-2 rerank:\n$p")
+  }
+
   test("int8 quantization: codes bounded, error bounded by half a step, constant vector degrades to zero") {
     val got = SparkEntry.queries("q_embedding_quantize")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
