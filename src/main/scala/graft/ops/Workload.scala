@@ -212,6 +212,56 @@ object Workload {
              |  AND l_discount BETWEEN 0.05 AND 0.07
              |  AND l_quantity < 24""".stripMargin)),
 
+    // --------------------------------------------------------- TPC-H Q14
+    // promo-revenue-share shape: a one-month fact slice joined to a dim
+    // for a CONDITIONAL aggregate — the classic "what share of revenue
+    // is X" report. The date range is the only selective predicate and
+    // it sits on the parquet scan; `part` carries just (p_partkey,
+    // p_type) into the join (dim-sized — the planner broadcasts it at
+    // bench scale, and at 3B parts the same plan correctly
+    // shuffle-joins); both sums run exact in DECIMAL(38,6) through ONE
+    // map-side-combinable aggregate, so the shuffle after the join
+    // carries two decimals + a count per partition, nothing row-sized.
+    // The single float division happens once, identically written on
+    // both engines, on the final 1-row frame. The fixture's p_type is a
+    // flat category ('PROMO', not TPC-H's 'PROMO%...' prefixes), so the
+    // predicate is equality rather than LIKE — same shape, same plan.
+    QueryDef("q_tpch_q14",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .select(col("l_partkey"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast(D386).as("rev"))
+        val pt = t(s, d, "part").select("p_partkey", "p_type")
+        li.join(pt, col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", col("rev"))
+              .otherwise(lit(0).cast(D386))).as("dpromo"),
+            sum(col("rev")).as("dall"),
+            count(lit(1)).as("n_rows"))
+          .select(
+            round(lit(100.0) * col("dpromo").cast(DoubleType) /
+              col("dall").cast(DoubleType), 6).as("promo_revenue"),
+            col("n_rows"))
+      },
+      Some("""WITH agg AS (
+             |  SELECT
+             |    sum(CASE WHEN p_type = 'PROMO'
+             |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+             |      ELSE CAST(0 AS DECIMAL(38,6)) END) AS dpromo,
+             |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS dall,
+             |    count(1) AS n_rows
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+             |)
+             |SELECT round(100.0 * CAST(dpromo AS DOUBLE)
+             |    / CAST(dall AS DOUBLE), 6) AS promo_revenue,
+             |  n_rows
+             |FROM agg""".stripMargin)),
+
     // --------------------------------------------------------- TPC-H Q18
     // large-volume-customer shape: orders whose total lineitem quantity
     // clears a HAVING threshold, joined back to customers, top-100 by

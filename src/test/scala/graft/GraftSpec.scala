@@ -260,6 +260,41 @@ class GraftSpec extends SparkSpec {
     assert(api.columns.toSeq == Seq("doc_id", "lang", "quality_e6"))
   }
 
+  test("eventFunnel matches a driver brute force for random event sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    // repeated-type funnel included: a→b→a (view, click, view again) is
+    // legitimate and exercises the per-step strict-after gating
+    val stepSets = Seq(Seq("e0", "e1", "e2"), Seq("e1", "e0", "e1"))
+    for (trial <- 1 to 2; steps <- stepSets) {
+      val events = Seq.fill(120)(
+        (rnd.nextInt(9).toLong, s"e${rnd.nextInt(4)}",
+          (rnd.nextInt(40) + 100 * trial).toLong))
+      val byUser = events.groupBy(_._1)
+      def chain(evs: Seq[(Long, String, Long)]): List[Long] = {
+        var prev = Option.empty[Long]
+        var out = List.empty[Long]
+        var alive = true
+        for (et <- steps if alive) {
+          val c = evs.filter(e => e._2 == et && prev.forall(p => e._3 > p))
+            .map(_._3)
+          if (c.isEmpty) alive = false
+          else { val m = c.min; out = out :+ m; prev = Some(m) }
+        }
+        out
+      }
+      val counts = steps.indices
+        .map(i => byUser.values.count(evs => chain(evs).length > i))
+      val expected = steps.zipWithIndex
+        .map { case (et, i) => (s"${i + 1}_$et", counts(i).toLong) }.toMap
+      val got = Graft.eventFunnel(
+          events.toDF("user_id", "event_type", "ts"), steps)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected,
+        s"trial $trial steps=$steps: funnel != brute force ($got vs $expected)")
+    }
+  }
+
   test("eventFunnel facade: fixture == key, steps monotone, prefix consistent") {
     val ev = graft.warehouse.Tables.table(spark, sfDir, "events")
     val api = Graft.eventFunnel(ev, Seq("view", "click", "purchase"))

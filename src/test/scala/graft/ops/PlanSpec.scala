@@ -333,6 +333,20 @@ class PlanSpec extends SparkSpec {
       s"unpartitioned windows over non-summary inputs:\n${offenders.mkString("\n")}")
   }
 
+  test("q_tpch_q14 pushes the month filter, joins the slim dim, sums map-side") {
+    val p = plan("q_tpch_q14")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"the month window must reach the lineitem scan:\n$p")
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_type:string>"),
+      s"part must carry only (p_partkey, p_type) into the join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the dim side should broadcast at bench scale:\n$p")
+    assert(p.contains("partial_sum"),
+      s"both decimal sums must combine map-side:\n$p")
+    assert(!p.contains("Window"),
+      s"Q14 is join + conditional agg — a window is a wrong plan:\n$p")
+  }
+
   test("q_profile_histogram is one pruned-scan hash-agg pass, bins combine map-side") {
     val p = plan("q_profile_histogram")
     assert(p.contains("ReadSchema: struct<l_extendedprice:double>"),
