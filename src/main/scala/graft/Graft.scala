@@ -329,6 +329,16 @@ object Graft {
       tsCol: String = "ts"): DataFrame =
     ops.Temporal.eventFunnel(events, steps, userCol, typeCol, tsCol)
 
+  /** Cohort retention over any events-shaped frame: activity bucketed
+    * into `periodDays`-wide periods from `anchor` (an ISO date), users
+    * cohorted by first active period, counted at each (cohort, offset).
+    * Three user-keyed stages; output bounded by periods², never by event
+    * volume. Oracle-checked as `q_events_retention`. */
+  def retentionCohorts(events: DataFrame, anchor: String,
+      periodDays: Int = 7, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame =
+    ops.Temporal.retentionCohorts(events, anchor, periodDays, userCol, tsCol)
+
   /** Equi-width histogram of a numeric column — the one-pass profiling
     * primitive for a table too large to eyeball: output is bounded by
     * the bin count, partial aggregation keeps the shuffle bin-sized.

@@ -296,6 +296,30 @@ object Temporal {
     }.reduce(_ unionAll _).orderBy("step")
   }
 
+  /** Generic cohort-retention table ([[graft.Graft.retentionCohorts]];
+    * `q_events_retention`): bucket activity into `periodDays`-wide
+    * periods from `anchor`, cohort each user by their FIRST active
+    * period, and count users active at each (cohort, offset). Three
+    * user-keyed stages — distinct activity, first-period agg, join-back
+    * — then a final aggregate whose output is bounded by
+    * periods², not users. The distinct makes the last count a distinct-
+    * user count without a second distinct. */
+  private[graft] def retentionCohorts(
+      events: org.apache.spark.sql.DataFrame, anchor: String,
+      periodDays: Int = 7, userCol: String = "user_id",
+      tsCol: String = "ts"): org.apache.spark.sql.DataFrame = {
+    require(periodDays > 0, s"periodDays must be positive: $periodDays")
+    val act = events.select(col(userCol).as("user_id"),
+        floor(datediff(col(tsCol).cast("date"), lit(anchor).cast("date"))
+          / lit(periodDays.toDouble)).cast(LongType).as("wk"))
+      .distinct()
+    val first = act.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    act.join(first, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // JSON / VARIANT path extraction (events.props is a JSON object string
@@ -442,6 +466,27 @@ object Temporal {
              |UNION ALL SELECT '2_click', count(1) FROM s2
              |UNION ALL SELECT '3_purchase', count(1) FROM s3
              |ORDER BY step""".stripMargin)),
+
+    // ---------------------------------------- cohort retention
+    // the "do users come back" report over weekly periods: users
+    // cohorted by first active week, counted at each (cohort, offset).
+    // Everything is exact integer arithmetic on day counts (the µs-vs-ns
+    // parquet precision difference dies at the CAST to DATE), and the
+    // final output is bounded by weeks² whatever the event volume.
+    QueryDef("q_events_retention",
+      (s, d) => retentionCohorts(Tables.table(s, d, "events"), "2024-01-01"),
+      Some("""WITH act AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(floor(date_diff('day', DATE '2024-01-01',
+             |      CAST(ts AS DATE)) / 7.0) AS BIGINT) AS wk
+             |  FROM events
+             |), fw AS (
+             |  SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY user_id
+             |)
+             |SELECT f.cohort_wk, a.wk - f.cohort_wk AS week_offset,
+             |  count(1) AS users
+             |FROM act a JOIN fw f ON a.user_id = f.user_id
+             |GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin)),
 
     QueryDef("q_stream_tumbling",
       (s, d) => Tables.table(s, d, "events")

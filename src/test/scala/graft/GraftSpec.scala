@@ -311,6 +311,29 @@ class GraftSpec extends SparkSpec {
       "dropping a trailing step must not change earlier step counts")
   }
 
+  test("retentionCohorts facade: fixture == key, offset-0 is the cohort census") {
+    val ev = graft.warehouse.Tables.table(spark, sfDir, "events")
+    val api = Graft.retentionCohorts(ev, "2024-01-01")
+    assertSameRows(api, SparkEntry.queries("q_events_retention")(spark, sfDir))
+    val rows = api.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall(_._2 >= 0), "offsets are from the FIRST active week — never negative")
+    // every user is active in their own first week, so the offset-0 rows
+    // census the cohorts exactly: they must sum to the distinct user count
+    val atZero = rows.filter(_._2 == 0L).map(_._3).sum
+    assert(atZero == ev.select("user_id").distinct().count(),
+      "offset-0 rows must partition the user population by cohort")
+    // retention at any offset never exceeds the cohort's census
+    val census = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    assert(rows.forall(r => r._3 <= census(r._1)),
+      "no offset can retain more users than the cohort has")
+    // a coarser period must still census every user exactly once
+    val monthly = Graft.retentionCohorts(ev, "2024-01-01", periodDays = 30)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(monthly.filter(_._1 == 0L).map(_._2).sum ==
+      ev.select("user_id").distinct().count(),
+      "periodDays is a dial — the offset-0 census must hold at any width")
+  }
+
   test("histogram facade: fixture == key, bins partition the row count") {
     val li = graft.warehouse.Tables.table(spark, sfDir, "lineitem")
     val api = Graft.histogram(li, col("l_extendedprice"), 5000.0)
