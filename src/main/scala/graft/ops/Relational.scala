@@ -40,11 +40,17 @@ object Relational {
     * aggregation map-side so the shuffle carries bins not rows. Bin id
     * by `floor(x / width)` — pure IEEE double division + floor. */
   private[graft] def histogram(
-      df: DataFrame, c: Column, width: Double): DataFrame =
+      df: DataFrame, c: Column, width: Double): DataFrame = {
+    // width = 0 collapses every row into bin Long.MaxValue (x/0 = Inf),
+    // a negative width mirrors bin ids — both are silent garbage, not
+    // profiles
+    require(width > 0 && !width.isNaN,
+      s"histogram width must be a positive number: $width")
     df.groupBy(floor(c / lit(width)).cast(LongType).as("bin"))
       .agg(count(lit(1)).as("n_rows"),
         min(c).as("bin_min"), max(c).as("bin_max"))
       .orderBy("bin")
+  }
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -267,9 +267,9 @@ object Temporal {
     * completion of the previous one. One frame per step, each ≤ one row
     * per surviving user; every shuffle keys on `userCol`, so the N
     * stages reuse a single hash partitioning and nothing corpus-sized
-    * crosses users. Step labels are `<idx+1>_<type>` (lexicographic
-    * output order — 10+-step funnels interleave labels, counts stay
-    * correct). */
+    * crosses users. Step labels are zero-padded `<idx+1>_<type>`
+    * (`01_view`, `02_click`, …) so the lexicographic output order IS
+    * the step order up to 99 steps. */
   private[graft] def eventFunnel(
       events: org.apache.spark.sql.DataFrame, steps: Seq[String],
       userCol: String = "user_id", typeCol: String = "event_type",
@@ -288,7 +288,7 @@ object Temporal {
                 Seq("user_id")).where(col("ts") > col("t_prev"))
           }
           val f = gated.groupBy("user_id").agg(min("ts").as("t"))
-          (s"${i + 1}_$et", f) :: acc
+          (f"${i + 1}%02d_" + et, f) :: acc
       }.reverse
     stepFrames.map { case (label, f) =>
       f.agg(count(lit(1)).as("users"))
@@ -309,6 +309,10 @@ object Temporal {
       periodDays: Int = 7, userCol: String = "user_id",
       tsCol: String = "ts"): org.apache.spark.sql.DataFrame = {
     require(periodDays > 0, s"periodDays must be positive: $periodDays")
+    // an unparseable anchor would cast to NULL and silently collapse the
+    // whole report into one (null, null, n) row — reject it driver-side
+    require(scala.util.Try(java.time.LocalDate.parse(anchor)).isSuccess,
+      s"anchor must be an ISO date (yyyy-MM-dd): '$anchor'")
     val act = events.select(col(userCol).as("user_id"),
         floor(datediff(col(tsCol).cast("date"), lit(anchor).cast("date"))
           / lit(periodDays.toDouble)).cast(LongType).as("wk"))
@@ -462,9 +466,9 @@ object Temporal {
              |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
              |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
              |)
-             |SELECT '1_view' AS step, count(1) AS users FROM s1
-             |UNION ALL SELECT '2_click', count(1) FROM s2
-             |UNION ALL SELECT '3_purchase', count(1) FROM s3
+             |SELECT '01_view' AS step, count(1) AS users FROM s1
+             |UNION ALL SELECT '02_click', count(1) FROM s2
+             |UNION ALL SELECT '03_purchase', count(1) FROM s3
              |ORDER BY step""".stripMargin)),
 
     // ---------------------------------------- cohort retention

@@ -244,7 +244,12 @@ object Vector {
       df: org.apache.spark.sql.DataFrame, vecCol: String,
       idCols: Seq[String], k: Int, dim: Int): org.apache.spark.sql.DataFrame = {
     require(k > 0 && dim > 0, s"need positive dims, got k=$k dim=$dim")
-    val e6 = s"transform($vecCol, x -> " +
+    // loud dim check: zip_with pads a short side with NULLs, which would
+    // silently null every projection of a mis-sized vector — fail the row
+    // instead (IF + raise_error stays inside whole-stage codegen)
+    val e6 = s"transform(IF(size($vecCol) = $dim, $vecCol, " +
+      s"raise_error(concat('randomProjection: expected $dim-dim vectors, " +
+      s"got ', CAST(size($vecCol) AS STRING)))), x -> " +
       "CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
     val projCols = (0 until k).map { j =>
       val signs = (0 until dim).map(i => rpSign(j, i)).mkString("array(", ", ", ")")

@@ -286,7 +286,7 @@ class GraftSpec extends SparkSpec {
       val counts = steps.indices
         .map(i => byUser.values.count(evs => chain(evs).length > i))
       val expected = steps.zipWithIndex
-        .map { case (et, i) => (s"${i + 1}_$et", counts(i).toLong) }.toMap
+        .map { case (et, i) => (f"${i + 1}%02d_" + et, counts(i).toLong) }.toMap
       val got = Graft.eventFunnel(
           events.toDF("user_id", "event_type", "ts"), steps)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
