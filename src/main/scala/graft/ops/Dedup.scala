@@ -1115,6 +1115,59 @@ object Dedup {
               |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.3
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // ------------------------------------------------ shingle containment
+    // ASYMMETRIC near-dup scoring on the guarded candidates:
+    // containment(a in b) = |sh(a) ∩ sh(b)| / |sh(a)| — the measure that
+    // catches a short doc quoted inside a long one, which symmetric
+    // Jaccard dilutes below any threshold (containment ≥ Jaccard always,
+    // since |a| ≤ |a ∪ b|). Both directions reported per pair; same
+    // guarded-candidate discipline as q_dedup_ngram (the exact measure
+    // never runs corpus²). Candidates are MinHash/Jaccard-biased, so
+    // extreme small-in-large pairs may not bucket together — a
+    // containment-recall pipeline would band the shorter side's
+    // shingles; this key is the exact scoring stage.
+    QueryDef("q_dedup_containment",
+      (s, d) => {
+        graft.functions.Shingles3.register(s)
+        val sh = Tables.table(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .select(col("doc_id"), expr("shingles3(tk)").as("sh"))
+        sparkCandidates(s, d)
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .withColumn("inter",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+          .select(col("doc_a"), col("doc_b"),
+            when(size(col("sh_a")) === 0, lit(0.0))
+              .otherwise(round(col("inter") / size(col("sh_a")), 6))
+              .as("containment_a"),
+            when(size(col("sh_b")) === 0, lit(0.0))
+              .otherwise(round(col("inter") / size(col("sh_b")), 6))
+              .as("containment_b"))
+          .filter(greatest(col("containment_a"), col("containment_b")) >= 0.4)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""$duckBandsCte, cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM bands a JOIN bands b USING (band_idx, band_val, salt)
+              |  WHERE a.doc_id < b.doc_id
+              |), scored AS (
+              |  SELECT doc_a, doc_b,
+              |    CASE WHEN len(x.sh) = 0 THEN 0.0 ELSE
+              |      round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(x.sh), 6)
+              |    END AS containment_a,
+              |    CASE WHEN len(y.sh) = 0 THEN 0.0 ELSE
+              |      round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(y.sh), 6)
+              |    END AS containment_b
+              |  FROM cand
+              |  JOIN sh_t x ON x.doc_id = doc_a
+              |  JOIN sh_t y ON y.doc_id = doc_b
+              |)
+              |SELECT doc_a, doc_b, containment_a, containment_b
+              |FROM scored
+              |WHERE greatest(containment_a, containment_b) >= 0.4
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // ------------------------------------------------ edit distance
     // levenshtein verification on the LSH candidates (like q_dedup_ngram:
     // the expensive exact measure runs ONLY on bucketed candidates).
