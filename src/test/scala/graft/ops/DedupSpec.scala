@@ -253,6 +253,36 @@ class DedupSpec extends SparkSpec {
     assert(verdicts.contains("drop_near") || verdicts.contains("drop_exact"))
   }
 
+  test("containment dominates Jaccard on every shared pair and exposes asymmetry") {
+    val cont = graft.SparkEntry.queries("q_dedup_containment")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val jac = graft.SparkEntry.queries("q_dedup_ngram")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont.nonEmpty, "the fixture corpus must surface containment pairs")
+    cont.values.foreach { case (ca, cb) =>
+      assert(ca >= 0.0 && ca <= 1.0 && cb >= 0.0 && cb <= 1.0,
+        s"containment out of range: ($ca, $cb)")
+    }
+    // |∩|/|a| ≥ |∩|/|a ∪ b| always, so every Jaccard-reported pair must
+    // appear here (threshold 0.4 > 0.3 is covered by the dominance) with
+    // BOTH directions at or above its Jaccard (rounding gives 1e-6 slack)
+    jac.foreach { case (pair, j) =>
+      if (j >= 0.4) {
+        val (ca, cb) = cont.getOrElse(pair,
+          fail(s"pair $pair has jaccard $j but no containment row"))
+        assert(ca >= j - 1e-6 && cb >= j - 1e-6,
+          s"containment ($ca, $cb) below jaccard $j for $pair")
+      }
+    }
+    // the measure must actually be asymmetric somewhere: a pair whose two
+    // directions differ (a short side contained more fully than the long)
+    assert(cont.values.exists { case (ca, cb) => math.abs(ca - cb) > 1e-6 },
+      "no asymmetric pair found — containment degenerated to Jaccard")
+  }
+
   test("BSP parallelism scales with measured candidate volume") {
     // tiny graph → 1 partition (single-task rounds, the sf0.1 shape)
     assert(Dedup.partitionsFor(rows = 40, rowsPerTask = 1L << 20, maxParts = 32) == 1)
