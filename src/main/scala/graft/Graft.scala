@@ -346,6 +346,13 @@ object Graft {
   def histogram(df: DataFrame, column: Column, width: Double): DataFrame =
     ops.Relational.histogram(df, column, width)
 
+  /** One-pass multi-column profile: per numeric column, non-null/null
+    * counts and min/max — every column through ONE global aggregate
+    * whose shuffle carries a single row, unpivoted into the per-column
+    * report. Oracle-checked as `q_profile_stats`. */
+  def profileStats(df: DataFrame, cols: Seq[String]): DataFrame =
+    ops.Relational.profileStats(df, cols)
+
   /** Signed random projection of a float-vector column to `k` exact
     * integer sums (JL-style distance proxy — the narrowest per-row
     * distance artifact in the vector family, 8 longs from 64 floats at

@@ -52,6 +52,30 @@ object Relational {
       .orderBy("bin")
   }
 
+  /** One-pass multi-column profile ([[graft.Graft.profileStats]];
+    * `q_profile_stats`): per numeric column, (non-null count, null
+    * count, min, max) — ALL columns through ONE global aggregate (4
+    * aggregates per column fused in a single partial+final pass, the
+    * shuffle carries one row), then a `stack` unpivot of that row into
+    * the per-column report. The profiling companion to [[histogram]]:
+    * at 100 TB this is exactly one scan whatever the column count. */
+  private[graft] def profileStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileStats needs at least one column")
+    val aggs = count(lit(1)).as("__total") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      min(col(c).cast(DoubleType)).as(s"${c}__min"),
+      max(col(c).cast(DoubleType)).as(s"${c}__max")))
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__n, ${c}__min, ${c}__max").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("__total"), expr(
+        s"stack(${cols.size}, $stackArgs) AS (column, n_non_null, min_val, max_val)"))
+      .select(col("column"), col("n_non_null"),
+        (col("__total") - col("n_non_null")).as("n_nulls"),
+        col("min_val"), col("max_val"))
+      .orderBy("column")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---------------------------------------------------------- scans
@@ -560,6 +584,37 @@ object Relational {
              |  min(l_extendedprice) AS bin_min,
              |  max(l_extendedprice) AS bin_max
              |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // -------------------------------------- one-pass multi-column profile
+    // the other profiling shape: every column's (counts, min, max) from
+    // ONE scan — 4 aggregates per column fused in a single global agg
+    // whose shuffle carries one row, then a stack unpivot. min/max cast
+    // to DOUBLE (exact for these columns) so the report is one typed
+    // frame; the oracle replays as a UNION ALL of per-column selects.
+    QueryDef("q_profile_stats",
+      (s, d) => profileStats(t(s, d, "lineitem"),
+        Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")),
+      Some("""WITH b AS (SELECT * FROM lineitem)
+             |SELECT 'l_discount' AS "column", count(l_discount) AS n_non_null,
+             |  count(1) - count(l_discount) AS n_nulls,
+             |  CAST(min(l_discount) AS DOUBLE) AS min_val,
+             |  CAST(max(l_discount) AS DOUBLE) AS max_val FROM b
+             |UNION ALL
+             |SELECT 'l_extendedprice', count(l_extendedprice),
+             |  count(1) - count(l_extendedprice),
+             |  CAST(min(l_extendedprice) AS DOUBLE),
+             |  CAST(max(l_extendedprice) AS DOUBLE) FROM b
+             |UNION ALL
+             |SELECT 'l_orderkey', count(l_orderkey),
+             |  count(1) - count(l_orderkey),
+             |  CAST(min(l_orderkey) AS DOUBLE),
+             |  CAST(max(l_orderkey) AS DOUBLE) FROM b
+             |UNION ALL
+             |SELECT 'l_quantity', count(l_quantity),
+             |  count(1) - count(l_quantity),
+             |  CAST(min(l_quantity) AS DOUBLE),
+             |  CAST(max(l_quantity) AS DOUBLE) FROM b
+             |ORDER BY "column"""".stripMargin)),
 
     // DISTINCT on a column subset with a deterministic survivor
     QueryDef("q_distinct_subset",

@@ -334,6 +334,18 @@ class GraftSpec extends SparkSpec {
       "periodDays is a dial — the offset-0 census must hold at any width")
   }
 
+  test("profileStats counts nulls per column (the fixture has none)") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1.0), Some(10L)), (None, Some(20L)), (Some(3.0), None)
+    ).toDF("a", "b")
+    val got = Graft.profileStats(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got("a") == ((2L, 1L, 1.0, 3.0)), s"column a: ${got("a")}")
+    assert(got("b") == ((2L, 1L, 10.0, 20.0)), s"column b: ${got("b")}")
+  }
+
   test("histogram facade: fixture == key, bins partition the row count") {
     val li = graft.warehouse.Tables.table(spark, sfDir, "lineitem")
     val api = Graft.histogram(li, col("l_extendedprice"), 5000.0)

@@ -357,6 +357,19 @@ class PlanSpec extends SparkSpec {
       s"a histogram is one agg pass — any join/window is a wrong plan:\n$p")
   }
 
+  test("q_profile_stats is one global agg pass — pruned scan, one-row shuffle") {
+    val p = plan("q_profile_stats")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double," +
+      "l_extendedprice:double,l_discount:double>"),
+      s"the profiler must read exactly the profiled columns:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"all per-column aggregates must combine map-side:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"a global agg shuffles ONE row to a single partition, never by key:\n$p")
+    assert(!p.contains("Join"),
+      s"one scan, one agg — a join is a wrong plan:\n$p")
+  }
+
   test("q_events_funnel shuffles only on user_id, step filters reach the scans") {
     val p = plan("q_events_funnel")
     assert(p.contains("EqualTo(event_type,view)"),
