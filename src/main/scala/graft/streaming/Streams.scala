@@ -210,9 +210,13 @@ object Streams {
     * state; the stream is stateless). Exactly-once comes from the
     * per-`batchId` overwrite: a replayed batch rewrites its own directory,
     * so restarts never duplicate verdicts — StreamingSpec proves
-    * stream ≡ batch across a stop/restart. At scale both registry sides
-    * are id-only distinct sets (32-byte digests, 12-byte buckets), shuffled
-    * once and reused every night. */
+    * stream ≡ batch across a stop/restart. `outDir` must be owned by
+    * this checkpoint: batch-<id> directories from a DIFFERENT checkpoint
+    * would survive alongside this query's output and pollute a
+    * glob-union read. At scale both registry sides are id-only distinct
+    * sets (32-byte digests, 12-byte buckets), shuffled once and reused
+    * every night — cache them, or every micro-batch re-aggregates the
+    * corpus. */
   def ingestVerdictQuery(
       newDocs: DataFrame, oldDigests: DataFrame, oldBuckets: DataFrame,
       outDir: String, checkpoint: String)
