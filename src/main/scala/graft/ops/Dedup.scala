@@ -315,11 +315,35 @@ object Dedup {
     saltedPairJoin(salted, Seq("band_idx", "band_val"))
   }
 
+  /** (doc_id, sh) 3-shingle ARRAY frame — the exact-measure input shared
+    * by the ngram-Jaccard and containment scoring keys (`sh_t` in their
+    * oracles). [[graft.functions.Shingles3]] dedups via LinkedHashSet and
+    * the DuckDB twin uses `list_distinct`, so `size(sh)` is a true SET
+    * size on both engines. */
+  private def sparkShingleFrame(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.Shingles3.register(s)
+    Tables.table(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), expr("shingles3(tk)").as("sh"))
+  }
+
+  /** The ONE candidate-pair CTE body (distinct `doc_a < doc_b` over the
+    * salted band self-join). Every oracle that scores the guarded LSH
+    * candidates (minhash / ngram / containment / levenshtein / the
+    * resolve walk) splices THIS fragment after `duckBandsCte` — the
+    * candidate discipline changes in exactly one place per engine
+    * ([[sparkCandidates]] is the Spark twin). */
+  private val duckCandCte =
+    """cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b USING (band_idx, band_val, salt)
+      |  WHERE a.doc_id < b.doc_id
+      |)""".stripMargin
+
   private val duckCandidates =
-    s"""$duckBandsCte
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a JOIN bands b USING (band_idx, band_val, salt)
-       |WHERE a.doc_id < b.doc_id""".stripMargin
+    s"""$duckBandsCte, $duckCandCte
+       |SELECT doc_a, doc_b FROM cand""".stripMargin
 
   /** HashMin connected components over the LSH candidate graph:
     * (doc_id, keep_id, is_survivor) for every doc in ≥1 candidate pair.
@@ -806,11 +830,7 @@ object Dedup {
   /** Recursive-CTE prefix shared by the resolve/curate oracles: the bands
     * CTEs + candidate pairs + undirected reachability walk. */
   private def duckWalkCte: String =
-    s"""${duckBandsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")}, cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b USING (band_idx, band_val, salt)
-       |  WHERE a.doc_id < b.doc_id
-       |), und AS (
+    s"""${duckBandsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")}, $duckCandCte, und AS (
        |  SELECT doc_a AS a, doc_b AS b FROM cand
        |  UNION ALL
        |  SELECT doc_b, doc_a FROM cand
@@ -1086,12 +1106,8 @@ object Dedup {
     // exact 3-shingle Jaccard, verified ONLY on the LSH candidates
     QueryDef("q_dedup_ngram",
       (s, d) => {
-        graft.functions.Shingles3.register(s)
-        val sh = Tables.table(s, d, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("tk"))
-          .select(col("doc_id"), expr("shingles3(tk)").as("sh"))
-        val cand = sparkCandidates(s, d)
-        cand
+        val sh = sparkShingleFrame(s, d)
+        sparkCandidates(s, d)
           .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
           .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
           .select(col("doc_a"), col("doc_b"),
@@ -1100,11 +1116,7 @@ object Dedup {
           .filter(col("jaccard") >= 0.3)
           .orderBy("doc_a", "doc_b")
       },
-      Some(s"""$duckBandsCte, cand AS (
-              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |  FROM bands a JOIN bands b USING (band_idx, band_val, salt)
-              |  WHERE a.doc_id < b.doc_id
-              |)
+      Some(s"""$duckBandsCte, $duckCandCte
               |SELECT doc_a, doc_b,
               |  round(len(list_intersect(x.sh, y.sh))::DOUBLE
               |        / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
@@ -1128,10 +1140,7 @@ object Dedup {
     // shingles; this key is the exact scoring stage.
     QueryDef("q_dedup_containment",
       (s, d) => {
-        graft.functions.Shingles3.register(s)
-        val sh = Tables.table(s, d, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("tk"))
-          .select(col("doc_id"), expr("shingles3(tk)").as("sh"))
+        val sh = sparkShingleFrame(s, d)
         sparkCandidates(s, d)
           .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
           .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -1147,11 +1156,7 @@ object Dedup {
           .filter(greatest(col("containment_a"), col("containment_b")) >= 0.4)
           .orderBy("doc_a", "doc_b")
       },
-      Some(s"""$duckBandsCte, cand AS (
-              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |  FROM bands a JOIN bands b USING (band_idx, band_val, salt)
-              |  WHERE a.doc_id < b.doc_id
-              |), scored AS (
+      Some(s"""$duckBandsCte, $duckCandCte, scored AS (
               |  SELECT doc_a, doc_b,
               |    CASE WHEN len(x.sh) = 0 THEN 0.0 ELSE
               |      round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(x.sh), 6)
@@ -1183,11 +1188,7 @@ object Dedup {
             levenshtein(col("pa"), col("pb")).cast(LongType).as("edit_dist"))
           .orderBy("doc_a", "doc_b")
       },
-      Some(s"""$duckBandsCte, cand AS (
-              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |  FROM bands a JOIN bands b USING (band_idx, band_val, salt)
-              |  WHERE a.doc_id < b.doc_id
-              |)
+      Some(s"""$duckBandsCte, $duckCandCte
               |SELECT doc_a, doc_b,
               |  CAST(levenshtein(substr(x.text, 1, 40), substr(y.text, 1, 40)) AS BIGINT) AS edit_dist
               |FROM cand

@@ -56,23 +56,62 @@ object Relational {
     * `q_profile_stats`): per numeric column, (non-null count, null
     * count, min, max) — ALL columns through ONE global aggregate (4
     * aggregates per column fused in a single partial+final pass, the
-    * shuffle carries one row), then a `stack` unpivot of that row into
-    * the per-column report. The profiling companion to [[histogram]]:
-    * at 100 TB this is exactly one scan whatever the column count. */
+    * shuffle carries one row), then an explode unpivot of that row into
+    * the per-column report. Internal aliases are POSITIONAL (`__min0`)
+    * and user column names enter the plan only as backtick-quoted
+    * references and string literals — a dashed/dotted/quoted name
+    * profiles fine and can't inject SQL. min/max aggregate in the
+    * column's NATIVE type and only the final two values cast:
+    * DECIMAL(38,6) (exact for longs and for decimals with scale ≤ 6)
+    * unless a float/double column is present, in which case the report
+    * is DOUBLE (exact for the float columns; an integral column
+    * profiled ALONGSIDE doubles is exact up to 2^53). Non-numeric
+    * columns and decimals the report type would round or overflow are
+    * rejected loudly, never silently nulled. The profiling companion
+    * to [[histogram]]: at 100 TB this is exactly one scan whatever the
+    * column count. */
   private[graft] def profileStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileStats needs at least one column")
-    val aggs = count(lit(1)).as("__total") +: cols.flatMap(c => Seq(
-      count(col(c)).as(s"${c}__n"),
-      min(col(c).cast(DoubleType)).as(s"${c}__min"),
-      max(col(c).cast(DoubleType)).as(s"${c}__max")))
-    val stackArgs = cols.map(c =>
-      s"'$c', ${c}__n, ${c}__min, ${c}__max").mkString(", ")
+    val fields = cols.map { c =>
+      df.schema.fields.find(_.name == c)
+        .orElse(df.schema.fields.find(_.name.equalsIgnoreCase(c)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"profileStats: no column '$c' in [${df.schema.fieldNames.mkString(", ")}]"))
+    }
+    fields.foreach { f =>
+      if (!f.dataType.isInstanceOf[NumericType]) throw new IllegalArgumentException(
+        s"profileStats: column '${f.name}' is ${f.dataType.simpleString}, not numeric " +
+          "— cast it explicitly if a numeric profile is intended")
+    }
+    val outType: DataType =
+      if (fields.exists(f => f.dataType == DoubleType || f.dataType == FloatType))
+        DoubleType
+      else {
+        fields.foreach(f => f.dataType match {
+          case dt: DecimalType if dt.scale > 6 || dt.precision - dt.scale > 32 =>
+            throw new IllegalArgumentException(
+              s"profileStats: column '${f.name}' (${dt.simpleString}) does not fit " +
+                "the exact DECIMAL(38,6) report — pre-cast it to the precision you want")
+          case _ => ()
+        })
+        D386
+      }
+    def in(f: StructField): Column = col(s"`${f.name.replace("`", "``")}`")
+    val aggs = count(lit(1)).as("__total") +: fields.zipWithIndex.flatMap {
+      case (f, i) => Seq(
+        count(in(f)).as(s"__n$i"),
+        min(in(f)).cast(outType).as(s"__min$i"),
+        max(in(f)).cast(outType).as(s"__max$i"))
+    }
+    val entries = fields.zipWithIndex.map { case (f, i) =>
+      struct(lit(f.name).as("column"), col(s"__n$i").as("n_non_null"),
+        col(s"__min$i").as("min_val"), col(s"__max$i").as("max_val"))
+    }
     df.agg(aggs.head, aggs.tail: _*)
-      .select(col("__total"), expr(
-        s"stack(${cols.size}, $stackArgs) AS (column, n_non_null, min_val, max_val)"))
-      .select(col("column"), col("n_non_null"),
-        (col("__total") - col("n_non_null")).as("n_nulls"),
-        col("min_val"), col("max_val"))
+      .select(col("__total"), explode(array(entries: _*)).as("r"))
+      .select(col("r.column").as("column"), col("r.n_non_null").as("n_non_null"),
+        (col("__total") - col("r.n_non_null")).as("n_nulls"),
+        col("r.min_val").as("min_val"), col("r.max_val").as("max_val"))
       .orderBy("column")
   }
 
@@ -588,9 +627,11 @@ object Relational {
     // -------------------------------------- one-pass multi-column profile
     // the other profiling shape: every column's (counts, min, max) from
     // ONE scan — 4 aggregates per column fused in a single global agg
-    // whose shuffle carries one row, then a stack unpivot. min/max cast
-    // to DOUBLE (exact for these columns) so the report is one typed
-    // frame; the oracle replays as a UNION ALL of per-column selects.
+    // whose shuffle carries one row, then an explode unpivot. The double
+    // columns put this key on the DOUBLE report path (exact here:
+    // l_orderkey stays far below 2^53); the all-integral case takes the
+    // exact DECIMAL(38,6) path, spec'd in GraftSpec. The oracle replays
+    // as a UNION ALL of per-column selects.
     QueryDef("q_profile_stats",
       (s, d) => profileStats(t(s, d, "lineitem"),
         Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")),

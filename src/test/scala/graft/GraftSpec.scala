@@ -334,7 +334,7 @@ class GraftSpec extends SparkSpec {
       "periodDays is a dial — the offset-0 census must hold at any width")
   }
 
-  test("profileStats counts nulls per column (the fixture has none)") {
+  test("profileStats counts nulls per column (one null per column here)") {
     import spark.implicits._
     val df = Seq(
       (Some(1.0), Some(10L)), (None, Some(20L)), (Some(3.0), None)
@@ -344,6 +344,26 @@ class GraftSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
     assert(got("a") == ((2L, 1L, 1.0, 3.0)), s"column a: ${got("a")}")
     assert(got("b") == ((2L, 1L, 10.0, 20.0)), s"column b: ${got("b")}")
+  }
+
+  test("profileStats integral min/max stay exact past 2^53 (decimal path)") {
+    import spark.implicits._
+    val big = 9007199254740993L // 2^53 + 1: NOT representable as a double
+    val df = Seq(big, big + 2, 5L).toDF("id")
+    val r = Graft.profileStats(df, Seq("id")).collect().head
+    assert(r.getAs[java.math.BigDecimal]("min_val").longValueExact == 5L)
+    assert(r.getAs[java.math.BigDecimal]("max_val").longValueExact == big + 2,
+      "a DOUBLE report would have collapsed 2^53+3 onto a neighbour")
+  }
+
+  test("profileStats survives non-identifier names, rejects non-numeric") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (4L, "y")).toDF("order-key", "s")
+    val r = Graft.profileStats(df, Seq("order-key")).collect().head
+    assert(r.getString(0) == "order-key" && r.getLong(1) == 2L &&
+      r.getAs[java.math.BigDecimal]("max_val").longValueExact == 4L)
+    intercept[IllegalArgumentException] { Graft.profileStats(df, Seq("s")) }
+    intercept[IllegalArgumentException] { Graft.profileStats(df, Seq("nope")) }
   }
 
   test("histogram facade: fixture == key, bins partition the row count") {
