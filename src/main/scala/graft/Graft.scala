@@ -353,6 +353,17 @@ object Graft {
   def profileStats(df: DataFrame, cols: Seq[String]): DataFrame =
     ops.Relational.profileStats(df, cols)
 
+  /** Per-group z-score outlier flags: rows of `df` whose `value` sits
+    * at least `zmin` population standard deviations from their group's
+    * mean, with the z-score appended as column `z`. One exact-moment
+    * aggregate (group-count-sized) joined back onto the rows — no
+    * window, no corpus-sized sort; see
+    * [[ops.Relational.zscoreOutliers]] for the scale contract.
+    * Oracle-checked as `q_profile_outliers`. */
+  def outliers(df: DataFrame, keys: Seq[String], value: Column,
+      zmin: Double = 3.0): DataFrame =
+    ops.Relational.zscoreOutliers(df, keys, value, zmin)
+
   /** Signed random projection of a float-vector column to `k` exact
     * integer sums (JL-style distance proxy — the narrowest per-row
     * distance artifact in the vector family, 8 longs from 64 floats at

@@ -115,6 +115,38 @@ object Relational {
       .orderBy("column")
   }
 
+  /** Per-group z-score outlier flags ([[graft.Graft.outliers]];
+    * `q_profile_outliers`): rows whose value sits ≥ `zmin` population
+    * standard deviations from their group's mean. The scale design is
+    * stats-JOIN-BACK, not a window: one map-side-combinable aggregate
+    * reduces the corpus to a GROUP-COUNT-sized moment table (n, Σx,
+    * Σx² — exact DECIMAL(38,6) sums, so partition order can't wiggle
+    * the flags), which joins back onto the rows — no corpus-sized sort,
+    * no unpartitioned window, and the join side is as small as the
+    * number of groups (left to planner stats / AQE to broadcast; the
+    * facade does not force a hint because group cardinality is the
+    * caller's domain — cf. the simhashBuckets precondition lesson).
+    * μ/σ/z derive from the exact moments through the SAME double
+    * expression on both engines, so the oracle hash-matches. Groups
+    * with n < 2 or σ = 0 produce no flags by definition. */
+  private[graft] def zscoreOutliers(
+      df: DataFrame, keys: Seq[String], value: Column, zmin: Double): DataFrame = {
+    require(keys.nonEmpty, "zscoreOutliers needs at least one grouping column")
+    require(zmin > 0 && !zmin.isNaN, s"zmin must be positive: $zmin")
+    val m = df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("__n"),
+      sum(value.cast(D386)).as("__s1"),
+      sum((value * value).cast(D386)).as("__s2"))
+    val mu = col("__s1").cast(DoubleType) / col("__n")
+    df.join(m, keys)
+      .withColumn("__mu", mu)
+      .withColumn("__sig",
+        sqrt(col("__s2").cast(DoubleType) / col("__n") - mu * mu))
+      .withColumn("z", (value - col("__mu")) / col("__sig"))
+      .filter(col("__n") >= 2 && col("__sig") > 0 && abs(col("z")) >= zmin)
+      .drop("__n", "__s1", "__s2", "__mu", "__sig")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---------------------------------------------------------- scans
@@ -656,6 +688,41 @@ object Relational {
              |  CAST(min(l_quantity) AS DOUBLE),
              |  CAST(max(l_quantity) AS DOUBLE) FROM b
              |ORDER BY "column"""".stripMargin)),
+
+    // ------------------------------------------- per-group outlier flags
+    // the third profiling shape (histogram = distribution, stats =
+    // bounds, THIS = anomalies): events whose value sits ≥ 3 population
+    // σ from their event_type's mean. Moments exact in DECIMAL(38,6),
+    // the z expression written identically on both engines (see
+    // zscoreOutliers scaladoc); events.value is exponential-ish in the
+    // fixture, so ~190 rows flag at sf0.01 — a real report, not an
+    // empty-result degenerate.
+    QueryDef("q_profile_outliers",
+      (s, d) => zscoreOutliers(
+          t(s, d, "events").select("event_id", "event_type", "value"),
+          Seq("event_type"), col("value"), 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 6).as("z"))
+        .orderBy("event_id"),
+      Some("""WITH m AS (
+             |  SELECT event_type, count(1) AS n,
+             |    sum(CAST(value AS DECIMAL(38,6))) AS s1,
+             |    sum(CAST(value * value AS DECIMAL(38,6))) AS s2
+             |  FROM events GROUP BY event_type
+             |), j AS (
+             |  SELECT event_id, event_type, value,
+             |    (value - CAST(s1 AS DOUBLE) / n)
+             |      / sqrt(CAST(s2 AS DOUBLE) / n
+             |          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS z,
+             |    n,
+             |    sqrt(CAST(s2 AS DOUBLE) / n
+             |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sig
+             |  FROM events JOIN m USING (event_type)
+             |)
+             |SELECT event_id, event_type, value, round(z, 6) AS z
+             |FROM j
+             |WHERE n >= 2 AND sig > 0 AND abs(z) >= 3.0
+             |ORDER BY event_id""".stripMargin)),
 
     // DISTINCT on a column subset with a deterministic survivor
     QueryDef("q_distinct_subset",

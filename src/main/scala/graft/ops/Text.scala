@@ -402,6 +402,61 @@ object Text {
              |WHERE tf.doc_id < 20
              |ORDER BY doc_id, token""".stripMargin)),
 
+    // ------------------------------------------------ BM25 relevance
+    // the retrieval scorer tf-idf is not: BM25(k1=1.2, b=0.75) adds tf
+    // saturation and doc-length normalization — what a RAG-curation
+    // pipeline actually ranks candidate documents with. Every input is
+    // INTEGER-exact (tf, df, per-doc length dl, corpus doc count, total
+    // token count), so the one double expression — written identically
+    // on both engines — is deterministic; round(6) is presentation.
+    // The scale shape: the corpus-sized term table reduces ONCE (the
+    // (doc_id, token) hash-agg); dl = Σ tf and df both derive from the
+    // already-reduced pair table, so their inputs are pair-sized, not
+    // corpus-sized (the q_text_tfidf df-from-tf trick, applied twice);
+    // df is vocab-bounded and the 1-row corpus stats frame broadcasts.
+    // Same doc_id < 20 output discipline as q_text_tfidf.
+    QueryDef("q_text_bm25",
+      (s, d) => {
+        val docs = Tables.table(s, d, "documents")
+        val term = docs.select(col("doc_id"), explode(toks).as("token"))
+        val tf = term.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
+        tf.join(dl, "doc_id")
+          .join(broadcast(df_), "token")
+          .join(broadcast(stats))
+          .filter(col("doc_id") < 20)
+          .select(col("doc_id"), col("token"),
+            col("tf").cast(LongType).as("tf"),
+            round(expr(
+              """ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+                |  * (CAST(tf AS DOUBLE) * 2.2)
+                |  / (CAST(tf AS DOUBLE) + 1.2 * (0.25
+                |     + 0.75 * CAST(dl AS DOUBLE) * n_docs / tot_dl))
+                |""".stripMargin), 6).as("bm25"))
+          .orderBy("doc_id", "token")
+      },
+      Some("""WITH term AS (
+             |  SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents
+             |), tf AS (
+             |  SELECT doc_id, token, count(1) AS tf FROM term GROUP BY 1, 2
+             |), dl AS (
+             |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+             |), df AS (
+             |  SELECT token, count(1) AS df FROM tf GROUP BY 1
+             |), stats AS (
+             |  SELECT count(1) AS n_docs, sum(dl) AS tot_dl FROM dl
+             |)
+             |SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+             |  round(ln(1.0 + (CAST(n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+             |    * (CAST(tf.tf AS DOUBLE) * 2.2)
+             |    / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25
+             |       + 0.75 * CAST(dl.dl AS DOUBLE) * n_docs / tot_dl)), 6) AS bm25
+             |FROM tf JOIN dl USING (doc_id), df, stats
+             |WHERE tf.doc_id < 20 AND df.token = tf.token
+             |ORDER BY tf.doc_id, tf.token""".stripMargin)),
+
     // ------------------------------------------------ language ID
     // n-gram/stopword-profile heuristic: score each language by hits
     // against a fixed marker-word profile, argmax with a deterministic

@@ -369,6 +369,51 @@ object Workload {
              |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
              |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
              |GROUP BY n_name
-             |ORDER BY revenue DESC, n_name""".stripMargin))
+             |ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // --------------------------------------------------------- TPC-H Q19
+    // disjunctive-predicate shape: revenue over an OR of three
+    // brand/size/quantity condition arms, each arm mixing columns from
+    // BOTH join sides — the classic optimizer test that a cross-table
+    // OR must not break equi-join extraction. The plan the key pins:
+    // Catalyst still extracts `l_partkey = p_partkey` as the hash-join
+    // key (part dim-sized → broadcast at bench scale, shuffle join at
+    // 3B parts — the q3/q5/q18 policy) and evaluates the disjunction as
+    // the join's residual condition, NEVER as a nested-loop or
+    // cartesian plan; rows failing every arm die at the join, so the
+    // aggregate sees only matches. The sum runs exact in DECIMAL(38,6)
+    // (order-independent parallel agg), DOUBLE on the way out; the
+    // count makes the single-row result self-evidencing. (Brand#4 /
+    // quantity arms adapted to the synthetic domain: brands run
+    // Brand#1..25, l_quantity 1..50.)
+    QueryDef("q_tpch_q19",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(
+          col("l_partkey"), col("l_quantity"), col("l_returnflag"),
+          revenue.as("rev"))
+        val pt = t(s, d, "part").select("p_partkey", "p_brand", "p_size")
+        val arms =
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11) && col("l_returnflag") === "N") ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20) && col("l_returnflag") === "N") ||
+          (col("p_brand") === "Brand#4" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30))
+        li.join(pt, col("l_partkey") === col("p_partkey") && arms)
+          .agg(sum(col("rev")).cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+             |  count(1) AS n_rows
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE
+             |  (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             |    AND l_quantity BETWEEN 1 AND 11 AND l_returnflag = 'N')
+             |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+             |    AND l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'N')
+             |  OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
+             |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin))
   )
 }

@@ -366,6 +366,25 @@ class GraftSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Graft.profileStats(df, Seq("nope")) }
   }
 
+  test("outliers flags the planted spike, skips degenerate groups") {
+    import spark.implicits._
+    // group "a": 9 values at 10.0 + one spike at 1000 → the spike's z is
+    // ~3 (9 of 10 points contribute ~0 deviation); group "b": constant
+    // (σ = 0); group "c": single row (n < 2) — only the spike may flag.
+    val df = (Seq.fill(9)(("a", 10.0)) ++ Seq(("a", 1000.0)) ++
+      Seq(("b", 5.0), ("b", 5.0), ("c", 99.0))).toDF("g", "v")
+    val got = Graft.outliers(df, Seq("g"), col("v"), zmin = 2.5).collect()
+    assert(got.length == 1 && got.head.getString(0) == "a" &&
+      got.head.getDouble(1) == 1000.0,
+      s"exactly the planted spike must flag: ${got.mkString(", ")}")
+    assert(got.head.getDouble(2) > 2.5, "the z column must carry the score")
+    assert(Graft.outliers(df, Seq("g"), col("v"), zmin = 50.0).isEmpty,
+      "an unreachable threshold flags nothing")
+    intercept[IllegalArgumentException] {
+      Graft.outliers(df, Seq.empty, col("v"))
+    }
+  }
+
   test("histogram facade: fixture == key, bins partition the row count") {
     val li = graft.warehouse.Tables.table(spark, sfDir, "lineitem")
     val api = Graft.histogram(li, col("l_extendedprice"), 5000.0)

@@ -216,6 +216,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"revenue agg must combine map-side:\n$p")
   }
 
+  test("q_tpch_q19 keeps the equi-join under the cross-table OR — never nested-loop") {
+    val p = plan("q_tpch_q19")
+    // the disjunction mixes part and lineitem columns in every arm; the
+    // pin is that Catalyst still extracts l_partkey = p_partkey as the
+    // hash-join key and carries the OR as the join's residual condition
+    // — a BroadcastNestedLoopJoin/CartesianProduct here is quadratic
+    // death at 100 TB
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"the partkey equi-join must survive the OR condition:\n$p")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"the OR must ride the equi-join as a residual, not force a loop join:\n$p")
+    assert(p.contains("partial_sum"), s"revenue agg must combine map-side:\n$p")
+  }
+
+  test("q_profile_outliers joins moments back — no window over the corpus") {
+    val p = plan("q_profile_outliers")
+    assert(!p.contains("Window"),
+      s"z-scores must come from the stats join-back, not a window:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the moment aggregate must combine map-side:\n$p")
+  }
+
   test("q_sample_quota ranks in salted slices first — no group-sized window partition") {
     val p = plan("q_sample_quota")
     val wins = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
