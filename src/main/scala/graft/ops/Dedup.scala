@@ -315,6 +315,37 @@ object Dedup {
     saltedPairJoin(salted, Seq("band_idx", "band_val"))
   }
 
+  /** 64-bit frequency-weighted simhash per document, kept as FOUR 16-bit
+    * block values `b0..b3` (block k = signature bits [16k, 16k+16);
+    * never packed into one long — bit 63 would overflow positive
+    * BIGINT, and the Hamming key joins per block anyway). Bits 0..31
+    * come from the first 8 md5 hex digits of each token, bits 32..63
+    * from the next 8 — one explode + ONE hash-agg with 64 map-side-
+    * combinable ±1 votes, the 16-bit `q_dedup_simhash` recipe widened.
+    * Consumed by `q_dedup_simhash_hamming`. */
+  private[graft] def simhash64(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val th = Tables.table(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .withColumn("h1", expr(Text.md5i("token")))
+      .withColumn("h2",
+        expr("CAST(conv(substring(md5(token), 9, 8), 16, 10) AS BIGINT)"))
+    val bitSums = (0 until 64).map { j =>
+      val src = if (j < 32) "h1" else "h2"
+      sum(when(expr(s"($src div ${1L << (j % 32)}) % 2") === 1, 1)
+        .otherwise(-1)).as(s"s_$j")
+    }
+    val blockExprs = (0 until 4).map { k =>
+      (0 until 16).map(i =>
+        s"(CASE WHEN s_${16 * k + i} > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" + ")
+    }
+    th.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), expr(blockExprs(0)).as("b0"),
+        expr(blockExprs(1)).as("b1"), expr(blockExprs(2)).as("b2"),
+        expr(blockExprs(3)).as("b3"))
+  }
+
   /** (doc_id, sh) 3-shingle ARRAY frame — the exact-measure input shared
     * by the ngram-Jaccard and containment scoring keys (`sh_t` in their
     * oracles). [[graft.functions.Shingles3]] dedups via LinkedHashSet and
@@ -1236,6 +1267,94 @@ object Dedup {
            |SELECT doc_id, $simhash AS simhash,
            |  CAST(count(1) OVER (PARTITION BY $simhash) AS BIGINT) AS n_bucket
            |FROM bits ORDER BY doc_id""".stripMargin
+      }),
+
+    // ------------------------------------- SimHash NEAR-match (Hamming ≤ 3)
+    // what q_dedup_simhash's identical-signature buckets miss: documents
+    // whose 64-bit simhashes differ in up to 3 bits (the Manku/Jain/
+    // Sarma web-dedup criterion). The signature is kept as FOUR 16-bit
+    // block values (never one packed long — bit 63 would overflow
+    // BIGINT), and the pigeonhole principle makes block-join recall
+    // EXACT: 3 flipped bits can dirty at most 3 of 4 blocks, so every
+    // Hamming-≤3 pair shares at least one identical block. Candidates
+    // come from the block self-join under the SAME [[subSalt]] hot-
+    // bucket guard as every other generator (a degenerate corpus where
+    // all docs share a block emits O(cap·n) pairs, never n²); the exact
+    // bit_count(xor) verification runs only on guarded candidates. One
+    // corpus pass builds the signatures (64 map-side-combinable ±1 bit
+    // votes over the exploded tokens), registry-cached like its 16-bit
+    // sibling.
+    QueryDef("q_dedup_simhash_hamming",
+      (s, d) => {
+        val sigs = graft.CacheRegistry.getOrPersist("simhash64_sigs", d,
+          simhash64(s, d))
+        val blocks = sigs.select(col("doc_id"),
+          posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+            .as(Seq("block_idx", "block_val")))
+        val salted = subSalt(blocks, Seq("block_idx", "block_val"),
+          "doc_id", MaxBand)
+        val a = sigs.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
+          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+        val b = sigs.select(col("doc_id").as("doc_b"), col("b0").as("c0"),
+          col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+        saltedPairJoin(salted, Seq("block_idx", "block_val"))
+          .join(a, "doc_a").join(b, "doc_b")
+          .withColumn("hamming", expr(
+            """CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1)
+              |  + bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)""".stripMargin))
+          .filter(col("hamming") <= 3)
+          .select("doc_a", "doc_b", "hamming")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val h2 = "CAST(('0x' || substr(md5(token), 9, 8)) AS BIGINT)"
+        val bitSums = (0 until 64).map { j =>
+          val src = if (j < 32) "h1" else "h2"
+          s"sum(CASE WHEN ($src // ${1L << (j % 32)}) % 2 = 1 THEN 1 ELSE -1 END) AS s_$j"
+        }.mkString(", ")
+        val blockExprs = (0 until 4).map { k =>
+          (0 until 16).map(i =>
+            s"(CASE WHEN s_${16 * k + i} > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+            .mkString(" + ")
+        }
+        s"""WITH th AS (
+           |  SELECT doc_id, ${Text.md5iDuck("token")} AS h1, $h2 AS h2
+           |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token
+           |        FROM documents)
+           |), bits AS (
+           |  SELECT doc_id, $bitSums FROM th GROUP BY doc_id
+           |), sigs AS (
+           |  SELECT doc_id, ${blockExprs(0)} AS b0, ${blockExprs(1)} AS b1,
+           |    ${blockExprs(2)} AS b2, ${blockExprs(3)} AS b3
+           |  FROM bits
+           |), blocks_raw AS (
+           |  SELECT doc_id, block_idx,
+           |    CASE block_idx WHEN 0 THEN b0 WHEN 1 THEN b1
+           |      WHEN 2 THEN b2 ELSE b3 END AS block_val
+           |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS block_idx)
+           |), bsz AS (
+           |  SELECT block_idx, block_val, count(*) AS bn
+           |  FROM blocks_raw GROUP BY block_idx, block_val
+           |), blocks AS (
+           |  SELECT doc_id, block_idx, block_val,
+           |    ${Text.md5iDuck("CAST(doc_id AS VARCHAR)")}
+           |      % ((bn + ${MaxBand - 1}) // $MaxBand) AS salt
+           |  FROM blocks_raw JOIN bsz USING (block_idx, block_val)
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM blocks a JOIN blocks b USING (block_idx, block_val, salt)
+           |  WHERE a.doc_id < b.doc_id
+           |)
+           |SELECT doc_a, doc_b,
+           |  CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+           |     + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+           |    AS BIGINT) AS hamming
+           |FROM cand
+           |JOIN sigs x ON x.doc_id = doc_a
+           |JOIN sigs y ON y.doc_id = doc_b
+           |WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+           |    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin
       }),
 
     // ------------------------------------------------ embedding near-dup

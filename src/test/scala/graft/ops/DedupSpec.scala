@@ -130,6 +130,21 @@ class DedupSpec extends SparkSpec {
       f"int8 approximation error $maxErr%.4f exceeds the headroom ceiling")
   }
 
+  test("simhash hamming: block join recovers EVERY Hamming-≤3 pair (pigeonhole recall)") {
+    val sigs = Dedup.simhash64(spark, sfDir).collect()
+      .map(r => (r.getLong(0),
+        Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    val brute = (for {
+      (da, sa) <- sigs; (db, sb) <- sigs if da < db
+      h = (0 until 4).map(k => java.lang.Long.bitCount(sa(k) ^ sb(k))).sum
+      if h <= 3
+    } yield (da, db, h.toLong)).toSet
+    val got = SparkEntry.queries("q_dedup_simhash_hamming")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute,
+      s"block join ≠ brute force: missing ${brute -- got}, extra ${got -- brute}")
+  }
+
   test("hot-bucket guard: adversarial single-band bucket emits O(K·n), not O(n²), pairs") {
     import spark.implicits._
     // 5k docs all sharing ONE band value — the boilerplate-band nightmare.
