@@ -323,6 +323,24 @@ object Dedup {
     * from the next 8 — one explode + ONE hash-agg with 64 map-side-
     * combinable ±1 votes, the 16-bit `q_dedup_simhash` recipe widened.
     * Consumed by `q_dedup_simhash_hamming`. */
+  /** Engine-neutral SQL fragments for the 64-bit simhash — ONE
+    * definition of the ±1 bit-vote sums (`divOp` = `div` for Spark,
+    * `//` for DuckDB; the only dialect difference) and the four 16-bit
+    * block packers, so the Spark builder and its oracle can never
+    * desynchronize on the bit weights, the tie rule, or the block
+    * layout. */
+  private def simhash64BitSums(divOp: String): Seq[String] =
+    (0 until 64).map { j =>
+      val src = if (j < 32) "h1" else "h2"
+      s"sum(CASE WHEN ($src $divOp ${1L << (j % 32)}) % 2 = 1 THEN 1 ELSE -1 END) AS s_$j"
+    }
+
+  private val simhash64Blocks: Seq[String] = (0 until 4).map { k =>
+    (0 until 16).map(i =>
+      s"(CASE WHEN s_${16 * k + i} > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+  }
+
   private[graft] def simhash64(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val th = Tables.table(s, d, "documents")
@@ -330,20 +348,11 @@ object Dedup {
       .withColumn("h1", expr(Text.md5i("token")))
       .withColumn("h2",
         expr("CAST(conv(substring(md5(token), 9, 8), 16, 10) AS BIGINT)"))
-    val bitSums = (0 until 64).map { j =>
-      val src = if (j < 32) "h1" else "h2"
-      sum(when(expr(s"($src div ${1L << (j % 32)}) % 2") === 1, 1)
-        .otherwise(-1)).as(s"s_$j")
-    }
-    val blockExprs = (0 until 4).map { k =>
-      (0 until 16).map(i =>
-        s"(CASE WHEN s_${16 * k + i} > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-        .mkString(" + ")
-    }
+    val bitSums = simhash64BitSums("div").map(expr)
     th.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), expr(blockExprs(0)).as("b0"),
-        expr(blockExprs(1)).as("b1"), expr(blockExprs(2)).as("b2"),
-        expr(blockExprs(3)).as("b3"))
+      .select(col("doc_id"), expr(simhash64Blocks(0)).as("b0"),
+        expr(simhash64Blocks(1)).as("b1"), expr(simhash64Blocks(2)).as("b2"),
+        expr(simhash64Blocks(3)).as("b3"))
   }
 
   /** (doc_id, sh) 3-shingle ARRAY frame — the exact-measure input shared
@@ -1274,12 +1283,18 @@ object Dedup {
     // whose 64-bit simhashes differ in up to 3 bits (the Manku/Jain/
     // Sarma web-dedup criterion). The signature is kept as FOUR 16-bit
     // block values (never one packed long — bit 63 would overflow
-    // BIGINT), and the pigeonhole principle makes block-join recall
-    // EXACT: 3 flipped bits can dirty at most 3 of 4 blocks, so every
-    // Hamming-≤3 pair shares at least one identical block. Candidates
-    // come from the block self-join under the SAME [[subSalt]] hot-
-    // bucket guard as every other generator (a degenerate corpus where
-    // all docs share a block emits O(cap·n) pairs, never n²); the exact
+    // BIGINT); by pigeonhole, 3 flipped bits dirty at most 3 of 4
+    // blocks, so every Hamming-≤3 pair shares at least one identical
+    // block. Candidates come from the block self-join under the SAME
+    // [[subSalt]] hot-bucket guard as every other generator, which
+    // makes the recall contract two-regime: EXACT while no
+    // (block_idx, block_val) bucket exceeds the cap (DedupSpec asserts
+    // the fixture sits in this regime and proves key ≡ brute force
+    // there), and past the cap the guard trades bounded recall loss
+    // inside the hot block for the O(cap·n) pair bound — the standard
+    // candidate discipline, and a >cap block means 65+ docs agreeing
+    // on 16 signature bits, a mass-template regime the exact-match
+    // simhash key already surfaces via its bucket sizes. The exact
     // bit_count(xor) verification runs only on guarded candidates. One
     // corpus pass builds the signatures (64 map-side-combinable ±1 bit
     // votes over the exploded tokens), registry-cached like its 16-bit
@@ -1308,15 +1323,7 @@ object Dedup {
       },
       Some {
         val h2 = "CAST(('0x' || substr(md5(token), 9, 8)) AS BIGINT)"
-        val bitSums = (0 until 64).map { j =>
-          val src = if (j < 32) "h1" else "h2"
-          s"sum(CASE WHEN ($src // ${1L << (j % 32)}) % 2 = 1 THEN 1 ELSE -1 END) AS s_$j"
-        }.mkString(", ")
-        val blockExprs = (0 until 4).map { k =>
-          (0 until 16).map(i =>
-            s"(CASE WHEN s_${16 * k + i} > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-            .mkString(" + ")
-        }
+        val bitSums = simhash64BitSums("//").mkString(", ")
         s"""WITH th AS (
            |  SELECT doc_id, ${Text.md5iDuck("token")} AS h1, $h2 AS h2
            |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token
@@ -1324,8 +1331,8 @@ object Dedup {
            |), bits AS (
            |  SELECT doc_id, $bitSums FROM th GROUP BY doc_id
            |), sigs AS (
-           |  SELECT doc_id, ${blockExprs(0)} AS b0, ${blockExprs(1)} AS b1,
-           |    ${blockExprs(2)} AS b2, ${blockExprs(3)} AS b3
+           |  SELECT doc_id, ${simhash64Blocks(0)} AS b0, ${simhash64Blocks(1)} AS b1,
+           |    ${simhash64Blocks(2)} AS b2, ${simhash64Blocks(3)} AS b3
            |  FROM bits
            |), blocks_raw AS (
            |  SELECT doc_id, block_idx,

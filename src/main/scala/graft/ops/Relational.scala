@@ -66,8 +66,10 @@ object Relational {
     * unless a float/double column is present, in which case the report
     * is DOUBLE (exact for the float columns; an integral column
     * profiled ALONGSIDE doubles is exact up to 2^53). Non-numeric
-    * columns and decimals the report type would round or overflow are
-    * rejected loudly, never silently nulled. The profiling companion
+    * columns and decimals EITHER report type would round or overflow
+    * (scale > 6 / too wide for DECIMAL(38,6) on the exact path,
+    * precision > 15 on the DOUBLE path) are rejected loudly, never
+    * silently nulled. The profiling companion
     * to [[histogram]]: at 100 TB this is exactly one scan whatever the
     * column count. */
   private[graft] def profileStats(df: DataFrame, cols: Seq[String]): DataFrame = {
@@ -84,9 +86,21 @@ object Relational {
           "— cast it explicitly if a numeric profile is intended")
     }
     val outType: DataType =
-      if (fields.exists(f => f.dataType == DoubleType || f.dataType == FloatType))
+      if (fields.exists(f => f.dataType == DoubleType || f.dataType == FloatType)) {
+        // the DOUBLE report a float column forces must not silently
+        // round a decimal column riding along (the loud-rejection
+        // contract applies on BOTH paths); integral columns stay
+        // admitted with the documented exact-to-2^53 caveat
+        fields.foreach(f => f.dataType match {
+          case dt: DecimalType if dt.precision > 15 =>
+            throw new IllegalArgumentException(
+              s"profileStats: column '${f.name}' (${dt.simpleString}) does not fit the " +
+                "DOUBLE report a float column forces (> 15 significant digits would " +
+                "round silently) — profile it separately or pre-cast it")
+          case _ => ()
+        })
         DoubleType
-      else {
+      } else {
         fields.foreach(f => f.dataType match {
           case dt: DecimalType if dt.scale > 6 || dt.precision - dt.scale > 32 =>
             throw new IllegalArgumentException(
@@ -127,21 +141,32 @@ object Relational {
     * facade does not force a hint because group cardinality is the
     * caller's domain — cf. the simhashBuckets precondition lesson).
     * μ/σ/z derive from the exact moments through the SAME double
-    * expression on both engines, so the oracle hash-matches. Groups
-    * with n < 2 or σ = 0 produce no flags by definition. */
+    * expression on both engines, so the oracle hash-matches. Three
+    * degenerate cases are pinned closed: n counts NON-NULL values
+    * (a null must not deflate μ; null-value rows themselves never
+    * flag), the variance is clamped at 0 before the sqrt (the 6-dp
+    * moment rounding can push a constant group's variance a hair
+    * NEGATIVE, and sqrt(-ε) = NaN which Spark's NaN-is-greatest
+    * comparison would then flag on EVERY row of the group), and the
+    * square is taken in DOUBLE before the decimal cast (a decimal
+    * value column would otherwise overflow the decimal multiply to
+    * null and silently drop out of Σx²). Groups with n < 2 or σ = 0
+    * produce no flags by definition. */
   private[graft] def zscoreOutliers(
       df: DataFrame, keys: Seq[String], value: Column, zmin: Double): DataFrame = {
     require(keys.nonEmpty, "zscoreOutliers needs at least one grouping column")
     require(zmin > 0 && !zmin.isNaN, s"zmin must be positive: $zmin")
+    val vd = value.cast(DoubleType)
     val m = df.groupBy(keys.map(col): _*).agg(
-      count(lit(1)).as("__n"),
+      count(value).as("__n"),
       sum(value.cast(D386)).as("__s1"),
-      sum((value * value).cast(D386)).as("__s2"))
+      sum((vd * vd).cast(D386)).as("__s2"))
     val mu = col("__s1").cast(DoubleType) / col("__n")
     df.join(m, keys)
       .withColumn("__mu", mu)
       .withColumn("__sig",
-        sqrt(col("__s2").cast(DoubleType) / col("__n") - mu * mu))
+        sqrt(greatest(col("__s2").cast(DoubleType) / col("__n") - mu * mu,
+          lit(0.0))))
       .withColumn("z", (value - col("__mu")) / col("__sig"))
       .filter(col("__n") >= 2 && col("__sig") > 0 && abs(col("z")) >= zmin)
       .drop("__n", "__s1", "__s2", "__mu", "__sig")
@@ -705,18 +730,18 @@ object Relational {
           round(col("z"), 6).as("z"))
         .orderBy("event_id"),
       Some("""WITH m AS (
-             |  SELECT event_type, count(1) AS n,
+             |  SELECT event_type, count(value) AS n,
              |    sum(CAST(value AS DECIMAL(38,6))) AS s1,
              |    sum(CAST(value * value AS DECIMAL(38,6))) AS s2
              |  FROM events GROUP BY event_type
              |), j AS (
              |  SELECT event_id, event_type, value,
              |    (value - CAST(s1 AS DOUBLE) / n)
-             |      / sqrt(CAST(s2 AS DOUBLE) / n
-             |          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS z,
+             |      / sqrt(greatest(CAST(s2 AS DOUBLE) / n
+             |          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0.0)) AS z,
              |    n,
-             |    sqrt(CAST(s2 AS DOUBLE) / n
-             |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sig
+             |    sqrt(greatest(CAST(s2 AS DOUBLE) / n
+             |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0.0)) AS sig
              |  FROM events JOIN m USING (event_type)
              |)
              |SELECT event_id, event_type, value, round(z, 6) AS z

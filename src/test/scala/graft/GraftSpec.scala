@@ -364,6 +364,13 @@ class GraftSpec extends SparkSpec {
       r.getAs[java.math.BigDecimal]("max_val").longValueExact == 4L)
     intercept[IllegalArgumentException] { Graft.profileStats(df, Seq("s")) }
     intercept[IllegalArgumentException] { Graft.profileStats(df, Seq("nope")) }
+    // the loud-rejection contract holds on the DOUBLE path too: a wide
+    // decimal riding along with a float column must not round silently
+    val mixed = spark.range(1).selectExpr(
+      "CAST(id AS DECIMAL(20,2)) AS d", "CAST(id AS DOUBLE) AS x")
+    intercept[IllegalArgumentException] {
+      Graft.profileStats(mixed, Seq("d", "x"))
+    }
   }
 
   test("outliers flags the planted spike, skips degenerate groups") {
@@ -383,6 +390,24 @@ class GraftSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Graft.outliers(df, Seq.empty, col("v"))
     }
+  }
+
+  test("outliers: negative-variance clamp and null values never produce flags") {
+    import spark.implicits._
+    // 6-dp moment rounding pushes this constant group's variance a hair
+    // NEGATIVE (s1 rounds 0.0000005 UP to 1e-6, s2 rounds 2.5e-13 DOWN
+    // to 0 → s2/n < μ²); without the clamp σ = sqrt(-ε) = NaN and
+    // Spark's NaN-is-greatest comparisons flag EVERY row of the group.
+    val df = Seq(("a", 0.0000005), ("a", 0.0000005)).toDF("g", "v")
+    assert(Graft.outliers(df, Seq("g"), col("v"), 2.0).isEmpty,
+      "a constant group must never flag, even when moment rounding goes negative")
+    // nulls must not deflate μ: with count(1) moments, [0, 60, null]
+    // gives μ = 20 / σ = 28.3 and z(60) ≈ 1.41 ≥ 1.3 — a spurious flag;
+    // true non-null moments give z = ±1.
+    val dfn = Seq(("b", Some(0.0)), ("b", Some(60.0)), ("b", None))
+      .toDF("g", "v")
+    assert(Graft.outliers(dfn, Seq("g"), col("v"), 1.3).isEmpty,
+      "null values must not deflate the mean into spurious flags")
   }
 
   test("histogram facade: fixture == key, bins partition the row count") {

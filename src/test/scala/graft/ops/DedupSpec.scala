@@ -134,6 +134,16 @@ class DedupSpec extends SparkSpec {
     val sigs = Dedup.simhash64(spark, sfDir).collect()
       .map(r => (r.getLong(0),
         Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    // the exact-recall contract is two-regime: it holds while no
+    // (block_idx, block_val) bucket exceeds the hot-bucket cap (past
+    // the cap the subSalt guard trades bounded recall loss for the
+    // O(cap·n) pair bound). Pin that this fixture sits in the exact
+    // regime, so the brute-force equality below tests what it claims.
+    val maxBucket = sigs.flatMap { case (_, bs) => bs.zipWithIndex }
+      .groupBy(identity).values.map(_.length).max
+    assert(maxBucket <= Dedup.MaxBand,
+      s"fixture has a hot block ($maxBucket docs > cap ${Dedup.MaxBand}) — " +
+        "the exact-recall regime no longer applies and this test is vacuous")
     val brute = (for {
       (da, sa) <- sigs; (db, sb) <- sigs if da < db
       h = (0 until 4).map(k => java.lang.Long.bitCount(sa(k) ^ sb(k))).sum
