@@ -323,25 +323,31 @@ object Dedup {
     * from the next 8 — one explode + ONE hash-agg with 64 map-side-
     * combinable ±1 votes, the 16-bit `q_dedup_simhash` recipe widened.
     * Consumed by `q_dedup_simhash_hamming`. */
-  /** Engine-neutral SQL fragments for the 64-bit simhash — ONE
-    * definition of the ±1 bit-vote sums (`divOp` = `div` for Spark,
-    * `//` for DuckDB; the only dialect difference) and the four 16-bit
-    * block packers, so the Spark builder and its oracle can never
-    * desynchronize on the bit weights, the tie rule, or the block
-    * layout. */
-  private def simhash64BitSums(divOp: String): Seq[String] =
+  /** SQL fragments for the 64-bit simhash oracle (and for the parity
+    * spec that replays them through Spark SQL): the ±1 bit-vote sums
+    * (`divOp` = `div` for Spark SQL, `//` for DuckDB; the only dialect
+    * difference) and the four 16-bit block packers. The PRODUCTION
+    * Spark path is the fused [[graft.functions.SimHash64]] codegen
+    * expression whose scaladoc pins byte-for-byte parity with these
+    * fragments; DedupSpec proves expression ≡ SQL on the fixture
+    * corpus. */
+  private[graft] def simhash64BitSums(divOp: String): Seq[String] =
     (0 until 64).map { j =>
       val src = if (j < 32) "h1" else "h2"
       s"sum(CASE WHEN ($src $divOp ${1L << (j % 32)}) % 2 = 1 THEN 1 ELSE -1 END) AS s_$j"
     }
 
-  private val simhash64Blocks: Seq[String] = (0 until 4).map { k =>
+  private[graft] val simhash64Blocks: Seq[String] = (0 until 4).map { k =>
     (0 until 16).map(i =>
       s"(CASE WHEN s_${16 * k + i} > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
   }
 
-  private[graft] def simhash64(
+  /** The explode + 64-aggregate SQL formulation of [[simhash64]] — kept
+    * ONLY as the parity reference the spec compares the codegen
+    * expression against (it IS the oracle's arithmetic, run through
+    * Spark). */
+  private[graft] def simhash64ViaSql(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val th = Tables.table(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
@@ -353,6 +359,23 @@ object Dedup {
       .select(col("doc_id"), expr(simhash64Blocks(0)).as("b0"),
         expr(simhash64Blocks(1)).as("b1"), expr(simhash64Blocks(2)).as("b2"),
         expr(simhash64Blocks(3)).as("b3"))
+  }
+
+  /** Per-doc 64-bit simhash as four 16-bit blocks via the fused
+    * [[graft.functions.SimHash64]] expression: a row-local map — no
+    * explode, no 64-column aggregate, NO shuffle at all to build
+    * signatures (the r10 first cut paid a corpus-sized token explode
+    * through a 64-sum hash-agg for the same numbers). Docs with no
+    * tokens surface as all-null blocks and are dropped, mirroring the
+    * exploded form where they simply had no rows. */
+  private[graft] def simhash64(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.SimHash64.register(s)
+    Tables.table(s, d, "documents")
+      .select(col("doc_id"), expr("simhash64(split(text, ' '))").as("sig"))
+      .select(col("doc_id"), col("sig")(0).as("b0"), col("sig")(1).as("b1"),
+        col("sig")(2).as("b2"), col("sig")(3).as("b3"))
+      .filter(col("b0").isNotNull)
   }
 
   /** (doc_id, sh) 3-shingle ARRAY frame — the exact-measure input shared
@@ -1295,10 +1318,10 @@ object Dedup {
     // candidate discipline, and a >cap block means 65+ docs agreeing
     // on 16 signature bits, a mass-template regime the exact-match
     // simhash key already surfaces via its bucket sizes. The exact
-    // bit_count(xor) verification runs only on guarded candidates. One
-    // corpus pass builds the signatures (64 map-side-combinable ±1 bit
-    // votes over the exploded tokens), registry-cached like its 16-bit
-    // sibling.
+    // bit_count(xor) verification runs only on guarded candidates.
+    // Signatures come from the fused row-local [[graft.functions
+    // .SimHash64]] codegen expression (no explode, no 64-column agg, no
+    // shuffle), registry-cached like the 16-bit sibling's.
     QueryDef("q_dedup_simhash_hamming",
       (s, d) => {
         val sigs = graft.CacheRegistry.getOrPersist("simhash64_sigs", d,

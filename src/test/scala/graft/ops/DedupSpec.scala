@@ -130,6 +130,16 @@ class DedupSpec extends SparkSpec {
       f"int8 approximation error $maxErr%.4f exceeds the headroom ceiling")
   }
 
+  test("simhash64 codegen expression ≡ the oracle's SQL arithmetic, doc for doc") {
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val viaExpr = Dedup.simhash64(spark, sfDir).collect().map(key).toMap
+    val viaSql = Dedup.simhash64ViaSql(spark, sfDir).collect().map(key).toMap
+    assert(viaExpr.nonEmpty && viaExpr == viaSql,
+      s"fused expression diverged from the SQL formulation on " +
+        s"${(viaExpr.keySet | viaSql.keySet).count(k => viaExpr.get(k) != viaSql.get(k))} docs")
+  }
+
   test("simhash hamming: block join recovers EVERY Hamming-≤3 pair (pigeonhole recall)") {
     val sigs = Dedup.simhash64(spark, sfDir).collect()
       .map(r => (r.getLong(0),
