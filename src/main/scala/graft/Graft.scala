@@ -318,6 +318,49 @@ object Graft {
       n: Int, saltKey: Column, salts: Int = 16): DataFrame =
     ops.Text.topNPerGroup(df, group, order, n, saltKey, salts)
 
+  /** Corpus-wide repeated-segment scrub (the CCNet line-dedup layer,
+    * north-star sub-document dedup): delete every `segTokens`-token
+    * segment occurring `minRepeat`+ times across the corpus — the
+    * boilerplate (footers, nav bars, license blurbs) that document-level
+    * dedup can never catch. Input needs (doc_id, text); returns (doc_id,
+    * clean_text, n_segments, n_dropped). Every stage is linear in corpus
+    * size — segmentation is row-local, the corpus count map-side
+    * combines, nothing is pairwise. Oracle-checked as
+    * `q_dedup_segments`. */
+  def scrubRepeatedSegments(docs: DataFrame, segTokens: Int = 3,
+      minRepeat: Long = 3): DataFrame =
+    ops.Dedup.scrubRepeatedSegments(docs, segTokens, minRepeat)
+
+  /** Sliding-window document chunking (the RAG / long-context indexing
+    * primitive): `width`-char windows every `stride` chars, tail window
+    * unpadded. Row-local — zero shuffle, pipelines straight into
+    * embedding or near-dup. Oracle-checked as `q_text_chunks` at
+    * width=120, stride=90. */
+  def textChunks(docs: DataFrame, width: Int = 120,
+      stride: Int = 90): DataFrame = {
+    require(width >= 1 && stride >= 1,
+      s"width and stride must be >= 1, got width=$width stride=$stride")
+    import org.apache.spark.sql.functions._
+    docs
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(1), greatest(length(col("text")), lit(1)),
+          lit(stride))).as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long"),
+        col("text").substr(col("start"), lit(width)).as("chunk"))
+      .withColumn("chunk_chars", length(col("chunk")).cast("long"))
+  }
+
+  /** Fixed-iteration damped PageRank (d = 0.85) over any (src, dst) edge
+    * frame — Pregel-as-joins, two exchanges per round, edge/degree tables
+    * built once by the caller and reused. Ranks are exact integer
+    * micro-units (1.0 ≡ 10^12, floor divisions only) so results are
+    * bit-reproducible under any partitioning. Pass the symmetrized edge
+    * union for undirected graphs; raw directed graphs drop dangling-node
+    * mass (documented simplification). Oracle-checked as
+    * `q_graph_pagerank` on the customer↔supplier trade graph. */
+  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame =
+    ops.Graph.pageRank(edges, iters)
+
   /** Ordered funnel analysis over any events-shaped frame: per step, the
     * count of users whose earliest completion of that step is strictly
     * after their earliest completion of the previous one. N key-local

@@ -17,7 +17,7 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     ops.Relational.defs ++ ops.Temporal.defs ++ connector.ConnectorQueries.defs ++
       ops.Text.defs ++ ops.Dedup.defs ++ ops.Vector.defs ++ ops.Multimodal.defs ++
-      ops.Workload.defs
+      ops.Workload.defs ++ ops.Graph.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape: scan → filter (pushed to parquet) → partial+final

@@ -903,6 +903,81 @@ object Dedup {
        |  SELECT u.b, w.reach FROM walk w JOIN und u ON u.a = w.doc
        |)""".stripMargin
 
+  /** Corpus-wide repeated-segment scrub (the CCNet/RefinedWeb line-dedup
+    * layer, adapted to this corpus's newline-free documents): split every
+    * document into consecutive `segTokens`-token segments, count identical
+    * segments across the WHOLE corpus, and delete every segment occurring
+    * `minRepeat`+ times — boilerplate (headers, nav bars, license
+    * blurbs) repeats verbatim across documents while real prose does not.
+    * Doc-level dedup cannot catch this: two mostly-distinct pages sharing
+    * a boilerplate footer are not near-dups, but the footer still
+    * poisons training data.
+    *
+    * Scale shape: segment construction is ROW-LOCAL (one `transform` over
+    * the token array — no explode until the count); the corpus-wide count
+    * is one map-side-combinable hash agg whose shuffle carries (segment,
+    * partial count), not documents; the duplicated-segment list joins
+    * back by segment key — left to the size-based planner, because its
+    * size is corpus-dependent (boilerplate lists are typically tiny and
+    * broadcast, but an adversarial corpus can make it |segments|/minRepeat,
+    * which must shuffle-join, and forcing broadcast here would be the
+    * simhashBuckets bug in reverse). Reassembly groups by doc — one
+    * linear shuffle, collect bounded by document length. Every stage is
+    * linear in corpus size; nothing is pairwise. */
+  private[graft] def scrubRepeatedSegments(
+      docs: org.apache.spark.sql.DataFrame,
+      segTokens: Int = 3,
+      minRepeat: Long = 3): org.apache.spark.sql.DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    require(minRepeat >= 2,
+      s"minRepeat < 2 would delete every segment; got $minRepeat")
+    val toks = split(col("text"), " ")
+    // ceil(len/W) segments per doc, built row-local: segment i = tokens
+    // [i*W+1, i*W+W] joined by single spaces (the corpus separator, so
+    // reassembly is byte-identical for untouched docs)
+    val nseg = greatest(ceil(size(toks) / lit(segTokens.toDouble)), lit(1))
+      .cast(IntegerType)
+    val segs = transform(sequence(lit(0), nseg - 1),
+      i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
+    val exploded = docs
+      .select(col("doc_id"), posexplode(segs).as(Seq("idx", "seg")))
+    val dupSegs = exploded.groupBy("seg")
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minRepeat)
+      .select(col("seg"), lit(true).as("is_dup"))
+    exploded.join(dupSegs, Seq("seg"), "left")
+      .groupBy("doc_id")
+      .agg(
+        // collect_list skips nulls → only kept segments survive; sort by
+        // the leading struct field restores document order
+        array_join(transform(
+          array_sort(collect_list(when(col("is_dup").isNull,
+            struct(col("idx"), col("seg"))))),
+          x => x.getField("seg")), " ").as("clean_text"),
+        count(lit(1)).cast(LongType).as("n_segments"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dropped"))
+      .select("doc_id", "clean_text", "n_segments", "n_dropped")
+  }
+
+  /** Quality-representative cluster resolution: the keep-list variant
+    * real curation runs want — per near-dup cluster keep the BEST member
+    * (here: longest content, ties to lowest doc_id), not the arbitrary
+    * lowest-id member [[resolveClusters]] keeps. One extra map-side-
+    * combinable agg over the cluster-membership table (cluster-sized,
+    * tiny relative to the corpus): `max(struct(score, -id))` is the
+    * order-independent argmax, so no window and no second pass. */
+  private[graft] def clusterRepresentatives(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val members = resolveClusters(s, d).select("doc_id", "keep_id")
+    val docs = Tables.table(s, d, "documents").select("doc_id", "n_chars")
+    members.join(docs, "doc_id")
+      .groupBy(col("keep_id").as("cluster_id"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("b"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), (-col("b.neg_id")).as("best_id"),
+        col("b.n_chars").as("best_chars"), col("cluster_size"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------ exact dedup
@@ -1471,6 +1546,59 @@ object Dedup {
     // the fixture; PlanSpec pins codes-not-vectors in the exchange.
     QueryDef("q_dedup_embedding_quantized",
       (s, d) => embeddingNearDupsQuantized(s, d, nprobe = 2, minCosine = 0.45),
-      Some(duckEmbeddingNearDupsQuantized(nprobe = 2, minCosine = 0.45)))
+      Some(duckEmbeddingNearDupsQuantized(nprobe = 2, minCosine = 0.45))),
+
+    // ------------------------------------------- repeated-segment scrub
+    // sub-document dedup (the CCNet line-dedup layer): 3-token segments
+    // repeated ≥3 times corpus-wide are boilerplate and get deleted from
+    // every document; see [[scrubRepeatedSegments]] for the linear-only
+    // scale shape. The oracle replays segmentation, the corpus count and
+    // ordered reassembly exactly (coalesce('') because string_agg of an
+    // all-dropped doc is NULL where array_join of none is '').
+    QueryDef("q_dedup_segments",
+      (s, d) => scrubRepeatedSegments(Tables.table(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |), sg AS (
+             |  SELECT doc_id, i AS idx,
+             |    array_to_string(t[(i * 3 + 1):(i * 3 + 3)], ' ') AS seg
+             |  FROM tk, UNNEST(generate_series(
+             |    0, greatest(CAST(ceil(len(t) / 3.0) AS BIGINT), 1) - 1)) AS u(i)
+             |), dup AS (
+             |  SELECT seg FROM sg GROUP BY seg HAVING count(1) >= 3
+             |)
+             |SELECT s.doc_id,
+             |  coalesce(string_agg(CASE WHEN d.seg IS NULL THEN s.seg END,
+             |    ' ' ORDER BY s.idx), '') AS clean_text,
+             |  CAST(count(1) AS BIGINT) AS n_segments,
+             |  CAST(count(d.seg) AS BIGINT) AS n_dropped
+             |FROM sg s LEFT JOIN dup d ON s.seg = d.seg
+             |GROUP BY s.doc_id
+             |ORDER BY s.doc_id""".stripMargin)),
+
+    // ------------------------------------------- best-member resolution
+    // the keep-the-BEST-duplicate report: per near-dup cluster, the
+    // longest member (ties → lowest doc_id) — what a curation run keeps
+    // when duplicates differ in truncation, vs resolveClusters' arbitrary
+    // lowest-id survivor. One argmax agg over the shared cluster table.
+    QueryDef("q_dedup_keep_best",
+      (s, d) => clusterRepresentatives(s, d).orderBy("cluster_id"),
+      Some(s"""$duckWalkCte, comp AS (
+              |  SELECT doc, min(reach) AS keep FROM walk GROUP BY doc
+              |), j AS (
+              |  SELECT c.keep, dd.doc_id, dd.n_chars
+              |  FROM comp c JOIN documents dd ON dd.doc_id = c.doc
+              |), r AS (
+              |  SELECT keep, doc_id, n_chars,
+              |    row_number() OVER (PARTITION BY keep
+              |      ORDER BY n_chars DESC, doc_id) AS rn,
+              |    count(1) OVER (PARTITION BY keep) AS cluster_size
+              |  FROM j
+              |)
+              |SELECT keep AS cluster_id, doc_id AS best_id,
+              |  n_chars AS best_chars, CAST(cluster_size AS BIGINT) AS cluster_size
+              |FROM r WHERE rn = 1
+              |ORDER BY cluster_id""".stripMargin))
   )
 }

@@ -907,6 +907,37 @@ object Text {
              |SELECT source, bucket, CAST(count(1) AS BIGINT) AS n_docs,
              |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
              |FROM packed GROUP BY source, bucket
-             |ORDER BY source, bucket""".stripMargin))
+             |ORDER BY source, bucket""".stripMargin)),
+
+    // ------------------------------------------------ sliding chunking
+    // RAG / long-context chunking: each document sliced into 120-char
+    // windows every 90 chars (25% overlap so no sentence is ever split
+    // across a boundary without appearing whole in a neighbor) — the
+    // retrieval-indexing primitive that feeds the similarity family.
+    // ROW-LOCAL by construction: starts are a `sequence`, the window is a
+    // `substr` — zero shuffle before the contract's final orderBy, and at
+    // 100 TB this is a pure map stage that pipelines into whatever
+    // consumes the chunks (embedding, indexing, near-dup). The tail
+    // window is shorter, never padded; a start past the text's end is
+    // never generated (sequence stops at len), so chunk counts are exact.
+    QueryDef("q_text_chunks",
+      (s, d) => {
+        val len = length(col("text"))
+        Tables.table(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            posexplode(sequence(lit(1), greatest(len, lit(1)), lit(90)))
+              .as(Seq("chunk_idx", "start")))
+          .select(col("doc_id"), col("chunk_idx").cast(LongType),
+            col("text").substr(col("start"), lit(120)).as("chunk"))
+          .withColumn("chunk_chars", length(col("chunk")).cast(LongType))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""SELECT doc_id, CAST((i - 1) // 90 AS BIGINT) AS chunk_idx,
+             |  substr(text, CAST(i AS BIGINT), 120) AS chunk,
+             |  CAST(length(substr(text, CAST(i AS BIGINT), 120)) AS BIGINT)
+             |    AS chunk_chars
+             |FROM documents,
+             |  UNNEST(generate_series(1, greatest(length(text), 1), 90)) AS u(i)
+             |ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 }

@@ -414,6 +414,83 @@ object Workload {
              |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
              |    AND l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'N')
              |  OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
-             |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin))
+             |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // ---------------------------------------------------------- TPC-H Q4
+    // order-priority-checking shape: the one classic form where the fact
+    // table appears ONLY inside an EXISTS — a LEFT SEMI join, never a
+    // row-multiplying inner join. (The synthetic lineitem has no
+    // l_commitdate/l_receiptdate, so "committed late" is adapted to
+    // "shipped >60 days after the order date" — same correlated
+    // two-column predicate shape, same plan.) Why the plan holds at
+    // 100 TB:
+    //   - the 3-month o_orderdate window is pushed into the orders scan;
+    //   - LEFT SEMI on orderkey means each order emits at most once no
+    //     matter how many late lines it has — the join output is bounded
+    //     by the filtered orders side, not by lineitem multiplicity;
+    //   - the non-equi part (l_shipdate > o_orderdate + 60 days) rides
+    //     the semi join as its residual, not a post-join filter;
+    //   - the final agg is ≤5 priority groups — entirely map-side.
+    QueryDef("q_tpch_q4",
+      (s, d) => {
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        val late = t(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+        ord.join(late,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, CAST(count(1) AS BIGINT) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-04-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |    WHERE l_orderkey = o_orderkey
+             |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // --------------------------------------------------------- TPC-H Q12
+    // shipmode-priority shape: fact⋈fact join whose AGGREGATE does the
+    // classification — conditional counts folding o_orderpriority into
+    // high/low per lineitem class. (l_returnflag stands in for the
+    // synthetic schema's missing l_shipmode; the year window sits on
+    // l_shipdate for the missing l_receiptdate.) Plan at 100 TB:
+    //   - the year filter is pushed into the lineitem scan, the slim
+    //     3-column projections into both scans;
+    //   - orders⋈lineitem is the unavoidable fact-fact orderkey shuffle
+    //     (same exchange policy as Q3/Q18 — no broadcast of a fact);
+    //   - both CASE sums are plain long arithmetic inside one
+    //     map-side-combinable hash agg over ≤3 groups.
+    QueryDef("q_tpch_q12",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .select("l_orderkey", "l_returnflag")
+        val ord = t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+        val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   )
 }

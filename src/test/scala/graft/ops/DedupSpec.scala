@@ -318,6 +318,70 @@ class DedupSpec extends SparkSpec {
       "no asymmetric pair found — containment degenerated to Jaccard")
   }
 
+  test("segment scrub deletes exactly the corpus-repeated segments and reassembles in order") {
+    import spark.implicits._
+    // 3 identical boilerplate docs (every segment repeats 3×), one clean
+    // doc, one doc quoting the boilerplate at a segment-aligned offset,
+    // and a 4-token doc exercising the short tail segment
+    val boiler = "aa bb cc dd ee ff"
+    val docs = Seq(
+      (1L, boiler), (2L, boiler), (3L, boiler),
+      (4L, "uu vv ww xx yy zz"),
+      (5L, "xx yy zz aa bb cc"), // segment 2 = "aa bb cc" → 4th occurrence
+      (6L, "k1 k2 k3 k4")
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubRepeatedSegments(docs, segTokens = 3, minRepeat = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // all-boilerplate docs collapse to empty, both segments dropped
+    for (id <- Seq(1L, 2L, 3L)) assert(got(id) == (("", 2L, 2L)), got(id))
+    // the clean doc reassembles byte-identically
+    assert(got(4L) == (("uu vv ww xx yy zz", 2L, 0L)))
+    // only the boilerplate-aligned segment is deleted; order preserved
+    assert(got(5L) == (("xx yy zz", 2L, 1L)))
+    // short tail: segments "k1 k2 k3" + "k4", both unique, both kept
+    assert(got(6L) == (("k1 k2 k3 k4", 2L, 0L)))
+  }
+
+  test("segment scrub is repartition-stable and guards its thresholds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 40L).map { i =>
+      i -> Seq.fill(12)("w" + rnd.nextInt(6)).mkString(" ")
+    }.toDF("doc_id", "text")
+    def run(parts: Int) =
+      Dedup.scrubRepeatedSegments(docs.repartition(parts), 3, 3)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    assert(run(1) == run(5), "scrub output must not depend on partitioning")
+    intercept[IllegalArgumentException] {
+      Dedup.scrubRepeatedSegments(docs, segTokens = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.scrubRepeatedSegments(docs, minRepeat = 1)
+    }
+  }
+
+  test("keep-best representative: longest member wins, ties break to lowest id") {
+    val reps = Dedup.clusterRepresentatives(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(reps.nonEmpty, "fixture corpus should resolve some clusters")
+    // replay the argmax per cluster from the shared membership + doc table
+    val members = Dedup.resolveClusters(spark, sfDir)
+      .select("doc_id", "keep_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val chars = graft.warehouse.Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = members.groupBy(_._2).map { case (keep, ms) =>
+      val ids = ms.map(_._1)
+      val best = ids.map(id => (chars(id), -id)).max
+      (keep, -best._2, best._1, ids.length.toLong)
+    }.toSet
+    assert(reps.toSet == expect,
+      s"representatives diverged from the driver replay")
+  }
+
   test("BSP parallelism scales with measured candidate volume") {
     // tiny graph → 1 partition (single-task rounds, the sf0.1 shape)
     assert(Dedup.partitionsFor(rows = 40, rowsPerTask = 1L << 20, maxParts = 32) == 1)

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Graph analytics (ops/Graph.scala): the integer-micro-unit PageRank
+  * must match a sequential driver replay BIT-FOR-BIT (same floor
+  * divisions, any partitioning), and the structural sanity results
+  * (hubs rank highest, mass is conserved up to floor loss) must hold. */
+class GraphSpec extends SparkSpec {
+
+  /** Sequential replay of Graph.pageRank's exact integer contract:
+    * rank0 = 10^12; share = rank div deg; rank' = 0.15·10^12 +
+    * (85·Σshares) div 100. Floor divisions in the same places. */
+  private def brute(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    var rank: Map[Long, Long] = deg.keys.map(_ -> 1000000000000L).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) / deg(src) }.sum
+      }
+      rank = deg.keys.map { n =>
+        n -> (150000000000L + (85L * contrib.getOrElse(n, 0L)) / 100L)
+      }.toMap
+    }
+    rank
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int,
+      parts: Int = 1): Map[Long, Long] = {
+    import spark.implicits._
+    val df = edges.toDF("src", "dst").repartition(parts)
+    Graph.pageRank(df, iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def symmetrize(e: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    (e ++ e.map(_.swap)).distinct
+
+  test("pageRank matches the sequential integer replay exactly on a random graph") {
+    // deterministic pseudo-random graph (seeded randomness is banned in
+    // the ENGINE, not in test fixtures driving it)
+    val rnd = new scala.util.Random(42)
+    val edges = symmetrize(
+      Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter { case (a, b) => a != b })
+    for (iters <- Seq(1, 3)) {
+      assert(run(edges, iters) == brute(edges, iters),
+        s"distributed pageRank diverged from the sequential replay at iters=$iters")
+    }
+  }
+
+  test("pageRank is bit-identical under repartitioning") {
+    val rnd = new scala.util.Random(7)
+    val edges = symmetrize(
+      Seq.fill(80)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+        .filter { case (a, b) => a != b })
+    assert(run(edges, 3, parts = 1) == run(edges, 3, parts = 7),
+      "integer floor-division ranks must not depend on partitioning")
+  }
+
+  test("the hub of a star graph gets the highest rank; mass is conserved up to floor loss") {
+    // star: node 0 ↔ nodes 1..10
+    val edges = symmetrize((1L to 10L).map(i => (0L, i)))
+    val ranks = run(edges, 3)
+    val hub = ranks(0L)
+    assert((1L to 10L).forall(i => ranks(i) < hub),
+      s"star hub must dominate: $ranks")
+    // every iteration floors at most 1 micro-unit per (edge share, node
+    // restart) term; after 3 rounds total mass stays within that loss
+    val total = ranks.values.sum
+    val ideal = 11L * 1000000000000L
+    assert(total <= ideal && total > ideal - 3L * (edges.size + 11L) * 2L,
+      s"mass not conserved: $total vs $ideal")
+  }
+
+  test("pageRank rejects an unbounded iteration request") {
+    import spark.implicits._
+    val df = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] { Graph.pageRank(df, 0) }
+    intercept[IllegalArgumentException] { Graph.pageRank(df, 21) }
+  }
+}

@@ -413,6 +413,40 @@ class PlanSpec extends SparkSpec {
         s"exchange:\n$p")
   }
 
+  test("q_tpch_q4 runs the EXISTS as a left semi join with the date window pushed") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"),
+      s"the EXISTS must be a semi join (bounded by orders, not lineitem multiplicity):\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the 3-month window must reach the orders scan:\n$p")
+  }
+
+  test("q_tpch_q12 pushes the ship-year filter and partially aggregates the CASE sums") {
+    val p = plan("q_tpch_q12")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"year window must reach the lineitem scan:\n$p")
+    assert(p.contains("partial_sum"), s"map-side combine missing:\n$p")
+  }
+
+  test("q_dedup_segments never runs a corpus-wide window and never forces the dup-list broadcast") {
+    val p = plan("q_dedup_segments")
+    assert(!p.contains("Window"),
+      s"segment scrub is aggs + joins only — a window would serialize a doc or the corpus:\n$p")
+    // the duplicated-segment list is corpus-dependent: the plan may
+    // broadcast it when the PLANNER sizes it small, but the operator must
+    // not force it (an adversarial corpus makes it |segments|/minRepeat)
+    assert(!p.contains("broadcast(true)"), // hint marker when forced
+      s"dup-list join must be left to size-based planning:\n$p")
+  }
+
+  test("q_graph_pagerank reuses one cached edge build across all three iterations") {
+    val p = plan("q_graph_pagerank")
+    val scans = "InMemoryTableScan".r.findAllIn(p).size
+    assert(scans >= 4, // 3 iterations × (join + deg) + degree seed read
+      s"iterations must read the registry-cached graph, not rebuild it:\n$p")
+    assert(!p.contains("Window"), s"PageRank is joins + aggs only:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and

@@ -222,4 +222,29 @@ class TextSpec extends SparkSpec {
     }
     checkProp(prop)
   }
+
+  test("textChunks matches a sequential chunker for random texts, widths and strides") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val texts = (0L until 30L).map { i =>
+      // lengths 0..~40 deliberately straddle width/stride boundaries
+      i -> rnd.alphanumeric.take(rnd.nextInt(41)).mkString
+    }
+    val df = texts.toDF("doc_id", "text")
+    for ((w, s) <- Seq((10, 7), (10, 10), (5, 12), (1, 1))) {
+      val got = graft.Graft.textChunks(df, width = w, stride = s)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+      val expect = texts.flatMap { case (id, t) =>
+        val starts = 1 to math.max(t.length, 1) by s
+        starts.zipWithIndex.map { case (st, i) =>
+          val chunk = t.slice(st - 1, st - 1 + w)
+          (id, i.toLong, chunk, chunk.length.toLong)
+        }
+      }.toSet
+      assert(got == expect, s"chunks diverged at width=$w stride=$s")
+    }
+    intercept[IllegalArgumentException] { graft.Graft.textChunks(df, 0, 1) }
+  }
 }
