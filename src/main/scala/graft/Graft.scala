@@ -112,6 +112,20 @@ object Graft {
       org.apache.spark.sql.functions.col("vec_id").isin(queryIds: _*), k)
   }
 
+  /** All-queries kNN join over the `embeddings` corpus: top-k neighbors
+    * for EVERY vector (the kNN-graph builder behind clustering, label
+    * propagation and graph-based dedup) — the batch sibling of
+    * [[similaritySearch]] that escapes [[MaxQueryBatch]]: no query
+    * broadcast, both sides meet in a cell-keyed shuffle join on the
+    * frozen IVF cells, and hot cells rebalance by a replicate-salt skew
+    * split that provably never changes the pair set (`cellCap` bounds a
+    * join task's corpus rows, not recall). Oracle-checked as
+    * `q_similarity_knn_join`. */
+  def knnJoin(spark: SparkSession, sfDir: String, nprobe: Int = 2,
+      k: Int = 3, cellCap: Int = 4096): DataFrame =
+    ops.Vector.knnJoin(spark, sfDir, ops.IvfCentroids.values, nprobe, k,
+      cellCap)
+
   /** Two-stage quantized similarity search (north-star "similarity"
     * block, the path that CONSUMES `q_embedding_quantize`'s int8 codes):
     * stage 1 ranks every candidate by the affine-reconstructed CODE dot —

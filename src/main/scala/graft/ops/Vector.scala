@@ -421,6 +421,105 @@ object Vector {
       nprobe, queryPred, k)
   }
 
+  /** All-queries kNN JOIN ([[graft.Graft.knnJoin]]; oracle key
+    * `q_similarity_knn_join`): every row of the corpus gets its top-k
+    * neighbors — the batch sibling of the probe searches, whose
+    * `MaxQueryBatch` contract this operator exists to escape. No query
+    * broadcast anywhere: BOTH sides assign to the frozen IVF cells
+    * (corpus → its 1 nearest cell, queries → their `nprobe` nearest)
+    * and meet in a cell-keyed shuffle join, so the query side scales to
+    * the full corpus (kNN graphs for clustering, dedup, label
+    * propagation all start here).
+    *
+    * Hot-cell story: a popular cell would serialize its (queries ×
+    * members) pairs into one join task. Those pairs ARE the answer — a
+    * candidate-dropping guard (the near-dup `maxCell`) would cost
+    * recall — so the guard here is the REPLICATE-SALT skew split
+    * ([[graft.ops.Temporal.asofJoinChunked]]'s trick, join-shaped):
+    * members of a cell past `cellCap` salt into ceil(n/cap)
+    * sub-partitions by id hash, and the cell's queries replicate to
+    * every sub-partition. The pair set is provably unchanged (VectorSpec
+    * pins cap=2 ≡ cap=∞ on the fixture), so the oracle replays cells +
+    * scoring only, and one hot cell becomes ceil(n/cap) parallel tasks
+    * at the price of re-shipping the cell's queries that many times. */
+  private[graft] def knnJoin(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      cents: Array[Array[Double]], nprobe: Int = 2, k: Int = 3,
+      cellCap: Int = 4096): org.apache.spark.sql.DataFrame = {
+    require(cellCap >= 1, s"cellCap must be >= 1, got $cellCap")
+    graft.functions.IvfNearestCells.register(s, cents, nprobe)
+    val base = vecs(s, d)
+    val corpus = base
+      .withColumn("cell", expr("element_at(ivf_cells(v), 1)"))
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cn"), col("cell"))
+    // per-cell member counts: ≤ |centroids| rows — broadcasts by size
+    val cellSizes = corpus.groupBy("cell")
+      .agg(count(lit(1)).as("n_cell"))
+      .withColumn("nsalt",
+        greatest(ceil(col("n_cell") / lit(cellCap.toDouble)), lit(1))
+          .cast(IntegerType))
+      .select("cell", "nsalt")
+    val corpusSalted = corpus.join(cellSizes, "cell")
+      .withColumn("salt", pmod(hash(col("cid")), col("nsalt")))
+    val queries = base
+      .withColumn("cell", explode(expr("ivf_cells(v)")))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+      .join(cellSizes, "cell")
+      .withColumn("salt", explode(sequence(lit(0), col("nsalt") - 1)))
+    topK(queries.join(corpusSalted, Seq("cell", "salt"))
+      .filter(col("cid") =!= col("qid"))
+      .select("qid", "qv", "qn", "cid", "cv", "cn"), k)
+  }
+
+  /** DuckDB twin of [[knnJoin]]: identical cell assignment and scoring
+    * from the frozen centroid literals; the salt split is invisible in
+    * the result by construction, so the oracle does not model it. */
+  private def duckKnnJoin(cents: Array[Array[Double]], nprobe: Int,
+      k: Int): String = {
+    val values = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.map(x => "%.17e".format(x)).mkString("[", ", ", "]")})"
+    }.mkString(",\n    ")
+    s"""$duckVecs, cents(cell, cv) AS (VALUES
+       |    $values
+       |), dists AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cell,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, ${cents.head.length}),
+       |        i -> (n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i]))),
+       |      (s0, x) -> s0 + x) AS d
+       |  FROM n, cents c
+       |), cellranks AS (
+       |  SELECT vec_id, v, nrm, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rk
+       |  FROM dists
+       |), assigned AS (
+       |  SELECT vec_id, v, nrm, cell FROM cellranks WHERE rk = 1
+       |), probes AS (
+       |  SELECT vec_id AS qid, v AS qv, nrm AS qn, cell
+       |  FROM cellranks WHERE rk <= $nprobe
+       |), cand AS (
+       |  SELECT p.qid, p.qv, p.qn, a.vec_id AS cid, a.v AS cv, a.nrm AS cn
+       |  FROM probes p JOIN assigned a USING (cell)
+       |  WHERE a.vec_id <> p.qid
+       |), scored AS (
+       |  SELECT qid, cid,
+       |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(generate_series(1, len(qv)),
+       |          i -> qv[i] * cv[i])), (s0, x) -> s0 + x)
+       |      / (qn * cn), 6) AS cosine
+       |  FROM cand
+       |), ranked AS (
+       |  SELECT qid, cid, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, rank, cid, cosine FROM ranked
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   /** DuckDB twin of [[ivfTopK]] over the same frozen centroid literals:
     * identical sequential folds (list_reduce over a prepended zero), the
     * same (distance, cell) ranking, probe width and top-k tail. */
@@ -732,6 +831,16 @@ object Vector {
     QueryDef("q_similarity_ivf",
       (s, d) => ivfTopK(s, d, IvfCentroids.values, nprobe = 4),
       Some(duckIvf(IvfCentroids.values, nprobe = 4))),
+
+    // ---------------------------------------------- all-queries kNN join
+    // the kNN-GRAPH builder: top-3 neighbors for EVERY vector through the
+    // cell-keyed shuffle join — no query broadcast, no MaxQueryBatch
+    // bound; hot cells rebalance by replicate-salting (pair set provably
+    // unchanged — see [[knnJoin]]). nprobe=2 keeps candidate volume
+    // ~2 cells/query while recovering cross-boundary neighbors.
+    QueryDef("q_similarity_knn_join",
+      (s, d) => knnJoin(s, d, IvfCentroids.values, nprobe = 2, k = 3),
+      Some(duckKnnJoin(IvfCentroids.values, nprobe = 2, k = 3))),
 
     // ---------------------------------------- int8 scalar quantization
     // per-vector min/max scalar quantization to int8 codes — the standard

@@ -309,4 +309,29 @@ class VectorSpec extends SparkSpec {
     assert(agree >= brute.size / 2,
       s"LSH top-1 agreed on only $agree/${brute.size} queries")
   }
+
+  test("kNN join: replicate-salt split never changes the result; every query gets ranks 1..k") {
+    def run(cap: Int) = Vector
+      .knnJoin(spark, sfDir, graft.ops.IvfCentroids.values,
+        nprobe = 2, k = 3, cellCap = cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // cap=2 forces multi-salt splits of every cell (500 vectors over 8
+    // cells); cap=1<<20 never splits — bit-identical output required
+    val salted = run(2)
+    assert(salted == run(1 << 20),
+      "salting must rebalance tasks without touching the pair set")
+    // structural: dense ranks from 1, no self-pairs, every query covered
+    val byQ = salted.groupBy(_._1)
+    assert(byQ.size == 500, s"expected all 500 queries, got ${byQ.size}")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted == (1L to rs.length).toSeq, s"ranks not dense for $q")
+      assert(rs.forall(_._3 != q), s"self-pair returned for $q")
+      assert(rs.length <= 3)
+    }
+    intercept[IllegalArgumentException] {
+      Vector.knnJoin(spark, sfDir, graft.ops.IvfCentroids.values, cellCap = 0)
+    }
+  }
 }
