@@ -474,6 +474,33 @@ object Graft {
   def curate(spark: SparkSession, sfDir: String): DataFrame =
     ops.Dedup.curateCorpus(spark, sfDir)
 
+  /** Small-file compaction — the table-maintenance primitive every
+    * long-running ingest needs (a streaming sink or hive-partitioned
+    * write leaves thousands of KB-sized files; scans then pay one task +
+    * one footer read per file). Rewrites `inDir`'s parquet files into
+    * ceil(totalBytes / targetBytes) files at `outDir` via `coalesce` —
+    * NO shuffle: coalesce only glues existing partitions, so compaction
+    * cost is one linear read+write. Returns (filesBefore, filesAfter).
+    * The file COUNT comes from real FileSystem metadata, not a guess, so
+    * the target holds whatever wrote the input. Oracle-checked as
+    * `q_layout_compact` (content identity through the rewrite). */
+  def compactSmallFiles(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val inPath = new org.apache.hadoop.fs.Path(inDir)
+    val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(inPath)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"no parquet files to compact under $inDir")
+    val total = files.map(_.getLen).sum
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir).coalesce(n)
+      .write.mode("overwrite").parquet(outDir)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    (files.length, after)
+  }
+
   /** The `arrow_options.types_mapper` analogue (test_core.py:106-123):
     * cast every column to `to` after the read. */
   def castAll(df: DataFrame, to: DataType): DataFrame =

@@ -31,6 +31,15 @@ object ConnectorQueries {
               "CAST(CAST(c_custkey AS DECIMAL(27,10)) + 0.1234567891 AS DECIMAL(38,10)) AS bal_wide",
               "DATE_ADD(DATE'1992-01-03', CAST(c_custkey % 2000 AS INT)) AS stage_date")
             .write.format("graft").mode("overwrite").save(dir)
+        case "small_files" =>
+          // the pathological ingest layout: 48 KB-sized files for one table
+          Tables.table(s, d, "orders").repartition(48)
+            .write.mode("overwrite").parquet(dir)
+        case "compacted" =>
+          // StageCache's monitor is re-entrant, so staging the input from
+          // inside this writer is safe
+          graft.Graft.compactSmallFiles(s, staged("small_files", s, d), dir,
+            targetBytes = 256 * 1024)
         case "dsv2_rtp" =>
           Tables.table(s, d, "orders").orderBy("o_custkey").coalesce(1)
             .write.option("parquet.block.size", 64 * 1024)
@@ -112,6 +121,16 @@ object ConnectorQueries {
     QueryDef("q_roundtrip_write",
       (s, d) => s.read.parquet(staged("roundtrip", s, d)).orderBy("s_suppkey"),
       Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+
+    // small-file compaction end-to-end: a 48-file pathological ingest
+    // layout rewritten to ceil(total/256 KiB) files by Graft.
+    // compactSmallFiles (coalesce — no shuffle), then read back; the
+    // oracle checks content identity through the rewrite. ConnectorSpec
+    // asserts the file-count arithmetic and the no-shuffle plan.
+    QueryDef("q_layout_compact",
+      (s, d) => s.read.parquet(staged("compacted", s, d))
+        .orderBy("o_orderkey"),
+      Some("SELECT * FROM orders ORDER BY o_orderkey")),
 
     // the DSv2 connector end-to-end (graft.sources.BatchSource): stage a
     // result set as parquet files, then read it back through

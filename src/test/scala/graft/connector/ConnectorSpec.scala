@@ -114,4 +114,31 @@ class ConnectorSpec extends SparkSpec {
     Write.toTable(df, name)
     assert(spark.catalog.tableExists(name.toUpperCase))
   }
+
+  test("compactSmallFiles: file count follows total/target, content survives, no shuffle") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_cmp_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_cmp_out").toString
+    val df = (0L until 2000L).map(i => (i, s"row_$i")).toDF("id", "s")
+    df.repartition(10).write.mode("overwrite").parquet(in)
+    // huge target → everything glues into one file
+    val (before, after) = graft.Graft.compactSmallFiles(spark, in, out,
+      targetBytes = 1L << 30)
+    assert(before == 10 && after == 1, s"got ($before, $after)")
+    val back = spark.read.parquet(out)
+    assertSameRows(back, df)
+    // coalesce, not repartition: the compaction read must carry no
+    // exchange (the whole point is a linear glue pass)
+    val plan = spark.read.parquet(in).coalesce(1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"compaction must not shuffle:\n$plan")
+    // tiny target → more output files than one, fewer than input
+    val out2 = java.nio.file.Files.createTempDirectory("graft_cmp_out2").toString
+    val (_, after2) = graft.Graft.compactSmallFiles(spark, in, out2,
+      targetBytes = 8 * 1024)
+    assert(after2 > 1 && after2 <= 10, s"got $after2 files")
+    intercept[IllegalArgumentException] {
+      graft.Graft.compactSmallFiles(spark, in, out, targetBytes = 0)
+    }
+  }
 }
