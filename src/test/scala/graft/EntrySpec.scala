@@ -17,7 +17,8 @@ class EntrySpec extends SparkSpec {
     val allKeys = Seq(
       ops.Relational.defs, ops.Temporal.defs,
       graft.connector.ConnectorQueries.defs, ops.Text.defs, ops.Dedup.defs,
-      ops.Vector.defs, ops.Multimodal.defs, ops.Workload.defs).flatten.map(_.key)
+      ops.Vector.defs, ops.Multimodal.defs, ops.Workload.defs,
+      ops.Graph.defs).flatten.map(_.key)
     assert(allKeys.distinct.size == allKeys.size,
       s"duplicate query keys: ${allKeys.diff(allKeys.distinct)}")
     assert(qs.size == allKeys.size)

@@ -180,9 +180,11 @@ class StreamingSpec extends SparkSpec {
   test("file-source stream: readStream over the parquet warehouse (Trigger.AvailableNow)") {
     import org.apache.spark.sql.streaming.Trigger
     // stream the events table as if files were arriving; one AvailableNow
-    // pass must reproduce the batch tumbling aggregation. events.ts is
-    // ns-precision parquet → read nanos as long, truncate to µs (same
-    // coercion Tables.register applies).
+    // pass must reproduce the batch tumbling aggregation. events.ts has
+    // shipped as both TIMESTAMP(NANOS) and TIMESTAMP_NTZ parquet —
+    // Tables.normalizeTs is the single shim that maps either form to
+    // TimestampType, and the stream path must ride the SAME shim (this
+    // test is the regression net for the round-10 NTZ breakage).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file source wants a directory it can watch — stage the table file
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
@@ -190,10 +192,8 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
     val schema = spark.read.parquet(dir.toString).schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(dir.toString)
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.warehouse.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val agg = Streams.tumblingCounts(stream, watermark = "1 hour")
     val q = agg.writeStream.format("memory").queryName("t_file_stream")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()

@@ -31,6 +31,14 @@ def cells_equal(a, b) -> bool:
         return (a == b) or (np.isnan(a) and np.isnan(b))
     if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
         return list(a) == list(b)
+    # tz-aware-UTC vs naive timestamps hash-match in the driver (session TZ
+    # is pinned UTC on both engines; proven by CORRECTNESS_r09's green
+    # q_stream_tumbling, tz-aware Spark vs naive DuckDB) — mirror that here
+    if isinstance(a, pd.Timestamp) and isinstance(b, pd.Timestamp):
+        if (a.tzinfo is None) != (b.tzinfo is None):
+            aa = a.tz_localize("UTC") if a.tzinfo is None else a
+            bb = b.tz_localize("UTC") if b.tzinfo is None else b
+            return aa == bb
     try:
         return a == b
     except Exception:
