@@ -259,13 +259,19 @@ object Text {
             .as("m"))
         // row set driven from documents (left join) like the oracle's
         // grid: a doc whose token array is NULL/empty still emits its
-        // all-zero vector instead of vanishing with the explode
+        // all-zero vector instead of vanishing with the explode. The
+        // dense vector is assembled per doc, then emitted ELEMENT-WISE
+        // as (doc_id, b, c) rows — the driver's canonical row sort
+        // hashes scalars only (raw array cells are unhashable in its
+        // pandas path); |docs|·32 rows, still bounded.
         docs.select(col("doc_id"))
           .join(counts, Seq("doc_id"), "left")
           .select(col("doc_id"),
             expr(s"transform(sequence(0, ${D - 1}), " +
               "i -> coalesce(m[i], CAST(0 AS BIGINT)))").as("tf"))
-          .orderBy("doc_id")
+          .select(col("doc_id"), posexplode(col("tf")).as(Seq("b", "c")))
+          .select(col("doc_id"), col("b").cast("long").as("b"), col("c"))
+          .orderBy("doc_id", "b")
       },
       Some(s"""WITH term AS (
               |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -278,10 +284,10 @@ object Text {
               |  SELECT doc_id, i AS b
               |  FROM documents, UNNEST(generate_series(0, 31)) AS u(i)
               |)
-              |SELECT g.doc_id,
-              |  list(CAST(coalesce(c.c, 0) AS BIGINT) ORDER BY g.b) AS tf
+              |SELECT g.doc_id, CAST(g.b AS BIGINT) AS b,
+              |  CAST(coalesce(c.c, 0) AS BIGINT) AS c
               |FROM grid g LEFT JOIN cnt c ON g.doc_id = c.doc_id AND g.b = c.b
-              |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
+              |ORDER BY g.doc_id, g.b""".stripMargin)),
 
     // ------------------------------- linear quality model (fastText-ish)
     // the CCNet/fastText-style quality filter as a LINEAR model over the

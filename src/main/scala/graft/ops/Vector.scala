@@ -706,8 +706,10 @@ object Vector {
        |  FROM (SELECT vec_id, v FROM vv ORDER BY vec_id LIMIT $k)
        |),
        |$iterCtes
-       |SELECT cid AS cluster_id, n, centroid
-       |FROM c$iters ORDER BY cluster_id""".stripMargin
+       |SELECT cid AS cluster_id, n, CAST(u.i - 1 AS BIGINT) AS i,
+       |  centroid[u.i] AS x
+       |FROM c$iters, UNNEST(generate_series(1, $Dim)) AS u(i)
+       |ORDER BY cluster_id, i""".stripMargin
   }
 
   /** (label, n, centroid) — the per-label mean vectors behind
@@ -934,8 +936,20 @@ object Vector {
     // 1e6 falls within half an ulp of one could in principle round
     // differently. Accepted as data-dependent and vanishingly rare, not
     // proven impossible — don't cite this key as a determinism proof.
+    // Output convention: the centroid is emitted ELEMENT-WISE as
+    // (label, n, i, x) rows, not as a raw array column — the driver's
+    // canonical row sort hashes scalars only (raw arrays are unhashable
+    // in its pandas path; same convention as q_dsv2_array's digest).
+    // Element rows are also the STRICTER check: every coordinate is
+    // individually hash-compared instead of riding one opaque cell.
+    // Output stays bounded: |labels|·Dim rows.
     QueryDef("q_embedding_centroids",
-      (s, d) => labelCentroids(s, d).orderBy("label"),
+      (s, d) => labelCentroids(s, d)
+        .select(col("label"), col("n"),
+          posexplode(col("centroid")).as(Seq("i", "x")))
+        .select(col("label"), col("n"), col("i").cast(LongType).as("i"),
+          col("x"))
+        .orderBy("label", "i"),
       Some(s"""WITH sv AS (
               |  SELECT label,
               |    list_transform(embedding,
@@ -949,8 +963,9 @@ object Vector {
               |  FROM el GROUP BY 1, 2
               |)
               |SELECT CAST(label AS BIGINT) AS label, n,
-              |  list(round(CAST(sx AS DOUBLE) / 1e7 / n, 6) ORDER BY i) AS centroid
-              |FROM agg GROUP BY label, n ORDER BY label""".stripMargin)),
+              |  CAST(i - 1 AS BIGINT) AS i,
+              |  round(CAST(sx AS DOUBLE) / 1e7 / n, 6) AS x
+              |FROM agg ORDER BY label, i""".stripMargin)),
 
     // ---------------------------------------- nearest-centroid assign
     // the k-means E-step / classifier-by-prototype, composing with
@@ -1024,8 +1039,15 @@ object Vector {
     // path beyond the bounded-sample driver fit behind q_similarity_ivf
     // — see [[kmeansCentroids]] for the exactness contract that lets
     // DuckDB replay both rounds bit-for-bit.
+    // Same element-wise output convention as q_embedding_centroids:
+    // (cluster_id, n, i, x) rows — k·Dim rows total, driver-sortable.
     QueryDef("q_kmeans",
-      (s, d) => kmeansCentroids(s, d, k = 4, iters = 2).orderBy("cluster_id"),
+      (s, d) => kmeansCentroids(s, d, k = 4, iters = 2)
+        .select(col("cluster_id"), col("n"),
+          posexplode(col("centroid")).as(Seq("i", "x")))
+        .select(col("cluster_id"), col("n"),
+          col("i").cast(LongType).as("i"), col("x"))
+        .orderBy("cluster_id", "i"),
       Some(duckKmeans(k = 4, iters = 2))),
 
     // ---------------------------------------- quantized two-stage ANN

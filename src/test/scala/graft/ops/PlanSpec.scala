@@ -272,8 +272,17 @@ class PlanSpec extends SparkSpec {
     // crosses the shuffle, the property that makes the one-pass centroid
     assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
       s"expected partial+final ObjectHashAggregate:\n$p")
-    assert(!p.contains("Generate"),
-      s"centroids must not posexplode the corpus ×Dim before the shuffle:\n$p")
+    // the element-wise OUTPUT posexplode (driver-sortability convention)
+    // runs on the |labels| aggregated rows and is fine; what must never
+    // happen is a Generate feeding the aggregate, i.e. a ×Dim corpus
+    // explosion before the shuffle. Plan prints top-down, so every
+    // Generate line must sit ABOVE the first (final) aggregate line.
+    val lines = p.linesIterator.toIndexedSeq
+    val firstAgg = lines.indexWhere(_.contains("ObjectHashAggregate"))
+    lines.zipWithIndex.filter(_._1.contains("Generate")).foreach { case (_, i) =>
+      assert(i < firstAgg,
+        s"centroids must not posexplode the corpus ×Dim before the shuffle:\n$p")
+    }
   }
 
   test("q_embedding_assign broadcasts one centroid row; the corpus never inflates or reshuffles") {
