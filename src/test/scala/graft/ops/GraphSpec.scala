@@ -60,6 +60,24 @@ class GraphSpec extends SparkSpec {
       "integer floor-division ranks must not depend on partitioning")
   }
 
+  test("the broadcast and checkpointed-shuffle paths produce identical ranks") {
+    // the size-adaptive dispatch (pageRank broadcastMaxNodes) must be a
+    // pure execution-shape choice: force the large-graph path with a
+    // zero threshold and compare bit-for-bit against the small-graph one
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = symmetrize(
+      Seq.fill(100)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .filter { case (a, b) => a != b })
+    val df = edges.toDF("src", "dst")
+    def toMap(r: Array[org.apache.spark.sql.Row]) =
+      r.map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val smallPath = toMap(Graph.pageRank(df, 3).collect())
+    val largePath = toMap(Graph.pageRank(df, 3, broadcastMaxNodes = 0L).collect())
+    assert(smallPath == largePath,
+      "execution-shape dispatch changed the integer rank results")
+  }
+
   test("the hub of a star graph gets the highest rank; mass is conserved up to floor loss") {
     // star: node 0 ↔ nodes 1..10
     val edges = symmetrize((1L to 10L).map(i => (0L, i)))
