@@ -23,11 +23,27 @@ object Verify {
       case Some(ks) => SparkEntry.queries.filter { case (n, _) => ks(n) }
       case None     => SparkEntry.queries
     }
+    // A key that fails to plan/run must be LOUD in the driver artifact,
+    // not silently absent (round 10: three analysis-time failures dropped
+    // out of the correctness report entirely). On error, write a one-row
+    // marker parquet in the key's slot — its __error schema/rowcount can
+    // never hash-match any oracle, so the driver reports FAIL — plus an
+    // errors.json for humans.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg.take(2000)
+        try {
+          import spark.implicits._
+          Seq(msg.take(2000)).toDF("__error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case m: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: ${m.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,6 +61,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (errors.nonEmpty) {
+      val ejson = errors
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/errors.json"), ejson)
+    }
     CacheRegistry.releaseAll()
     connector.StageCache.clearAll()
     spark.stop()
