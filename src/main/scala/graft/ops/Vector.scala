@@ -448,9 +448,20 @@ object Vector {
       cellCap: Int = 4096): org.apache.spark.sql.DataFrame = {
     require(cellCap >= 1, s"cellCap must be >= 1, got $cellCap")
     graft.functions.IvfNearestCells.register(s, cents, nprobe)
-    val base = vecs(s, d)
+    // ONE `ivf_cells` pass over the corpus, registry-shared: the corpus
+    // side reads cell 1 of the ranked assignment, the query side explodes
+    // all `nprobe` of them — without the persist both sides re-ran the
+    // |corpus|×|centroids| distance evaluation independently. The cache
+    // key carries the assignment's free parameters (centroids, nprobe) so
+    // a facade call with different settings can never read a stale frame
+    // (value-hash is session-stable, which is all a session cache needs).
+    val assignKey =
+      s"knn_cell_assign_${nprobe}_${java.util.Arrays.deepHashCode(
+        cents.asInstanceOf[Array[AnyRef]])}"
+    val base = graft.CacheRegistry.getOrPersist(assignKey, d,
+      vecs(s, d).withColumn("cells", expr("ivf_cells(v)")))
     val corpus = base
-      .withColumn("cell", expr("element_at(ivf_cells(v), 1)"))
+      .withColumn("cell", expr("element_at(cells, 1)"))
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("nrm").as("cn"), col("cell"))
     // per-cell member counts: ≤ |centroids| rows — broadcasts by size
@@ -463,7 +474,7 @@ object Vector {
     val corpusSalted = corpus.join(cellSizes, "cell")
       .withColumn("salt", pmod(hash(col("cid")), col("nsalt")))
     val queries = base
-      .withColumn("cell", explode(expr("ivf_cells(v)")))
+      .withColumn("cell", explode(col("cells")))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell"))
       .join(cellSizes, "cell")
