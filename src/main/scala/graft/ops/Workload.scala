@@ -491,6 +491,184 @@ object Workload {
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
              |  AND l_shipdate < TIMESTAMP '1997-01-01'
              |GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---------------------------------------------------------- TPC-H Q7
+    // volume-shipping shape: the DOUBLE-DIM-CHAIN workload — the same
+    // `nation` dim joins the fact pipeline TWICE under different roles
+    // (supplier's nation, customer's nation) with a symmetric pair
+    // predicate, plus a year extraction feeding the group-by. Plan
+    // contract: both nation dims broadcast; supplier/customer pre-join
+    // their (pre-FILTERED, two rows) nation dim so the selective
+    // two-nation cut prunes each side BEFORE touching the fact-fact
+    // orderkey shuffle; the ship-date window pushes into the lineitem
+    // scan; the symmetric pair filter runs on the two tiny attached
+    // nation columns after the joins (it needs both sides, so it cannot
+    // push deeper). Revenue sums run exact in DECIMAL(38,6).
+    QueryDef("q_tpch_q7",
+      (s, d) => {
+        val lo = lit("1996-01-01").cast("timestamp")
+        val hi = lit("1998-01-01").cast("timestamp")
+        val two = Seq("NATION_1", "NATION_2")
+        val n1 = t(s, d, "nation").filter(col("n_name").isin(two: _*))
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = t(s, d, "nation").filter(col("n_name").isin(two: _*))
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .select("s_suppkey", "supp_nation")
+        val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .select("c_custkey", "cust_nation")
+        val li = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).cast("long").as("l_year"),
+            revenue.as("vol"))
+        val ord = t(s, d, "orders").select("o_orderkey", "o_custkey")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .filter(
+            (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy("supp_nation", "cust_nation", "l_year")
+          .agg(sum(col("vol")).cast(DoubleType).as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year,
+             |  CAST(sum(volume) AS DOUBLE) AS revenue
+             |FROM (
+             |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |    CAST(l_extendedprice * (1.0 - l_discount)
+             |      AS DECIMAL(38,6)) AS volume
+             |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+             |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+             |    AND c_custkey = o_custkey
+             |    AND s_nationkey = n1.n_nationkey
+             |    AND c_nationkey = n2.n_nationkey
+             |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+             |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             |) shipping
+             |GROUP BY supp_nation, cust_nation, l_year
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // ---------------------------------------------------------- TPC-H Q8
+    // market-share shape: the FIVE-JOIN conditional-ratio workload —
+    // part/region cuts prune the fact rows, every surviving lineitem
+    // carries its supplier's nation, and the answer is a per-year ratio
+    // of one nation's volume to all volume. Plan contract: the region→
+    // nation→customer chain collapses into broadcast dims feeding the
+    // customer join (region cut applied INSIDE the dim, so the ASIA
+    // filter never touches a fact row); part is a dim-sized broadcast
+    // with its type filter pushed to its scan; the order-date window
+    // pushes into the orders scan; ONE aggregation computes both the
+    // NATION_7 numerator and the total in the same pass (no second
+    // scan); the single float division runs on the final per-year rows,
+    // written identically on both engines.
+    QueryDef("q_tpch_q8",
+      (s, d) => {
+        val lo = lit("1996-01-01").cast("timestamp")
+        val hi = lit("1998-01-01").cast("timestamp")
+        val reg = t(s, d, "region").filter(col("r_name") === "ASIA")
+          .select("r_regionkey")
+        val natAsia = t(s, d, "nation")
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("c_nk"))
+        val natAll = t(s, d, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
+        val pt = t(s, d, "part").filter(col("p_type") === "ECONOMY")
+          .select("p_partkey")
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+        val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+          .join(broadcast(natAsia), col("c_nationkey") === col("c_nk"))
+          .select("c_custkey")
+        val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+          .join(broadcast(natAll), col("s_nationkey") === col("s_nk"))
+          .select("s_suppkey", "nation")
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            revenue.as("vol"))
+        li.join(pt, col("l_partkey") === col("p_partkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .groupBy("o_year")
+          .agg(
+            sum(when(col("nation") === "NATION_7", col("vol"))
+              .otherwise(lit(0).cast(D386))).as("dn"),
+            sum(col("vol")).as("dall"))
+          .select(col("o_year"),
+            round(col("dn").cast(DoubleType) / col("dall").cast(DoubleType), 6)
+              .as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""WITH all_nations AS (
+             |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |    CAST(l_extendedprice * (1.0 - l_discount)
+             |      AS DECIMAL(38,6)) AS volume,
+             |    n2.n_name AS nation
+             |  FROM part, supplier, lineitem, orders, customer,
+             |    nation n1, nation n2, region
+             |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+             |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+             |    AND c_nationkey = n1.n_nationkey
+             |    AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+             |    AND s_nationkey = n2.n_nationkey
+             |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |    AND p_type = 'ECONOMY'
+             |), agg AS (
+             |  SELECT o_year,
+             |    sum(CASE WHEN nation = 'NATION_7' THEN volume
+             |      ELSE CAST(0 AS DECIMAL(38,6)) END) AS dn,
+             |    sum(volume) AS dall
+             |  FROM all_nations GROUP BY o_year
+             |)
+             |SELECT o_year,
+             |  round(CAST(dn AS DOUBLE) / CAST(dall AS DOUBLE), 6) AS mkt_share
+             |FROM agg ORDER BY o_year""".stripMargin)),
+
+    // --------------------------------------------------------- TPC-H Q13
+    // customer-order-distribution shape: the OUTER-JOIN double-agg
+    // workload — every customer kept (including the order-less ones, the
+    // rows an inner join would silently drop), orders filtered BY A JOIN
+    // CONDITION (not a WHERE — the filter must not turn the outer join
+    // inner), then counts-of-counts. Plan contract: one shuffle on
+    // custkey for the outer join (both sides fact-sized at scale — no
+    // broadcast assumption), count(o_orderkey) ignores the NULLs the
+    // outer join manufactures, and the second aggregation runs on the
+    // already-customer-grain frame (|customers| rows, map-side
+    // combinable). The priority cut stands in for TPC-H's o_comment
+    // NOT LIKE filter (no comment column in the fixture; same
+    // join-condition placement, same semantics).
+    QueryDef("q_tpch_q13",
+      (s, d) => {
+        val cust = t(s, d, "customer").select("c_custkey")
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_orderkey", "o_custkey")
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, CAST(count(1) AS BIGINT) AS custdist
+             |FROM (
+             |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+             |  FROM customer LEFT OUTER JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY c_custkey
+             |) c_orders
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin))
   )
 }

@@ -430,6 +430,38 @@ class PlanSpec extends SparkSpec {
       s"the 3-month window must reach the orders scan:\n$p")
   }
 
+  test("q_tpch_q7 broadcasts both nation roles and pushes the ship window") {
+    val p = plan("q_tpch_q7")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"supplier/customer nation dims must both broadcast:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"the two-year window must reach the lineitem scan:\n$p")
+    assert(p.contains("partial_sum"), s"map-side combine missing:\n$p")
+  }
+
+  test("q_tpch_q8 pushes the part-type and region cuts into dims, one two-sum agg pass") {
+    val p = plan("q_tpch_q8")
+    assert(p.contains("EqualTo(p_type,ECONOMY)"),
+      s"the type filter must reach the part scan:\n$p")
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      s"the region filter must reach the region scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the order window must reach the orders scan:\n$p")
+    // numerator and denominator in ONE aggregate — a second scan of the
+    // joined frame would double the fact work
+    assert("HashAggregate".r.findAllIn(p).size <= 4,
+      s"both sums must come from one partial+final agg pass:\n$p")
+  }
+
+  test("q_tpch_q13 keeps the outer join outer and counts without the manufactured NULLs") {
+    val p = plan("q_tpch_q13")
+    assert(p.contains("LeftOuter"),
+      s"the priority cut must live in the join condition, not turn the join inner:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderpriority), Not(EqualTo(o_orderpriority,1-URGENT))]")
+      || p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
+      s"the priority cut must still push to the orders scan (join-side filter):\n$p")
+  }
+
   test("q_tpch_q12 pushes the ship-year filter and partially aggregates the CASE sums") {
     val p = plan("q_tpch_q12")
     assert(p.contains("GreaterThanOrEqual(l_shipdate"),
