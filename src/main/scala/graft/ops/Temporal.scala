@@ -604,6 +604,56 @@ object Temporal {
              | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
              |ORDER BY click_id, purchase_id""".stripMargin)),
 
+    // gap-session via ARBITRARY STATE (flatMapGroupsWithState), the
+    // custom-semantics sibling of q_stream_session's built-in
+    // session_window: the same 30-minute-gap sessions produced by the
+    // Streams.sessionizeMicros state machine — the escape hatch a user
+    // reaches for when gaps become value-dependent. Exactness contract:
+    // the state machine folds each user's events in (µs, event_id)
+    // order, so the running double sum is a deterministic left fold that
+    // the oracle replays with an ordered list_reduce (0.0 + v1 ≡ v1 in
+    // IEEE, then identical left-to-right adds); session boundaries
+    // compare raw microseconds (strict `< gap` stays, `>= gap` splits —
+    // the same convention as the islands SQL). At scale this is one
+    // shuffle by user_id with O(1) state per key; in true streaming the
+    // same code GC's state on quiet users (StreamingSpec drives it over
+    // MemoryStream micro-batches).
+    QueryDef("q_stream_session_state",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.table(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+            col("event_id"), col("value"))
+          .as[(Long, Long, Long, Double)]
+        graft.streaming.Streams.sessionizeMicros(ev).toDF()
+          .select(col("user_id"),
+            expr("timestamp_micros(start_us)").as("session_start"),
+            expr("timestamp_micros(end_us)").as("session_end"),
+            col("n_events"), round(col("sum_value"), 6).as("sum_value"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |              >= INTERVAL '30 minutes'
+             |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |), islands AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             |  FROM flagged
+             |)
+             |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             |  CAST(count(1) AS BIGINT) AS n_events,
+             |  round(list_reduce(
+             |    list_prepend(CAST(0.0 AS DOUBLE),
+             |      list(value ORDER BY ts, event_id)),
+             |    (a, b) -> a + b), 6) AS sum_value
+             |FROM islands GROUP BY user_id, sess
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // watermark / late-data batch analogue: keep events within 1 day of the
     // observed max ts. The scalar max is broadcast — no single-partition
     // window, no second scan of a sorted stream.

@@ -230,39 +230,67 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
-  /** Custom sessionization via arbitrary state (`flatMapGroupsWithState`):
-    * emits a [[Session]] when a user goes quiet for `gapMs`. This is the
-    * escape hatch for semantics `session_window` can't express (e.g.
-    * value-dependent gaps); state per key is O(1). */
-  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+  /** a closed session keyed in raw epoch MICROSECONDS — the exactness
+    * carrier behind [[sessionize]] and the `q_stream_session_state`
+    * oracle key (events.ts has true µs precision; a millis-based state
+    * machine would silently truncate boundaries and output stamps) */
+  case class USession(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Custom sessionization core via arbitrary state
+    * (`flatMapGroupsWithState`): emits a [[USession]] when a user goes
+    * quiet for `gapUs` microseconds. This is the escape hatch for
+    * semantics `session_window` can't express (e.g. value-dependent
+    * gaps); state per key is O(1). Input rows are (user_id, t_us,
+    * event_id, value); within a user, events fold in (t_us, event_id)
+    * order, so the running double sum is a DETERMINISTIC left fold the
+    * DuckDB oracle replays with an ordered list_reduce. */
+  def sessionizeMicros(events: Dataset[(Long, Long, Long, Double)],
+      gapUs: Long = 30L * 60 * 1000000L): Dataset[USession] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, USession](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+        (userId: Long, it: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[SessionState]) =>
           // batch-mode contract: each group's full event set arrives once
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val out = Seq.newBuilder[Session]
+          val sorted = it.toSeq.sortBy(e => (e._2, e._3))
+          val out = Seq.newBuilder[USession]
           var cur: Option[SessionState] = state.getOption
-          sorted.foreach { e =>
-            val t = e.ts.getTime
+          sorted.foreach { case (_, t, _, v) =>
             cur match {
-              case Some(s) if t - s.last < gapMs =>
-                cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+              case Some(s) if t - s.last < gapUs =>
+                cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + v))
               case Some(s) =>
-                out += Session(userId, new java.sql.Timestamp(s.start),
-                  new java.sql.Timestamp(s.last), s.n, s.sum)
-                cur = Some(SessionState(t, t, 1, e.value))
+                out += USession(userId, s.start, s.last, s.n, s.sum)
+                cur = Some(SessionState(t, t, 1, v))
               case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
+                cur = Some(SessionState(t, t, 1, v))
             }
           }
           // flush the trailing open session (batch semantics; a true
           // stream would keep it in state until timeout)
-          cur.foreach(s => out += Session(userId, new java.sql.Timestamp(s.start),
-            new java.sql.Timestamp(s.last), s.n, s.sum))
+          cur.foreach(s => out += USession(userId, s.start, s.last, s.n, s.sum))
           state.remove()
           out.result().iterator
       }
+  }
+
+  /** [[sessionizeMicros]] under the typed [[Event]]/[[Session]] surface
+    * (timestamps in and out; µs-exact through the state machine). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    def toUs(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
+      t
+    }
+    sessionizeMicros(
+      events.map(e => (e.user_id, toUs(e.ts), e.event_id, e.value)),
+      gapMs * 1000L)
+      .map(s => Session(s.user_id, toTs(s.start_us), toTs(s.end_us),
+        s.n_events, s.sum_value))
   }
 }
