@@ -662,8 +662,10 @@ class BatchSourceSpec extends SparkSpec {
     assert(parts(dFiltered) < all, s"date filter should prune: ${parts(dFiltered)} vs $all")
     assertSameRows(dFiltered, spark.read.parquet(dir).filter(col("d") >= lit(maxD)))
 
-    val maxTs = spark.read.parquet(dir).agg(max("ts")).head
-      .getAs[java.time.LocalDateTime](0)
+    // type-agnostic: ts surfaces as Timestamp (session-TZ normalized
+    // warehouse) or LocalDateTime (raw NTZ parquet) depending on the
+    // staging path — lit() accepts both
+    val maxTs = spark.read.parquet(dir).agg(max("ts")).head.get(0)
     val tsFiltered = base.filter(col("ts") >= lit(maxTs))
     assert(parts(tsFiltered) < all, s"timestamp filter should prune: ${parts(tsFiltered)} vs $all")
     assertSameRows(tsFiltered, spark.read.parquet(dir).filter(col("ts") >= lit(maxTs)))
