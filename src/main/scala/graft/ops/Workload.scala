@@ -669,6 +669,97 @@ object Workload {
              |  GROUP BY c_custkey
              |) c_orders
              |GROUP BY c_count
-             |ORDER BY custdist DESC, c_count DESC""".stripMargin))
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // ---------------------------------------------------------- TPC-H Q15
+    // top-supplier shape: an aggregate-derived view joined against its
+    // OWN maximum — the "who hit the global best" report. Plan contract:
+    // the revenue view computes ONCE into the plan (Spark evaluates the
+    // 1-row max aggregate as a broadcast side, not a rescan of
+    // lineitem... the view subtree does appear twice in the unshared
+    // plan, but both subtrees sit behind the same pushed 3-month scan —
+    // the classic Q15 shape); the revenue equality compares exact
+    // DECIMAL(38,6) sums, so "ties for the top" are exact on both
+    // engines, never a float epsilon; supplier attaches as a broadcast
+    // dim after the 1-row filter.
+    QueryDef("q_tpch_q15",
+      (s, d) => {
+        val lo = lit("1996-01-01").cast("timestamp")
+        val hi = lit("1996-04-01").cast("timestamp")
+        def rev = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(sum(revenue).as("total_revenue"))
+        val mx = rev.agg(max(col("total_revenue")).as("mx"))
+        rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+            col("supplier_no") === col("s_suppkey"))
+          .select(col("supplier_no"), col("s_name"),
+            col("total_revenue").cast(DoubleType).as("total_revenue"))
+          .orderBy("supplier_no")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey AS supplier_no,
+             |    sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |      AS DECIMAL(38,6))) AS total_revenue
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+             |  GROUP BY 1
+             |)
+             |SELECT supplier_no, s_name,
+             |  CAST(total_revenue AS DOUBLE) AS total_revenue
+             |FROM rev JOIN supplier ON supplier_no = s_suppkey
+             |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+             |ORDER BY supplier_no""".stripMargin)),
+
+    // ---------------------------------------------------------- TPC-H Q22
+    // global-customer-analysis shape: a scalar AGGREGATE SUBQUERY
+    // (corpus-wide average balance) feeding a filter, an ANTI join
+    // against a filtered fact subset, then a dim-grouped report. The
+    // priority cut stands in for TPC-H's country-code IN list (no phone
+    // column in the fixture): above-average-balance customers who never
+    // placed an URGENT order. Plan contract: the average collapses to a
+    // 1-row broadcast (computed as exact-decimal-sum / count, identical
+    // expression text on both engines — never a float avg() whose
+    // accumulation order wiggles the comparison); the anti join runs as
+    // a LEFT ANTI hash join on custkey with the priority filter pushed
+    // into the orders scan; nation broadcasts for the final group-by.
+    QueryDef("q_tpch_q22",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .select("c_custkey", "c_nationkey", "c_acctbal")
+        val avgRow = cust.filter(col("c_acctbal") > 0)
+          .agg((sum(col("c_acctbal").cast(D386)).cast(DoubleType) /
+            count(lit(1))).as("avg_bal"))
+        val urgent = t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey")
+        val nat = t(s, d, "nation").select("n_nationkey", "n_name")
+        cust.join(broadcast(avgRow))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("c_acctbal").cast(D386)).cast(DoubleType).as("totacctbal"))
+          .orderBy("n_name")
+      },
+      Some("""WITH avg_bal AS (
+             |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+             |      / count(1) AS avg_bal
+             |  FROM customer WHERE c_acctbal > 0
+             |)
+             |SELECT n_name, CAST(count(1) AS BIGINT) AS numcust,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+             |    AS totacctbal
+             |FROM customer, nation, avg_bal
+             |WHERE c_nationkey = n_nationkey
+             |  AND c_acctbal > avg_bal
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |    WHERE o_custkey = c_custkey
+             |      AND o_orderpriority = '1-URGENT')
+             |GROUP BY n_name
+             |ORDER BY n_name""".stripMargin))
   )
 }

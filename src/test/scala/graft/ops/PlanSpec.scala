@@ -462,6 +462,26 @@ class PlanSpec extends SparkSpec {
       s"the priority cut must still push to the orders scan (join-side filter):\n$p")
   }
 
+  test("q_tpch_q15 pushes the 3-month window into both view scans, ties by exact decimal") {
+    val p = plan("q_tpch_q15")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"the revenue window must reach the lineitem scan(s):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 1-row max and the supplier dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in Q15 is big enough to sort-merge at any scale's dim side:\n$p")
+  }
+
+  test("q_tpch_q22 runs the NOT EXISTS as a left anti join with the priority cut pushed") {
+    val p = plan("q_tpch_q22")
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS must plan as an anti join, not a subquery rescan:\n$p")
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      s"the priority cut must reach the orders scan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row average must broadcast to the customer scan:\n$p")
+  }
+
   test("q_tpch_q12 pushes the ship-year filter and partially aggregates the CASE sums") {
     val p = plan("q_tpch_q12")
     assert(p.contains("GreaterThanOrEqual(l_shipdate"),
