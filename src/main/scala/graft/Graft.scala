@@ -126,6 +126,36 @@ object Graft {
     ops.Vector.knnJoin(spark, sfDir, ops.IvfCentroids.values, nprobe, k,
       cellCap)
 
+  /** MERGE INTO semantics as a plain join (oracle key `q_upsert`):
+    * merge `batch` (updates + inserts) into `corpus` by `keys` —
+    * matched keys take the batch row, unmatched corpus rows survive,
+    * unmatched batch rows insert. Spark has no MERGE without a table
+    * format; the engine form is ONE full-outer join + per-column
+    * "batch wins" selection — a single key shuffle of each side at any
+    * scale (both sides may be fact-sized: no broadcast assumption, and
+    * AQE's skew split applies if the key distribution is hot).
+    * PRECONDITIONS (required, not assumed): both frames share the
+    * schema, and `batch` has at most one row per key — a multi-row
+    * batch would fan out the join; dedupe upstream
+    * ([[ops.Dedup]]/`keepBest`) first. */
+  def upsert(corpus: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, when}
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    require(corpus.columns.sameElements(batch.columns),
+      s"schema mismatch: corpus ${corpus.columns.mkString(",")} vs " +
+        s"batch ${batch.columns.mkString(",")}")
+    val c = corpus.alias("c")
+    val b = batch.alias("b")
+    val cond = keys.map(k => col(s"c.$k") <=> col(s"b.$k")).reduce(_ && _)
+    // "the batch row was matched" must survive for ALL-NULL value rows,
+    // so probe the first key column, not a value column
+    val matched = col(s"b.${keys.head}").isNotNull
+    c.join(b, cond, "full_outer")
+      .select(corpus.columns.map { n =>
+        when(matched, col(s"b.$n")).otherwise(col(s"c.$n")).as(n)
+      }.toIndexedSeq: _*)
+  }
+
   /** Two-stage quantized similarity search (north-star "similarity"
     * block, the path that CONSUMES `q_embedding_quantize`'s int8 codes):
     * stage 1 ranks every candidate by the affine-reconstructed CODE dot —

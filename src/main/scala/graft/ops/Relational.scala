@@ -749,6 +749,87 @@ object Relational {
              |WHERE n >= 2 AND sig > 0 AND abs(z) >= 3.0
              |ORDER BY event_id""".stripMargin)),
 
+    // ----------------------------------------------------------- unpivot
+    // the native melt operator (Dataset.unpivot — Spark's UNPIVOT):
+    // wide → long over the four money/measure columns of a lineitem
+    // slice, the reshape every metrics pipeline runs before a
+    // per-metric aggregation. Row-local and shuffle-free — the only
+    // cost is the ×4 row inflation the semantics demand; column
+    // pruning still reaches the scan (only the id + 4 value columns
+    // are read). The oracle replays the exact same reshape as a
+    // UNION ALL of one SELECT per measure — engine-portable and
+    // byte-identical since no arithmetic happens at all. The output
+    // sorts by ALL columns ((l_orderkey, l_linenumber) is NOT unique
+    // in the fixture — FIXTURES.md).
+    QueryDef("q_unpivot",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric", "value"),
+      Some("""SELECT l_orderkey, l_linenumber, metric, value FROM (
+             |  SELECT l_orderkey, l_linenumber,
+             |    'l_quantity' AS metric, l_quantity AS value
+             |  FROM lineitem WHERE l_orderkey % 100 = 0
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber,
+             |    'l_extendedprice', l_extendedprice
+             |  FROM lineitem WHERE l_orderkey % 100 = 0
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+             |  FROM lineitem WHERE l_orderkey % 100 = 0
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+             |  FROM lineitem WHERE l_orderkey % 100 = 0
+             |)
+             |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin)),
+
+    // ------------------------------------------------------------ upsert
+    // MERGE INTO semantics as a plain join ([[graft.Graft.upsert]]):
+    // a changed-rows batch (updates + inserts) merged into the corpus
+    // by key — matched rows take the batch version, unmatched corpus
+    // rows survive, unmatched batch rows insert. The maintenance op a
+    // continuously-refreshed warehouse stage runs every cycle; Spark
+    // has no MERGE without a table format, so the engine expresses it
+    // as ONE full-outer join + per-column coalesce — a single
+    // key-shuffle of each side at any scale (both sides fact-sized:
+    // no broadcast assumption). The batch here is derived
+    // deterministically from the corpus (quality-bumped updates for
+    // doc_id%10=0, re-keyed inserts for doc_id%7=3) so the oracle
+    // rebuilds it exactly.
+    QueryDef("q_upsert",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select("doc_id", "lang", "n_chars")
+        val updates = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") + 1000L).as("n_chars"))
+        val inserts = docs.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            col("n_chars"))
+        graft.Graft.upsert(docs, updates.unionAll(inserts), Seq("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, lang, n_chars FROM documents
+             |), batch AS (
+             |  SELECT doc_id, lang, n_chars + 1000 AS n_chars
+             |  FROM corpus WHERE doc_id % 10 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, lang, n_chars
+             |  FROM corpus WHERE doc_id % 7 = 3
+             |)
+             |SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+             |  CASE WHEN b.doc_id IS NOT NULL THEN b.lang ELSE c.lang END
+             |    AS lang,
+             |  CASE WHEN b.doc_id IS NOT NULL THEN b.n_chars
+             |       ELSE c.n_chars END AS n_chars
+             |FROM corpus c FULL OUTER JOIN batch b ON c.doc_id = b.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
     // DISTINCT on a column subset with a deterministic survivor
     QueryDef("q_distinct_subset",
       (s, d) => t(s, d, "orders")

@@ -253,6 +253,29 @@ class GraftSpec extends SparkSpec {
     }
   }
 
+  test("upsert: batch wins on matched keys, inserts land, corpus survives, NULL values kept") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "tag", "v")
+    val batch = Seq((2L, "B2", 99L), (9L, "new", 1L)).toDF("id", "tag", "v")
+    val out = Graft.upsert(corpus, batch, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "a", 10L), (2L, "B2", 99L), (3L, "c", 30L),
+      (9L, "new", 1L)))
+    // an all-NULL-values batch row must still overwrite (matched-probe is
+    // the key column, never a value column)
+    val nullBatch = Seq((3L, Option.empty[String], Option.empty[Long]))
+      .toDF("id", "tag", "v")
+    val out2 = Graft.upsert(corpus, nullBatch, Seq("id"))
+      .orderBy("id").collect()
+    assert(out2(2).isNullAt(1) && out2(2).isNullAt(2),
+      "matched batch row with NULL values must still win")
+    // schema drift is a hard error, not silent column mangling
+    intercept[IllegalArgumentException] {
+      Graft.upsert(corpus, batch.select("id", "tag"), Seq("id"))
+    }
+  }
+
   test("curate facade returns the oracle-checked q_pipeline_curate manifest") {
     val api = Graft.curate(spark, sfDir).orderBy("doc_id")
     val key = SparkEntry.queries("q_pipeline_curate")(spark, sfDir)
