@@ -194,6 +194,57 @@ object Graph {
               |ORDER BY rank_micro DESC, node_id
               |LIMIT 20""".stripMargin)),
 
+    // ------------------------------------------------- connected components
+    // community structure of the REPEAT-trade graph: only (customer,
+    // supplier) pairs that traded in ≥ 4 distinct orders keep an edge,
+    // which makes the graph sparse enough to fall apart into real
+    // components ("trading cliques" — the entity-group discovery every
+    // curation pipeline runs on its relationship tables). Rides the SAME
+    // size-adaptive HashMin + pointer-jumping machinery as the dedup
+    // cluster resolution (ops/Dedup.scala:500-): driver union-find below
+    // the volume threshold, O(log diameter) BSP rounds above — graph
+    // analytics and dedup resolution are one engine component, not two.
+    // component_id = min node id in the component (HashMin's label), so
+    // the output is deterministic at any partitioning. The edge build
+    // (count-distinct per pair) is one orderkey join + one pair-keyed
+    // agg; the ≥4 cut happens BEFORE any component work touches a row.
+    QueryDef("q_graph_components",
+      (s, d) => {
+        val e = graft.CacheRegistry.getOrPersist("graph_repeat_edges", d,
+          Tables.table(s, d, "orders").select("o_orderkey", "o_custkey")
+            .join(Tables.table(s, d, "lineitem")
+              .select("l_orderkey", "l_suppkey"),
+              col("o_orderkey") === col("l_orderkey"))
+            .groupBy((col("o_custkey") * 2).as("doc_a"),
+              (col("l_suppkey") * 2 + 1).as("doc_b"))
+            .agg(countDistinct(col("o_orderkey")).as("n_ord"))
+            .filter(col("n_ord") >= 4)
+            .select("doc_a", "doc_b"))
+        Dedup.connectedComponents(e)._1
+          .select(col("doc_id").as("node_id"),
+            when(col("doc_id") % 2 === 0, "customer").otherwise("supplier")
+              .as("node_type"),
+            col("keep_id").as("component_id"))
+          .orderBy("node_id")
+      },
+      Some("""WITH RECURSIVE e0 AS (
+             |  SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |  GROUP BY 1, 2
+             |  HAVING count(DISTINCT o_orderkey) >= 4
+             |), und AS (
+             |  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+             |), walk(doc, reach) AS (
+             |  SELECT a, a FROM (SELECT DISTINCT a FROM und) s0
+             |  UNION
+             |  SELECT u.b, w.reach FROM walk w JOIN und u ON u.a = w.doc
+             |)
+             |SELECT doc AS node_id,
+             |  CASE WHEN doc % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             |    AS node_type,
+             |  min(reach) AS component_id
+             |FROM walk GROUP BY doc ORDER BY node_id""".stripMargin)),
+
     // ------------------------------------------------------ degree report
     // the graph-profiling companion: degree distribution of the trade
     // graph — how many nodes have k trading partners. Two tiny aggs over
