@@ -604,6 +604,54 @@ object Temporal {
              | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
              |ORDER BY click_id, purchase_id""".stripMargin)),
 
+    // time-to-convert report: the percentile distribution of the
+    // click→next-purchase lag — the composition every funnel owner runs
+    // after the as-of join (CONSUMES asofJoinForward, so the forward
+    // match semantics are inherited, not re-implemented; the matched
+    // purchase TIME rides along as an ordinary value column copy since
+    // the join drops its time key). Interpolated percentiles use the
+    // same (1−d)·lo + d·hi definition on both engines
+    // (q_agg_percentile precedent); the µs lag is integer-exact and the
+    // /60e6 minutes division is the identical double op both sides.
+    // One as-of join (user-keyed) + one global 1-row percentile agg.
+    QueryDef("q_events_conversion_lag",
+      (s, d) => {
+        val ev = Tables.table(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+            col("event_id"))
+        val purchases = purchasesDeduped(ev)
+          .withColumn("rt_us", unix_micros(col("ts"))).drop("ts")
+          .withColumn("p_t_us", col("rt_us"))
+        asofJoinForward(clicks, purchases, Seq("user_id"), "t_us", "rt_us")
+          .filter(col("p_id").isNotNull)
+          .select(((col("p_t_us") - col("t_us")) / lit(60000000.0))
+            .as("lag_min"))
+          .agg(count(lit(1)).as("n_converted"),
+            round(expr("percentile(lag_min, 0.25)"), 6).as("p25"),
+            round(expr("percentile(lag_min, 0.5)"), 6).as("p50"),
+            round(expr("percentile(lag_min, 0.75)"), 6).as("p75"))
+      },
+      Some("""WITH clicks AS (
+             |  SELECT event_id, user_id, ts
+             |  FROM events WHERE event_type = 'click'
+             |), purchases AS (
+             |  SELECT user_id, ts, max(event_id) AS p_id
+             |  FROM events WHERE event_type = 'purchase'
+             |  GROUP BY user_id, ts
+             |), m AS (
+             |  SELECT (epoch_us(p.ts) - epoch_us(c.ts)) / 60000000.0
+             |    AS lag_min
+             |  FROM clicks c
+             |  ASOF JOIN purchases p
+             |    ON c.user_id = p.user_id AND c.ts <= p.ts
+             |)
+             |SELECT CAST(count(1) AS BIGINT) AS n_converted,
+             |  round(quantile_cont(lag_min, 0.25), 6) AS p25,
+             |  round(quantile_cont(lag_min, 0.5), 6) AS p50,
+             |  round(quantile_cont(lag_min, 0.75), 6) AS p75
+             |FROM m""".stripMargin)),
+
     // gap-session via ARBITRARY STATE (flatMapGroupsWithState), the
     // custom-semantics sibling of q_stream_session's built-in
     // session_window: the same 30-minute-gap sessions produced by the
