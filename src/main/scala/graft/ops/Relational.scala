@@ -830,6 +830,51 @@ object Relational {
              |FROM corpus c FULL OUTER JOIN batch b ON c.doc_id = b.doc_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // --------------------------------------------------- integrity audit
+    // the referential-integrity audit a 100 TB ingest runs before
+    // trusting a snapshot: orphan counts across the key relationships,
+    // one row per check. Each check is ONE left-anti join on its key —
+    // at scale each is a single key shuffle (or a broadcast when the
+    // parent side is dim-sized, left to planner stats) — and the audit
+    // unions three tiny 1-row aggregates, so the report costs exactly
+    // the three anti joins and nothing else. A healthy snapshot returns
+    // all zeros; the key pins the SHAPE (the counts are data-derived,
+    // whatever they are).
+    QueryDef("q_audit_integrity",
+      (s, d) => {
+        def orphans(child: org.apache.spark.sql.DataFrame, childKey: String,
+            parent: org.apache.spark.sql.DataFrame, parentKey: String,
+            label: String) =
+          child.join(parent, col(childKey) === col(parentKey), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+            .select(lit(label).as("check"), col("n_orphans"))
+        orphans(t(s, d, "orders").select("o_custkey"), "o_custkey",
+            t(s, d, "customer").select("c_custkey"), "c_custkey",
+            "orders_without_customer")
+          .unionAll(orphans(t(s, d, "lineitem").select("l_orderkey"), "l_orderkey",
+            t(s, d, "orders").select("o_orderkey"), "o_orderkey",
+            "lineitem_without_order"))
+          .unionAll(orphans(t(s, d, "lineitem").select("l_partkey"), "l_partkey",
+            t(s, d, "part").select("p_partkey"), "p_partkey",
+            "lineitem_without_part"))
+          .orderBy("check")
+      },
+      Some("""SELECT 'orders_without_customer' AS "check",
+             |  CAST(count(1) AS BIGINT) AS n_orphans
+             |FROM orders WHERE NOT EXISTS
+             |  (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+             |UNION ALL
+             |SELECT 'lineitem_without_order',
+             |  CAST(count(1) AS BIGINT)
+             |FROM lineitem WHERE NOT EXISTS
+             |  (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+             |UNION ALL
+             |SELECT 'lineitem_without_part',
+             |  CAST(count(1) AS BIGINT)
+             |FROM lineitem WHERE NOT EXISTS
+             |  (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+             |ORDER BY "check"""".stripMargin)),
+
     // DISTINCT on a column subset with a deterministic survivor
     QueryDef("q_distinct_subset",
       (s, d) => t(s, d, "orders")
