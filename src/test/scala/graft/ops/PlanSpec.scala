@@ -462,6 +462,31 @@ class PlanSpec extends SparkSpec {
       s"the priority cut must still push to the orders scan (join-side filter):\n$p")
   }
 
+  test("q_unpivot plans as a row-local Expand over a pruned scan") {
+    val p = plan("q_unpivot")
+    assert(p.contains("Expand"),
+      s"unpivot must be the Expand operator (row-local ×4), not a self-union of scans:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double>"),
+      s"only the id + 4 measure columns may be read:\n$p")
+  }
+
+  test("q_upsert runs ONE full-outer join and no more") {
+    val p = plan("q_upsert")
+    assert(p.contains("FullOuter"),
+      s"the merge must be a single full-outer join:\n$p")
+    assert("Join".r.findAllIn(p).size <= 2, // the join node + its string echo
+      s"upsert must not add joins beyond the one merge join:\n$p")
+  }
+
+  test("q_audit_integrity is three anti joins, each with a pruned one-column scan") {
+    val p = plan("q_audit_integrity")
+    assert("LeftAnti".r.findAllIn(p).size == 3,
+      s"each check must be one left anti join:\n$p")
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint>"),
+      s"the orders side of check 1 must read exactly its key column:\n$p")
+  }
+
   test("q_tpch_q15 pushes the 3-month window into both view scans, ties by exact decimal") {
     val p = plan("q_tpch_q15")
     assert(p.contains("GreaterThanOrEqual(l_shipdate"),
