@@ -156,6 +156,46 @@ object Graft {
       }.toIndexedSeq: _*)
   }
 
+  /** CDC-style snapshot diff (oracle key `q_snapshot_diff`): classify
+    * every key of two snapshot frames as added / removed / changed /
+    * unchanged. The engine form is ONE full-outer join on `keys` with a
+    * row-equality probe over the non-key columns — a single key shuffle
+    * of each side at any scale, the same cost envelope as [[upsert]]
+    * (both sides may be fact-sized; AQE skew split applies). Row
+    * equality is null-safe per column (`<=>`), so a NULL→value edit
+    * counts as changed and NULL==NULL counts as unchanged. Callers
+    * almost always want `.filter($"diff_status" =!= "unchanged")` next;
+    * the classification is returned unfiltered so the unchanged count
+    * is still one `groupBy` away for audit totals.
+    * PRECONDITIONS (same as [[upsert]]): identical schemas, at most one
+    * row per key per side. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, when, coalesce}
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    require(oldSnap.columns.sameElements(newSnap.columns),
+      s"schema mismatch: old ${oldSnap.columns.mkString(",")} vs " +
+        s"new ${newSnap.columns.mkString(",")}")
+    val valueCols = oldSnap.columns.filterNot(keys.contains)
+    val o = oldSnap.alias("o")
+    val n = newSnap.alias("n")
+    val cond = keys.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _)
+    // key-presence probes must survive all-NULL value rows → test the
+    // first key column, not a value column (same trap as upsert)
+    val inOld = col(s"o.${keys.head}").isNotNull
+    val inNew = col(s"n.${keys.head}").isNotNull
+    val same = valueCols.map(c => col(s"o.$c") <=> col(s"n.$c"))
+      .reduceOption(_ && _).getOrElse(org.apache.spark.sql.functions.lit(true))
+    o.join(n, cond, "full_outer")
+      .select(
+        keys.map(k => coalesce(col(s"n.$k"), col(s"o.$k")).as(k)) ++
+        valueCols.flatMap(c => Seq(
+          col(s"o.$c").as(s"old_$c"), col(s"n.$c").as(s"new_$c"))) :+
+        when(!inOld, "added").when(!inNew, "removed")
+          .when(!same, "changed").otherwise("unchanged").as("diff_status")
+        : _*)
+  }
+
   /** Two-stage quantized similarity search (north-star "similarity"
     * block, the path that CONSUMES `q_embedding_quantize`'s int8 codes):
     * stage 1 ranks every candidate by the affine-reconstructed CODE dot —

@@ -830,6 +830,54 @@ object Relational {
              |FROM corpus c FULL OUTER JOIN batch b ON c.doc_id = b.doc_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // --------------------------------------------------- snapshot diff
+    // the CDC question a daily 100 TB ingest answers before publishing:
+    // WHAT changed between yesterday's snapshot and today's? Built on
+    // the same synthetic batch as q_upsert (updates doc_id%10=0,
+    // inserts %7=3, plus deletes %13=5) so the two keys cross-check:
+    // diff(v1, upsert-result-minus-deletes) must classify exactly the
+    // touched keys. Engine form: Graft.snapshotDiff — one full-outer
+    // key join, null-safe per-column equality, no window/collect; the
+    // full classification (incl. 'unchanged') returns so audit totals
+    // are one groupBy away. Plan: single doc_id shuffle of each side.
+    QueryDef("q_snapshot_diff",
+      (s, d) => {
+        val v1 = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+        val updated = v1.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") + 1000L).as("n_chars"))
+        val inserted = v1.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            col("n_chars"))
+        val v2 = v1.filter(col("doc_id") % 13 =!= 5)
+          .filter(col("doc_id") % 10 =!= 0)
+          .unionAll(updated.filter(col("doc_id") % 13 =!= 5))
+          .unionAll(inserted)
+        graft.Graft.snapshotDiff(v1, v2, Seq("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH v1 AS (
+             |  SELECT doc_id, lang, n_chars FROM documents
+             |), v2 AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000
+             |         ELSE n_chars END AS n_chars
+             |  FROM v1 WHERE doc_id % 13 <> 5
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, lang, n_chars
+             |  FROM v1 WHERE doc_id % 7 = 3
+             |)
+             |SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+             |  o.lang AS old_lang, n.lang AS new_lang,
+             |  o.n_chars AS old_n_chars, n.n_chars AS new_n_chars,
+             |  CASE WHEN o.doc_id IS NULL THEN 'added'
+             |       WHEN n.doc_id IS NULL THEN 'removed'
+             |       WHEN o.lang IS DISTINCT FROM n.lang
+             |         OR o.n_chars IS DISTINCT FROM n.n_chars THEN 'changed'
+             |       ELSE 'unchanged' END AS diff_status
+             |FROM v1 o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
     // --------------------------------------------------- integrity audit
     // the referential-integrity audit a 100 TB ingest runs before
     // trusting a snapshot: orphan counts across the key relationships,

@@ -668,6 +668,34 @@ object Text {
              |    - ln(CAST((SELECT sum(cnt) FROM freq) AS DOUBLE)), 6) AS avg_logprob
              |FROM perdoc ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------------------------- weighted sampling
+    // importance sampling with per-ROW admission probability ∝ a weight
+    // column (here n_chars — the "sample long documents more" curation
+    // dial; any quality score slots in). Hash-based like its siblings:
+    // u = md5(doc_id) % 1e6 is a reproducible uniform, and the admission
+    // test is written as ALL-INTEGER cross-multiplication
+    // (u * max_w < 1e6 * w  ⇔  u/1e6 < w/max_w) so no float division
+    // ever enters — bit-identical admission on any engine, no boundary-
+    // row drift. The weight normalizer (corpus max) is a 1-row agg
+    // broadcast onto a narrow scan: at 100 TB the key costs one column
+    // scan plus a scalar join, no shuffle of the corpus itself.
+    QueryDef("q_sample_weighted",
+      (s, d) => {
+        val docs = Tables.table(s, d, "documents").select("doc_id", "n_chars")
+        val mx = docs.agg(max("n_chars").as("max_chars"))
+        docs.join(broadcast(mx))
+          .filter(expr(s"${md5i("CAST(doc_id AS STRING)")} % 1000000")
+            * col("max_chars") < lit(1000000L) * col("n_chars"))
+          .select("doc_id", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, n_chars
+              |FROM documents,
+              |  (SELECT max(n_chars) AS max_chars FROM documents)
+              |WHERE (${md5iDuck("CAST(doc_id AS VARCHAR)")} % 1000000)
+              |  * max_chars < 1000000 * n_chars
+              |ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------------------ stratified sampling
     // per-language admission quotas — the corpus-BALANCING primitive
     // (down-sample the dominant language, keep low-resource ones whole).

@@ -760,6 +760,105 @@ object Workload {
              |    WHERE o_custkey = c_custkey
              |      AND o_orderpriority = '1-URGENT')
              |GROUP BY n_name
-             |ORDER BY n_name""".stripMargin))
+             |ORDER BY n_name""".stripMargin)),
+
+    // ---------------------------------------------------------- TPC-H Q17
+    // small-quantity-order revenue: a CORRELATED per-part average feeding
+    // a filter on the same fact rows (the fixture has no p_container, so
+    // the brand cut alone selects the part family). The classic plan
+    // trap here is re-scanning lineitem for the correlated subquery; the
+    // engine form computes the per-part quantity cap FROM THE SAME
+    // brand-joined subset (identical semantics: the subquery's partkeys
+    // are exactly the brand's partkeys) and joins it back — at 100 TB
+    // that is: one broadcast of the brand-filtered part dim, one shuffle
+    // of its lineitems by partkey for the cap agg, and a broadcast of
+    // the caps (parts-per-brand-sized) back onto the subset. Cross-
+    // engine determinism: the cap avg is exact-decimal-sum → DOUBLE /
+    // count * 0.2 — identical expression text on both engines (never a
+    // float avg() whose accumulation order wiggles boundary rows).
+    QueryDef("q_tpch_q17",
+      (s, d) => {
+        val brandParts = t(s, d, "part")
+          .filter(col("p_brand") === "Brand#23").select("p_partkey")
+        val li = t(s, d, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+          .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        val caps = li.groupBy(col("l_partkey").as("cap_partkey"))
+          .agg(((sum(col("l_quantity").cast(D386)).cast(DoubleType) /
+            count(lit(1))) * 0.2).as("qty_cap"))
+        li.join(broadcast(caps), col("l_partkey") === col("cap_partkey"))
+          .filter(col("l_quantity") < col("qty_cap"))
+          .agg((sum(col("l_extendedprice").cast(D386)).cast(DoubleType) / 7.0)
+            .as("avg_yearly"))
+      },
+      Some("""WITH f AS (
+             |  SELECT l_partkey, l_quantity, l_extendedprice
+             |  FROM lineitem JOIN part ON p_partkey = l_partkey
+             |  WHERE p_brand = 'Brand#23'
+             |), caps AS (
+             |  SELECT l_partkey,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             |      / count(1) * 0.2 AS qty_cap
+             |  FROM f GROUP BY 1
+             |)
+             |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+             |    AS DOUBLE) / 7.0 AS avg_yearly
+             |FROM f JOIN caps USING (l_partkey)
+             |WHERE l_quantity < qty_cap""".stripMargin)),
+
+    // ------------------------------------------------- market basket
+    // frequent part PAIRS co-purchased in one order — the co-occurrence
+    // mining shape (FP-growth's level-2 slice, also the co-citation /
+    // co-click pattern). Engine form: ONE orderkey shuffle collects each
+    // basket's distinct sorted parts (collect_set dedupes line-level
+    // repeats in the agg buffer, map-side combined), pairs explode
+    // ROW-LOCALLY from the basket array (transform×slice — C(basket, 2)
+    // output per order, quadratic in BASKET SIZE, never in corpus size),
+    // then the pair counts hash-aggregate and the support floor prunes
+    // the unique-pair tail before the bounded top-k. Two rejected
+    // shapes, both measured at sf0.1: a distinct-items SELF-JOIN by
+    // orderkey (2.8 s — 5 corpus-sized exchanges; the join buys nothing
+    // because one basket's pairs never need another basket's data) and
+    // a nested-HOF flatten(transform(transform)) explode (1.8 s — the
+    // lambda tree evaluates interpreted). The double GENERATE below
+    // (posexplode anchors p1, explode(slice) yields its successors)
+    // stays inside codegen and lands at ~1.0 s. The one unbounded risk
+    // is a pathological mega-basket; `maxBasket` drops baskets over
+    // 1000 items right after the size is known (a documented coverage
+    // cut, mirrored in the oracle; fixture max is 13) so the quadratic
+    // explode never runs on one. Deterministic top-k: (n desc, p1, p2)
+    // is a total order.
+    QueryDef("q_basket_pairs",
+      (s, d) => {
+        val maxBasket = 1000
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey")
+          .groupBy("l_orderkey")
+          .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+          .filter(size(col("parts")) <= maxBasket)
+          .select(col("parts"), posexplode(col("parts")))
+          .select(col("col").as("p1"),
+            explode(slice(col("parts"), col("pos") + lit(2),
+              size(col("parts")))).as("p2"))
+          .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 2)
+          .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+          .limit(25)
+      },
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+             |), ok AS (
+             |  SELECT l_orderkey, l_partkey FROM items
+             |  WHERE l_orderkey IN (
+             |    SELECT l_orderkey FROM items
+             |    GROUP BY 1 HAVING count(1) <= 1000)
+             |)
+             |SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             |  CAST(count(1) AS BIGINT) AS n_orders
+             |FROM ok a JOIN ok b
+             |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |GROUP BY 1, 2 HAVING count(1) >= 2
+             |ORDER BY n_orders DESC, p1, p2
+             |LIMIT 25""".stripMargin))
   )
 }

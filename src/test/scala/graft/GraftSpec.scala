@@ -276,6 +276,30 @@ class GraftSpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged, NULL edits count as changed") {
+    import spark.implicits._
+    val v1 = Seq((1L, Option("a"), Option(10L)), (2L, Option("b"), Option(20L)),
+      (3L, Option("c"), Option(30L)), (4L, Option.empty[String], Option(40L)))
+      .toDF("id", "tag", "v")
+    val v2 = Seq((1L, Option("a"), Option(10L)),          // unchanged
+      (2L, Option("b"), Option(99L)),                     // changed value
+      (4L, Option("now"), Option(40L)),                   // NULL -> value: changed
+      (9L, Option("new"), Option(1L)))                    // added; 3 removed
+      .toDF("id", "tag", "v")
+    val got = Graft.snapshotDiff(v1, v2, Seq("id"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(r.fieldIndex("diff_status"))))
+    assert(got.toSeq == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "changed"), (9L, "added")))
+    // NULL == NULL is unchanged, not changed (null-safe equality)
+    val same = Graft.snapshotDiff(v1, v1, Seq("id"))
+      .select("diff_status").distinct().collect().map(_.getString(0))
+    assert(same.toSeq == Seq("unchanged"))
+    intercept[IllegalArgumentException] {
+      Graft.snapshotDiff(v1, v2.select("id", "tag"), Seq("id"))
+    }
+  }
+
   test("curate facade returns the oracle-checked q_pipeline_curate manifest") {
     val api = Graft.curate(spark, sfDir).orderBy("doc_id")
     val key = SparkEntry.queries("q_pipeline_curate")(spark, sfDir)

@@ -555,6 +555,46 @@ class PlanSpec extends SparkSpec {
     assert(!runtime.contains("Window"), s"PageRank is joins + aggs only:\n$p")
   }
 
+  test("q_tpch_q17 broadcasts the brand dim and the per-part caps; lineitem never sorts") {
+    val p = plan("q_tpch_q17")
+    assert(p.contains("EqualTo(p_brand,Brand#23)"),
+      s"the brand cut must push into the part scan:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both the brand dim and the caps table must broadcast onto lineitem:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in Q17 justifies sorting the fact side:\n$p")
+  }
+
+  test("q_basket_pairs explodes pairs row-locally: two exchanges, no self-join") {
+    val p = plan("q_basket_pairs")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>"),
+      s"items scan must read exactly the two basket columns:\n$p")
+    assert(!p.contains("Join"),
+      s"pairs are basket-local — a self-join re-shuffles the corpus for nothing:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"one basket shuffle + one pair-count shuffle is the whole exchange budget:\n$p")
+    assert(p.contains("partial_count"),
+      s"pair counts must map-side combine before the pair shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-25 must be a bounded top-k, never a global sort:\n$p")
+  }
+
+  test("q_snapshot_diff is ONE full-outer join, no window, no extra shuffle") {
+    val p = plan("q_snapshot_diff")
+    assert(p.contains("FullOuter"),
+      s"the diff must be a single full-outer key join:\n$p")
+    assert(!p.contains("Window"),
+      s"row classification is per-row expressions, never a window:\n$p")
+  }
+
+  test("q_sample_weighted is a scalar broadcast onto one narrow scan") {
+    val p = plan("q_sample_weighted")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      s"only the key and weight columns may be read:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"admission is per-row + a 1-row broadcast; the corpus must not shuffle:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and
