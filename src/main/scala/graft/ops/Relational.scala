@@ -366,6 +366,51 @@ object Relational {
              |FROM nation JOIN region ON n_regionkey < r_regionkey
              |ORDER BY n_nationkey, r_regionkey""".stripMargin)),
 
+    // ------------------------------------------- bloom-prefiltered join
+    // the EXPLICIT runtime-filter pattern: before the fact-fact orderkey
+    // shuffle, probe every lineitem against a bloom filter built from the
+    // SELECTIVE side's keys — at 100 TB this drops ~4/5 of the fact rows
+    // BEFORE they enter the exchange, which is the whole cost of a big
+    // join. Spark's InjectRuntimeFilter plants exactly this pair of
+    // expressions when its stats thresholds let it; `graft_bloom_agg` /
+    // `graft_might_contain` (functions/BloomPrefilter.scala — Spark's own
+    // BloomFilterAggregate/BloomFilterMightContain behind registry names)
+    // make the plan explicit and threshold-independent. The bloom rides a
+    // scalar subquery (the expression requires a CONSTANT filter: one
+    // deserialize per task, never per row). False positives are removed
+    // by the real join, so the oracle is the PLAIN join — the bloom can
+    // only change the plan, never the answer. Sizing: 2^20 est items /
+    // 2^23 bits ≈ 1 MB filter, <1% FP at the fixture's urgent-order
+    // cardinality; at warehouse scale both dials grow with the creation
+    // side, and the filter stays broadcast-sized long past 10^8 keys.
+    QueryDef("q_join_bloom",
+      (s, d) => {
+        Tables.register(s, d)
+        graft.functions.BloomPrefilter.register(s)
+        s.sql("""SELECT l_returnflag, count(1) AS n_items,
+                |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+                |    AS DOUBLE) AS total_price
+                |FROM lineitem
+                |JOIN (SELECT o_orderkey FROM orders
+                |      WHERE o_orderpriority = '1-URGENT') o
+                |  ON l_orderkey = o_orderkey
+                |WHERE graft_might_contain(
+                |  (SELECT graft_bloom_agg(o_orderkey, 1048576L, 8388608L)
+                |   FROM orders WHERE o_orderpriority = '1-URGENT'),
+                |  l_orderkey)
+                |GROUP BY l_returnflag
+                |ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, CAST(count(1) AS BIGINT) AS n_items,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+             |    AS DOUBLE) AS total_price
+             |FROM lineitem
+             |JOIN (SELECT o_orderkey FROM orders
+             |      WHERE o_orderpriority = '1-URGENT') o
+             |  ON l_orderkey = o_orderkey
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // scalar subquery through the SQL pass-through surface
     QueryDef("q_subquery_scalar",
       (s, d) => {
@@ -452,6 +497,45 @@ object Relational {
              |       min(o_totalprice) AS min_price,
              |       CAST(count(1) AS BIGINT) AS n_orders
              |FROM orders""".stripMargin)),
+
+    // ------------------------------------------ incremental aggregation
+    // materialized-view maintenance: yesterday's ROLLUP merged with
+    // today's DELTA must equal the full recompute — the invariant that
+    // lets a 100 TB pipeline maintain its aggregates by touching only
+    // the new partition. Works because the state is MERGEABLE (sums and
+    // counts re-aggregate; avg is DERIVED from merged sums at read time
+    // — never averaged averages). The key materializes both partials
+    // (historical < cutoff, delta >= cutoff), merges them with a
+    // group-sized union + re-agg, and the oracle is the direct full
+    // aggregation: hash-equal means the merge law holds on real data.
+    // Cost shape: two pushed-filter scans at fixture scale; in
+    // production the historical side is the STORED rollup (group-sized,
+    // no scan at all) and only the delta scan runs.
+    QueryDef("q_agg_incremental",
+      (s, d) => {
+        val cutoff = lit("1997-01-01").cast("timestamp")
+        def partial(f: org.apache.spark.sql.Column) =
+          t(s, d, "lineitem").filter(f)
+            .groupBy("l_returnflag")
+            .agg(sum(col("l_quantity").cast(D386)).as("sum_qty"),
+              count(lit(1)).as("n"))
+        partial(col("l_shipdate") < cutoff)
+          .unionAll(partial(col("l_shipdate") >= cutoff))
+          .groupBy("l_returnflag")
+          .agg(sum(col("sum_qty")).as("merged_qty"), sum(col("n")).as("n"))
+          .select(col("l_returnflag"),
+            col("merged_qty").cast(DoubleType).as("sum_qty"), col("n"),
+            (col("merged_qty").cast(DoubleType) / col("n")).as("avg_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             |    AS sum_qty,
+             |  CAST(count(1) AS BIGINT) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             |    / count(1) AS avg_qty
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
 
     QueryDef("q_agg_distinct",
       (s, d) => t(s, d, "lineitem")

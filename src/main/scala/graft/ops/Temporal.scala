@@ -614,6 +614,61 @@ object Temporal {
     // (q_agg_percentile precedent); the µs lag is integer-exact and the
     // /60e6 minutes division is the identical double op both sides.
     // One as-of join (user-keyed) + one global 1-row percentile agg.
+    // ------------------------------------------- time-series gap fill
+    // calendar densify + forward fill: the reporting primitive for
+    // sparse event streams — every (user, day) cell exists, missing
+    // days carry the last observed daily total forward (days before a
+    // user's first observation stay NULL; the oracle agrees). Engine
+    // form: per-user daily sums (ONE user/day shuffle), the calendar
+    // from a 1-row min/max agg exploded into a date sequence (bounded
+    // by the RANGE, not the data — 100 years is 36.5k rows, broadcast
+    // everywhere), the user×day grid via broadcast cross join (the
+    // deliberate, bounded kind), a left join back, and last-ignoreNulls
+    // over a per-user window — partitioned by user_id, never global.
+    // The user cut (user_id % 10 = 0) bounds the demo grid; the %-hash
+    // is the same reproducible admission used by the sampling keys.
+    // Daily sums stay exact DECIMAL through the fill; DOUBLE only on
+    // the way out.
+    QueryDef("q_timeseries_gapfill",
+      (s, d) => {
+        val ev = Tables.table(s, d, "events")
+          .filter(col("user_id") % 10 === 0)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(sum(col("value").cast(DecimalType(38, 6))).as("v"))
+        val days = ev.agg(min("day").as("lo"), max("day").as("hi"))
+          .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+        val grid = ev.select("user_id").distinct().crossJoin(broadcast(days))
+        grid.join(ev, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day").cast("timestamp").as("day"),
+            last(col("v"), ignoreNulls = true)
+              .over(Window.partitionBy("user_id").orderBy("day")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast(DoubleType).as("v_filled"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day,
+             |    sum(CAST(value AS DECIMAL(38,6))) AS v
+             |  FROM events WHERE user_id % 10 = 0
+             |  GROUP BY 1, 2
+             |), b AS (
+             |  SELECT min(day) AS lo, max(day) AS hi FROM ev
+             |), days AS (
+             |  SELECT CAST(unnest(generate_series(lo, hi,
+             |    INTERVAL 1 DAY)) AS DATE) AS day FROM b
+             |), grid AS (
+             |  SELECT u.user_id, d.day
+             |  FROM (SELECT DISTINCT user_id FROM ev) u, days d
+             |)
+             |SELECT g.user_id, CAST(g.day AS TIMESTAMP) AS day,
+             |  CAST(last_value(ev.v IGNORE NULLS) OVER (
+             |    PARTITION BY g.user_id ORDER BY g.day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS DOUBLE) AS v_filled
+             |FROM grid g LEFT JOIN ev
+             |  ON ev.user_id = g.user_id AND ev.day = g.day
+             |ORDER BY g.user_id, g.day""".stripMargin)),
+
     QueryDef("q_events_conversion_lag",
       (s, d) => {
         val ev = Tables.table(s, d, "events")

@@ -595,6 +595,36 @@ class PlanSpec extends SparkSpec {
       s"admission is per-row + a 1-row broadcast; the corpus must not shuffle:\n$p")
   }
 
+  test("q_join_bloom probes the bloom on the fact side BELOW the join") {
+    val p = plan("q_join_bloom")
+    assert(p.contains("might_contain"),
+      s"the explicit bloom probe must survive into the physical plan:\n$p")
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      s"the creation-side cut must push into the orders scan:\n$p")
+    // the probe must filter lineitem BEFORE the join, not after
+    val joinIdx = p.indexOf("Join")
+    val probeIdx = p.indexOf("might_contain")
+    assert(probeIdx >= 0 && joinIdx >= 0 && probeIdx > joinIdx,
+      s"(plan prints top-down: a pre-join filter appears under/after the join node)\n$p")
+  }
+
+  test("q_agg_incremental pushes both partition cuts and merges partials map-side") {
+    val p = plan("q_agg_incremental")
+    assert(p.contains("LessThan(l_shipdate") && p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"both the historical and delta cuts must reach their scans:\n$p")
+    assert(p.contains("Union"), s"the merge is a union + re-agg:\n$p")
+    assert(p.contains("partial_sum"),
+      s"both partials and the merge must combine map-side:\n$p")
+  }
+
+  test("q_timeseries_gapfill windows per user and broadcasts the calendar") {
+    val p = plan("q_timeseries_gapfill")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"the forward fill must partition by user_id, never a global window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the user×calendar grid must broadcast the bounded day list:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and
