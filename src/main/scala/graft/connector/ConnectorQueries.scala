@@ -84,13 +84,48 @@ object ConnectorQueries {
     "roundtrip", "dsv2", "dsv2_dec", "dsv2_rtp", "dsv2_arr", "dsv2_struct",
     "dsv2_map", "dsv2_part")
 
+  /** Bucketed twins of orders/lineitem for `q_bucket_join`: both sides
+    * CLUSTERED BY their orderkey into the same 8 buckets — the pre-paid
+    * shuffle. Unlike the parquet stages, bucketing lives in CATALOG
+    * metadata (`saveAsTable`), which is per-session where StageCache is
+    * per-process — so the table names carry the session identity and a
+    * fresh session re-creates its catalog entries (re-using the staged
+    * DIRECTORY is not attempted: bucket-file trust belongs to the
+    * catalog that wrote it). The pre-write `repartition(8, key)` aligns
+    * task partitioning with the bucket hash (same Murmur3 column hash),
+    * so each bucket is ONE file — without it every write task emits a
+    * file per bucket and the reader faces 32×8 fragments. Staged via
+    * [[prestage]] (the Bench/Verify warmup), so a timed run grades the
+    * bucketed JOIN, not the one-time layout write. */
+  private[connector] def bucketedTables(
+      s: org.apache.spark.sql.SparkSession, d: String): (String, String) = {
+    val sid = Integer.toHexString(System.identityHashCode(s))
+    val (tO, tL) = (s"graft_bkt_orders_$sid", s"graft_bkt_lineitem_$sid")
+    if (!s.catalog.tableExists(tO) || !s.catalog.tableExists(tL)) {
+      val dir = StageCache.getOrStage(s"bucketed_$sid", d)(_ => ())
+      Tables.table(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(8, col("o_orderkey"))
+        .write.mode("overwrite").option("path", s"$dir/orders")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(tO)
+      Tables.table(s, d, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").option("path", s"$dir/lineitem")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tL)
+    }
+    (tO, tL)
+  }
+
   /** Stage every DSv2 fixture up front (idempotent — StageCache runs each
     * write once per (key, sfDir)). Called from `Tables.register`, i.e. the
     * warmup path of Bench/Verify and the first table access of any query,
     * so the one-time fixture writes never pollute a timed query: a bench
     * row for a DSv2 key grades the READ plan, not the fixture write. */
-  private[graft] def prestage(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+  private[graft] def prestage(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     stageKeys.foreach(k => staged(k, s, d))
+    bucketedTables(s, d)
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -131,6 +166,42 @@ object ConnectorQueries {
       (s, d) => s.read.parquet(staged("compacted", s, d))
         .orderBy("o_orderkey"),
       Some("SELECT * FROM orders ORDER BY o_orderkey")),
+
+    // ------------------------------------------- bucketed (pre-paid) join
+    // the co-located fact-fact join: both sides bucketed by orderkey into
+    // the same bucket count at WRITE time, so the join consumes the
+    // layout instead of shuffling — at 100 TB this converts the every-run
+    // exchange of both fact tables into a one-time layout cost paid at
+    // ingest, the standard play for a join run hourly on the same keys.
+    // PlanSpec pins the contract: a SortMergeJoin with ZERO Exchange
+    // under it — the only exchange in the plan is the group-sized
+    // post-join agg. (A per-bucket Sort remains: Spark ≥3.0 ignores
+    // write-time sortBy metadata on read unless the legacy
+    // bucketedTableScan.outputOrdering conf is set; the sort is
+    // task-local over one bucket, not a shuffle.) The merge hint forces the
+    // fact-fact plan: at fixture scale the orders side auto-broadcasts
+    // (correct there, q_tpch_q18 precedent) which would silently skip
+    // the bucket path the key exists to grade. Results are
+    // layout-independent, so the oracle is the plain join on the
+    // un-bucketed tables.
+    QueryDef("q_bucket_join",
+      (s, d) => {
+        val (tO, tL) = bucketedTables(s, d)
+        s.table(tL).hint("merge")
+          .join(s.table(tO), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+              .cast(org.apache.spark.sql.types.DoubleType).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, CAST(count(1) AS BIGINT) AS n_items,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
 
     // the DSv2 connector end-to-end (graft.sources.BatchSource): stage a
     // result set as parquet files, then read it back through

@@ -625,6 +625,19 @@ class PlanSpec extends SparkSpec {
       s"the user×calendar grid must broadcast the bounded day list:\n$p")
   }
 
+  test("q_bucket_join consumes the bucket layout: merge join with no exchange below it") {
+    val df = SparkEntry.queries("q_bucket_join")(spark, sfDir)
+    df.collect() // AQE: judge the final plan
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("Bucketed: true"),
+      s"both scans must report the bucket layout:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      s"the fact-fact path is the point — the merge hint must hold:\n$p")
+    val belowJoin = p.split("SortMergeJoin").last
+    assert(!belowJoin.contains("Exchange hashpartitioning"),
+      s"the bucketed join must not re-shuffle either side:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and
