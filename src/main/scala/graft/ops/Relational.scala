@@ -914,6 +914,100 @@ object Relational {
              |FROM corpus c FULL OUTER JOIN batch b ON c.doc_id = b.doc_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // --------------------------------------------- table checksum
+    // the replication/migration validator: an ORDER-INDEPENDENT content
+    // fingerprint per table slice — sum over rows of a portable row
+    // hash. Because + is commutative/associative and the decimal sum is
+    // exact, the checksum is identical on any engine, any partitioning,
+    // any row order — precisely what a 100 TB copy-validation needs
+    // (compare per-slice checksums, re-ship only slices that disagree;
+    // this is q_audit_integrity's content-level sibling). Row hash =
+    // md5 over an explicit '|'-joined canonical text of every column
+    // (each CAST written out, so engine-default formatting never
+    // enters); the sum rides DECIMAL(38,0) — 10^12 rows × 2^32 max hash
+    // still has 25 digits of headroom — and ships as a digit string
+    // (decimal output columns are banned by the driver contract).
+    QueryDef("q_table_checksum",
+      (s, d) => {
+        val rowTxt = "concat_ws('|', CAST(o_orderkey AS STRING), " +
+          "CAST(o_custkey AS STRING), o_orderstatus, " +
+          "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS STRING), " +
+          "CAST(CAST(o_orderdate AS DATE) AS STRING), o_orderpriority)"
+        t(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr(s"CAST(${graft.ops.Text.md5i(rowTxt)} AS DECIMAL(38,0))"))
+              .cast("string").as("checksum"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, CAST(count(1) AS BIGINT) AS n_rows,
+              |  CAST(sum(CAST(${graft.ops.Text.md5iDuck(
+                  "concat_ws('|', CAST(o_orderkey AS VARCHAR), " +
+                  "CAST(o_custkey AS VARCHAR), o_orderstatus, " +
+                  "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), " +
+                  "CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority)")}
+              |    AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+              |FROM orders
+              |GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)),
+
+    // --------------------------------------------- contingency / chi²
+    // categorical-independence profiling (segment × priority): observed
+    // counts vs independence-expected counts and the per-cell χ²
+    // contribution — the drift/bias check run over label columns before
+    // training. ONE fact join + ONE cell agg — the cell table is
+    // registry-persisted so the three marginal re-aggregations read the
+    // cached cells (segments×priorities rows), never re-running the
+    // fact join; two broadcast joins attach them. Cross-engine determinism:
+    // every input to the float math is an exact integer count; exp =
+    // rowTot·colTot/N and the χ² term are the IDENTICAL double
+    // expressions on both engines, rounded to 6.
+    QueryDef("q_crosstab_chi2",
+      (s, d) => {
+        val cells = graft.CacheRegistry.getOrPersist("crosstab_cells", d,
+          t(s, d, "orders")
+            .join(t(s, d, "customer").select("c_custkey", "c_mktsegment"),
+              col("o_custkey") === col("c_custkey"))
+            .groupBy("c_mktsegment", "o_orderpriority")
+            .agg(count(lit(1)).as("n")))
+        val rowTot = cells.groupBy("c_mktsegment")
+          .agg(sum("n").as("seg_total"))
+        val colTot = cells.groupBy("o_orderpriority")
+          .agg(sum("n").as("prio_total"))
+        val grand = cells.agg(sum("n").as("grand_total"))
+        val exp = (col("seg_total") * col("prio_total"))
+          .cast(DoubleType) / col("grand_total")
+        cells.join(broadcast(rowTot), Seq("c_mktsegment"))
+          .join(broadcast(colTot), Seq("o_orderpriority"))
+          .join(broadcast(grand))
+          .select(col("c_mktsegment"), col("o_orderpriority"), col("n"),
+            round(exp, 6).as("expected"),
+            round(pow(col("n").cast(DoubleType) - exp, 2) / exp, 6)
+              .as("chi2_term"))
+          .orderBy("c_mktsegment", "o_orderpriority")
+      },
+      Some("""WITH cells AS (
+             |  SELECT c_mktsegment, o_orderpriority, count(1) AS n
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1, 2
+             |), rt AS (
+             |  SELECT c_mktsegment, sum(n) AS seg_total FROM cells GROUP BY 1
+             |), ct AS (
+             |  SELECT o_orderpriority, sum(n) AS prio_total FROM cells GROUP BY 1
+             |), g AS (SELECT sum(n) AS grand_total FROM cells)
+             |SELECT c_mktsegment, o_orderpriority, CAST(n AS BIGINT) AS n,
+             |  round(CAST(seg_total * prio_total AS DOUBLE) / grand_total, 6)
+             |    AS expected,
+             |  round(pow(CAST(n AS DOUBLE)
+             |      - CAST(seg_total * prio_total AS DOUBLE) / grand_total, 2)
+             |    / (CAST(seg_total * prio_total AS DOUBLE) / grand_total), 6)
+             |    AS chi2_term
+             |FROM cells
+             |JOIN rt USING (c_mktsegment)
+             |JOIN ct USING (o_orderpriority)
+             |CROSS JOIN g
+             |ORDER BY c_mktsegment, o_orderpriority""".stripMargin)),
+
     // --------------------------------------------------- snapshot diff
     // the CDC question a daily 100 TB ingest answers before publishing:
     // WHAT changed between yesterday's snapshot and today's? Built on

@@ -638,6 +638,28 @@ class PlanSpec extends SparkSpec {
       s"the bucketed join must not re-shuffle either side:\n$p")
   }
 
+  test("q_table_checksum is one agg pass with a map-side-combined decimal sum") {
+    val p = plan("q_table_checksum")
+    assert(p.contains("partial_sum"),
+      s"the checksum sum must combine map-side (order-independence is the point):\n$p")
+    assert(!p.contains("Join"), s"a checksum never needs a join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"one slice shuffle is the whole exchange budget:\n$p")
+  }
+
+  test("q_crosstab_chi2 derives marginals from the CACHED cell table, fact join runs once") {
+    val p = plan("q_crosstab_chi2")
+    // (the raw plan string prints the cached relation's BUILD plan inside
+    // every InMemoryTableScan, so counting "Scan parquet" occurrences
+    // would see phantom re-scans — count the cache READS instead)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
+      s"cells + three marginals must all read the registry-persisted cell table:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"marginal attachment must be broadcast joins on the cell-sized frames:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing after the cached cells is big enough to sort-merge:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and
