@@ -859,6 +859,315 @@ object Workload {
              |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
              |GROUP BY 1, 2 HAVING count(1) >= 2
              |ORDER BY n_orders DESC, p1, p2
-             |LIMIT 25""".stripMargin))
+             |LIMIT 25""".stripMargin)),
+
+    // ---------------------------------------------------------- TPC-H Q2
+    // minimum-cost-supplier shape: the CORRELATED MIN subquery — for each
+    // qualifying part, keep only the supplier(s) whose offer hits that
+    // part's regional minimum. The fixture has no partsupp table, so the
+    // supply catalog derives from lineitem history: a (part, supplier)
+    // pair's offered cost is its minimum observed unit price
+    // (l_extendedprice / l_quantity — pure IEEE double division, bit-
+    // identical in both engines; min is selection, never accumulation,
+    // so the join-back EQUALITY on the min is exact). Plan contract:
+    // part and the EUROPE supplier roster are dims (broadcast after
+    // their pushed filters), the only fact-sized shuffle is the
+    // (partkey, suppkey) min-agg, and the per-part best-cost table —
+    // at most |part| rows — broadcasts back onto it. At 100 TB the
+    // catalog agg is the bottleneck and it is one map-side-combinable
+    // pass over lineitem; nothing downstream touches the fact again.
+    QueryDef("q_tpch_q2",
+      (s, d) => {
+        val euSupp = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")
+            .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        val pp = t(s, d, "part")
+          .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
+          .select("p_partkey", "p_name")
+        val cost = t(s, d, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+          .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(euSupp.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+        val best = cost.groupBy(col("l_partkey").as("bp"))
+          .agg(min(col("unit_cost")).as("best_cost"))
+        cost.join(broadcast(best),
+            col("l_partkey") === col("bp") && col("unit_cost") === col("best_cost"))
+          .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_name"), col("unit_cost").as("supplycost"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH eu_supp AS (
+             |  SELECT s_suppkey, s_name, s_acctbal, n_name
+             |  FROM supplier, nation, region
+             |  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |    AND r_name = 'EUROPE'
+             |), pp AS (
+             |  SELECT p_partkey, p_name FROM part
+             |  WHERE p_size <= 15 AND p_type = 'STANDARD'
+             |), cost AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    min(l_extendedprice / l_quantity) AS unit_cost
+             |  FROM lineitem JOIN pp ON p_partkey = l_partkey
+             |  WHERE l_suppkey IN (SELECT s_suppkey FROM eu_supp)
+             |  GROUP BY 1, 2
+             |), best AS (
+             |  SELECT l_partkey AS bp, min(unit_cost) AS best_cost
+             |  FROM cost GROUP BY 1
+             |)
+             |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+             |  unit_cost AS supplycost
+             |FROM cost
+             |  JOIN best ON l_partkey = bp AND unit_cost = best_cost
+             |  JOIN eu_supp ON l_suppkey = s_suppkey
+             |  JOIN pp ON l_partkey = p_partkey
+             |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+             |LIMIT 100""".stripMargin)),
+
+    // ---------------------------------------------------------- TPC-H Q9
+    // product-type-profit shape: the WIDEST join in the suite — lineitem
+    // against part (LIKE-filtered), supplier, its nation, and orders
+    // (for the year), grouped by (nation, year). The fixture carries no
+    // ps_supplycost; the stand-in cost is 60% of the part's retail price
+    // (a per-part constant, so the profit expression stays a row-local
+    // arithmetic over the joined frame, exactly Q9's shape). Plan
+    // contract: part/supplier/nation broadcast behind pushed filters,
+    // the orders⋈lineitem orderkey shuffle is the one fact-fact
+    // exchange, profit is summed in DECIMAL(38,6) from identical
+    // per-row double expressions (cast text identical in both engines),
+    // and the output group count is |nation|×|years| — tiny.
+    QueryDef("q_tpch_q9",
+      (s, d) => {
+        val pp = t(s, d, "part")
+          .filter(col("p_name").like("%gear%"))
+          .select("p_partkey", "p_retailprice")
+        val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+        val nat = t(s, d, "nation").select("n_nationkey", "n_name")
+        val ord = t(s, d, "orders").select("o_orderkey", "o_orderdate")
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice", "l_discount")
+          .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).as("o_year"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+              lit(0.6) * col("p_retailprice") * col("l_quantity")).cast(D386))
+            .cast(DoubleType).as("sum_profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some("""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |      - 0.6 * p_retailprice * l_quantity
+             |    AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+             |FROM part, supplier, lineitem, orders, nation
+             |WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+             |  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+             |  AND p_name LIKE '%gear%'
+             |GROUP BY 1, 2
+             |ORDER BY nation, o_year DESC""".stripMargin)),
+
+    // --------------------------------------------------------- TPC-H Q11
+    // important-stock shape: a grouped value table filtered by a SCALAR
+    // subquery over ITSELF (value > fraction × grand total). Without
+    // partsupp, a part's "stock value" held by NATION_7's suppliers is
+    // the summed extended price of their shipments of it. Determinism
+    // contract: per-part values sum in DECIMAL(38,6) (exact, order-free);
+    // the grand total is the exact decimal sum-of-sums cast to DOUBLE
+    // ONCE, then scaled by 0.001 in double — identical arithmetic text
+    // both sides of the oracle. Plan contract: nation cut broadcasts
+    // into supplier, supplier roster broadcasts into the fact scan, ONE
+    // partkey shuffle builds the value table, and the 1-row total joins
+    // back as a broadcast — the value table itself never re-shuffles.
+    QueryDef("q_tpch_q11",
+      (s, d) => {
+        val supp = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")
+            .filter(col("n_name") === "NATION_7").select("n_nationkey")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey")
+        val vals = t(s, d, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_extendedprice")
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey").as("ps_partkey"))
+          .agg(sum(col("l_extendedprice").cast(D386)).as("vdec"))
+        val total = vals.agg((sum(col("vdec")).cast(DoubleType) * lit(0.001))
+          .as("threshold"))
+        vals.join(broadcast(total))
+          .filter(col("vdec").cast(DoubleType) > col("threshold"))
+          .select(col("ps_partkey"), col("vdec").cast(DoubleType).as("value"))
+          .orderBy(col("value").desc, col("ps_partkey"))
+      },
+      Some("""WITH vals AS (
+             |  SELECT l_partkey AS ps_partkey,
+             |    sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS vdec
+             |  FROM lineitem, supplier, nation
+             |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+             |    AND n_name = 'NATION_7'
+             |  GROUP BY 1
+             |)
+             |SELECT ps_partkey, CAST(vdec AS DOUBLE) AS value
+             |FROM vals
+             |WHERE CAST(vdec AS DOUBLE) >
+             |  (SELECT CAST(sum(vdec) AS DOUBLE) * 0.001 FROM vals)
+             |ORDER BY value DESC, ps_partkey""".stripMargin)),
+
+    // --------------------------------------------------------- TPC-H Q16
+    // parts/supplier-relationship shape: DISTINCT-supplier counts per
+    // part family, minus an excluded supplier set via NOT IN (the
+    // fixture has no s_comment complaints column; suppliers in arrears —
+    // negative balance — play the excluded set, same anti-join shape).
+    // Plan contract: both part cuts and the size IN-list push into the
+    // part scan; the exclusion list is a broadcast LEFT ANTI (its NOT IN
+    // is safe to plan as anti: s_suppkey is non-null by construction);
+    // count(DISTINCT) runs as the standard two-level expand-agg, keyed
+    // by the (brand, type, size) family — group count is bounded by the
+    // family combinatorics, not the fact.
+    QueryDef("q_tpch_q16",
+      (s, d) => {
+        val sizes = Seq(1, 4, 9, 14, 19, 23, 36, 45)
+        val pp = t(s, d, "part")
+          .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(sizes: _*))
+          .select("p_partkey", "p_brand", "p_type", "p_size")
+        val bad = t(s, d, "supplier")
+          .filter(col("s_acctbal") < 0).select("s_suppkey")
+        t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+          .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+             |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+             |  AND l_suppkey NOT IN
+             |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY 1, 2, 3
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // --------------------------------------------------------- TPC-H Q20
+    // potential-part-promotion shape: a supplier roster filtered by a
+    // nested SEMI JOIN against an aggregated fact subset — "which
+    // NATION_3/NATION_7 suppliers moved real volume of small parts in
+    // 1996". (partsupp's availqty threshold becomes a shipped-quantity
+    // threshold over the same nested-IN structure.) Plan contract: the
+    // part LIKE cut broadcasts into the fact scan, the year window
+    // pushes to parquet, the HAVING-filtered supplier list — at most
+    // |supplier| rows — broadcasts as a LEFT SEMI onto the nation-cut
+    // roster. The fact is touched once, pre-aggregated by suppkey
+    // before any join against supplier.
+    QueryDef("q_tpch_q20",
+      (s, d) => {
+        val lo = lit("1996-01-01").cast("timestamp")
+        val hi = lit("1997-01-01").cast("timestamp")
+        val smallParts = t(s, d, "part")
+          .filter(col("p_name").like("small%")).select("p_partkey")
+        val movers = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+          .select("l_partkey", "l_suppkey", "l_quantity")
+          .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+          .groupBy("l_suppkey")
+          .agg(sum(col("l_quantity").cast(D386)).as("qty"))
+          .filter(col("qty") > 100)
+          .select("l_suppkey")
+        t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")
+            .filter(col("n_name").isin("NATION_3", "NATION_7"))
+            .select("n_nationkey")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(movers), col("s_suppkey") === col("l_suppkey"),
+            "left_semi")
+          .select("s_suppkey", "s_name", "s_acctbal")
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name, s_acctbal
+             |FROM supplier, nation
+             |WHERE s_nationkey = n_nationkey
+             |  AND n_name IN ('NATION_3', 'NATION_7')
+             |  AND s_suppkey IN (
+             |    SELECT l_suppkey
+             |    FROM lineitem JOIN part ON p_partkey = l_partkey
+             |    WHERE p_name LIKE 'small%'
+             |      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |    GROUP BY 1
+             |    HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > 100)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // --------------------------------------------------------- TPC-H Q21
+    // suppliers-who-kept-orders-waiting shape: the DOUBLE-CORRELATED
+    // exists/not-exists over the same fact — blame the supplier who was
+    // the SOLE straggler on a multi-supplier finished order. The fixture
+    // has no receipt/commit dates, so "late" is defined on l_shipdate:
+    // a supplier is blamed for an order iff the order is 'F', at least
+    // one OTHER supplier fed it (the EXISTS), and no other supplier
+    // shipped as late as they did (the NOT EXISTS — i.e. they alone hit
+    // the order's max ship date). Engine form replaces the two
+    // correlated probes with order-grain aggregates: per-(order,
+    // supplier) max ship date (ONE fact shuffle), then per-order
+    // (max, supplier count, winner count) — order-grain tables that
+    // join back on orderkey. At 100 TB every post-shuffle frame is
+    // order- or supplier-grain; the correlated-subquery form would
+    // rescan lineitem twice. Exact timestamp equality stands in for
+    // the correlation predicates — selection, not arithmetic.
+    QueryDef("q_tpch_q21",
+      (s, d) => {
+        val os = t(s, d, "lineitem")
+          .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+            .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(max(col("l_shipdate")).as("s_max"))
+        val perOrder = os.groupBy(col("l_orderkey").as("ok"))
+          .agg(max(col("s_max")).as("o_max"), count(lit(1)).as("n_supp"))
+        val winners = os.join(perOrder,
+            col("l_orderkey") === col("ok") && col("s_max") === col("o_max"))
+          .groupBy(col("l_orderkey").as("wk")).agg(count(lit(1)).as("n_win"))
+        os.join(perOrder, col("l_orderkey") === col("ok") &&
+            col("s_max") === col("o_max") && col("n_supp") >= 2)
+          .join(winners, col("l_orderkey") === col("wk") && col("n_win") === 1)
+          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      Some("""WITH os AS (
+             |  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max
+             |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             |  WHERE o_orderstatus = 'F'
+             |  GROUP BY 1, 2
+             |), per_order AS (
+             |  SELECT l_orderkey AS ok, max(s_max) AS o_max,
+             |    count(1) AS n_supp
+             |  FROM os GROUP BY 1
+             |), winners AS (
+             |  SELECT os.l_orderkey AS wk, count(1) AS n_win
+             |  FROM os JOIN per_order ON l_orderkey = ok AND s_max = o_max
+             |  GROUP BY 1
+             |)
+             |SELECT s_name, CAST(count(1) AS BIGINT) AS numwait
+             |FROM os
+             |  JOIN per_order ON os.l_orderkey = ok AND os.s_max = o_max
+             |    AND n_supp >= 2
+             |  JOIN winners ON os.l_orderkey = wk AND n_win = 1
+             |  JOIN supplier ON s_suppkey = os.l_suppkey
+             |GROUP BY 1
+             |ORDER BY numwait DESC, s_name
+             |LIMIT 100""".stripMargin))
   )
 }

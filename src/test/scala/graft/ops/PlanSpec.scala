@@ -660,6 +660,70 @@ class PlanSpec extends SparkSpec {
       s"nothing after the cached cells is big enough to sort-merge:\n$p")
   }
 
+  test("q_tpch_q2 aggregates the catalog once, best-cost joins back broadcast") {
+    val p = plan("q_tpch_q2")
+    assert(p.contains("LessThanOrEqual(p_size,15)"),
+      s"the part size cut must reach the part scan:\n$p")
+    // one fact-sized exchange: the (partkey, suppkey) catalog min-agg;
+    // everything downstream (best-cost, dims) attaches via broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"dims and the per-part best-cost table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing after the catalog agg is big enough to sort-merge:\n$p")
+  }
+
+  test("q_tpch_q9 broadcasts all dims; orders⋈lineitem is the one fact shuffle") {
+    val p = plan("q_tpch_q9")
+    assert(p.contains("StringContains(p_name,gear)"),
+      s"the LIKE cut must reach the part scan:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"part/supplier/nation must broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"map-side combine missing:\n$p")
+  }
+
+  test("q_tpch_q11 builds the value table in one partkey shuffle, total joins back broadcast") {
+    val p = plan("q_tpch_q11")
+    assert(p.contains("EqualTo(n_name,NATION_7)"),
+      s"the nation cut must reach the nation scan:\n$p")
+    // the value table is partkey-grain; the 1-row threshold must attach
+    // as a broadcast nested loop (no key), never re-shuffling the values
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"only the value-table agg (+AQE artifacts) may hash-exchange:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the scalar threshold must broadcast:\n$p")
+  }
+
+  test("q_tpch_q16 pushes the family cuts and runs the exclusion as a broadcast anti join") {
+    val p = plan("q_tpch_q16")
+    assert(p.contains("Not(EqualTo(p_type,PROMO))"),
+      s"the type exclusion must reach the part scan:\n$p")
+    assert(p.contains("In(p_size"), s"the size IN-list must push:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"the arrears exclusion must be an anti join, not a filter-after-join:\n$p")
+    assert(p.contains("LessThan(s_acctbal,0.0)"),
+      s"the arrears cut must reach the supplier scan:\n$p")
+  }
+
+  test("q_tpch_q20 pre-aggregates movers before the semi join against the roster") {
+    val p = plan("q_tpch_q20")
+    assert(p.contains("LeftSemi"),
+      s"the nested IN must plan as a semi join:\n$p")
+    assert(p.contains("StringStartsWith(p_name,small)"),
+      s"the part LIKE 'small%' cut must push as a prefix filter:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"the 1996 window must reach the lineitem scan:\n$p")
+  }
+
+  test("q_tpch_q21 reduces to order-grain before any join-back") {
+    val p = plan("q_tpch_q21")
+    assert(p.contains("EqualTo(o_orderstatus,F)"),
+      s"the finished-order cut must reach the orders scan:\n$p")
+    assert(p.contains("partial_max"),
+      s"the per-(order,supplier) max must combine map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the supplier dim must broadcast:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and
