@@ -269,6 +269,94 @@ object Graph {
              |)
              |SELECT degree, CAST(count(1) AS BIGINT) AS n_nodes
              |FROM deg GROUP BY degree
-             |ORDER BY degree""".stripMargin))
+             |ORDER BY degree""".stripMargin)),
+
+    // ------------------------------------------------ triangle census
+    // triangle participation in the co-purchase part graph (parts linked
+    // when one order contains both) — the clustering/cohesion metric the
+    // trade graph cannot host (it is bipartite, triangle-free by
+    // construction). The graph restricts to small parts (p_size ≤ 10)
+    // so the census reads a cut, not the whole basket blow-up. Engine
+    // form is the degree-ORDERED wedge join — the standard scale
+    // treatment (node iterator with orientation): orient every edge from
+    // its (degree, id)-smaller endpoint to the larger, so out-degrees
+    // are bounded by O(√m) on ANY degree distribution and the wedge
+    // self-join is Σd_out² — never the unbounded Σd² a naive star join
+    // pays on a hub node. Each triangle then closes at exactly ONE apex
+    // (the vertex whose two out-edges reach the other two), counted by
+    // a semi-joinable equi-join against the canonical (a<b) edge set.
+    // All integers; per-node participation sums the three roles.
+    QueryDef("q_graph_triangles",
+      (s, d) => {
+        val items = Tables.table(s, d, "lineitem").select("l_orderkey", "l_partkey")
+          .join(broadcast(Tables.table(s, d, "part")
+            .filter(col("p_size") <= 10).select("p_partkey")),
+            col("l_partkey") === col("p_partkey"))
+          .select("l_orderkey", "l_partkey")
+        // canonical undirected edges (a < b), one orderkey shuffle via the
+        // basket collect + row-local pair explode (the q_basket_pairs shape)
+        val edges = graft.CacheRegistry.getOrPersist("graph_copurchase_edges", d,
+          items.groupBy("l_orderkey")
+            .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+            .select(col("parts"), posexplode(col("parts")))
+            .select(col("col").as("a"),
+              explode(slice(col("parts"), col("pos") + lit(2),
+                size(col("parts")))).as("b"))
+            .distinct())
+        val deg = edges.select(col("a").as("n")).unionAll(edges.select(col("b").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("dg"))
+        val da = deg.select(col("n").as("a"), col("dg").as("da"))
+        val db = deg.select(col("n").as("b"), col("dg").as("db"))
+        val lowFirst = col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b"))
+        val oriented = edges.join(da, "a").join(db, "b")
+          .select(when(lowFirst, col("a")).otherwise(col("b")).as("src"),
+            when(lowFirst, col("b")).otherwise(col("a")).as("dst"))
+        val e1 = oriented.select(col("src"), col("dst").as("x"))
+        val e2 = oriented.select(col("src"), col("dst").as("y"))
+        val wedges = e1.join(e2, "src").filter(col("x") < col("y"))
+        val tris = wedges.join(edges,
+          col("x") === col("a") && col("y") === col("b"))
+        tris.select(col("src").as("node"))
+          .unionAll(tris.select(col("x").as("node")))
+          .unionAll(tris.select(col("y").as("node")))
+          .groupBy(col("node").as("p_partkey"))
+          .agg(count(lit(1)).as("n_tri"))
+          .orderBy(col("n_tri").desc, col("p_partkey"))
+          .limit(25)
+      },
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey, l_partkey
+             |  FROM lineitem JOIN part ON p_partkey = l_partkey
+             |  WHERE p_size <= 10
+             |), edges AS (
+             |  SELECT i.l_partkey AS a, j.l_partkey AS b
+             |  FROM items i JOIN items j
+             |    ON i.l_orderkey = j.l_orderkey AND i.l_partkey < j.l_partkey
+             |  GROUP BY 1, 2
+             |), deg AS (
+             |  SELECT n, count(1) AS dg FROM (
+             |    SELECT a AS n FROM edges UNION ALL SELECT b FROM edges)
+             |  GROUP BY 1
+             |), oriented AS (
+             |  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+             |           THEN a ELSE b END AS src,
+             |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+             |           THEN b ELSE a END AS dst
+             |  FROM edges JOIN deg da ON da.n = a JOIN deg db ON db.n = b
+             |), tris AS (
+             |  SELECT e1.src, e1.dst AS x, e2.dst AS y
+             |  FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+             |  JOIN edges ON a = e1.dst AND b = e2.dst
+             |  WHERE e1.dst < e2.dst
+             |)
+             |SELECT node AS p_partkey, CAST(count(1) AS BIGINT) AS n_tri
+             |FROM (
+             |  SELECT src AS node FROM tris
+             |  UNION ALL SELECT x FROM tris
+             |  UNION ALL SELECT y FROM tris)
+             |GROUP BY 1
+             |ORDER BY n_tri DESC, p_partkey
+             |LIMIT 25""".stripMargin))
   )
 }

@@ -1491,6 +1491,177 @@ object Relational {
              |  CAST(c_nationkey AS BIGINT) AS nk,
              |  CAST(c_custkey AS VARCHAR) AS ck_str,
              |  CAST(c_acctbal AS REAL) AS bal_f32
-             |FROM customer ORDER BY c_custkey""".stripMargin))
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // ------------------------------------------------ per-group mode
+    // the most frequent value per group (each nation's dominant market
+    // segment) with a DETERMINISTIC tie-break — Spark's built-in
+    // `mode()` (and DuckDB's) returns an ARBITRARY value on frequency
+    // ties, which can never hash-match across engines; the engine form
+    // is the counts-then-argmax rewrite: one (group, value) hash agg
+    // (map-side combinable — the only fact-sized pass), then max_by on
+    // the struct (n, reverse-alphabetical value) so ties break to the
+    // alphabetically-smallest segment by pure struct ordering, no
+    // window at all. The counts frame is |groups|×|values| — tiny at
+    // any corpus scale.
+    QueryDef("q_agg_mode",
+      (s, d) => {
+        val counts = t(s, d, "customer")
+          .groupBy("c_nationkey", "c_mktsegment")
+          .agg(count(lit(1)).as("n"))
+        // top frequency per group, then the alphabetically-smallest
+        // value AT that frequency — two tiny aggs over the counts frame
+        counts.groupBy("c_nationkey")
+          .agg(max(col("n")).as("top_n"))
+          .join(counts, "c_nationkey")
+          .filter(col("n") === col("top_n"))
+          .groupBy("c_nationkey")
+          .agg(min(col("c_mktsegment")).as("mode_segment"),
+            max(col("n")).as("n"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH counts AS (
+             |  SELECT c_nationkey, c_mktsegment,
+             |    CAST(count(1) AS BIGINT) AS n
+             |  FROM customer GROUP BY 1, 2
+             |), top AS (
+             |  SELECT c_nationkey, max(n) AS top_n FROM counts GROUP BY 1
+             |)
+             |SELECT counts.c_nationkey AS c_nationkey,
+             |  min(c_mktsegment) AS mode_segment, max(n) AS n
+             |FROM counts JOIN top ON counts.c_nationkey = top.c_nationkey
+             |  AND n = top_n
+             |GROUP BY counts.c_nationkey
+             |ORDER BY counts.c_nationkey""".stripMargin)),
+
+    // --------------------------------------- window navigation frames
+    // the navigation-function family over ordered per-key frames:
+    // first/last/nth event value per user — FIRST_VALUE, LAST_VALUE
+    // (with the full-partition frame, not the default running frame —
+    // the classic silent-wrong-answer), and NTH_VALUE(2). One user-
+    // keyed window, (ts, event_id) total order so ties cannot flip
+    // navigation targets, one row per user out via the rank-1 filter.
+    QueryDef("q_window_navigation",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("first_v", first(col("value")).over(full))
+          .withColumn("last_v", last(col("value")).over(full))
+          .withColumn("second_v", nth_value(col("value"), 2).over(full))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "first_v", "last_v", "second_v")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, first_v, last_v, second_v FROM (
+             |  SELECT user_id,
+             |    first_value(value) OVER w AS first_v,
+             |    last_value(value) OVER w AS last_v,
+             |    nth_value(value, 2) OVER w AS second_v,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |)
+             |WHERE rn = 1
+             |ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------- skew-salted fact join
+    // the SKEWED-JOIN mitigation, made explicit (AQE's skew-join split
+    // only fires on sort-merge joins past runtime thresholds; a pipeline
+    // that KNOWS its hot keys salts deterministically): the fact side
+    // tags every row with salt = hash(unique id) % R, the dim side
+    // replicates R× (a bounded explode — R·|dim| rows), and the join key
+    // becomes (custkey, salt), splitting any hot customer's rows across
+    // R reducers instead of one straggler. CORRECTNESS is salt-invariant
+    // — every fact row still meets exactly one dim copy — so the oracle
+    // is the PLAIN join: the key proves the mitigation preserves
+    // semantics, and the salt hash can stay Spark-native (xxhash64, no
+    // cross-engine contract needed). The dim explode rides a broadcast
+    // at bench scale; at 100 TB with a big dim you'd salt only the
+    // measured-hot keys (the q_agg_salted hybrid), same algebra.
+    QueryDef("q_join_skew_salted",
+      (s, d) => {
+        val R = 8
+        val fact = t(s, d, "orders")
+          .select(col("o_custkey"), col("o_totalprice"),
+            pmod(xxhash64(col("o_orderkey")), lit(R)).as("salt"))
+        val dim = t(s, d, "customer").select("c_custkey", "c_nationkey")
+          .withColumn("salt", explode(array((0 until R).map(lit): _*)))
+        fact.join(broadcast(dim),
+            col("o_custkey") === col("c_custkey") && fact("salt") === dim("salt"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(D386)).cast(DoubleType).as("turnover"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, CAST(count(1) AS BIGINT) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             |    AS turnover
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY c_nationkey""".stripMargin)),
+
+    // ------------------------------------------- count-min sketch
+    // the COUNT-MIN frequency sketch expressed as relational algebra —
+    // d=4 hash rows × w=64 buckets of plain counters, built in ONE
+    // map-side-combinable aggregation (the per-row explode emits d
+    // fixed rows, so sketch construction is a single pass whatever the
+    // fact size, and two sketches MERGE by adding counters — the
+    // mergeability that makes it a 100 TB pre-aggregation primitive).
+    // Point estimates then read min-over-d bucket counters: an upper
+    // bound on the true count, over-counting only from bucket
+    // collisions. The key emits (part, exact, est, overcount ≥ 0) for
+    // the 10 hottest parts — overcount = 0 everywhere at this w/|keys|
+    // ratio would be suspicious; the report shows the bound and its
+    // slack. Hashing is the engine-portable md5 formula (row index
+    // baked into the hashed string), so DuckDB replays the identical
+    // sketch bit-for-bit.
+    QueryDef("q_sketch_countmin",
+      (s, d) => {
+        val W = 64
+        val hashes = (0 until 4).map(i => struct(lit(i).as("h"),
+          expr(s"CAST(${Text.md5i(s"CONCAT('$i#', CAST(l_partkey AS STRING))")} " +
+            s"% $W AS INT)").as("b")))
+        val sketch = t(s, d, "lineitem").select(col("l_partkey"),
+            explode(array(hashes: _*)).as("hb"))
+          .groupBy(col("hb.h").as("h"), col("hb.b").as("b"))
+          .agg(count(lit(1)).as("cnt"))
+        val exact = t(s, d, "lineitem").groupBy("l_partkey")
+          .agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("l_partkey")).limit(10)
+        val probes = exact.select(col("l_partkey"), col("exact_n"),
+          explode(array((0 until 4).map(i => struct(lit(i).as("h"),
+            expr(s"CAST(${Text.md5i(s"CONCAT('$i#', CAST(l_partkey AS STRING))")} " +
+              s"% $W AS INT)").as("b"))): _*)).as("hb"))
+        probes.join(broadcast(sketch),
+            col("hb.h") === col("h") && col("hb.b") === col("b"))
+          .groupBy("l_partkey", "exact_n")
+          .agg(min(col("cnt")).as("est_n"))
+          .select(col("l_partkey"), col("exact_n"), col("est_n"),
+            (col("est_n") - col("exact_n")).as("overcount"))
+          .orderBy("l_partkey")
+      },
+      Some(s"""WITH sketch AS (
+              |  SELECT h, CAST(${Text.md5iDuck(
+                   "CONCAT(h, '#', CAST(l_partkey AS VARCHAR))")} % 64 AS INT)
+              |      AS b,
+              |    CAST(count(1) AS BIGINT) AS cnt
+              |  FROM lineitem, (SELECT unnest(ARRAY[0,1,2,3]) AS h)
+              |  GROUP BY 1, 2
+              |), exact AS (
+              |  SELECT l_partkey, CAST(count(1) AS BIGINT) AS exact_n
+              |  FROM lineitem GROUP BY 1
+              |  ORDER BY exact_n DESC, l_partkey LIMIT 10
+              |)
+              |SELECT l_partkey, exact_n, min(cnt) AS est_n,
+              |  min(cnt) - exact_n AS overcount
+              |FROM exact, sketch
+              |WHERE CAST(${Text.md5iDuck(
+                   "CONCAT(h, '#', CAST(l_partkey AS VARCHAR))")} % 64 AS INT) = b
+              |GROUP BY 1, 2
+              |ORDER BY l_partkey""".stripMargin))
   )
 }

@@ -437,6 +437,65 @@ object Temporal {
              |  ON c.user_id = p.user_id AND c.ts <= p.ts
              |ORDER BY c.click_id""".stripMargin)),
 
+    // NEAREST as-of: each click's closest purchase in EITHER direction,
+    // ties to the earlier (backward) match — the sensor-alignment
+    // semantics (pandas merge_asof direction='nearest'). Composed from
+    // the two proven primitives instead of a fifth core: run backward
+    // AND forward (each carrying the matched purchase time as a value
+    // column), join the two one-row-per-click frames on the click id,
+    // and pick per row by |Δt| — a row-local integer compare. Cost is
+    // exactly backward + forward + one click-grain join; inherits every
+    // NULL/tie hardening from the primitives. The DuckDB twin replays
+    // the same pick over its two native ASOF joins.
+    QueryDef("q_join_asof_nearest",
+      (s, d) => {
+        val ev = Tables.table(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+            col("event_id"))
+        val purchases = purchasesDeduped(ev)
+          .withColumn("rt_us", unix_micros(col("ts"))).drop("ts")
+          .withColumn("p_t", col("rt_us"))
+        val back = asofJoin(clicks, purchases, Seq("user_id"), "t_us", "rt_us")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("t_us"), col("p_id").as("b_id"), (col("t_us") - col("p_t")).as("b_d"))
+        val fwd = asofJoinForward(clicks, purchases, Seq("user_id"), "t_us", "rt_us")
+          .select(col("event_id").as("f_click_id"),
+            col("p_id").as("f_id"), (col("p_t") - col("t_us")).as("f_d"))
+        val takeBack = col("f_d").isNull ||
+          (col("b_d").isNotNull && col("b_d") <= col("f_d"))
+        back.join(fwd, col("click_id") === col("f_click_id"))
+          .select(col("click_id"), col("user_id"),
+            when(takeBack, col("b_id")).otherwise(col("f_id")).as("near_p_id"),
+            when(takeBack, col("b_d")).otherwise(col("f_d")).as("near_d_us"))
+          .orderBy("click_id")
+      },
+      Some("""WITH clicks AS (
+             |  SELECT event_id AS click_id, user_id, ts
+             |  FROM events WHERE event_type = 'click'
+             |), purchases AS (
+             |  SELECT user_id, ts, max(event_id) AS p_id,
+             |         arg_max(value, event_id) AS p_value
+             |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+             |), b AS (
+             |  SELECT c.click_id, c.user_id, p.p_id AS b_id,
+             |    epoch_us(c.ts) - epoch_us(p.ts) AS b_d
+             |  FROM clicks c ASOF LEFT JOIN purchases p
+             |    ON c.user_id = p.user_id AND c.ts >= p.ts
+             |), f AS (
+             |  SELECT c.click_id, p.p_id AS f_id,
+             |    epoch_us(p.ts) - epoch_us(c.ts) AS f_d
+             |  FROM clicks c ASOF LEFT JOIN purchases p
+             |    ON c.user_id = p.user_id AND c.ts <= p.ts
+             |)
+             |SELECT b.click_id, b.user_id,
+             |  CASE WHEN f.f_d IS NULL OR (b.b_d IS NOT NULL AND b.b_d <= f.f_d)
+             |       THEN b.b_id ELSE f.f_id END AS near_p_id,
+             |  CASE WHEN f.f_d IS NULL OR (b.b_d IS NOT NULL AND b.b_d <= f.f_d)
+             |       THEN b.b_d ELSE f.f_d END AS near_d_us
+             |FROM b JOIN f ON b.click_id = f.click_id
+             |ORDER BY b.click_id""".stripMargin)),
+
     // tumbling window (streaming: groupBy(window($"ts","1 hour"))) — the
     // epoch-aligned 1h window start equals date_trunc('hour')
     // ---------------------------------------- ordered funnel analysis
@@ -796,6 +855,95 @@ object Temporal {
           .orderBy("event_id")
       },
       Some("""SELECT event_id, ts, user_id, event_type, value
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---------------------------------- behavioral transition matrix
+    // first-order Markov transitions between consecutive events of the
+    // SAME user — the clickstream path-mining shape (what follows what).
+    // Engine form: one window lag per user ordered by (ts, event_id) —
+    // the unique id breaks timestamp ties so "previous event" is a total
+    // order on BOTH engines — then a tiny (|types|²-bounded) count
+    // aggregate. At 100 TB the window shuffles once on user_id and each
+    // user's history sorts locally (users are small; a pathological
+    // mega-user would need the session-chunking treatment of
+    // q_pack_sequences_chunked, documented not needed for this fixture).
+    // Output is pure integer counts — nothing to drift.
+    QueryDef("q_events_transitions",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.table(s, d, "events")
+          .select("user_id", "ts", "event_id", "event_type")
+          .withColumn("from_type", lag("event_type", 1).over(w))
+          .filter(col("from_type").isNotNull)
+          .groupBy(col("from_type"), col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS from_type
+             |  FROM events
+             |)
+             |SELECT from_type, event_type AS to_type,
+             |  CAST(count(1) AS BIGINT) AS n
+             |FROM seq WHERE from_type IS NOT NULL
+             |GROUP BY 1, 2
+             |ORDER BY from_type, to_type""".stripMargin)),
+
+    // ------------------------------------ seasonal-baseline outliers
+    // anomaly detection against a SEASONAL profile: an event is
+    // anomalous if its value exceeds mean + 3σ for its (event_type,
+    // hour-of-day) bucket — the time-of-day-aware twin of
+    // q_profile_outliers' global z-score. Determinism contract: the
+    // bucket moments come from exact DECIMAL(38,6) sums (Σv, Σv² — the
+    // per-row square is one IEEE double multiply, identical both
+    // engines), mean/variance derive from those sums in double with
+    // IDENTICAL expression text, σ = sqrt(max(var, 0)) (correctly
+    // rounded, and the clamp kills the tiny-negative-variance NaN).
+    // Plan contract: profile table is ≤ |types|×24 rows — ONE groupBy
+    // shuffle then a broadcast join back onto the fact; the filter is
+    // a row-local double compare. At 100 TB: one pass + one broadcast.
+    QueryDef("q_events_seasonal_outliers",
+      (s, d) => {
+        val ev = Tables.table(s, d, "events")
+          .select(col("event_id"), col("event_type"), col("value"),
+            hour(col("ts")).as("hr"))
+        val prof = ev.groupBy("event_type", "hr")
+          .agg(sum(col("value").cast(D386)).as("sv"),
+            sum((col("value") * col("value")).cast(D386)).as("svv"),
+            count(lit(1)).as("n"))
+          .select(col("event_type").as("p_type"), col("hr").as("p_hr"),
+            (col("sv").cast(DoubleType) / col("n")).as("mean"),
+            sqrt(greatest(
+              col("svv").cast(DoubleType) / col("n") -
+                (col("sv").cast(DoubleType) / col("n")) *
+                (col("sv").cast(DoubleType) / col("n")),
+              lit(0.0))).as("sd"))
+        ev.join(broadcast(prof),
+            col("event_type") === col("p_type") && col("hr") === col("p_hr"))
+          .filter(col("value") > col("mean") + lit(3.0) * col("sd"))
+          .select("event_id", "event_type", "hr", "value")
+          .orderBy("event_id")
+      },
+      Some("""WITH prof AS (
+             |  SELECT event_type AS p_type, hour(ts) AS p_hr,
+             |    CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             |      / count(1) AS mean,
+             |    sqrt(greatest(
+             |      CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+             |        / count(1)
+             |      - (CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             |        / count(1))
+             |      * (CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             |        / count(1)), 0.0)) AS sd
+             |  FROM events GROUP BY 1, 2
+             |)
+             |SELECT event_id, event_type, hour(ts) AS hr, value
+             |FROM events JOIN prof
+             |  ON event_type = p_type AND hour(ts) = p_hr
+             |WHERE value > mean + 3.0 * sd
+             |ORDER BY event_id""".stripMargin))
   )
 }

@@ -972,6 +972,38 @@ object Text {
              |    AS chunk_chars
              |FROM documents,
              |  UNNEST(generate_series(1, greatest(length(text), 1), 90)) AS u(i)
-             |ORDER BY doc_id, chunk_idx""".stripMargin))
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ------------------------------------------ per-group reservoir
+    // fixed-size uniform sample PER GROUP (k=5 docs per language) — the
+    // eyeball-sample / few-shot-pick primitive. A classic streaming
+    // reservoir is order-dependent; the distributed-and-reproducible
+    // equivalent is BOTTOM-K BY HASH: rank every row by the md5 of its
+    // unique id and keep each group's k smallest. Same uniformity (the
+    // hash is a fixed random permutation of doc ids), but the sample is
+    // a pure FUNCTION of the id set — stable across runs, engines,
+    // partitionings, and executor counts, and two nodes' bottom-k lists
+    // MERGE by re-taking bottom-k (the mergeability a true reservoir
+    // lacks). Rides [[topNPerGroup]]'s salted two-level rank, so a
+    // dominant language never serializes into one window task.
+    QueryDef("q_sample_reservoir",
+      (s, d) => {
+        val hashed = Tables.table(s, d, "documents")
+          .select(col("lang"), col("doc_id"),
+            expr(md5i("CAST(doc_id AS STRING)")).as("hk"))
+        topNPerGroup(hashed, Seq("lang"), Seq(col("hk"), col("doc_id")), 5,
+            saltKey = col("doc_id"))
+          .select(col("lang"), col("doc_id"), col("hk"))
+          .orderBy("lang", "doc_id")
+      },
+      Some(s"""SELECT lang, doc_id, hk FROM (
+              |  SELECT lang, doc_id,
+              |    ${md5iDuck("CAST(doc_id AS VARCHAR)")} AS hk,
+              |    row_number() OVER (PARTITION BY lang
+              |      ORDER BY ${md5iDuck("CAST(doc_id AS VARCHAR)")}, doc_id)
+              |      AS rk
+              |  FROM documents)
+              |WHERE rk <= 5
+              |ORDER BY lang, doc_id""".stripMargin))
   )
 }

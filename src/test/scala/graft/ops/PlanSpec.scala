@@ -724,6 +724,84 @@ class PlanSpec extends SparkSpec {
       s"the supplier dim must broadcast:\n$p")
   }
 
+  test("q_events_transitions runs one user-keyed window, no corpus-wide sort") {
+    val p = plan("q_events_transitions")
+    assert(p.contains("Window") && p.contains("user_id"),
+      s"the lag must be a user-partitioned window:\n$p")
+    // the only range exchange allowed is the output sort of the tiny
+    // (|types|²) transition frame — never a global sort of raw events
+    assert(!"Exchange rangepartitioning\\((?!from_type)".r.findFirstIn(p).isDefined,
+      s"only the aggregated transition frame may range-exchange:\n$p")
+  }
+
+  test("q_events_seasonal_outliers broadcasts the 120-row profile back onto the fact") {
+    val p = plan("q_events_seasonal_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (type, hour) profile must broadcast, never shuffle the fact:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the moment sums must combine map-side:\n$p")
+  }
+
+  test("q_join_skew_salted: the salted join is a broadcast, fact side never shuffles for it") {
+    val p = plan("q_join_skew_salted")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the fact may hash-exchange only for the post-join nation agg —
+    // never on the (custkey, salt) join key itself
+    assert(!p.contains("Exchange hashpartitioning(o_custkey"),
+      s"salting must not add a fact shuffle keyed on the join key:\n$p")
+    assert(p.contains("xxhash64"),
+      s"the salt must be the deterministic xxhash64 tag:\n$p")
+  }
+
+  test("q_sketch_countmin builds the 256-cell sketch in one map-side-combined pass") {
+    val p = plan("q_sketch_countmin")
+    assert(p.contains("Generate explode"),
+      s"the d-row fan-out must be a row-local Generate:\n$p")
+    assert(p.contains("partial_count"),
+      s"sketch counters must combine map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the fixed-size sketch must broadcast onto the probes:\n$p")
+  }
+
+  test("q_graph_triangles reuses the cached edge set and never cross-joins") {
+    val p = plan("q_graph_triangles")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"degrees, orientation, and the closing join must all read the " +
+        s"registry-persisted edge table:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the wedge and closing joins are equi-joins — no product:\n$p")
+  }
+
+  test("q_sample_reservoir ranks via the salted two-level window") {
+    val p = plan("q_sample_reservoir")
+    assert("Window".r.findAllIn(p).size >= 2,
+      s"bottom-k-by-hash must run the two-level salted rank, not one " +
+        s"window task per language:\n$p")
+  }
+
+  test("q_agg_mode: counts-then-argmax, never a window") {
+    val p = plan("q_agg_mode")
+    assert(p.contains("partial_count"),
+      s"the (group, value) counts must combine map-side:\n$p")
+    assert(!p.contains("Window"),
+      s"the deterministic mode is two aggs over the counts frame, " +
+        s"no window:\n$p")
+  }
+
+  test("q_window_navigation: one user-keyed exchange feeds the frames") {
+    val p = plan("q_window_navigation")
+    assert(p.contains("Window"), p)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size <= 1,
+      s"all navigation frames must share one user_id partitioning:\n$p")
+  }
+
+  test("q_join_asof_nearest: backward + forward compose without any product join") {
+    val p = plan("q_join_asof_nearest")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the nearest pick is a click-grain equi-join over the two " +
+        s"as-of results:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and
