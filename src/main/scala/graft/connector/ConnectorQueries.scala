@@ -66,6 +66,13 @@ object ConnectorQueries {
             .repartition(col("lang"))
             .write.format("graft").option("partition_by", "lang")
             .mode("overwrite").save(dir)
+        case "dsv2_agg" =>
+          // 6 row-group-bearing files so the metadata answer genuinely
+          // merges multiple footers
+          Tables.table(s, d, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice")
+            .repartition(6)
+            .write.format("graft").mode("overwrite").save(dir)
         case "dsv2_map" =>
           Tables.table(s, d, "documents").selectExpr(
               "doc_id",
@@ -82,7 +89,7 @@ object ConnectorQueries {
 
   private val stageKeys = Seq(
     "roundtrip", "dsv2", "dsv2_dec", "dsv2_rtp", "dsv2_arr", "dsv2_struct",
-    "dsv2_map", "dsv2_part")
+    "dsv2_map", "dsv2_part", "dsv2_agg")
 
   /** Bucketed twins of orders/lineitem for `q_bucket_join`: both sides
     * CLUSTERED BY their orderkey into the same 8 buckets — the pre-paid
@@ -350,6 +357,25 @@ object ConnectorQueries {
         .orderBy("doc_id"),
       Some("""SELECT doc_id, lang, n_chars FROM documents
              |WHERE lang = 'en' ORDER BY doc_id""".stripMargin)),
+
+    // metadata-only aggregate pushdown: global COUNT(*)/MIN/MAX answered
+    // from parquet FOOTERS via SupportsPushDownAggregates — one driver-
+    // side listing, zero data files opened (the plan's scan is the
+    // METADATA-ONLY MetadataAggScan; BatchSourceSpec proves it declines
+    // when filters/grouping make metadata non-authoritative). This is
+    // the warehouse-connector trick the reference relies on Snowflake
+    // for: at 100 TB a row count or column range is a catalog question,
+    // not a 100 TB scan. The oracle computes the same aggregates from
+    // the raw table — the staged copy is row-identical by construction.
+    QueryDef("q_dsv2_agg_pushdown",
+      (s, d) => s.read.format("graft").load(staged("dsv2_agg", s, d))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price")),
+      Some("""SELECT CAST(count(1) AS BIGINT) AS n_rows,
+             |  min(l_extendedprice) AS min_price,
+             |  max(l_extendedprice) AS max_price
+             |FROM lineitem""".stripMargin)),
 
     // column-rename surface (columns.str.upper(), test_core.py:59-60) —
     // schema-only operation, no data movement

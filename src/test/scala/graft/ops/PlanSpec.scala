@@ -802,6 +802,13 @@ class PlanSpec extends SparkSpec {
         s"as-of results:\n$p")
   }
 
+  test("q_dsv2_agg_pushdown answers entirely from footer metadata") {
+    val p = plan("q_dsv2_agg_pushdown")
+    assert(p.contains("METADATA-ONLY"),
+      s"count/min/max must come from the MetadataAggScan, not a data " +
+        s"scan:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and
