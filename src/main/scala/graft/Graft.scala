@@ -445,6 +445,24 @@ object Graft {
   def pageRank(edges: DataFrame, iters: Int = 3): DataFrame =
     ops.Graph.pageRank(edges, iters)
 
+  /** Per-node triangle participation of an undirected graph: (node,
+    * n_tri) for every node in ≥1 triangle. `edges` must carry two
+    * numeric endpoint columns; they are canonicalized (self-loops
+    * dropped, (min, max) dedup) before the degree-ordered wedge count —
+    * out-degrees bounded O(√m) under orientation, wedges expanded
+    * row-locally, triangles closed by one equi-join, so no step is
+    * quadratic in a hub's degree. Oracle-checked as `q_graph_triangles`
+    * on the co-purchase part graph; brute-force property in GraphSpec. */
+  def triangleCounts(edges: DataFrame, src: String = "src",
+      dst: String = "dst"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, least, greatest}
+    val canon = edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    ops.Graph.triangleParticipation(canon, ops.Graph.orientEdges(canon))
+  }
+
   /** Ordered funnel analysis over any events-shaped frame: per step, the
     * count of users whose earliest completion of that step is strictly
     * after their earliest completion of the previous one. N key-local

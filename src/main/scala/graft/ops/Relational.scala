@@ -1569,6 +1569,36 @@ object Relational {
              |WHERE rn = 1
              |ORDER BY user_id""".stripMargin)),
 
+    // ----------------------------------------------- null-safe join
+    // the NULL-matches-NULL join (`<=>` / IS NOT DISTINCT FROM) — plain
+    // equality silently DROPS null-keyed rows (SQL three-valued logic),
+    // which is the right default but the wrong behavior when NULL is a
+    // legitimate category ("no priority" here, via NULLIF). The key
+    // proves Spark plans EqualNullSafe as a real HASH join key (a
+    // broadcast hash join below — never the nested-loop a non-equi
+    // predicate would force) and that the NULL bucket survives with its
+    // full count on both engines.
+    QueryDef("q_join_null_safe",
+      (s, d) => {
+        val v = nullif(col("o_orderpriority"), lit("1-URGENT"))
+        val l = t(s, d, "orders").select(v.as("v"))
+        val dim = t(s, d, "orders").select(v.as("dv")).distinct()
+          .withColumn("label", coalesce(col("dv"), lit("(none)")))
+        l.join(broadcast(dim), col("v") <=> col("dv"))
+          .groupBy("label").agg(count(lit(1)).as("n"))
+          .orderBy("label")
+      },
+      Some("""WITH l AS (
+             |  SELECT nullif(o_orderpriority, '1-URGENT') AS v FROM orders
+             |), dim AS (
+             |  SELECT DISTINCT nullif(o_orderpriority, '1-URGENT') AS dv
+             |  FROM orders
+             |)
+             |SELECT coalesce(dv, '(none)') AS label,
+             |  CAST(count(1) AS BIGINT) AS n
+             |FROM l JOIN dim ON v IS NOT DISTINCT FROM dv
+             |GROUP BY 1 ORDER BY label""".stripMargin)),
+
     // ------------------------------------------- skew-salted fact join
     // the SKEWED-JOIN mitigation, made explicit (AQE's skew-join split
     // only fires on sort-merge joins past runtime thresholds; a pipeline

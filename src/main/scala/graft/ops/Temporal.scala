@@ -437,6 +437,38 @@ object Temporal {
              |  ON c.user_id = p.user_id AND c.ts <= p.ts
              |ORDER BY c.click_id""".stripMargin)),
 
+    // ------------------------------- time-interval RANGE window frame
+    // the sliding "last hour per key" aggregate as a RANGE frame over
+    // event time — the VALUE-based frame (all rows within 1h of the
+    // current row's time), not the ROWS-based count frame
+    // q_window_running_sum pins. Time ties need no tie-break: a range
+    // frame includes every tied row by definition, identically on both
+    // engines. The frame bound is integer µs (unix_micros), the sum is
+    // exact decimal → DOUBLE, so ordered accumulation cannot drift.
+    // One user-keyed window — same single-exchange contract as every
+    // window key; at 100 TB the per-user sort is key-local.
+    QueryDef("q_window_time_range",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("t_us")
+          .rangeBetween(-3600L * 1000000L, 0L)
+        Tables.table(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("t_us"), col("value"))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("sum_1h",
+            sum(col("value").cast(D386)).over(w).cast(DoubleType))
+          .select("event_id", "user_id", "n_1h", "sum_1h")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(count(1) OVER w AS BIGINT) AS n_1h,
+             |  CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             |    AS sum_1h
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
     // NEAREST as-of: each click's closest purchase in EITHER direction,
     // ties to the earlier (backward) match — the sensor-alignment
     // semantics (pandas merge_asof direction='nearest'). Composed from

@@ -99,4 +99,39 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Graph.pageRank(df, 0) }
     intercept[IllegalArgumentException] { Graph.pageRank(df, 21) }
   }
+
+  /** All triangles of an undirected edge set, the O(n³) way. */
+  private def bruteTriangles(edges: Set[(Long, Long)]): Seq[(Long, Long, Long)] = {
+    val und = edges ++ edges.map { case (a, b) => (b, a) }
+    val nodes = und.map(_._1).toSeq.sorted
+    for {
+      i <- nodes; j <- nodes if j > i && und((i, j))
+      k <- nodes if k > j && und((i, k)) && und((j, k))
+    } yield (i, j, k)
+  }
+
+  test("triangleCounts matches brute force on random graphs, at any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 25 + trial * 5
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < 0.15
+      } yield (a, b)).toSet
+      val expected = bruteTriangles(edges)
+        .flatMap { case (a, b, c) => Seq(a, b, c) }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      // feed MESSY input: duplicates, both orientations, self-loops —
+      // the facade must canonicalize all of it away
+      val messy = edges.toSeq.flatMap { case (a, b) =>
+        Seq((a, b), (b, a), (a, b)) } ++ Seq((3L, 3L))
+      for (parts <- Seq(1, 7)) {
+        val got = graft.Graft
+          .triangleCounts(messy.toDF("src", "dst").repartition(parts))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected,
+          s"trial $trial parts $parts: $got vs $expected")
+      }
+    }
+  }
 }

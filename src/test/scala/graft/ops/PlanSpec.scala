@@ -809,6 +809,21 @@ class PlanSpec extends SparkSpec {
         s"scan:\n$p")
   }
 
+  test("q_join_null_safe plans <=> as a hash join key, not a nested loop") {
+    val p = plan("q_join_null_safe")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"EqualNullSafe must stay an equi-join key:\n$p")
+  }
+
+  test("q_window_time_range runs one user-keyed window with a RANGE frame") {
+    val p = plan("q_window_time_range")
+    assert(p.contains("RangeFrame, -3600000000"),
+      s"the 1h frame must be a value-based RANGE frame:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size <= 1,
+      s"one user_id exchange serves the window:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and
