@@ -666,6 +666,36 @@ object Temporal {
              | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
              |ORDER BY click_id, purchase_id""".stripMargin)),
 
+    // LEFT OUTER stream-stream interval join: every click survives, the
+    // purchase columns NULL where no same-user purchase landed in the
+    // window. In streaming mode the unmatched row emits only when the
+    // watermark proves no match can still arrive (state-GC'd outer
+    // join — StreamingSpec drives the real stream); in batch mode the
+    // same code is a plain left join, which IS the oracle. The
+    // conversion-rate denominator query: inner joins silently drop
+    // exactly the non-converting clicks an analyst is counting.
+    QueryDef("q_stream_join_outer",
+      (s, d) => {
+        val ev = Tables.table(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+            col("ts").as("p_ts"), col("value"))
+        graft.streaming.Streams.intervalJoin(clicks, purchases,
+            joinType = "left_outer")
+          .select(col("click_id"), col("purchase_id"), col("user_id"), col("value"))
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+             |  c.user_id, p.value
+             |FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON c.user_id = p.user_id
+             | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+             |ORDER BY click_id, purchase_id""".stripMargin)),
+
     // the chunked interval join against the SAME truth as q_stream_join —
     // the as-of pattern (three plans, one oracle) applied to the last
     // pair-producing join: the equi-key becomes (user, 30-min time chunk)

@@ -61,6 +61,11 @@ object Streams {
     * click_ts)` and `purchases(purchase_id, p_user_id, p_ts, value)`;
     * works identically on batch frames (withWatermark is a no-op there),
     * which is how the `q_stream_join` oracle key validates it.
+    * `joinType = "left_outer"` keeps unmatched clicks: in streaming mode
+    * the null row emits once the watermark proves no purchase can still
+    * arrive inside the click's window (the state-GC'd outer join —
+    * StreamingSpec drives it); in batch mode it is a plain left join,
+    * which is the `q_stream_join_outer` oracle.
     *
     * Hot-user bound (SkewSpec fixture): unlike the LSH/cell candidate
     * generators, the matching pairs here are the ANSWER, not an
@@ -72,12 +77,14 @@ object Streams {
     * the output size — is what [[intervalJoinChunked]] bounds. */
   def intervalJoin(
       clicks: DataFrame, purchases: DataFrame,
-      window: String = "30 minutes", watermark: String = "10 minutes"): DataFrame =
+      window: String = "30 minutes", watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame =
     clicks.withWatermark("click_ts", watermark)
       .join(purchases.withWatermark("p_ts", watermark),
         expr(s"""user_id = p_user_id
                 | AND p_ts >= click_ts
-                | AND p_ts <= click_ts + INTERVAL '$window'""".stripMargin))
+                | AND p_ts <= click_ts + INTERVAL '$window'""".stripMargin),
+        joinType)
 
   /** EXACT hot-user scale-out of [[intervalJoin]] — the per-(key,
     * time-chunk) decomposition [[graft.ops.Temporal.asofJoinChunked]]

@@ -99,6 +99,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 10L), (2L, 13L)))
   }
 
+  test("LEFT OUTER interval join emits the null row once the watermark closes the window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp, Double)]
+    val joined = Streams.intervalJoin(
+      clicks.toDF().toDF("click_id", "user_id", "click_ts"),
+      purchases.toDF().toDF("purchase_id", "p_user_id", "p_ts", "value"),
+      joinType = "left_outer")
+    val q = joined.writeStream
+      .format("memory").queryName("t_sjoin_outer").outputMode("append").start()
+    clicks.addData((1L, 1L, ts(1)), (2L, 2L, ts(2)))   // 2 never converts
+    purchases.addData((10L, 1L, ts(10), 5.0))
+    q.processAllAvailable()
+    // click 2's null row may only emit once the watermark passes
+    // click_ts + window + delay — advance BOTH sides far past it
+    clicks.addData((99L, 999L, ts(5000)))
+    purchases.addData((98L, 998L, ts(5000), 0.0))
+    q.processAllAvailable()
+    // one more cycle so the watermark computed from batch N's max event
+    // time is APPLIED to state eviction in batch N+1
+    clicks.addData((97L, 997L, ts(6000)))
+    purchases.addData((96L, 996L, ts(6000), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_sjoin_outer")
+      .filter(col("click_id") < 90)
+      .select("click_id", "purchase_id").orderBy("click_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 10L), (2L, -1L)),
+      s"click 2 must surface with a NULL purchase: ${rows.toSeq}")
+  }
+
   test("chunked interval join runs as a REAL stream and matches the plain variant") {
     // the hot-user scale-out must stay a legal stream-stream join: the
     // added (time-chunk) equi-key and the click-side explode may not
