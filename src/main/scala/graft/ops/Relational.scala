@@ -1569,6 +1569,75 @@ object Relational {
              |WHERE rn = 1
              |ORDER BY user_id""".stripMargin)),
 
+    // -------------------------------------- equi-depth histogram
+    // quartile-bucket profiling — the equi-DEPTH twin of
+    // q_profile_histogram's equi-width bins. The naive form (ntile over
+    // a global ORDER BY) is a corpus-wide single-task window — the
+    // classic scale-killer; the engine form derives the three cutpoints
+    // in ONE percentile aggregate (1 row), broadcasts them back, and
+    // bins row-locally in a second map-side-combined pass. Cutpoints
+    // round(…, 6) so both engines bin against bit-identical boundaries
+    // (q_agg_percentile precedent: percentile ≡ quantile_cont).
+    QueryDef("q_profile_equidepth",
+      (s, d) => {
+        val cuts = t(s, d, "orders").agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 6).as("c1"),
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("c2"),
+          round(expr("percentile(o_totalprice, 0.75)"), 6).as("c3"))
+        t(s, d, "orders").select("o_totalprice").join(broadcast(cuts))
+          .select(when(col("o_totalprice") <= col("c1"), 0)
+            .when(col("o_totalprice") <= col("c2"), 1)
+            .when(col("o_totalprice") <= col("c3"), 2)
+            .otherwise(3).as("bin"), col("o_totalprice"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"))
+          .orderBy("bin")
+      },
+      Some("""WITH cuts AS (
+             |  SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS c1,
+             |    round(quantile_cont(o_totalprice, 0.5), 6) AS c2,
+             |    round(quantile_cont(o_totalprice, 0.75), 6) AS c3
+             |  FROM orders
+             |)
+             |SELECT CASE WHEN o_totalprice <= c1 THEN 0
+             |            WHEN o_totalprice <= c2 THEN 1
+             |            WHEN o_totalprice <= c3 THEN 2
+             |            ELSE 3 END AS bin,
+             |  CAST(count(1) AS BIGINT) AS n,
+             |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+             |FROM orders, cuts
+             |GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // ------------------------------------------ deterministic argmax
+    // "the row that holds the group's maximum" with a total tie order —
+    // built-in max_by/arg_max return an ARBITRARY tied row on both
+    // engines (the q_agg_mode problem at row grain). Engine form: ONE
+    // mergeable aggregate over the orderable struct (acctbal,
+    // -custkey) — highest balance wins, balance ties resolve to the
+    // LOWEST custkey, map-side combinable. The oracle replays it as the
+    // naive per-group window row_number — at 100 TB the mergeable agg
+    // beats that window (no per-group sort, no single hot partition),
+    // which is the point of the rewrite.
+    QueryDef("q_agg_argmax",
+      (s, d) => t(s, d, "customer")
+        .groupBy("c_nationkey")
+        .agg(max(struct(col("c_acctbal"), (-col("c_custkey")).as("negk")))
+          .as("m"))
+        .select(col("c_nationkey"), col("m.c_acctbal").as("best_bal"),
+          (-col("m.negk")).as("best_custkey"))
+        .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey, c_acctbal AS best_bal,
+             |  c_custkey AS best_custkey
+             |FROM (
+             |  SELECT c_nationkey, c_acctbal, c_custkey,
+             |    row_number() OVER (PARTITION BY c_nationkey
+             |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+             |  FROM customer)
+             |WHERE rn = 1
+             |ORDER BY c_nationkey""".stripMargin)),
+
     // ----------------------------------------------- null-safe join
     // the NULL-matches-NULL join (`<=>` / IS NOT DISTINCT FROM) — plain
     // equality silently DROPS null-keyed rows (SQL three-valued logic),

@@ -824,6 +824,24 @@ class PlanSpec extends SparkSpec {
       s"one user_id exchange serves the window:\n$p")
   }
 
+  test("q_profile_equidepth bins via broadcast cutpoints, never a global sort window") {
+    val p = plan("q_profile_equidepth")
+    assert(!p.contains("Window"),
+      s"equi-depth must not be an ntile over a global order:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the 1-row cutpoints must broadcast back onto the fact:\n$p")
+    assert(!p.contains("Exchange rangepartitioning(o_totalprice"),
+      s"the fact must never globally sort:\n$p")
+  }
+
+  test("q_agg_argmax is one mergeable struct-max agg, not a per-group window") {
+    val p = plan("q_agg_argmax")
+    assert(p.contains("partial_max"),
+      s"the struct argmax must combine map-side:\n$p")
+    assert(!p.contains("Window"),
+      s"the mergeable agg replaces the oracle's row_number window:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and
