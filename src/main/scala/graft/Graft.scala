@@ -463,6 +463,45 @@ object Graft {
     ops.Graph.triangleParticipation(canon, ops.Graph.orientEdges(canon))
   }
 
+  /** Deterministic per-group mode: the most frequent `value` per
+    * `group`, frequency ties to the SMALLEST value — where the built-in
+    * `mode()` returns an arbitrary tied value. One map-side-combinable
+    * counting pass; everything after runs on the (group, value)-bounded
+    * counts frame. Returns (group..., mode_value, n). Oracle-checked as
+    * `q_agg_mode`. */
+  def modePerGroup(df: DataFrame, group: Seq[String],
+      value: String): DataFrame =
+    ops.Relational.modePerGroup(df, group, value)
+
+  /** Explicitly skew-salted equi-join: fact rows salt by
+    * xxhash64(`saltBy`) % `salts`, the (broadcastable) dim side
+    * replicates `salts`×, and the join key widens to (key, salt) so a
+    * hot key's rows spread over `salts` reducers instead of one
+    * straggler. Row-set identical to the plain join — `q_join_skew_salted`
+    * proves it against the unsalted oracle. Use when the hot keys are
+    * KNOWN; AQE's skew split only rescues sort-merge joins at runtime. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, saltBy: String, salts: Int = 8): DataFrame =
+    ops.Relational.saltedEquiJoin(fact, dim, factKey, dimKey, saltBy, salts)
+
+  /** Fixed-size uniform sample per group as bottom-k-by-hash: rank each
+    * group's rows by the portable md5 of `idCol`, keep the k smallest.
+    * Reservoir-uniform, but a pure function of the id set — stable
+    * across runs, engines, and partitionings, and mergeable by
+    * re-taking bottom-k. Oracle-checked as `q_sample_reservoir`. */
+  def reservoirPerGroup(df: DataFrame, group: Seq[String], idCol: String,
+      k: Int): DataFrame =
+    ops.Text.reservoirPerGroup(df, group, idCol, k)
+
+  /** Seasonal-baseline anomaly report: rows whose `valueCol` exceeds
+    * mean + z·σ for their (`keyCol`, hour-of-day) bucket. Exact-decimal
+    * moments in one corpus pass, ≤ |keys|×24-row profile broadcast
+    * back. Oracle-checked as `q_events_seasonal_outliers`. */
+  def seasonalOutliers(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value",
+      z: Double = 3.0): DataFrame =
+    ops.Temporal.seasonalOutliers(events, keyCol, tsCol, valueCol, z)
+
   /** Ordered funnel analysis over any events-shaped frame: per step, the
     * count of users whose earliest completion of that step is strictly
     * after their earliest completion of the previous one. N key-local

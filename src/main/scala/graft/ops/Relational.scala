@@ -172,6 +172,45 @@ object Relational {
       .drop("__n", "__s1", "__s2", "__mu", "__sig")
   }
 
+  /** Deterministic per-group MODE ([[graft.Graft.modePerGroup]]): the
+    * most frequent `value` per `group`, frequency ties resolved to the
+    * SMALLEST value (natural ordering) — where built-in `mode()` picks
+    * an arbitrary tied value. One map-side-combinable (group, value)
+    * count — the only pass over the input — then two aggs over the
+    * counts frame (bounded by |groups|×|distinct values|, never corpus-
+    * sized). Output: (group columns..., mode_value, n). */
+  private[graft] def modePerGroup(
+      df: DataFrame, group: Seq[String], value: String): DataFrame = {
+    val g = group.map(col)
+    val counts = df.groupBy((g :+ col(value)): _*)
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(g: _*).agg(max(col("n")).as("top_n"))
+      .join(counts, group)
+      .filter(col("n") === col("top_n"))
+      .groupBy(g: _*)
+      .agg(min(col(value)).as("mode_value"), max(col("n")).as("n"))
+  }
+
+  /** Explicitly skew-salted equi-join ([[graft.Graft.saltedJoin]]): the
+    * fact side tags salt = xxhash64(saltBy) % salts, the dim side
+    * replicates `salts`× (bounded explode), the key widens to
+    * (key, salt) — a hot key's rows spread over `salts` reducers.
+    * Row-set identical to the plain join for any salts ≥ 1 (every fact
+    * row meets exactly one dim copy); `q_join_skew_salted`'s oracle IS
+    * the plain join. Dim columns survive; the salt does not. */
+  private[graft] def saltedEquiJoin(
+      fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+      saltBy: String, salts: Int): DataFrame = {
+    require(salts >= 1 && salts <= 1024, s"salts out of range: $salts")
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "input already has a __salt column — rename it first")
+    val f = fact.withColumn("__salt", pmod(xxhash64(col(saltBy)), lit(salts)))
+    val dd = dim.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    f.join(dd, f(factKey) === dd(dimKey) && f("__salt") === dd("__salt"))
+      .drop("__salt")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---------------------------------------------------------- scans
@@ -1505,21 +1544,10 @@ object Relational {
     // window at all. The counts frame is |groups|×|values| — tiny at
     // any corpus scale.
     QueryDef("q_agg_mode",
-      (s, d) => {
-        val counts = t(s, d, "customer")
-          .groupBy("c_nationkey", "c_mktsegment")
-          .agg(count(lit(1)).as("n"))
-        // top frequency per group, then the alphabetically-smallest
-        // value AT that frequency — two tiny aggs over the counts frame
-        counts.groupBy("c_nationkey")
-          .agg(max(col("n")).as("top_n"))
-          .join(counts, "c_nationkey")
-          .filter(col("n") === col("top_n"))
-          .groupBy("c_nationkey")
-          .agg(min(col("c_mktsegment")).as("mode_segment"),
-            max(col("n")).as("n"))
-          .orderBy("c_nationkey")
-      },
+      (s, d) => modePerGroup(t(s, d, "customer"),
+          Seq("c_nationkey"), "c_mktsegment")
+        .withColumnRenamed("mode_value", "mode_segment")
+        .orderBy("c_nationkey"),
       Some("""WITH counts AS (
              |  SELECT c_nationkey, c_mktsegment,
              |    CAST(count(1) AS BIGINT) AS n
@@ -1684,14 +1712,12 @@ object Relational {
     // measured-hot keys (the q_agg_salted hybrid), same algebra.
     QueryDef("q_join_skew_salted",
       (s, d) => {
-        val R = 8
-        val fact = t(s, d, "orders")
-          .select(col("o_custkey"), col("o_totalprice"),
-            pmod(xxhash64(col("o_orderkey")), lit(R)).as("salt"))
-        val dim = t(s, d, "customer").select("c_custkey", "c_nationkey")
-          .withColumn("salt", explode(array((0 until R).map(lit): _*)))
-        fact.join(broadcast(dim),
-            col("o_custkey") === col("c_custkey") && fact("salt") === dim("salt"))
+        val fact = t(s, d, "orders").select("o_custkey", "o_totalprice",
+          "o_orderkey")
+        val dim = broadcast(t(s, d, "customer")
+          .select("c_custkey", "c_nationkey"))
+        saltedEquiJoin(fact, dim, "o_custkey", "c_custkey",
+            saltBy = "o_orderkey", salts = 8)
           .groupBy("c_nationkey")
           .agg(count(lit(1)).as("n_orders"),
             sum(col("o_totalprice").cast(D386)).cast(DoubleType).as("turnover"))

@@ -324,6 +324,35 @@ object Temporal {
       .orderBy("cohort_wk", "week_offset")
   }
 
+  /** Seasonal-baseline anomaly report ([[graft.Graft.seasonalOutliers]]):
+    * rows whose `value` exceeds mean + z·σ for their (`key`,
+    * hour-of-day) bucket. Moments from exact DECIMAL(38,6) Σv/Σv² (one
+    * map-side-combined pass), σ = sqrt(max(var, 0)); the profile is
+    * ≤ |keys|×24 rows and broadcasts back — one corpus pass + one
+    * broadcast at any scale. */
+  private[graft] def seasonalOutliers(events: org.apache.spark.sql.DataFrame,
+      keyCol: String, tsCol: String, valueCol: String,
+      z: Double): org.apache.spark.sql.DataFrame = {
+    require(z > 0, s"z must be positive: $z")
+    val ev = events.withColumn("__hr", hour(col(tsCol)))
+    val prof = ev.groupBy(col(keyCol), col("__hr"))
+      .agg(sum(col(valueCol).cast(D386)).as("sv"),
+        sum((col(valueCol) * col(valueCol)).cast(D386)).as("svv"),
+        count(lit(1)).as("cnt"))
+      .select(col(keyCol).as("__pk"), col("__hr").as("__ph"),
+        (col("sv").cast(DoubleType) / col("cnt")).as("__mean"),
+        sqrt(greatest(
+          col("svv").cast(DoubleType) / col("cnt") -
+            (col("sv").cast(DoubleType) / col("cnt")) *
+            (col("sv").cast(DoubleType) / col("cnt")),
+          lit(0.0))).as("__sd"))
+    ev.join(broadcast(prof),
+        col(keyCol) === col("__pk") && col("__hr") === col("__ph"))
+      .filter(col(valueCol) > col("__mean") + lit(z) * col("__sd"))
+      .withColumnRenamed("__hr", "hr")
+      .drop("__pk", "__ph", "__mean", "__sd")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // JSON / VARIANT path extraction (events.props is a JSON object string
@@ -968,27 +997,12 @@ object Temporal {
     // shuffle then a broadcast join back onto the fact; the filter is
     // a row-local double compare. At 100 TB: one pass + one broadcast.
     QueryDef("q_events_seasonal_outliers",
-      (s, d) => {
-        val ev = Tables.table(s, d, "events")
-          .select(col("event_id"), col("event_type"), col("value"),
-            hour(col("ts")).as("hr"))
-        val prof = ev.groupBy("event_type", "hr")
-          .agg(sum(col("value").cast(D386)).as("sv"),
-            sum((col("value") * col("value")).cast(D386)).as("svv"),
-            count(lit(1)).as("n"))
-          .select(col("event_type").as("p_type"), col("hr").as("p_hr"),
-            (col("sv").cast(DoubleType) / col("n")).as("mean"),
-            sqrt(greatest(
-              col("svv").cast(DoubleType) / col("n") -
-                (col("sv").cast(DoubleType) / col("n")) *
-                (col("sv").cast(DoubleType) / col("n")),
-              lit(0.0))).as("sd"))
-        ev.join(broadcast(prof),
-            col("event_type") === col("p_type") && col("hr") === col("p_hr"))
-          .filter(col("value") > col("mean") + lit(3.0) * col("sd"))
-          .select("event_id", "event_type", "hr", "value")
-          .orderBy("event_id")
-      },
+      (s, d) => seasonalOutliers(
+          Tables.table(s, d, "events")
+            .select("event_id", "event_type", "ts", "value"),
+          keyCol = "event_type", tsCol = "ts", valueCol = "value", z = 3.0)
+        .select("event_id", "event_type", "hr", "value")
+        .orderBy("event_id"),
       Some("""WITH prof AS (
              |  SELECT event_type AS p_type, hour(ts) AS p_hr,
              |    CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)

@@ -207,6 +207,24 @@ object Text {
       .filter(col("rank") <= n)
   }
 
+  /** Per-group deterministic "reservoir" ([[graft.Graft.reservoirPerGroup]]):
+    * k rows per group, uniform over each group's ids, as BOTTOM-K BY
+    * HASH — rank by the portable md5 of `idCol`, keep each group's k
+    * smallest. A pure function of the id set (stable across runs,
+    * engines, partitionings; mergeable by re-taking bottom-k) where a
+    * classic streaming reservoir is order-dependent. Rides
+    * [[topNPerGroup]]'s salted two-level rank. Appends `hk` (the hash
+    * rank key) and `rank`. */
+  private[graft] def reservoirPerGroup(df: DataFrame, group: Seq[String],
+      idCol: String, k: Int): DataFrame = {
+    require(!df.columns.contains("hk"),
+      "reservoirPerGroup appends 'hk'; the input already has one")
+    val hashed = df.withColumn("hk",
+      expr(md5i(s"CAST(`${idCol.replace("`", "``")}` AS STRING)")))
+    topNPerGroup(hashed, group, Seq(col("hk"), col(idCol)), k,
+      saltKey = col(idCol))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------ token counting
@@ -987,15 +1005,11 @@ object Text {
     // lacks). Rides [[topNPerGroup]]'s salted two-level rank, so a
     // dominant language never serializes into one window task.
     QueryDef("q_sample_reservoir",
-      (s, d) => {
-        val hashed = Tables.table(s, d, "documents")
-          .select(col("lang"), col("doc_id"),
-            expr(md5i("CAST(doc_id AS STRING)")).as("hk"))
-        topNPerGroup(hashed, Seq("lang"), Seq(col("hk"), col("doc_id")), 5,
-            saltKey = col("doc_id"))
-          .select(col("lang"), col("doc_id"), col("hk"))
-          .orderBy("lang", "doc_id")
-      },
+      (s, d) => reservoirPerGroup(
+          Tables.table(s, d, "documents").select("lang", "doc_id"),
+          Seq("lang"), "doc_id", 5)
+        .select(col("lang"), col("doc_id"), col("hk"))
+        .orderBy("lang", "doc_id"),
       Some(s"""SELECT lang, doc_id, hk FROM (
               |  SELECT lang, doc_id,
               |    ${md5iDuck("CAST(doc_id AS VARCHAR)")} AS hk,

@@ -497,4 +497,62 @@ class GraftSpec extends SparkSpec {
     thunk()
     assert(spark.table(name.toUpperCase).count() == 25)
   }
+
+  test("modePerGroup: brute-force equality and smallest-value tie-break") {
+    import spark.implicits._
+    val rows = Seq(
+      ("g1", "b"), ("g1", "b"), ("g1", "a"),          // clear winner b
+      ("g2", "x"), ("g2", "y"),                       // tie → min = x
+      ("g3", "z"))                                    // singleton
+    val got = Graft.modePerGroup(rows.toDF("g", "v"), Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("g1", "b", 2L), ("g2", "x", 1L), ("g3", "z", 1L)))
+  }
+
+  test("saltedJoin: row-set identical to the plain join at any salt count") {
+    import spark.implicits._
+    val fact = (1L to 200L).map(i => (i, i % 7)).toDF("id", "k")
+    val dim = (0L until 7L).map(k => (k, s"d$k")).toDF("dk", "label")
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .select("id", "label").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    for (salts <- Seq(1, 3, 8)) {
+      val salted = Graft.saltedJoin(fact, dim, "k", "dk", saltBy = "id",
+          salts = salts)
+        .select("id", "label").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(salted == plain, s"salts=$salts")
+    }
+  }
+
+  test("reservoirPerGroup: k per group, repartition-stable, a function of the id set") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (if (i % 3 == 0) "a" else "b", i))
+      .toDF("g", "doc_id")
+    val s1 = Graft.reservoirPerGroup(df, Seq("g"), "doc_id", 7)
+      .select("g", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(s1.count(_._1 == "a") == 7 && s1.count(_._1 == "b") == 7)
+    val s2 = Graft.reservoirPerGroup(df.repartition(13), Seq("g"), "doc_id", 7)
+      .select("g", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(s2 == s1, "sample must not depend on partitioning")
+    // dropping rows OUTSIDE the sample leaves the sample unchanged
+    // (bottom-k-by-hash is a pure function of the surviving id set)
+    val kept = df.join(s1.toSeq.toDF("g2", "id2"),
+      col("doc_id") === col("id2"), "left_semi")
+    val extra = df.except(kept).limit(50)
+    val s3 = Graft.reservoirPerGroup(kept.unionByName(extra), Seq("g"), "doc_id", 7)
+      .select("g", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(s3.subsetOf(s1 ++ extra.collect().map(r => (r.getString(0), r.getLong(1)))))
+  }
+
+  test("seasonalOutliers flags the planted hour-of-day spike only") {
+    import spark.implicits._
+    val base = (1 to 200).map { i =>
+      (i.toLong, "click", java.sql.Timestamp.valueOf(
+        f"2024-01-${i % 20 + 1}%02d 07:00:00"), 10.0 + (i % 3))
+    }
+    val spike = Seq((999L, "click",
+      java.sql.Timestamp.valueOf("2024-01-05 07:00:00"), 500.0))
+    val ev = (base ++ spike).toDF("event_id", "event_type", "ts", "value")
+    val out = Graft.seasonalOutliers(ev).select("event_id").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(999L), s"only the spike should flag: ${out.toSeq}")
+  }
 }
