@@ -576,6 +576,39 @@ object Relational {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // ------------------------------------ incremental JOIN maintenance
+    // the join companion of q_agg_incremental's merge law: with A/B
+    // split into history + delta, (A ∪ ΔA) ⋈ (B ∪ ΔB) equals the union
+    // of the four partial joins — the algebra an incremental pipeline
+    // uses to join a new partition against a standing table WITHOUT
+    // re-joining history⋈history (in production that term is the stored
+    // join; only the two delta terms and the tiny ΔA⋈ΔB run). The key
+    // computes the four-way union and aggregates it; the oracle is the
+    // direct full join — hash-equal means the decomposition law holds
+    // on real data, duplicates and all. Split on a hash of the key so
+    // both deltas are non-trivial.
+    QueryDef("q_join_incremental",
+      (s, d) => {
+        def ord(newSide: Boolean) = t(s, d, "orders")
+          .filter((col("o_orderkey") % 10 >= 7) === newSide)
+          .select("o_orderkey", "o_orderpriority")
+        def li(newSide: Boolean) = t(s, d, "lineitem")
+          .filter((col("l_orderkey") % 7 >= 5) === newSide)
+          .select("l_orderkey", "l_quantity")
+        val parts = for (a <- Seq(false, true); b <- Seq(false, true))
+          yield ord(a).join(li(b), col("o_orderkey") === col("l_orderkey"))
+        parts.reduce(_ unionAll _)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(D386)).cast(DoubleType).as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, CAST(count(1) AS BIGINT) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             |    AS sum_qty
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
     QueryDef("q_agg_distinct",
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")

@@ -842,6 +842,17 @@ class PlanSpec extends SparkSpec {
       s"the mergeable agg replaces the oracle's row_number window:\n$p")
   }
 
+  test("q_join_incremental: the split predicates push into all eight scans") {
+    val p = plan("q_join_incremental")
+    // four partial joins = 4 orders scans + 4 lineitem scans, each with
+    // its hash-split predicate pushed to parquet (the whole point: a
+    // delta term scans only its slice)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("PushedFilters: \\[[^\\]]*o_orderkey".r.findAllIn(p).size +
+      "PushedFilters: \\[[^\\]]*l_orderkey".r.findAllIn(p).size >= 2 ||
+      p.contains("%"), s"split predicates should reach the scans:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and
