@@ -1000,8 +1000,12 @@ object Workload {
           .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("l_partkey").as("ps_partkey"))
           .agg(sum(col("l_extendedprice").cast(D386)).as("vdec"))
-        val total = vals.agg((sum(col("vdec")).cast(DoubleType) * lit(0.001))
-          .as("threshold"))
+        // scale-invariant cut: 2× the average per-part share (a fixed
+        // fraction of the total goes to zero rows as the part catalog
+        // grows — TPC-H's own Q11 scales its fraction by 1/SF for the
+        // same reason). count+sum ride one agg; still a 1-row broadcast.
+        val total = vals.agg((sum(col("vdec")).cast(DoubleType) * lit(2.0) /
+          count(lit(1))).as("threshold"))
         vals.join(broadcast(total))
           .filter(col("vdec").cast(DoubleType) > col("threshold"))
           .select(col("ps_partkey"), col("vdec").cast(DoubleType).as("value"))
@@ -1018,7 +1022,7 @@ object Workload {
              |SELECT ps_partkey, CAST(vdec AS DOUBLE) AS value
              |FROM vals
              |WHERE CAST(vdec AS DOUBLE) >
-             |  (SELECT CAST(sum(vdec) AS DOUBLE) * 0.001 FROM vals)
+             |  (SELECT CAST(sum(vdec) AS DOUBLE) * 2.0 / count(1) FROM vals)
              |ORDER BY value DESC, ps_partkey""".stripMargin)),
 
     // --------------------------------------------------------- TPC-H Q16
