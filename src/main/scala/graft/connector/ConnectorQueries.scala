@@ -377,6 +377,22 @@ object ConnectorQueries {
              |  max(l_extendedprice) AS max_price
              |FROM lineitem""".stripMargin)),
 
+    // Arrow IPC interchange round-trip — the reference's wire format
+    // (ArrowResultBatch, core.py:127-130) as an oracle-checked surface:
+    // every partition serializes to ONE executor-local Arrow IPC stream
+    // (opaque binary rows — shippable to a stage, a queue, another
+    // engine), then decodes back partition-parallel; the oracle is the
+    // original table, so the key proves byte-faithful round-tripping of
+    // the full relational row set with zero driver materialization.
+    QueryDef("q_arrow_roundtrip",
+      (s, d) => {
+        val src = Tables.table(s, d, "customer")
+        graft.interop.ArrowInterop.fromArrowBatches(
+            graft.interop.ArrowInterop.toArrowBatches(src), src.schema)
+          .orderBy("c_custkey")
+      },
+      Some("SELECT * FROM customer ORDER BY c_custkey")),
+
     // column-rename surface (columns.str.upper(), test_core.py:59-60) —
     // schema-only operation, no data movement
     QueryDef("q_rename_upper",
