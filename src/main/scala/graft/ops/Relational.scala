@@ -576,6 +576,48 @@ object Relational {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // --------------------------------------------- bitwise aggregates
+    // BIT_OR / BIT_AND / BIT_XOR per group — the flag-accumulation /
+    // bitmap-rollup aggregates (mergeable, order-free, exact integers:
+    // the rare aggregate family with literally zero cross-engine drift
+    // surface). Folded over the low byte of the order key so every
+    // group exercises real bit mixing.
+    QueryDef("q_agg_bitwise",
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderstatus"), (col("o_orderkey") % 256).as("b"))
+        .groupBy("o_orderstatus")
+        .agg(expr("bit_or(b)").as("flags_or"),
+          expr("bit_and(b)").as("flags_and"),
+          expr("bit_xor(b)").as("flags_xor"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |  bit_or(o_orderkey % 256) AS flags_or,
+             |  bit_and(o_orderkey % 256) AS flags_and,
+             |  bit_xor(o_orderkey % 256) AS flags_xor
+             |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
+    // ----------------------------------------------- bitwise scalars
+    // row-local shift/and/or/xor — the bit-packing primitives under
+    // every sketch/fingerprint here (simhash, morton, codes); exact on
+    // any engine. One narrow scan, pure codegen arithmetic, no shuffle
+    // except the output sort.
+    QueryDef("q_scalar_bitwise",
+      (s, d) => t(s, d, "customer")
+        .select(col("c_custkey"),
+          expr("shiftleft(c_custkey, 3)").as("shl"),
+          expr("shiftright(c_custkey, 2)").as("shr"),
+          expr("c_custkey & 255").as("band"),
+          expr("c_custkey | 4096").as("bor"),
+          expr("c_custkey ^ 1365").as("bxor"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |  c_custkey << 3 AS shl,
+             |  c_custkey >> 2 AS shr,
+             |  c_custkey & 255 AS band,
+             |  c_custkey | 4096 AS bor,
+             |  xor(c_custkey, 1365) AS bxor
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // ------------------------------------ incremental JOIN maintenance
     // the join companion of q_agg_incremental's merge law: with A/B
     // split into history + delta, (A ∪ ΔA) ⋈ (B ∪ ΔB) equals the union
