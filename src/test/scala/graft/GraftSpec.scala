@@ -543,6 +543,18 @@ class GraftSpec extends SparkSpec {
     assert(s3.subsetOf(s1 ++ extra.collect().map(r => (r.getString(0), r.getLong(1)))))
   }
 
+  test("count-min estimates dominate exact counts (the sketch's one-sided bound)") {
+    val rows = SparkEntry.queries("q_sketch_countmin")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_n")
+      val est = r.getAs[Long]("est_n")
+      assert(est >= exact,
+        s"count-min must never under-count: est=$est exact=$exact")
+      assert(r.getAs[Long]("overcount") == est - exact)
+    }
+  }
+
   test("seasonalOutliers flags the planted hour-of-day spike only") {
     import spark.implicits._
     val base = (1 to 200).map { i =>
