@@ -209,6 +209,85 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** The three canonical (a < b) edges of every triangle — the edge-
+    * grain view of the same wedge-closed triangle set (one row per
+    * (triangle, edge) incidence; group to count triangles per edge). */
+  private[graft] def triangleEdges(
+      edges: DataFrame, oriented: DataFrame): DataFrame = {
+    val wedges = oriented.groupBy("src")
+      .agg(array_sort(collect_set(col("dst"))).as("outs"))
+      .select(col("src"), col("outs"), posexplode(col("outs")))
+      .select(col("src"), col("col").as("x"),
+        explode(slice(col("outs"), col("pos") + lit(2),
+          size(col("outs")))).as("y"))
+    val tris = wedges.join(edges,
+      col("x") === col("a") && col("y") === col("b"))
+      .select(col("src"), col("x"), col("y"))
+    def canon(u: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      Seq(least(u, v).as("ea"), greatest(u, v).as("eb"))
+    tris.select(canon(col("src"), col("x")): _*)
+      .unionAll(tris.select(canon(col("src"), col("y")): _*))
+      .unionAll(tris.select(canon(col("x"), col("y")): _*))
+      .withColumnRenamed("ea", "a").withColumnRenamed("eb", "b")
+  }
+
+  /** Shared DuckDB CTE prefix for the co-purchase graph keys: canonical
+    * edges of the small-part co-purchase graph, degrees, the degree-
+    * ordered orientation, and the triangle set — the exact SQL replay of
+    * the engine's cached artifacts. */
+  private val duckCopurchaseBase =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_size <= 10
+      |), edges AS (
+      |  SELECT i.l_partkey AS a, j.l_partkey AS b
+      |  FROM items i JOIN items j
+      |    ON i.l_orderkey = j.l_orderkey AND i.l_partkey < j.l_partkey
+      |  GROUP BY 1, 2
+      |), deg AS (
+      |  SELECT n, count(1) AS dg FROM (
+      |    SELECT a AS n FROM edges UNION ALL SELECT b FROM edges)
+      |  GROUP BY 1
+      |), oriented AS (
+      |  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+      |           THEN a ELSE b END AS src,
+      |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+      |           THEN b ELSE a END AS dst
+      |  FROM edges JOIN deg da ON da.n = a JOIN deg db ON db.n = b
+      |), tris AS (
+      |  SELECT e1.src, e1.dst AS x, e2.dst AS y
+      |  FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+      |  JOIN edges ON a = e1.dst AND b = e2.dst
+      |  WHERE e1.dst < e2.dst
+      |)""".stripMargin
+
+  /** The co-purchase edge/orientation caches shared by the census,
+    * clustering, and embeddedness keys. */
+  private def copurchase(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val items = Tables.table(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      .join(broadcast(Tables.table(s, d, "part")
+        .filter(col("p_size") <= 10).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .select("l_orderkey", "l_partkey")
+    val edges = graft.CacheRegistry.getOrPersist("graph_copurchase_edges", d,
+      items.groupBy("l_orderkey")
+        .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+        .select(col("parts"), posexplode(col("parts")))
+        .select(col("col").as("a"),
+          explode(slice(col("parts"), col("pos") + lit(2),
+            size(col("parts")))).as("b"))
+        .distinct())
+    val oriented = graft.CacheRegistry.getOrPersist(
+      "graph_copurchase_oriented", d, orientEdges(edges))
+    (edges, oriented)
+  }
+
+  /** Undirected degree table of a canonical (a < b) edge list. */
+  private def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("n")).unionAll(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------ PageRank
@@ -329,68 +408,102 @@ object Graph {
     // All integers; per-node participation sums the three roles.
     QueryDef("q_graph_triangles",
       (s, d) => {
-        val items = Tables.table(s, d, "lineitem").select("l_orderkey", "l_partkey")
-          .join(broadcast(Tables.table(s, d, "part")
-            .filter(col("p_size") <= 10).select("p_partkey")),
-            col("l_partkey") === col("p_partkey"))
-          .select("l_orderkey", "l_partkey")
-        // canonical undirected edges (a < b), one orderkey shuffle via the
-        // basket collect + row-local pair explode (the q_basket_pairs shape)
-        val edges = graft.CacheRegistry.getOrPersist("graph_copurchase_edges", d,
-          items.groupBy("l_orderkey")
-            .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
-            .select(col("parts"), posexplode(col("parts")))
-            .select(col("col").as("a"),
-              explode(slice(col("parts"), col("pos") + lit(2),
-                size(col("parts")))).as("b"))
-            .distinct())
-        // the ORIENTED edge list is graph infrastructure exactly like
-        // the trade graph's edge/degree caches: edge-grain, reused by
-        // every run (and any future wedge-based metric), so it registry-
-        // persists next to `edges`. Degrees are NODE-grain (the
-        // co-purchase nodes are the part catalog) — dim-broadcast
-        // policy, same as every part-dim join. Measured at sf0.1: the
-        // per-run rebuild of deg + two broadcasts was 2.8 s steady;
-        // cached orientation lands 1.25 s.
-        val oriented = graft.CacheRegistry.getOrPersist(
-          "graph_copurchase_oriented", d, orientEdges(edges))
+        val (edges, oriented) = copurchase(s, d)
         triangleParticipation(edges, oriented)
           .withColumnRenamed("node", "p_partkey")
           .orderBy(col("n_tri").desc, col("p_partkey"))
           .limit(25)
       },
-      Some("""WITH items AS (
-             |  SELECT DISTINCT l_orderkey, l_partkey
-             |  FROM lineitem JOIN part ON p_partkey = l_partkey
-             |  WHERE p_size <= 10
-             |), edges AS (
-             |  SELECT i.l_partkey AS a, j.l_partkey AS b
-             |  FROM items i JOIN items j
-             |    ON i.l_orderkey = j.l_orderkey AND i.l_partkey < j.l_partkey
-             |  GROUP BY 1, 2
-             |), deg AS (
-             |  SELECT n, count(1) AS dg FROM (
-             |    SELECT a AS n FROM edges UNION ALL SELECT b FROM edges)
-             |  GROUP BY 1
-             |), oriented AS (
-             |  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
-             |           THEN a ELSE b END AS src,
-             |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
-             |           THEN b ELSE a END AS dst
-             |  FROM edges JOIN deg da ON da.n = a JOIN deg db ON db.n = b
-             |), tris AS (
-             |  SELECT e1.src, e1.dst AS x, e2.dst AS y
-             |  FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
-             |  JOIN edges ON a = e1.dst AND b = e2.dst
-             |  WHERE e1.dst < e2.dst
-             |)
-             |SELECT node AS p_partkey, CAST(count(1) AS BIGINT) AS n_tri
-             |FROM (
-             |  SELECT src AS node FROM tris
-             |  UNION ALL SELECT x FROM tris
-             |  UNION ALL SELECT y FROM tris)
-             |GROUP BY 1
-             |ORDER BY n_tri DESC, p_partkey
-             |LIMIT 25""".stripMargin))
+      Some(s"""$duckCopurchaseBase
+              |SELECT node AS p_partkey, CAST(count(1) AS BIGINT) AS n_tri
+              |FROM (
+              |  SELECT src AS node FROM tris
+              |  UNION ALL SELECT x FROM tris
+              |  UNION ALL SELECT y FROM tris)
+              |GROUP BY 1
+              |ORDER BY n_tri DESC, p_partkey
+              |LIMIT 25""".stripMargin)),
+
+    // ------------------------------------------- clustering coefficient
+    // per-node local clustering: 2·tri / (deg·(deg−1)) — how close each
+    // part's co-purchase neighborhood is to a clique (the community-
+    // tightness signal next to the raw census). Derives ENTIRELY from
+    // the cached artifacts: triangle participation (the wedge machinery
+    // above) joined to the degree table, one double division per node —
+    // integers until the final ratio, deterministic everywhere. Nodes
+    // of degree < 2 have no possible triangle and are excluded (the
+    // 0/0 convention both engines would otherwise have to agree on).
+    QueryDef("q_graph_clustering",
+      (s, d) => {
+        val (edges, oriented) = copurchase(s, d)
+        triangleParticipation(edges, oriented)
+          .join(degrees(edges), col("node") === col("n"))
+          .filter(col("dg") >= 2)
+          .select(col("node").as("p_partkey"), col("n_tri"),
+            col("dg").as("degree"),
+            (lit(2.0) * col("n_tri") / (col("dg") * (col("dg") - 1)))
+              .as("coeff"))
+          .orderBy(col("coeff").desc, col("p_partkey"))
+          .limit(25)
+      },
+      Some(s"""$duckCopurchaseBase
+              |, node_tri AS (
+              |  SELECT node, CAST(count(1) AS BIGINT) AS n_tri
+              |  FROM (
+              |    SELECT src AS node FROM tris
+              |    UNION ALL SELECT x FROM tris
+              |    UNION ALL SELECT y FROM tris)
+              |  GROUP BY 1
+              |)
+              |SELECT node AS p_partkey, n_tri,
+              |  CAST(dg AS BIGINT) AS degree,
+              |  2.0 * n_tri / (dg * (dg - 1)) AS coeff
+              |FROM node_tri JOIN deg ON node = n
+              |WHERE dg >= 2
+              |ORDER BY coeff DESC, p_partkey
+              |LIMIT 25""".stripMargin)),
+
+    // ------------------------------------------------ edge embeddedness
+    // per-EDGE Jaccard of the endpoints' neighborhoods — tie strength /
+    // link-prediction scoring of existing edges: common = triangles ON
+    // the edge, union = (da−1) + (db−1) − common. The quadratic
+    // all-pairs common-neighbor join is deliberately NOT computed —
+    // restricting to existing edges keeps the output edge-grain and
+    // derives common counts from the SAME triangle set (each triangle
+    // contributes to its three edges, canonicalized least/greatest).
+    // Integers until the final ratio.
+    QueryDef("q_graph_edge_jaccard",
+      (s, d) => {
+        val (edges, oriented) = copurchase(s, d)
+        val tris = triangleEdges(edges, oriented)
+        val deg = degrees(edges)
+        val common = tris.groupBy("a", "b").agg(count(lit(1)).as("common"))
+        edges.join(common, Seq("a", "b"), "inner")
+          .join(broadcast(deg.select(col("n").as("a"), col("dg").as("da"))), "a")
+          .join(broadcast(deg.select(col("n").as("b"), col("dg").as("db"))), "b")
+          .select(col("a"), col("b"), col("common"),
+            (col("da") + col("db") - 2 - col("common")).as("union_n"),
+            (col("common").cast("double") /
+              (col("da") + col("db") - 2 - col("common"))).as("jaccard"))
+          .orderBy(col("jaccard").desc, col("a"), col("b"))
+          .limit(25)
+      },
+      Some(s"""$duckCopurchaseBase
+              |, tri_edges AS (
+              |  SELECT least(src, x) AS a, greatest(src, x) AS b FROM tris
+              |  UNION ALL SELECT least(src, y), greatest(src, y) FROM tris
+              |  UNION ALL SELECT least(x, y), greatest(x, y) FROM tris
+              |), common AS (
+              |  SELECT a, b, CAST(count(1) AS BIGINT) AS common
+              |  FROM tri_edges GROUP BY 1, 2
+              |)
+              |SELECT a, b, common,
+              |  CAST(da.dg + db.dg - 2 - common AS BIGINT) AS union_n,
+              |  CAST(common AS DOUBLE) / (da.dg + db.dg - 2 - common)
+              |    AS jaccard
+              |FROM edges JOIN common USING (a, b)
+              |  JOIN deg da ON da.n = a JOIN deg db ON db.n = b
+              |ORDER BY jaccard DESC, a, b
+              |LIMIT 25""".stripMargin))
   )
 }

@@ -853,6 +853,17 @@ class PlanSpec extends SparkSpec {
       p.contains("%"), s"split predicates should reach the scans:\n$p")
   }
 
+  test("q_graph_clustering and q_graph_edge_jaccard reuse the cached graph artifacts") {
+    for (key <- Seq("q_graph_clustering", "q_graph_edge_jaccard")) {
+      val p = plan(key)
+      assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+        s"$key must derive from the registry-persisted edge/orientation " +
+          s"caches, not rebuild the graph:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$key: everything is an equi-join over cached frames:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and
