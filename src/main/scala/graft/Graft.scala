@@ -460,7 +460,8 @@ object Graft {
       .select(least(col(src), col(dst)).as("a"),
         greatest(col(src), col(dst)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    ops.Graph.triangleParticipation(canon, ops.Graph.orientEdges(canon))
+    ops.Graph.triangleParticipation(
+      ops.Graph.wedgeTriangles(canon, ops.Graph.orientEdges(canon)))
   }
 
   /** Deterministic per-group mode: the most frequent `value` per

@@ -186,14 +186,13 @@ object Graph {
         when(lowFirst, col("b")).otherwise(col("a")).as("dst"))
   }
 
-  /** Per-node triangle participation ([[graft.Graft.triangleCounts]]):
-    * (node, n_tri) for every node of ≥1 triangle. Wedges expand
+  /** The wedge-closed triangle set (src, x, y): wedges expand
     * ROW-LOCALLY from each apex's sorted out-list (the q_basket_pairs
     * double-GENERATE — one src shuffle, never a corpus self-join; list
     * length is the orientation-bounded O(√m) out-degree), each triangle
     * closes at exactly ONE apex via the (x, y) equi-join against the
-    * canonical edge set, and participation sums the three roles. */
-  private[graft] def triangleParticipation(
+    * canonical edge set. */
+  private[graft] def wedgeTriangles(
       edges: DataFrame, oriented: DataFrame): DataFrame = {
     val wedges = oriented.groupBy("src")
       .agg(array_sort(collect_set(col("dst"))).as("outs"))
@@ -201,28 +200,23 @@ object Graph {
       .select(col("src"), col("col").as("x"),
         explode(slice(col("outs"), col("pos") + lit(2),
           size(col("outs")))).as("y"))
-    val tris = wedges.join(edges,
-      col("x") === col("a") && col("y") === col("b"))
+    wedges.join(edges, col("x") === col("a") && col("y") === col("b"))
+      .select(col("src"), col("x"), col("y"))
+  }
+
+  /** Per-node triangle participation ([[graft.Graft.triangleCounts]]):
+    * (node, n_tri) for every node of ≥1 triangle — sums a node's three
+    * possible roles over the triangle frame. */
+  private[graft] def triangleParticipation(tris: DataFrame): DataFrame =
     tris.select(col("src").as("node"))
       .unionAll(tris.select(col("x").as("node")))
       .unionAll(tris.select(col("y").as("node")))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
-  }
 
   /** The three canonical (a < b) edges of every triangle — the edge-
-    * grain view of the same wedge-closed triangle set (one row per
-    * (triangle, edge) incidence; group to count triangles per edge). */
-  private[graft] def triangleEdges(
-      edges: DataFrame, oriented: DataFrame): DataFrame = {
-    val wedges = oriented.groupBy("src")
-      .agg(array_sort(collect_set(col("dst"))).as("outs"))
-      .select(col("src"), col("outs"), posexplode(col("outs")))
-      .select(col("src"), col("col").as("x"),
-        explode(slice(col("outs"), col("pos") + lit(2),
-          size(col("outs")))).as("y"))
-    val tris = wedges.join(edges,
-      col("x") === col("a") && col("y") === col("b"))
-      .select(col("src"), col("x"), col("y"))
+    * grain view of the triangle frame (one row per (triangle, edge)
+    * incidence; group to count triangles per edge). */
+  private[graft] def triangleEdges(tris: DataFrame): DataFrame = {
     def canon(u: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
       Seq(least(u, v).as("ea"), greatest(u, v).as("eb"))
     tris.select(canon(col("src"), col("x")): _*)
@@ -280,7 +274,13 @@ object Graph {
         .distinct())
     val oriented = graft.CacheRegistry.getOrPersist(
       "graph_copurchase_oriented", d, orientEdges(edges))
-    (edges, oriented)
+    // the triangle FRAME is the third shared artifact (14k rows at
+    // sf0.1): census, clustering, and embeddedness all reduce from it —
+    // without this cache each key re-ran the wedge pass (~1 s of
+    // replanning each, measured)
+    val tris = graft.CacheRegistry.getOrPersist(
+      "graph_copurchase_tris", d, wedgeTriangles(edges, oriented))
+    (edges, tris)
   }
 
   /** Undirected degree table of a canonical (a < b) edge list. */
@@ -408,8 +408,8 @@ object Graph {
     // All integers; per-node participation sums the three roles.
     QueryDef("q_graph_triangles",
       (s, d) => {
-        val (edges, oriented) = copurchase(s, d)
-        triangleParticipation(edges, oriented)
+        val (_, tris) = copurchase(s, d)
+        triangleParticipation(tris)
           .withColumnRenamed("node", "p_partkey")
           .orderBy(col("n_tri").desc, col("p_partkey"))
           .limit(25)
@@ -435,8 +435,8 @@ object Graph {
     // 0/0 convention both engines would otherwise have to agree on).
     QueryDef("q_graph_clustering",
       (s, d) => {
-        val (edges, oriented) = copurchase(s, d)
-        triangleParticipation(edges, oriented)
+        val (edges, tris) = copurchase(s, d)
+        triangleParticipation(tris)
           .join(degrees(edges), col("node") === col("n"))
           .filter(col("dg") >= 2)
           .select(col("node").as("p_partkey"), col("n_tri"),
@@ -474,10 +474,10 @@ object Graph {
     // Integers until the final ratio.
     QueryDef("q_graph_edge_jaccard",
       (s, d) => {
-        val (edges, oriented) = copurchase(s, d)
-        val tris = triangleEdges(edges, oriented)
+        val (edges, tris) = copurchase(s, d)
         val deg = degrees(edges)
-        val common = tris.groupBy("a", "b").agg(count(lit(1)).as("common"))
+        val common = triangleEdges(tris).groupBy("a", "b")
+          .agg(count(lit(1)).as("common"))
         edges.join(common, Seq("a", "b"), "inner")
           .join(broadcast(deg.select(col("n").as("a"), col("dg").as("da"))), "a")
           .join(broadcast(deg.select(col("n").as("b"), col("dg").as("db"))), "b")
