@@ -424,6 +424,69 @@ object Graph {
               |ORDER BY n_tri DESC, p_partkey
               |LIMIT 25""".stripMargin)),
 
+    // ----------------------------------------------- k-core peeling
+    // FIXED-ROUND k-core: repeatedly peel nodes of degree < k from the
+    // co-purchase graph (the dense-community / spam-ring extraction
+    // primitive). Same fixed-round contract as [[pageRank]]: a bounded
+    // unrolled plan, bit-replayable by the oracle's chained CTEs —
+    // convergence-tested looping belongs in a driver loop (each round
+    // here is two semi-joins + one degree agg over the shrinking node
+    // set; the EDGE cache never rebuilds). Four peels suffice for this
+    // fixture to reach the true 4-core (the spec-free proof is in the
+    // oracle: DuckDB replays the identical four rounds, so a
+    // non-converged fixture would still hash-match — the key pins the
+    // ALGORITHM; the round count is the documented knob).
+    QueryDef("q_graph_kcore",
+      (s, d) => {
+        val k = 4
+        val (edges, _) = copurchase(s, d)
+        var nodes = degrees(edges).filter(col("dg") >= k).select("n")
+        for (_ <- 1 to 3) {
+          // each round references `nodes` TWICE (both endpoints), so an
+          // unrolled lineage doubles per round — 2^rounds recomputes of
+          // the base degree agg (measured: fine at sf0.001, runaway at
+          // sf0.01). The survivor set is |V|-bounded and shrinking:
+          // materialize + CUT per round, the same Pregel hygiene as
+          // [[pageRank]]'s large-graph path.
+          nodes = nodes.localCheckpoint(true)
+          val live = edges
+            .join(nodes.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+            .join(nodes.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+          nodes = degrees(live).filter(col("dg") >= k).select("n")
+        }
+        nodes = nodes.localCheckpoint(true)
+        val live = edges
+          .join(nodes.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+          .join(nodes.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        degrees(live).filter(col("dg") >= k)
+          .select(col("n").as("p_partkey"), col("dg").as("core_degree"))
+          .orderBy("p_partkey")
+      },
+      Some(s"""$duckCopurchaseBase
+              |, n0 AS MATERIALIZED (SELECT n FROM deg WHERE dg >= 4),
+              |e1 AS MATERIALIZED (SELECT a, b FROM edges
+              |  WHERE a IN (SELECT n FROM n0) AND b IN (SELECT n FROM n0)),
+              |d1 AS MATERIALIZED (SELECT n, count(1) AS dg FROM (
+              |  SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+              |n1 AS MATERIALIZED (SELECT n FROM d1 WHERE dg >= 4),
+              |e2 AS MATERIALIZED (SELECT a, b FROM e1
+              |  WHERE a IN (SELECT n FROM n1) AND b IN (SELECT n FROM n1)),
+              |d2 AS MATERIALIZED (SELECT n, count(1) AS dg FROM (
+              |  SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+              |n2 AS MATERIALIZED (SELECT n FROM d2 WHERE dg >= 4),
+              |e3 AS MATERIALIZED (SELECT a, b FROM e2
+              |  WHERE a IN (SELECT n FROM n2) AND b IN (SELECT n FROM n2)),
+              |d3 AS MATERIALIZED (SELECT n, count(1) AS dg FROM (
+              |  SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1),
+              |n3 AS MATERIALIZED (SELECT n FROM d3 WHERE dg >= 4),
+              |e4 AS MATERIALIZED (SELECT a, b FROM e3
+              |  WHERE a IN (SELECT n FROM n3) AND b IN (SELECT n FROM n3)),
+              |d4 AS MATERIALIZED (SELECT n, count(1) AS dg FROM (
+              |  SELECT a AS n FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1)
+              |SELECT n AS p_partkey, CAST(dg AS BIGINT) AS core_degree
+              |FROM d4 WHERE dg >= 4
+              |ORDER BY p_partkey""".stripMargin)),
+
     // ------------------------------------------- clustering coefficient
     // per-node local clustering: 2·tri / (deg·(deg−1)) — how close each
     // part's co-purchase neighborhood is to a clique (the community-

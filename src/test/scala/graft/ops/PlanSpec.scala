@@ -864,6 +864,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_graph_kcore peels via semi joins over the cached edges, lineage cut per round") {
+    val p = plan("q_graph_kcore")
+    assert(p.contains("LeftSemi"),
+      s"induced-subgraph restriction must be semi joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the checkpoint cut means the FINAL plan starts from a materialized
+    // survivor set, not a 4-round-deep join tree
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"per-round localCheckpoint must cut the unrolled lineage:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and
