@@ -576,6 +576,71 @@ object Relational {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // ------------------------------------------ exact weighted average
+    // Σ(w·v)/Σw per group — the unit-price / blended-rate report. Both
+    // sums exact DECIMAL(38,6) (the per-row product is one IEEE double
+    // multiply, identical text both engines), ONE map-side-combinable
+    // agg, division once per output row in double. The naive
+    // avg(v * w / total) forms would each smuggle in an order-dependent
+    // float accumulation; this is the only shape that hashes across
+    // engines.
+    QueryDef("q_agg_weighted_avg",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum((col("l_quantity") * col("l_extendedprice")).cast(D386))
+            .as("wv"),
+          sum(col("l_quantity").cast(D386)).as("w"))
+        .select(col("l_returnflag"),
+          (col("wv").cast(DoubleType) / col("w").cast(DoubleType))
+            .as("avg_price_per_unit"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CAST(l_quantity * l_extendedprice
+             |    AS DECIMAL(38,6))) AS DOUBLE)
+             |  / CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             |    AS avg_price_per_unit
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // ------------------------------------- period-over-period movers
+    // "who moved the most" — each supplier's year-over-year revenue
+    // delta, top 20 gainers: the trend-report shape (grouped rollup →
+    // per-entity ordered lag → ranked deltas). Plan contract: the fact
+    // reduces to (supplier, year) grain in ONE map-side-combined agg
+    // BEFORE any window — the lag runs over the tiny rollup (suppliers
+    // × years), never raw lineitems; suppliers with no prior year drop
+    // (lag NULL). Deltas stay exact DECIMAL until the final cast, and
+    // (supplier, year) is unique so the top-k order is total.
+    QueryDef("q_trend_movers",
+      (s, d) => {
+        val w = Window.partitionBy("l_suppkey").orderBy("yr")
+        t(s, d, "lineitem")
+          .groupBy(col("l_suppkey"), year(col("l_shipdate")).as("yr"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(D386)).as("rev"))
+          .withColumn("prev", lag(col("rev"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("l_suppkey"), col("yr"),
+            col("rev").cast(DoubleType).as("revenue"),
+            (col("rev") - col("prev")).cast(DoubleType).as("delta"))
+          .orderBy(col("delta").desc, col("l_suppkey"), col("yr"))
+          .limit(20)
+      },
+      Some("""WITH rollup_sy AS (
+             |  SELECT l_suppkey, year(l_shipdate) AS yr,
+             |    sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |      AS DECIMAL(38,6))) AS rev
+             |  FROM lineitem GROUP BY 1, 2
+             |), lagged AS (
+             |  SELECT l_suppkey, yr, rev,
+             |    lag(rev) OVER (PARTITION BY l_suppkey ORDER BY yr) AS prev
+             |  FROM rollup_sy
+             |)
+             |SELECT l_suppkey, yr, CAST(rev AS DOUBLE) AS revenue,
+             |  CAST(rev - prev AS DOUBLE) AS delta
+             |FROM lagged WHERE prev IS NOT NULL
+             |ORDER BY delta DESC, l_suppkey, yr
+             |LIMIT 20""".stripMargin)),
+
     // --------------------------------------------- bitwise aggregates
     // BIT_OR / BIT_AND / BIT_XOR per group — the flag-accumulation /
     // bitmap-rollup aggregates (mergeable, order-free, exact integers:

@@ -875,6 +875,16 @@ class PlanSpec extends SparkSpec {
       s"per-round localCheckpoint must cut the unrolled lineage:\n$p")
   }
 
+  test("q_trend_movers reduces to rollup grain before the lag window") {
+    val p = plan("q_trend_movers")
+    assert(p.contains("partial_sum"),
+      s"the (supplier, year) rollup must combine map-side:\n$p")
+    // the window must sit ABOVE the aggregate in the plan (printed
+    // top-down: Window appears before HashAggregate's final instance)
+    assert(p.indexOf("Window") < p.indexOf("partial_sum"),
+      s"the lag must run over the rollup, never raw lineitems:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and
