@@ -1594,6 +1594,44 @@ object Relational {
              |  string_split(text, ' ')[1] AS first_tok
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------- higher-order array lambdas (HOFs)
+    // the lambda quartet — filter / transform / zip_with / aggregate —
+    // over the embedding vectors: the codegen-friendly no-UDF idiom
+    // every vector op here is built from, keyed in isolation.
+    // Determinism contract: counts are exact; the two float reductions
+    // are ORDERED left folds (Spark `aggregate` from 0.0 — 0+x₁ ≡ x₁
+    // exactly, so it matches DuckDB's first-element-seeded list_reduce)
+    // with float→double promotion pinned by explicit CASTs, and the
+    // outputs floor-scale to e6 integers (boundary-robust). The oracle
+    // replays zip_with(v, v, a·b) as transform(x²) — same arithmetic,
+    // DuckDB's zip emits unnamed structs its lambdas can't address.
+    QueryDef("q_scalar_hof",
+      (s, d) => t(s, d, "embeddings").select(
+          col("vec_id"),
+          expr("CAST(size(filter(embedding, x -> x > 0)) AS BIGINT)")
+            .as("n_pos"),
+          expr("CAST(size(filter(transform(embedding, x -> abs(x)), " +
+            "v -> v > 0.2)) AS BIGINT)").as("n_big"),
+          expr("CAST(floor(1e6 * aggregate(transform(embedding, " +
+            "x -> CAST(abs(x) AS DOUBLE)), 0D, (a, x) -> a + x)) AS BIGINT)")
+            .as("l1_e6"),
+          expr("CAST(floor(1e6 * aggregate(zip_with(embedding, embedding, " +
+            "(a, b) -> CAST(a AS DOUBLE) * b), 0D, (a, x) -> a + x)) " +
+            "AS BIGINT)").as("dot_e6"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+             |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)
+             |    AS n_pos,
+             |  CAST(len(list_filter(list_transform(embedding,
+             |    x -> abs(x)), v -> v > 0.2)) AS BIGINT) AS n_big,
+             |  CAST(floor(1e6 * list_reduce(list_transform(embedding,
+             |    x -> CAST(abs(x) AS DOUBLE)), (a, b) -> a + b)) AS BIGINT)
+             |    AS l1_e6,
+             |  CAST(floor(1e6 * list_reduce(list_transform(embedding,
+             |    x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b)) AS BIGINT)
+             |    AS dot_e6
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
     // map construct + lookup; oracle checks the looked-up values (map
     // key-order is engine-dependent, so the map itself is never output).
     QueryDef("q_scalar_map",
