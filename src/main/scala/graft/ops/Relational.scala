@@ -19,6 +19,11 @@ import graft.warehouse.Tables
   */
 object Relational {
 
+  /** Typed row for the `q_typed_dataset` key (encoders need a stable
+    * top-level or object-nested case class). */
+  private[graft] case class CustRow(
+    c_custkey: Long, c_nationkey: Long, c_acctbal: Double)
+
   private val D386 = DecimalType(38, 6)
 
   /** ONE ANSI string for `q_agg_grouping_sets`, run verbatim by BOTH
@@ -1593,6 +1598,60 @@ object Relational {
              |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
              |  string_split(text, ' ')[1] AS first_tok
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // -------------------------------------------- typed Dataset surface
+    // the Dataset[T]/Encoder path (SURVEY §1.2: "Dataset[T] with
+    // case-class Encoders where type safety helps"): typed filter +
+    // groupByKey + typed count over a case-class view of customer.
+    // Typed lambdas deserialize rows (like UDFs, they are opaque to
+    // Catalyst — the scan still prunes to the 3 mapped columns via the
+    // explicit select, but the FILTER cannot push: the documented tax),
+    // so the frame surface stays the default everywhere else; this key
+    // keeps the typed path proven for the places type safety earns it
+    // (Streams' Event/Session state machines).
+    QueryDef("q_typed_dataset",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "customer")
+          .select("c_custkey", "c_nationkey", "c_acctbal")
+          .as[CustRow]
+          .filter(_.c_acctbal > 1000.0)
+          .groupByKey(_.c_nationkey)
+          .count()
+          .toDF("c_nationkey", "n_rich")
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, CAST(count(1) AS BIGINT) AS n_rich
+             |FROM customer WHERE c_acctbal > 1000.0
+             |GROUP BY 1 ORDER BY c_nationkey""".stripMargin)),
+
+    // -------------------------------------------- scalar UDF surface
+    // the DOCUMENTED escape hatch (SURVEY §2 Tier B: per-row arbitrary
+    // logic when no built-in composes), keyed once so the registration
+    // path stays proven — and deliberately LAST RESORT: a Scala UDF is
+    // an opaque box to Catalyst (no pushdown through it, no codegen
+    // fusion, boxing at the boundary), which is why all 200+ other keys
+    // are built-ins/HOFs/native expressions. Digit sum is pure integer
+    // (engine-drift-free) and the DuckDB twin replays it as closed-form
+    // arithmetic — also a demonstration that the oracle need not mirror
+    // the mechanism, only the semantics.
+    QueryDef("q_scalar_udf",
+      (s, d) => {
+        val digitSum = udf((n: Long) => {
+          var x = n; var acc = 0L
+          while (x > 0) { acc += x % 10; x /= 10 }
+          acc
+        })
+        t(s, d, "customer")
+          .select(col("c_custkey"), digitSum(col("c_custkey")).as("digit_sum"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  (c_custkey % 10) + (c_custkey // 10 % 10)
+             |  + (c_custkey // 100 % 10) + (c_custkey // 1000 % 10)
+             |  + (c_custkey // 10000 % 10) + (c_custkey // 100000 % 10)
+             |  + (c_custkey // 1000000 % 10) AS digit_sum
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
 
     // ------------------------------- higher-order array lambdas (HOFs)
     // the lambda quartet — filter / transform / zip_with / aggregate —
