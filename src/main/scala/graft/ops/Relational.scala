@@ -581,6 +581,68 @@ object Relational {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // ------------------------------------------------ trimmed mean
+    // the outlier-robust location estimate: mean of the values strictly
+    // inside [p10, p90] — what a spend/latency dashboard shows when the
+    // tails are garbage. Same two-pass shape as q_profile_equidepth
+    // (and the same exact-percentile buffering note applies): cutpoints
+    // from ONE 1-row percentile agg (round(…,6) — engine-identical
+    // boundaries), broadcast back, then an exact-decimal mean over the
+    // survivors in a map-side-combined pass. Never a sort of the fact.
+    QueryDef("q_agg_trimmed_mean",
+      (s, d) => {
+        val cuts = t(s, d, "orders").agg(
+          round(expr("percentile(o_totalprice, 0.1)"), 6).as("lo"),
+          round(expr("percentile(o_totalprice, 0.9)"), 6).as("hi"))
+        t(s, d, "orders").select("o_totalprice").join(broadcast(cuts))
+          .filter(col("o_totalprice") > col("lo") &&
+            col("o_totalprice") < col("hi"))
+          .agg(count(lit(1)).as("n_kept"),
+            (sum(col("o_totalprice").cast(D386)).cast(DoubleType) /
+              count(lit(1))).as("trimmed_mean"))
+      },
+      Some("""WITH cuts AS (
+             |  SELECT round(quantile_cont(o_totalprice, 0.1), 6) AS lo,
+             |    round(quantile_cont(o_totalprice, 0.9), 6) AS hi
+             |  FROM orders
+             |)
+             |SELECT CAST(count(1) AS BIGINT) AS n_kept,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             |    / count(1) AS trimmed_mean
+             |FROM orders, cuts
+             |WHERE o_totalprice > lo AND o_totalprice < hi""".stripMargin)),
+
+    // ------------------------------- median absolute deviation (MAD)
+    // the robust SCALE estimate next to the trimmed mean's location:
+    // median(|x − median(x)|), per order status. Two percentile passes
+    // (each group's median broadcast back between them), both rounded
+    // to the shared 6-decimal boundary so the second pass's deviations
+    // are bit-identical inputs on both engines. Group count bounds
+    // every intermediate; the fact never sorts globally.
+    QueryDef("q_agg_mad",
+      (s, d) => {
+        val med = t(s, d, "orders").groupBy(col("o_orderstatus").as("ms"))
+          .agg(round(expr("percentile(o_totalprice, 0.5)"), 6).as("med"))
+        t(s, d, "orders").join(broadcast(med),
+            col("o_orderstatus") === col("ms"))
+          .select(col("o_orderstatus"),
+            round(abs(col("o_totalprice") - col("med")), 6).as("dev"))
+          .groupBy("o_orderstatus")
+          .agg(round(expr("percentile(dev, 0.5)"), 6).as("mad"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH med AS (
+             |  SELECT o_orderstatus AS ms,
+             |    round(quantile_cont(o_totalprice, 0.5), 6) AS med
+             |  FROM orders GROUP BY 1
+             |), dev AS (
+             |  SELECT o_orderstatus,
+             |    round(abs(o_totalprice - med), 6) AS dev
+             |  FROM orders JOIN med ON o_orderstatus = ms
+             |)
+             |SELECT o_orderstatus, round(quantile_cont(dev, 0.5), 6) AS mad
+             |FROM dev GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
     // ------------------------------------------ exact weighted average
     // Σ(w·v)/Σw per group — the unit-price / blended-rate report. Both
     // sums exact DECIMAL(38,6) (the per-row product is one IEEE double
