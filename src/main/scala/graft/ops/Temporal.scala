@@ -597,6 +597,110 @@ object Temporal {
     // Everything is exact integer arithmetic on day counts (the µs-vs-ns
     // parquet precision difference dies at the CAST to DATE), and the
     // final output is bounded by weeks² whatever the event volume.
+    // ------------------------------------- DAU / WAU stickiness
+    // the product-health staple: per day, the distinct actives that day
+    // (DAU), the distinct actives over the trailing 7 days (WAU), and
+    // their ratio. Engine form: ONE distinct (user, day) reduction of
+    // the fact, then the 7-day window is a bounded self-replication of
+    // that day-grain frame (each active day contributes to ≤7 report
+    // days via a row-local explode — day-grain × 7, never fact-sized),
+    // so WAU is an ordinary count(DISTINCT) per report day. Integer
+    // counts; the single ratio division is double. At 100 TB the
+    // (user, day) frame is the only fact-sized reduction, and the
+    // documented alternative for very long windows is mergeable HLL
+    // sketches per day (q_agg_approx_distinct's machinery).
+    QueryDef("q_events_dau_wau",
+      (s, d) => {
+        val ud = Tables.table(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val contrib = ud.select(col("user_id"), col("day"),
+            explode(sequence(lit(0), lit(6))).as("off"))
+          .select(col("user_id"), date_add(col("day"), col("off")).as("rday"))
+        val dau = ud.groupBy(col("day").as("rday"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+        val wau = contrib.groupBy("rday")
+          .agg(countDistinct(col("user_id")).as("wau"))
+        // report only days with actual activity (the dau side), so the
+        // explode's trailing phantom days never appear
+        dau.join(wau, Seq("rday"))
+          // emit the day as midnight TIMESTAMP: the driver compare
+          // equates tz-aware/naive timestamps but not date-vs-timestamp
+          .select(col("rday").cast("timestamp").as("rday"), col("dau"), col("wau"),
+            (col("dau").cast(DoubleType) / col("wau")).as("stickiness"))
+          .orderBy("rday")
+      },
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+             |), contrib AS (
+             |  SELECT user_id, day + CAST(o.off AS INT) AS rday
+             |  FROM ud, (SELECT unnest(generate_series(0, 6)) AS off) o
+             |), dau AS (
+             |  SELECT day AS rday, CAST(count(DISTINCT user_id) AS BIGINT)
+             |    AS dau
+             |  FROM ud GROUP BY 1
+             |), wau AS (
+             |  SELECT rday, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+             |  FROM contrib GROUP BY 1
+             |)
+             |SELECT rday, dau, wau,
+             |  CAST(dau AS DOUBLE) / wau AS stickiness
+             |FROM dau JOIN wau USING (rday)
+             |ORDER BY rday""".stripMargin)),
+
+    // ------------------------------------------ monthly order backlog
+    // the event-sourcing BALANCE report: per month, how many orders are
+    // open — placed at or before month end, last line not yet shipped.
+    // Engine form: orders reduce to (placed_month, completed_month) in
+    // one pass (completion = month of the LAST line's ship date — one
+    // orderkey-grain max), then each month's balance is the difference
+    // of two running totals over the tiny month-grain frame: cumulative
+    // placed − cumulative completed. No interval join, no per-month
+    // rescan — the shape that turns "state at every point in time" into
+    // two cumsum windows over a bounded axis. All integer counts.
+    QueryDef("q_orders_backlog",
+      (s, d) => {
+        val li = Tables.table(s, d, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(max(col("l_shipdate")).as("done_ts"))
+        val o = Tables.table(s, d, "orders")
+          .join(li, col("o_orderkey") === col("l_orderkey"), "inner")
+          .select(date_trunc("month", col("o_orderdate")).as("pm"),
+            date_trunc("month", col("done_ts")).as("cm"))
+        val placed = o.groupBy(col("pm").as("m")).agg(count(lit(1)).as("n_placed"))
+        val done = o.groupBy(col("cm").as("m")).agg(count(lit(1)).as("n_done"))
+        val w = Window.orderBy("m")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        placed.join(done, Seq("m"), "full_outer")
+          .select(col("m"),
+            coalesce(col("n_placed"), lit(0L)).as("n_placed"),
+            coalesce(col("n_done"), lit(0L)).as("n_done"))
+          .withColumn("backlog",
+            sum(col("n_placed")).over(w) - sum(col("n_done")).over(w))
+          .orderBy("m")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_orderkey, max(l_shipdate) AS done_ts
+             |  FROM lineitem GROUP BY 1
+             |), o AS (
+             |  SELECT date_trunc('month', o_orderdate) AS pm,
+             |    date_trunc('month', done_ts) AS cm
+             |  FROM orders JOIN li ON o_orderkey = l_orderkey
+             |), placed AS (
+             |  SELECT pm AS m, CAST(count(1) AS BIGINT) AS n_placed
+             |  FROM o GROUP BY 1
+             |), done AS (
+             |  SELECT cm AS m, CAST(count(1) AS BIGINT) AS n_done
+             |  FROM o GROUP BY 1
+             |)
+             |SELECT m, coalesce(n_placed, 0) AS n_placed,
+             |  coalesce(n_done, 0) AS n_done,
+             |  sum(coalesce(n_placed, 0)) OVER w
+             |    - sum(coalesce(n_done, 0)) OVER w AS backlog
+             |FROM placed FULL OUTER JOIN done USING (m)
+             |WINDOW w AS (ORDER BY m
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY m""".stripMargin)),
+
     QueryDef("q_events_retention",
       (s, d) => retentionCohorts(Tables.table(s, d, "events"), "2024-01-01"),
       Some("""WITH act AS (
