@@ -377,6 +377,24 @@ object ConnectorQueries {
              |  max(l_extendedprice) AS max_price
              |FROM lineitem""".stripMargin)),
 
+    // LIMIT pushdown: a filterless LIMIT n plans only a PREFIX of
+    // row-group batches (footer counts prove coverage), instead of the
+    // whole stage — at 100 TB, "show me 100 rows" touches one file, not
+    // a million. PARTIAL pushdown: Spark's exact limit stays on top, so
+    // the scan only promises a covering prefix; with any pushed filter
+    // the builder declines (metadata can't bound qualifying rows — the
+    // same honesty rule as the aggregate pushdown). The key counts
+    // through the limit (deterministic at any prefix choice); the PLAN
+    // is the real assertion — PlanSpec pins the truncated scan, and
+    // BatchSourceSpec pins both accept and decline paths.
+    QueryDef("q_dsv2_limit_pushdown",
+      (s, d) => s.read.format("graft").option("npartitions", "6")
+        .load(staged("dsv2_agg", s, d))
+        .limit(120)
+        .agg(count(lit(1)).as("n_rows")),
+      Some("""SELECT CAST(count(1) AS BIGINT) AS n_rows FROM (
+             |  SELECT * FROM lineitem LIMIT 120)""".stripMargin)),
+
     // Arrow IPC interchange round-trip — the reference's wire format
     // (ArrowResultBatch, core.py:127-130) as an oracle-checked surface:
     // every partition serializes to ONE executor-local Arrow IPC stream

@@ -484,7 +484,8 @@ private[sources] class BatchScanBuilder(
     fullSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   // validate the partition spec eagerly (core.py:164-167) — every scan
   // path, including the metadata-only aggregate path, must reject
@@ -629,9 +630,24 @@ private[sources] class BatchScanBuilder(
       translated.flatten.map(_._2).toArray))
   }
 
+  /** LIMIT pushdown — footer row counts make a filterless LIMIT a
+    * metadata question: the scan keeps only a PREFIX of row-group
+    * batches whose cumulative count covers n, instead of planning the
+    * whole stage. PARTIAL pushdown (the default contract): Spark keeps
+    * its exact limit on top, so truncation only ever has to be a
+    * superset-prefix — which is exactly what raw footer counts
+    * guarantee WHEN NO FILTER is pushed. With filters the qualifying
+    * row count per batch is unknowable from metadata, a truncated
+    * prefix could under-produce, so the pushdown declines (the same
+    * honesty rule as the aggregate pushdown above). */
+  private var limit: Option[Int] = None
+
+  override def pushLimit(n: Int): Boolean =
+    if (pushed.isEmpty && n >= 0) { limit = Some(n); true } else false
+
   override def build(): Scan = aggValues match {
     case Some((schema, values)) => new MetadataAggScan(schema, values, options)
-    case None => new BatchScan(required, options, pushed, partCols)
+    case None => new BatchScan(required, options, pushed, partCols, limit)
   }
 }
 
@@ -679,7 +695,8 @@ private[sources] case class MetadataAggPartition(values: Array[Any])
 private[sources] class BatchScan(
     required: StructType, options: CaseInsensitiveStringMap,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    partCols: Seq[StructField] = Seq.empty)
+    partCols: Seq[StructField] = Seq.empty,
+    limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -765,9 +782,10 @@ private[sources] class BatchScan(
     val fileNote =
       if (partCols.isEmpty) ""
       else s", files=${files.length}/${allFiles.length}"
+    val limitNote = limit.map(n => s", limit=$n").getOrElse("")
     s"GraftBatchScan(dir=${BatchSource.dir(options)}, " +
       s"cols=[${required.fieldNames.mkString(",")}], " +
-      s"batches=${kept.length}/$total$fileNote)"
+      s"batches=${kept.length}/$total$fileNote$limitNote)"
   }
 
   override def toBatch: Batch = this
@@ -788,7 +806,18 @@ private[sources] class BatchScan(
     * semantics: count mode → row target total//n; size mode → byte target;
     * greedy first-fit pack preserving batch order. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val (kept, _) = pruned // fresh: includes any runtime filters by now
+    val (keptAll, _) = pruned // fresh: includes any runtime filters by now
+    // limit truncation: only when NOTHING filters rows (static filters
+    // were required empty at push time; a runtime filter arriving later
+    // would make the prefix under-produce, so its presence disables the
+    // cut — Spark's own limit on top keeps either path exact)
+    val kept = limit match {
+      case Some(n) if filters.isEmpty && runtimeFilters.isEmpty =>
+        val cum = keptAll.scanLeft(0L)(_ + _.rows).tail
+        val need = cum.indexWhere(_ >= n.toLong)
+        if (need < 0) keptAll else keptAll.take(need + 1)
+      case _ => keptAll
+    }
     val np = Option(options.get("npartitions")).map(_.toInt)
     val ps = Option(options.get("partition_size"))
     val (countMode, sizeMode) = Partitioner.resolveSpec(np, ps)

@@ -885,6 +885,12 @@ class PlanSpec extends SparkSpec {
       s"the lag must run over the rollup, never raw lineitems:\n$p")
   }
 
+  test("q_dsv2_limit_pushdown truncates the scan to a covering batch prefix") {
+    val p = plan("q_dsv2_limit_pushdown")
+    assert(p.contains("limit=120"),
+      s"the scan description must show the pushed limit:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and

@@ -176,6 +176,38 @@ class BatchSourceSpec extends SparkSpec {
     assertSameRows(df, ref)
   }
 
+  test("limit pushdown plans a batch prefix; exact rows survive on top") {
+    val dir = stage("orders", 6)
+    val full = spark.read.format("graft").option("npartitions", "6").load(dir)
+    val limited = full.limit(5)
+    assert(limited.count() == 5)
+    // the scan behind the limit must have truncated to a prefix of
+    // batches — visible as fewer planned partitions than the full read
+    val fullParts = full.rdd.getNumPartitions
+    val limParts = limited.queryExecution.executedPlan.collectLeaves()
+      .head.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputRDD.getNumPartitions
+    assert(limParts < fullParts,
+      s"limit should shrink planned partitions: $limParts vs $fullParts")
+    // content identity: limit-over-sorted equals native parquet's
+    val got = spark.read.format("graft").load(dir)
+      .orderBy("o_orderkey").limit(5).collect()
+    val ref = spark.read.parquet(dir).orderBy("o_orderkey").limit(5).collect()
+    assert(got.toSeq == ref.toSeq)
+  }
+
+  test("limit pushdown declines when a filter is pushed (no truncation)") {
+    val dir = stage("orders", 6)
+    val df = spark.read.format("graft").option("npartitions", "6").load(dir)
+      .filter(col("o_orderkey") % 2 === 1).limit(5)
+    // correctness is the assertion that matters: the filtered limit
+    // still yields 5 rows (a truncated prefix could under-produce)
+    assert(df.count() == 5)
+    val desc = df.queryExecution.executedPlan.toString
+    assert(!desc.contains("limit="),
+      s"filtered scans must not truncate on raw footer counts:\n$desc")
+  }
+
   test("aggregate pushdown declines when a filter is present (falls back to rows)") {
     val dir = stage("orders", 2)
     val df = spark.read.format("graft").load(dir)
