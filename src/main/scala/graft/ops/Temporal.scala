@@ -668,6 +668,11 @@ object Temporal {
             date_trunc("month", col("done_ts")).as("cm"))
         val placed = o.groupBy(col("pm").as("m")).agg(count(lit(1)).as("n_placed"))
         val done = o.groupBy(col("cm").as("m")).agg(count(lit(1)).as("n_done"))
+        // DELIBERATELY unpartitioned: the cumsum input is the
+        // month-grain frame (one row per month in the data's range —
+        // dozens, not billions, at ANY corpus scale), the same bounded
+        // skew-collapse axis as selectTokenBudget's bucket-summary
+        // window. The fact-sized work all happened in the aggs above.
         val w = Window.orderBy("m")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         placed.join(done, Seq("m"), "full_outer")
