@@ -708,6 +708,24 @@ object Relational {
              |ORDER BY delta DESC, l_suppkey, yr
              |LIMIT 20""".stripMargin)),
 
+    // -------------------------------------------- boolean aggregates
+    // EVERY / ANY (bool_and / bool_or) — the assertion-over-a-group
+    // family data-quality checks are written in ("did every order in
+    // this bucket pass?"). Mergeable, order-free, exact — like the
+    // bitwise family, zero cross-engine drift surface.
+    QueryDef("q_agg_bool",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(expr("every(o_totalprice > 0)").as("all_positive"),
+          expr("any(o_orderpriority = '1-URGENT')").as("has_urgent"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |  bool_and(o_totalprice > 0) AS all_positive,
+             |  bool_or(o_orderpriority = '1-URGENT') AS has_urgent,
+             |  CAST(count(1) AS BIGINT) AS n
+             |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
     // --------------------------------------------- bitwise aggregates
     // BIT_OR / BIT_AND / BIT_XOR per group — the flag-accumulation /
     // bitmap-rollup aggregates (mergeable, order-free, exact integers:
