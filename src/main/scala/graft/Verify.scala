@@ -12,11 +12,41 @@ object Verify {
     * parquet in the key's slot — its `__error` schema/rowcount can
     * never hash-match any oracle, so the driver reports FAIL — and
     * record the message for errors.json. VerifySpec pins both paths. */
+  /** Relabel tz-aware timestamps as NTZ before the dump write. The session
+    * TZ is pinned UTC, so the cast is a bit-exact relabel, and the parquet
+    * written for the driver's DuckDB compare types as naive TIMESTAMP —
+    * matching what the oracle SQL yields — regardless of the session's
+    * `parquet.outputTimestampType` (round 11: the DSv2 fixtures pin it to
+    * TIMESTAMP_MICROS, whose isAdjustedToUTC=true annotation DuckDB types
+    * as TIMESTAMP WITH TIME ZONE → 15 schema-mismatch keys). Mirrors the
+    * reference's dtype-lax roundtrip contract (test_core.py:59-65). */
+  private[graft] def ntzRelabel(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    def ntz(dt: DataType): DataType = dt match {
+      case TimestampType       => TimestampNTZType
+      case s: StructType       =>
+        StructType(s.fields.map(f => f.copy(dataType = ntz(f.dataType))))
+      case a: ArrayType        => a.copy(elementType = ntz(a.elementType))
+      case m: MapType          =>
+        m.copy(keyType = ntz(m.keyType), valueType = ntz(m.valueType))
+      case other               => other
+    }
+    val casts = df.schema.fields.collect {
+      case f if ntz(f.dataType) != f.dataType => f.name -> ntz(f.dataType)
+    }
+    if (casts.isEmpty) df
+    else casts.foldLeft(df) { case (d, (c, t)) =>
+      d.withColumn(c, col(c).cast(t))
+    }
+  }
+
   private[graft] def dumpOne(spark: SparkSession, sfDir: String,
       outDir: String, name: String,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
       errors: scala.collection.mutable.Map[String, String]): Unit = {
-    try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+    try ntzRelabel(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/$name")
     catch { case e: Throwable =>
       val msg = Option(e.getMessage).getOrElse(e.getClass.getName)

@@ -699,8 +699,8 @@ object Temporal {
              |)
              |SELECT m, coalesce(n_placed, 0) AS n_placed,
              |  coalesce(n_done, 0) AS n_done,
-             |  sum(coalesce(n_placed, 0)) OVER w
-             |    - sum(coalesce(n_done, 0)) OVER w AS backlog
+             |  CAST(sum(coalesce(n_placed, 0)) OVER w
+             |    - sum(coalesce(n_done, 0)) OVER w AS BIGINT) AS backlog
              |FROM placed FULL OUTER JOIN done USING (m)
              |WINDOW w AS (ORDER BY m
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -31,14 +31,13 @@ def cells_equal(a, b) -> bool:
         return (a == b) or (np.isnan(a) and np.isnan(b))
     if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
         return list(a) == list(b)
-    # tz-aware-UTC vs naive timestamps hash-match in the driver (session TZ
-    # is pinned UTC on both engines; proven by CORRECTNESS_r09's green
-    # q_stream_tumbling, tz-aware Spark vs naive DuckDB) — mirror that here
+    # Timestamp kind is STRICT: the driver's schema compare distinguishes
+    # tz-aware (TIMESTAMP WITH TIME ZONE) from naive TIMESTAMP, and round 11
+    # proved a lax local checker vouches for red rounds (15 schema-fail keys
+    # that this script passed). A tz-kind mismatch is a FAIL here too.
     if isinstance(a, pd.Timestamp) and isinstance(b, pd.Timestamp):
         if (a.tzinfo is None) != (b.tzinfo is None):
-            aa = a.tz_localize("UTC") if a.tzinfo is None else a
-            bb = b.tz_localize("UTC") if b.tzinfo is None else b
-            return aa == bb
+            return False
     try:
         return a == b
     except Exception:
@@ -86,16 +85,27 @@ def main():
                         f"col {c}: {len(bad)} diffs, first@{i}: "
                         f"spark={av[i]!r}({type(av[i]).__name__}) "
                         f"duck={bv[i]!r}({type(bv[i]).__name__})")
-        # dtype report (informational — driver may or may not check)
+        # dtype drift is a FAIL, not a note — the driver's schema compare is
+        # strict on dtype kind (round 11: 15 keys failed on exactly the
+        # timestamp-kind axis this script used to demote to informational).
+        # Numeric width aliases that hash identically in the driver
+        # (int32/int64, float32/float64) stay tolerated.
+        def dtype_compat(x, y):
+            if x == y:
+                return True
+            ints = {"int8", "int16", "int32", "int64"}
+            flts = {"float32", "float64"}
+            return (x in ints and y in ints) or (x in flts and y in flts)
         dt = [(c, str(ours[c].dtype), str(theirs[c].dtype))
               for c in ours.columns if c in theirs.columns
-              and str(ours[c].dtype) != str(theirs[c].dtype)]
+              and not dtype_compat(str(ours[c].dtype), str(theirs[c].dtype))]
+        if dt:
+            probs.append(f"dtype drift: {dt}")
         if probs:
             print(f"FAIL {key}: " + "; ".join(probs))
             n_fail += 1
         else:
-            note = f"  [dtype drift: {dt}]" if dt else ""
-            print(f"PASS {key} ({len(ours)} rows){note}")
+            print(f"PASS {key} ({len(ours)} rows)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
