@@ -57,6 +57,68 @@ object Relational {
       .orderBy("bin")
   }
 
+  /** Exact interpolated quantiles (`quantile_cont` semantics) WITHOUT
+    * the exact `percentile` aggregate. Spark's `Percentile` buffers
+    * every value of the group's column inside ONE in-memory aggregation
+    * buffer — the classic unbounded-state executor OOM at 100 TB. This
+    * form reduces the fact to its value-grain histogram first
+    * (`groupBy(value).count()` — mergeable, map-side-combined, the
+    * shuffle carries distinct values not rows), computes each target
+    * rank `h = (n−1)·p` from a group-count-bounded totals frame
+    * broadcast back, locates the two bracketing order statistics with
+    * ONE running-count window over the histogram (STREAMING frame —
+    * O(1) window state, and WindowExec's sort spills to disk where the
+    * Percentile buffer cannot), and interpolates `lo + d·(hi − lo)`
+    * exactly as `quantile_cont` / Spark `percentile` define. State
+    * bound: the DISTINCT values of the column (domain-bounded for
+    * currency/lag-style measures; always ≤ rows, and spillable).
+    * NULLs are ignored, as both percentile functions do.
+    *
+    * Returns one row per group: groupCols ++ one `round(…, 6)` column
+    * per (p, name) — the shared cross-engine boundary precision —
+    * plus the group's non-null row count when `totalAs` is set.
+    */
+  private[graft] def histQuantiles(df: DataFrame, valueCol: String,
+      groupCols: Seq[String], ps: Seq[(Double, String)],
+      totalAs: Option[String] = None): DataFrame = {
+    val gc = groupCols.map(col)
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val ranks0 = hist.groupBy(gc: _*).agg(sum(col("__cnt")).as("__tot"))
+    val ranks = ps.zipWithIndex.foldLeft(ranks0) { case (r, ((p, _), i)) =>
+      val h = (col("__tot") - 1).cast(DoubleType) * lit(p)
+      r.withColumn(s"__rlo$i", floor(h).cast(LongType) + 1)
+        // clamp: at d = 0 on the last rank, hi would fall past the end;
+        // with rhi = rlo the interpolation degenerates to lo exactly
+        .withColumn(s"__rhi$i",
+          least(floor(h).cast(LongType) + 2, col("__tot")))
+        .withColumn(s"__frac$i", h - floor(h))
+    }
+    val joined =
+      if (groupCols.isEmpty) hist.join(broadcast(ranks))
+      else hist.join(broadcast(ranks), groupCols)
+    val wOrd = Window.partitionBy(gc: _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // value v covers rank r iff cum−cnt < r ≤ cum — exactly one v per r
+    val cum = joined.withColumn("__cum", sum(col("__cnt")).over(wOrd))
+    def covers(r: Column) =
+      col("__cum") - col("__cnt") < r && r <= col("__cum")
+    val aggs = ps.indices.flatMap { i =>
+      Seq(
+        min(when(covers(col(s"__rlo$i")), col(valueCol))).as(s"__vlo$i"),
+        min(when(covers(col(s"__rhi$i")), col(valueCol))).as(s"__vhi$i"),
+        min(col(s"__frac$i")).as(s"__f$i"))
+    } ++ totalAs.map(n => min(col("__tot")).as(n))
+    val byG = cum.groupBy(gc: _*).agg(aggs.head, aggs.tail: _*)
+    val outCols = gc ++ totalAs.map(col) ++
+      ps.zipWithIndex.map { case ((_, name), i) =>
+        round(col(s"__vlo$i") +
+          col(s"__f$i") * (col(s"__vhi$i") - col(s"__vlo$i")), 6).as(name)
+      }
+    byG.select(outCols: _*)
+  }
+
   /** One-pass multi-column profile ([[graft.Graft.profileStats]];
     * `q_profile_stats`): per numeric column, (non-null count, null
     * count, min, max) — ALL columns through ONE global aggregate (4
@@ -584,16 +646,16 @@ object Relational {
     // ------------------------------------------------ trimmed mean
     // the outlier-robust location estimate: mean of the values strictly
     // inside [p10, p90] — what a spend/latency dashboard shows when the
-    // tails are garbage. Same two-pass shape as q_profile_equidepth
-    // (and the same exact-percentile buffering note applies): cutpoints
-    // from ONE 1-row percentile agg (round(…,6) — engine-identical
-    // boundaries), broadcast back, then an exact-decimal mean over the
-    // survivors in a map-side-combined pass. Never a sort of the fact.
+    // tails are garbage. Same two-pass shape as q_profile_equidepth:
+    // exact cutpoints from [[histQuantiles]] (value-grain histogram +
+    // streaming-frame rank scan — no unbounded Percentile buffer;
+    // round(…,6) — engine-identical boundaries), broadcast back, then
+    // an exact-decimal mean over the survivors in a map-side-combined
+    // pass. Never a sort of the fact.
     QueryDef("q_agg_trimmed_mean",
       (s, d) => {
-        val cuts = t(s, d, "orders").agg(
-          round(expr("percentile(o_totalprice, 0.1)"), 6).as("lo"),
-          round(expr("percentile(o_totalprice, 0.9)"), 6).as("hi"))
+        val cuts = histQuantiles(t(s, d, "orders").select("o_totalprice"),
+          "o_totalprice", Nil, Seq(0.1 -> "lo", 0.9 -> "hi"))
         t(s, d, "orders").select("o_totalprice").join(broadcast(cuts))
           .filter(col("o_totalprice") > col("lo") &&
             col("o_totalprice") < col("hi"))
@@ -614,21 +676,23 @@ object Relational {
 
     // ------------------------------- median absolute deviation (MAD)
     // the robust SCALE estimate next to the trimmed mean's location:
-    // median(|x − median(x)|), per order status. Two percentile passes
-    // (each group's median broadcast back between them), both rounded
-    // to the shared 6-decimal boundary so the second pass's deviations
-    // are bit-identical inputs on both engines. Group count bounds
-    // every intermediate; the fact never sorts globally.
+    // median(|x − median(x)|), per order status. Two [[histQuantiles]]
+    // passes (each group's median broadcast back between them — no
+    // unbounded Percentile buffer in either), both rounded to the
+    // shared 6-decimal boundary so the second pass's deviations are
+    // bit-identical inputs on both engines. Group count bounds every
+    // intermediate; the fact never sorts globally.
     QueryDef("q_agg_mad",
       (s, d) => {
-        val med = t(s, d, "orders").groupBy(col("o_orderstatus").as("ms"))
-          .agg(round(expr("percentile(o_totalprice, 0.5)"), 6).as("med"))
-        t(s, d, "orders").join(broadcast(med),
+        val med = histQuantiles(
+            t(s, d, "orders").select("o_orderstatus", "o_totalprice"),
+            "o_totalprice", Seq("o_orderstatus"), Seq(0.5 -> "med"))
+          .withColumnRenamed("o_orderstatus", "ms")
+        val dev = t(s, d, "orders").join(broadcast(med),
             col("o_orderstatus") === col("ms"))
           .select(col("o_orderstatus"),
             round(abs(col("o_totalprice") - col("med")), 6).as("dev"))
-          .groupBy("o_orderstatus")
-          .agg(round(expr("percentile(dev, 0.5)"), 6).as("mad"))
+        histQuantiles(dev, "dev", Seq("o_orderstatus"), Seq(0.5 -> "mad"))
           .orderBy("o_orderstatus")
       },
       Some("""WITH med AS (
@@ -845,18 +909,24 @@ object Relational {
     // boolean — the sketches need not agree with each other, only each
     // stay inside the documented bound (both are ≲1% on this data, so
     // the bound carries ~5× headroom). The mergeable sketch is the
-    // 100 TB point: percentile state combines map-side like a sum,
-    // where the exact percentile needs the full sorted group.
+    // 100 TB point: percentile state combines map-side like a sum.
+    // The exact side comes from [[histQuantiles]] (value-grain
+    // histogram + rank scan), so no unbounded Percentile buffer
+    // appears in this plan either.
     QueryDef("q_agg_approx_percentile",
-      (s, d) => t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("exact_p50"),
-          (abs(expr("approx_percentile(l_extendedprice, 0.5, 10000)") -
-              expr("percentile(l_extendedprice, 0.5)")) /
-            expr("percentile(l_extendedprice, 0.5)") <= 0.05)
-            .as("approx_within_5pct"))
-        .orderBy("l_returnflag"),
+      (s, d) => {
+        val ex = histQuantiles(
+          t(s, d, "lineitem").select("l_returnflag", "l_extendedprice"),
+          "l_extendedprice", Seq("l_returnflag"), Seq(0.5 -> "exact_p50"))
+        val ap = t(s, d, "lineitem").groupBy("l_returnflag")
+          .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+            .as("__ap50"))
+        ex.join(ap, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("exact_p50"),
+            (abs(col("__ap50") - col("exact_p50")) / col("exact_p50")
+              <= 0.05).as("approx_within_5pct"))
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag,
              |  round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
              |  abs(approx_quantile(l_extendedprice, 0.5)
@@ -1376,15 +1446,15 @@ object Relational {
              |FROM orders GROUP BY o_orderstatus, o_orderpriority
              |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
 
-    // exact interpolated percentiles (Spark `percentile` and DuckDB
-    // `quantile_cont` share the (1-d)*lo + d*hi definition)
+    // exact interpolated percentiles, quantile_cont-identical, via
+    // [[histQuantiles]] — the histogram + rank-scan form, so the plan
+    // carries mergeable hash-agg state instead of the `percentile`
+    // aggregate's whole-column buffer
     QueryDef("q_agg_percentile",
-      (s, d) => t(s, d, "orders")
-        .groupBy("o_orderstatus")
-        .agg(
-          round(expr("percentile(o_totalprice, 0.25)"), 6).as("p25"),
-          round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
-          round(expr("percentile(o_totalprice, 0.75)"), 6).as("p75"))
+      (s, d) => histQuantiles(
+          t(s, d, "orders").select("o_orderstatus", "o_totalprice"),
+          "o_totalprice", Seq("o_orderstatus"),
+          Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"))
         .orderBy("o_orderstatus"),
       Some("""SELECT o_orderstatus,
              |  round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
@@ -1919,23 +1989,20 @@ object Relational {
     // q_profile_histogram's equi-width bins. The naive form (ntile over
     // a global ORDER BY) is a corpus-wide single-task window — the
     // classic scale-killer; the engine form derives the three cutpoints
-    // in ONE percentile aggregate (1 row), broadcasts them back, and
-    // bins row-locally in a second map-side-combined pass. Cutpoints
-    // round(…, 6) so both engines bin against bit-identical boundaries
-    // (q_agg_percentile precedent: percentile ≡ quantile_cont). Honest
-    // scale note: EXACT percentile buffers the value column in one agg
-    // buffer (that buffering is this key's measured 1.4 s — same class
-    // as DuckDB's quantile_cont, which the oracle needs); at 100 TB the
-    // cutpoint stage swaps to approx_percentile (mergeable t-digest,
-    // bounded memory, same 1-row broadcast shape) and the binning pass
-    // is unchanged — approximate boundaries move bin edges only by the
+    // from [[histQuantiles]] (1 row — value-grain histogram + rank
+    // scan, no whole-column Percentile buffer), broadcasts them back,
+    // and bins row-locally in a second map-side-combined pass.
+    // Cutpoints round(…, 6) so both engines bin against bit-identical
+    // boundaries (q_agg_percentile precedent: histQuantiles ≡
+    // quantile_cont). At 100 TB the cutpoint stage can further swap to
+    // approx_percentile (mergeable t-digest, same 1-row broadcast
+    // shape) — approximate boundaries move bin edges only by the
     // sketch error, which equi-depth profiling tolerates by design.
     QueryDef("q_profile_equidepth",
       (s, d) => {
-        val cuts = t(s, d, "orders").agg(
-          round(expr("percentile(o_totalprice, 0.25)"), 6).as("c1"),
-          round(expr("percentile(o_totalprice, 0.5)"), 6).as("c2"),
-          round(expr("percentile(o_totalprice, 0.75)"), 6).as("c3"))
+        val cuts = histQuantiles(t(s, d, "orders").select("o_totalprice"),
+          "o_totalprice", Nil,
+          Seq(0.25 -> "c1", 0.5 -> "c2", 0.75 -> "c3"))
         t(s, d, "orders").select("o_totalprice").join(broadcast(cuts))
           .select(when(col("o_totalprice") <= col("c1"), 0)
             .when(col("o_totalprice") <= col("c2"), 1)

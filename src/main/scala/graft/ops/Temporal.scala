@@ -937,14 +937,17 @@ object Temporal {
         val purchases = purchasesDeduped(ev)
           .withColumn("rt_us", unix_micros(col("ts"))).drop("ts")
           .withColumn("p_t_us", col("rt_us"))
-        asofJoinForward(clicks, purchases, Seq("user_id"), "t_us", "rt_us")
+        val lags = asofJoinForward(clicks, purchases,
+            Seq("user_id"), "t_us", "rt_us")
           .filter(col("p_id").isNotNull)
           .select(((col("p_t_us") - col("t_us")) / lit(60000000.0))
             .as("lag_min"))
-          .agg(count(lit(1)).as("n_converted"),
-            round(expr("percentile(lag_min, 0.25)"), 6).as("p25"),
-            round(expr("percentile(lag_min, 0.5)"), 6).as("p50"),
-            round(expr("percentile(lag_min, 0.75)"), 6).as("p75"))
+        // quartiles via the histogram+rank-scan form (no whole-column
+        // Percentile buffer); n_converted rides along as the
+        // histogram's count total — still one pass over the asof join
+        graft.ops.Relational.histQuantiles(lags, "lag_min", Nil,
+          Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"),
+          totalAs = Some("n_converted"))
       },
       Some("""WITH clicks AS (
              |  SELECT event_id, user_id, ts

@@ -824,14 +824,21 @@ class PlanSpec extends SparkSpec {
       s"one user_id exchange serves the window:\n$p")
   }
 
-  test("q_profile_equidepth bins via broadcast cutpoints, never a global sort window") {
+  test("q_profile_equidepth bins via broadcast cutpoints, never a global sort of the fact") {
     val p = plan("q_profile_equidepth")
-    assert(!p.contains("Window"),
-      s"equi-depth must not be an ntile over a global order:\n$p")
+    // histQuantiles' running-count window is allowed ONLY over the
+    // value-grain histogram: the fact must collapse through a
+    // map-side-combined groupBy(value) hash agg first, so the window's
+    // input carries distinct values, never raw rows
+    assert(p.contains("HashAggregate(keys=[o_totalprice"),
+      s"the fact must collapse to its value histogram before any window:\n$p")
+    // printed top-down: the Window must appear before its input, the
+    // value-grain histogram agg — i.e. the window consumes the
+    // collapsed histogram, never raw fact rows
+    assert(p.indexOf("Window") < p.indexOf("HashAggregate(keys=[o_totalprice"),
+      s"the window must sit above the histogram agg, not the fact:\n$p")
     assert(p.contains("BroadcastExchange"),
       s"the 1-row cutpoints must broadcast back onto the fact:\n$p")
-    assert(!p.contains("Exchange rangepartitioning(o_totalprice"),
-      s"the fact must never globally sort:\n$p")
   }
 
   test("q_agg_argmax is one mergeable struct-max agg, not a per-group window") {
@@ -889,6 +896,23 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_dsv2_limit_pushdown")
     assert(p.contains("limit=120"),
       s"the scan description must show the pushed limit:\n$p")
+  }
+
+  test("no exact Percentile aggregate in any quantile key's plan") {
+    // Spark's Percentile buffers the group's whole value column in ONE
+    // in-memory agg buffer (OpenHashMap) — executor OOM at 100 TB. All
+    // quantile keys go through Relational.histQuantiles (value-grain
+    // histogram + streaming-frame rank scan) or approx_percentile; the
+    // exact aggregate must never reappear in these plans.
+    val quantileKeys = Seq("q_agg_percentile", "q_agg_mad",
+      "q_agg_trimmed_mean", "q_agg_approx_percentile",
+      "q_profile_equidepth", "q_events_conversion_lag")
+    for (k <- quantileKeys) {
+      val p = plan(k)
+      val exact = "(?<!approx_)percentile\\(".r.findFirstIn(p)
+      assert(exact.isEmpty,
+        s"$k plans the unbounded exact Percentile aggregate:\n$p")
+    }
   }
 
   test("whole-stage codegen covers the scalar pipelines") {
