@@ -599,6 +599,14 @@ object Graft {
     * path runs as a restartable micro-batch stream
     * ([[streaming.Streams.curate]]); oracle-checked as
     * `q_pipeline_curate`. */
+  /** SQL-text entry point ([[SqlText.sql]]): `spark.sql` plus the two
+    * warehouse statements a reference `read_snowflake(query)` caller
+    * types that Spark SQL lacks — `MERGE INTO` (→ [[upsert]]) and
+    * Snowflake-style `ASOF JOIN … MATCH_CONDITION` (→ [[asofJoin]]).
+    * Oracle-checked as `q_sql_merge` / `q_sql_asof`. */
+  def sql(spark: SparkSession, text: String): DataFrame =
+    SqlText.sql(spark, text)
+
   def curate(spark: SparkSession, sfDir: String): DataFrame =
     ops.Dedup.curateCorpus(spark, sfDir)
 

@@ -1248,6 +1248,48 @@ object Relational {
              |FROM corpus c FULL OUTER JOIN batch b ON c.doc_id = b.doc_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------------------- MERGE INTO (SQL text)
+    // the same upsert through the SQL-TEXT front door
+    // ([[graft.SqlText.sql]]): the statement a warehouse user actually
+    // types (reference UX: query-string-first, core.py:143) parsed and
+    // rewritten onto [[graft.Graft.upsert]] — one full-outer key
+    // shuffle, identical plan and identical oracle as q_upsert: two
+    // entry paths, one truth.
+    QueryDef("q_sql_merge",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+        docs.createOrReplaceTempView("merge_corpus")
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") + 1000L).as("n_chars"))
+          .unionAll(docs.filter(col("doc_id") % 7 === 3)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+              col("n_chars")))
+          .createOrReplaceTempView("merge_batch")
+        graft.SqlText.sql(s,
+            """MERGE INTO merge_corpus AS c USING merge_batch AS b
+              |ON c.doc_id = b.doc_id
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, lang, n_chars FROM documents
+             |), batch AS (
+             |  SELECT doc_id, lang, n_chars + 1000 AS n_chars
+             |  FROM corpus WHERE doc_id % 10 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, lang, n_chars
+             |  FROM corpus WHERE doc_id % 7 = 3
+             |)
+             |SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+             |  CASE WHEN b.doc_id IS NOT NULL THEN b.lang ELSE c.lang END
+             |    AS lang,
+             |  CASE WHEN b.doc_id IS NOT NULL THEN b.n_chars
+             |       ELSE c.n_chars END AS n_chars
+             |FROM corpus c FULL OUTER JOIN batch b ON c.doc_id = b.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
     // --------------------------------------------- table checksum
     // the replication/migration validator: an ORDER-INDEPENDENT content
     // fingerprint per table slice — sum over rows of a portable row

@@ -385,6 +385,30 @@ object Temporal {
       },
       Some(asofOracle)),
 
+    // The same as-of semantics through the SQL-TEXT front door
+    // ([[graft.SqlText.sql]]): Snowflake's `ASOF JOIN …
+    // MATCH_CONDITION(l.ts >= r.ts) ON l.k = r.k` syntax — what the
+    // reference's query-string-first caller (core.py:143) would type —
+    // parsed and rewritten onto the same union+window engine operator
+    // as q_join_asof. Same DuckDB ASOF oracle: two entry paths, one
+    // truth.
+    QueryDef("q_sql_asof",
+      (s, d) => {
+        val ev = Tables.table(s, d, "events")
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .createOrReplaceTempView("sql_clicks")
+        purchasesDeduped(ev).createOrReplaceTempView("sql_purchases")
+        graft.SqlText.sql(s,
+          """SELECT c.event_id AS click_id, c.user_id,
+            |  p.p_id AS asof_p_id, p.p_value AS asof_p_value
+            |FROM sql_clicks c ASOF JOIN sql_purchases p
+            |MATCH_CONDITION(c.ts >= p.ts)
+            |ON c.user_id = p.user_id
+            |ORDER BY click_id""".stripMargin)
+      },
+      Some(asofOracle)),
+
     // The same as-of semantics by a second physical strategy: when the
     // right side is small, broadcast it and reduce candidate pairs with
     // max_by instead of sorting a union — no shuffle of the left side at

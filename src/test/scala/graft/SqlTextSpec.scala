@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The SQL-text front door ([[SqlText]]): canonical MERGE INTO / ASOF
+  * JOIN forms rewrite onto the engine operators, unsupported shapes
+  * fail LOUDLY, everything else passes through to spark.sql. The
+  * oracle-checked twins are `q_sql_merge` / `q_sql_asof`; this spec
+  * covers the parser's edges the fixture keys don't reach. */
+class SqlTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stage(): Unit = {
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "tag", "v").createOrReplaceTempView("st_corpus")
+    Seq((2L, "B", 99L), (9L, "z", 1L))
+      .toDF("k", "tag", "v").createOrReplaceTempView("st_batch")
+  }
+
+  test("MERGE INTO with aliases and action clauses merges batch-wins") {
+    stage()
+    val out = SqlText.sql(spark,
+      """MERGE INTO st_corpus AS c USING st_batch AS b ON c.k = b.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "a", 10L), (2L, "B", 99L),
+      (3L, "c", 30L), (9L, "z", 1L)))
+  }
+
+  test("MERGE INTO without aliases or action clauses means the same thing") {
+    stage()
+    val out = SqlText.sql(spark,
+      "MERGE INTO st_corpus USING st_batch ON st_corpus.k = st_batch.k")
+    assert(out.count() == 4)
+  }
+
+  test("MERGE rejects non-equi ON and differing key names loudly") {
+    stage()
+    val e1 = intercept[RuntimeException](SqlText.sql(spark,
+      "MERGE INTO st_corpus c USING st_batch b ON c.k > b.k"))
+    assert(e1.getMessage.contains("equi"))
+    Seq((2L, "B", 99L)).toDF("kk", "tag", "v")
+      .createOrReplaceTempView("st_batch2")
+    val e2 = intercept[IllegalArgumentException](SqlText.sql(spark,
+      "MERGE INTO st_corpus c USING st_batch2 b ON c.k = b.kk"))
+    assert(e2.getMessage.contains("share a column name"))
+  }
+
+  test("ASOF JOIN backward picks the most recent right row at or before") {
+    Seq((1L, 100L, "e1"), (1L, 200L, "e2"), (2L, 50L, "e3"))
+      .toDF("uid", "t", "eid").createOrReplaceTempView("st_left")
+    Seq((1L, 90L, 7L), (1L, 150L, 8L), (2L, 60L, 9L))
+      .toDF("uid", "rt", "pv").createOrReplaceTempView("st_right")
+    val out = SqlText.sql(spark,
+      """SELECT l.eid, r.pv FROM st_left l ASOF JOIN st_right r
+        |MATCH_CONDITION(l.t >= r.rt) ON l.uid = r.uid
+        |ORDER BY eid""".stripMargin)
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // e1@100 → 7@90; e2@200 → 8@150; e3@50 → none (60 > 50)
+    assert(out.toSeq == Seq(("e1", 7L), ("e2", 8L), ("e3", -1L)))
+  }
+
+  test("ASOF JOIN forward (<=) picks the earliest right row at or after") {
+    Seq((1L, 100L, "e1"), (1L, 200L, "e2"))
+      .toDF("uid", "t", "eid").createOrReplaceTempView("st_left")
+    Seq((1L, 150L, 7L), (1L, 300L, 8L))
+      .toDF("uid", "rt", "pv").createOrReplaceTempView("st_right")
+    val out = SqlText.sql(spark,
+      """SELECT l.eid, r.pv FROM st_left l ASOF JOIN st_right r
+        |MATCH_CONDITION(l.t <= r.rt) ON l.uid = r.uid
+        |ORDER BY eid""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("e1", 7L), ("e2", 8L)))
+  }
+
+  test("reversed MATCH_CONDITION orientation (r.rt <= l.t) is the backward join") {
+    Seq((1L, 100L, "e1")).toDF("uid", "t", "eid")
+      .createOrReplaceTempView("st_left")
+    Seq((1L, 90L, 7L)).toDF("uid", "rt", "pv")
+      .createOrReplaceTempView("st_right")
+    val out = SqlText.sql(spark,
+      """SELECT l.eid, r.pv FROM st_left l ASOF JOIN st_right r
+        |MATCH_CONDITION(r.rt <= l.t) ON l.uid = r.uid""".stripMargin)
+      .collect()
+    assert(out.length == 1 && out(0).getLong(1) == 7L)
+  }
+
+  test("plain SQL passes through untouched") {
+    val out = SqlText.sql(spark, "SELECT 1 + 1 AS two")
+    assert(out.collect()(0).getInt(0) == 2)
+  }
+}
