@@ -1838,11 +1838,18 @@ object Relational {
           .select(col("c_custkey"), digitSum(col("c_custkey")).as("digit_sum"))
           .orderBy("c_custkey")
       },
+      // 12 digit terms cover c_custkey < 10^12 — custkey ≈ 150k·sf, so
+      // the closed form is exact past sf 10^6 (the UDF handles any Long)
       Some("""SELECT c_custkey,
              |  (c_custkey % 10) + (c_custkey // 10 % 10)
              |  + (c_custkey // 100 % 10) + (c_custkey // 1000 % 10)
              |  + (c_custkey // 10000 % 10) + (c_custkey // 100000 % 10)
-             |  + (c_custkey // 1000000 % 10) AS digit_sum
+             |  + (c_custkey // 1000000 % 10)
+             |  + (c_custkey // 10000000 % 10)
+             |  + (c_custkey // 100000000 % 10)
+             |  + (c_custkey // 1000000000 % 10)
+             |  + (c_custkey // 10000000000 % 10)
+             |  + (c_custkey // 100000000000 % 10) AS digit_sum
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
     // ------------------------------- higher-order array lambdas (HOFs)
@@ -1966,12 +1973,13 @@ object Relational {
     // segment) with a DETERMINISTIC tie-break — Spark's built-in
     // `mode()` (and DuckDB's) returns an ARBITRARY value on frequency
     // ties, which can never hash-match across engines; the engine form
-    // is the counts-then-argmax rewrite: one (group, value) hash agg
-    // (map-side combinable — the only fact-sized pass), then max_by on
-    // the struct (n, reverse-alphabetical value) so ties break to the
-    // alphabetically-smallest segment by pure struct ordering, no
-    // window at all. The counts frame is |groups|×|values| — tiny at
-    // any corpus scale.
+    // is the counts-then-argmax rewrite (modePerGroup): one
+    // (group, value) hash agg (map-side combinable — the only
+    // fact-sized pass), per-group max(n) joined back onto the counts,
+    // keep the rows at the max, then min(value) so frequency ties
+    // break to the alphabetically-smallest segment — no window at all.
+    // The counts frame is |groups|×|values| — tiny at any corpus
+    // scale, so the join-back is a broadcast.
     QueryDef("q_agg_mode",
       (s, d) => modePerGroup(t(s, d, "customer"),
           Seq("c_nationkey"), "c_mktsegment")

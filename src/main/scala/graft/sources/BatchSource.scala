@@ -782,7 +782,13 @@ private[sources] class BatchScan(
     val fileNote =
       if (partCols.isEmpty) ""
       else s", files=${files.length}/${allFiles.length}"
-    val limitNote = limit.map(n => s", limit=$n").getOrElse("")
+    // a runtime (DPP) filter arriving after push time disables the
+    // prefix truncation in planInputPartitions — the explain string
+    // must not claim a cut that will not happen
+    val limitNote = limit.map { n =>
+      if (runtimeFilters.nonEmpty) s", limit=$n(inactive:runtime-filter)"
+      else s", limit=$n"
+    }.getOrElse("")
     s"GraftBatchScan(dir=${BatchSource.dir(options)}, " +
       s"cols=[${required.fieldNames.mkString(",")}], " +
       s"batches=${kept.length}/$total$fileNote$limitNote)"
