@@ -61,18 +61,30 @@ object Relational {
     * the exact `percentile` aggregate. Spark's `Percentile` buffers
     * every value of the group's column inside ONE in-memory aggregation
     * buffer — the classic unbounded-state executor OOM at 100 TB. This
-    * form reduces the fact to its value-grain histogram first
-    * (`groupBy(value).count()` — mergeable, map-side-combined, the
-    * shuffle carries distinct values not rows), computes each target
-    * rank `h = (n−1)·p` from a group-count-bounded totals frame
-    * broadcast back, locates the two bracketing order statistics with
-    * ONE running-count window over the histogram (STREAMING frame —
-    * O(1) window state, and WindowExec's sort spills to disk where the
-    * Percentile buffer cannot), and interpolates `lo + d·(hi − lo)`
-    * exactly as `quantile_cont` / Spark `percentile` define. State
-    * bound: the DISTINCT values of the column (domain-bounded for
-    * currency/lag-style measures; always ≤ rows, and spillable).
-    * NULLs are ignored, as both percentile functions do.
+    * form is a TWO-LEVEL rank scan (the pack_sequences_chunked
+    * decomposition applied to order statistics):
+    *
+    *  1. the fact collapses to its value-grain histogram
+    *     (`groupBy(value).count()` — mergeable, map-side-combined, the
+    *     shuffle carries distinct values not rows); each target rank
+    *     `h = (n−1)·p` comes from a group-count-bounded totals frame
+    *     broadcast back;
+    *  2. each distinct value maps to one of `buckets` monotone coarse
+    *     range buckets; the bucket summary (≤ `buckets` rows per group
+    *     — the skew-collapse frame) takes ONE running-sum window to
+    *     give every bucket its preceding-rows offset, and only the
+    *     ≤ 2·|ps| buckets that actually CONTAIN a target rank are
+    *     scanned in level 2 — a per-(group, bucket) running count over
+    *     ~|distinct|/buckets values, partitioned, never one global
+    *     sort task;
+    *  3. the two bracketing order statistics interpolate
+    *     `lo + d·(hi − lo)` exactly as `quantile_cont` / Spark
+    *     `percentile` define.
+    *
+    * Rank arithmetic is exact integers end to end, so bucket boundaries
+    * (IEEE division, monotone in the value) affect only execution
+    * grouping, never the result. NULLs are ignored, as both percentile
+    * functions do.
     *
     * Returns one row per group: groupCols ++ one `round(…, 6)` column
     * per (p, name) — the shared cross-engine boundary precision —
@@ -80,12 +92,14 @@ object Relational {
     */
   private[graft] def histQuantiles(df: DataFrame, valueCol: String,
       groupCols: Seq[String], ps: Seq[(Double, String)],
-      totalAs: Option[String] = None): DataFrame = {
+      totalAs: Option[String] = None, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
     val gc = groupCols.map(col)
     val hist = df.filter(col(valueCol).isNotNull)
       .groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
-    val ranks0 = hist.groupBy(gc: _*).agg(sum(col("__cnt")).as("__tot"))
+    val ranks0 = hist.groupBy(gc: _*).agg(sum(col("__cnt")).as("__tot"),
+      min(col(valueCol)).as("__glo"), max(col(valueCol)).as("__ghi"))
     val ranks = ps.zipWithIndex.foldLeft(ranks0) { case (r, ((p, _), i)) =>
       val h = (col("__tot") - 1).cast(DoubleType) * lit(p)
       r.withColumn(s"__rlo$i", floor(h).cast(LongType) + 1)
@@ -95,13 +109,42 @@ object Relational {
           least(floor(h).cast(LongType) + 2, col("__tot")))
         .withColumn(s"__frac$i", h - floor(h))
     }
-    val joined =
-      if (groupCols.isEmpty) hist.join(broadcast(ranks))
-      else hist.join(broadcast(ranks), groupCols)
-    val wOrd = Window.partitionBy(gc: _*).orderBy(col(valueCol))
+    def bJoin(l: DataFrame, r: DataFrame): DataFrame =
+      if (groupCols.isEmpty) l.join(broadcast(r))
+      else l.join(broadcast(r), groupCols)
+    val joined = bJoin(hist, ranks)
+    // monotone coarse bucket over the group's value range
+    val span = col("__ghi") - col("__glo")
+    val bCol = when(span === 0d, lit(0L)).otherwise(
+      least(lit((buckets - 1).toLong), greatest(lit(0L),
+        floor((col(valueCol) - col("__glo")) / span * buckets)
+          .cast(LongType))))
+    val hb = joined.withColumn("__b", bCol)
+    val bsum = hb.groupBy((gc :+ col("__b")): _*)
+      .agg(sum(col("__cnt")).as("__bc"))
+    val wB = Window.partitionBy(gc: _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boff = bJoin(
+      bsum.withColumn("__base", sum(col("__bc")).over(wB) - col("__bc")),
+      ranks)
+    // a rank r lives in a bucket iff base < r ≤ base + count
+    def inBucket(r: Column) =
+      col("__base") < r && r <= col("__base") + col("__bc")
+    val neededCond = ps.indices.map { i =>
+      inBucket(col(s"__rlo$i")) || inBucket(col(s"__rhi$i"))
+    }.reduce(_ || _)
+    val needed = boff.filter(neededCond)
+      .select((gc :+ col("__b") :+ col("__base")): _*)
+    // level-2 scan: only the rank-bearing buckets, partitioned per
+    // (group, bucket) — ≤ 2·|ps| buckets per group ever sort
+    val scan = hb.join(broadcast(needed),
+      groupCols :+ "__b")
+    val wIn = Window.partitionBy((gc :+ col("__b")): _*)
+      .orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // value v covers rank r iff cum−cnt < r ≤ cum — exactly one v per r
-    val cum = joined.withColumn("__cum", sum(col("__cnt")).over(wOrd))
+    val cum = scan.withColumn("__cum",
+      col("__base") + sum(col("__cnt")).over(wIn))
     def covers(r: Column) =
       col("__cum") - col("__cnt") < r && r <= col("__cum")
     val aggs = ps.indices.flatMap { i =>
