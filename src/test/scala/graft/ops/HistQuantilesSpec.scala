@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Relational.histQuantiles]] is the engine's exact-percentile path
+  * (six oracle keys ride it). Property: its output equals Spark's own
+  * exact `percentile` aggregate (same `(1−d)·lo + d·hi ≡ lo + d·(hi−lo)`
+  * interpolation, to the shared round-6 boundary) on adversarial
+  * shapes the fixture keys never hit — heavy duplicates, all-equal
+  * groups, single-row groups, boundary ps, and bucket counts as small
+  * as 1 (degenerating to the single-scan form). */
+class HistQuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refQuantiles(df: org.apache.spark.sql.DataFrame,
+      group: String, value: String, ps: Seq[Double]) =
+    df.groupBy(col(group))
+      .agg(ps.zipWithIndex.map { case (p, i) =>
+        round(expr(s"percentile($value, $p)"), 6).as(s"q$i")
+      }.head, ps.zipWithIndex.map { case (p, i) =>
+        round(expr(s"percentile($value, $p)"), 6).as(s"q$i")
+      }.tail: _*)
+
+  private def check(rows: Seq[(String, Double)], ps: Seq[Double],
+      buckets: Int): Unit = {
+    val df = rows.toDF("g", "v")
+    val named = ps.zipWithIndex.map { case (p, i) => p -> s"q$i" }
+    val got = Relational.histQuantiles(df, "v", Seq("g"), named,
+        buckets = buckets)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0),
+        (1 to ps.length).map(i => r.getDouble(i)).toSeq))
+    val want = refQuantiles(df, "g", "v", ps)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0),
+        (1 to ps.length).map(i => r.getDouble(i)).toSeq))
+    assert(got.toSeq == want.toSeq,
+      s"histQuantiles(buckets=$buckets) diverged from exact percentile")
+  }
+
+  private val ps = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+
+  test("matches exact percentile on mixed duplicate-heavy groups") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 2000).map { _ =>
+      val g = s"g${rnd.nextInt(4)}"
+      // duplicate-heavy: values drawn from a small lattice
+      (g, math.floor(rnd.nextDouble() * 50) / 7.0)
+    }
+    for (b <- Seq(1, 2, 16, 1024)) check(rows, ps, b)
+  }
+
+  test("matches exact percentile on continuous near-unique values") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 1500).map { _ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextGaussian() * 100.0)
+    }
+    for (b <- Seq(1, 8, 1024)) check(rows, ps, b)
+  }
+
+  test("all-equal, single-row, and two-row groups") {
+    val rows = Seq.fill(100)(("same", 3.25)) ++
+      Seq(("one", 9.5)) ++ Seq(("two", 1.0), ("two", 2.0))
+    for (b <- Seq(1, 4, 1024)) check(rows, ps, b)
+  }
+
+  test("negative values and NULLs are handled like the aggregate") {
+    val rnd = new scala.util.Random(11)
+    val base = (1 to 600).map(_ =>
+      (s"g${rnd.nextInt(2)}", rnd.nextDouble() * 200 - 100))
+    val df = base.toDF("g", "v")
+      .unionAll(Seq(("g0", null.asInstanceOf[java.lang.Double]),
+        ("g1", null.asInstanceOf[java.lang.Double]))
+        .toDF("g", "v"))
+    val named = ps.zipWithIndex.map { case (p, i) => p -> s"q$i" }
+    val got = Relational.histQuantiles(df, "v", Seq("g"), named)
+      .orderBy("g").collect()
+      .map(r => (1 to ps.length).map(i => r.getDouble(i)).toSeq)
+    val want = refQuantiles(df, "g", "v", ps).orderBy("g").collect()
+      .map(r => (1 to ps.length).map(i => r.getDouble(i)).toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("ungrouped (global) quantiles with totalAs row count") {
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 999).map(_ => rnd.nextDouble() * 1e6).toDF("v")
+    val out = Relational.histQuantiles(df, "v", Nil,
+      Seq(0.5 -> "med"), totalAs = Some("n")).collect()(0)
+    val ref = df.agg(round(expr("percentile(v, 0.5)"), 6)).collect()(0)
+      .getDouble(0)
+    assert(out.getAs[Long]("n") == 999L)
+    assert(out.getAs[Double]("med") == ref)
+  }
+}
