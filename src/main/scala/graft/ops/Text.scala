@@ -787,6 +787,105 @@ object Text {
              |    AS sample_rate
              |FROM w, tot ORDER BY source""".stripMargin)),
 
+    // ----------------------------------- temperature-sampled manifest
+    // the END-TO-END companion of q_sample_mixture's weights: actually
+    // ADMIT documents so each source's expected share follows the
+    // temperature-flattened weight w_s ∝ sqrt(D_s) (α = 0.5) against a
+    // corpus budget of B = 300 docs — the Pile/ROOTS-style mixture draw
+    // as a deterministic manifest. Admission for a doc in source s is
+    //   u/1e6 < B·w_s / (tot·D_s)
+    // written as ALL-INTEGER cross-multiplication (q_sample_weighted's
+    // trick, scaled up): u·TOT·D_s < 1e6·B·W_s, where W_s =
+    // round(sqrt(D_s)·1e9) (IEEE sqrt is exactly rounded → identical
+    // BIGINT on any engine) and TOT = ΣW_s is an exact integer sum.
+    // The products live in int128 (Spark DECIMAL(38,0) ≡ DuckDB
+    // HUGEINT — exact to 1e38, vs the ~1e30 worst case at 10^10 docs
+    // per source), so the admission boundary is bit-identical with no
+    // float division anywhere. Plan: one doc-count agg (sources-sized),
+    // broadcast back onto a narrow scan — the corpus itself never
+    // shuffles, same cost envelope as a filtered count at 100 TB.
+    QueryDef("q_sample_temperature",
+      (s, d) => {
+        val srcW = Tables.table(s, d, "documents")
+          .groupBy("source").agg(count(lit(1)).as("d_s"))
+          .withColumn("w_s",
+            expr("CAST(round(sqrt(CAST(d_s AS DOUBLE)) * 1e9) AS BIGINT)"))
+        val tot = srcW.agg(sum(col("w_s")).as("tot"))
+        Tables.table(s, d, "documents").select("doc_id", "source")
+          .join(broadcast(srcW), "source")
+          .crossJoin(broadcast(tot))
+          .filter(
+            expr(s"CAST(${md5i("CAST(doc_id AS STRING)")} % 1000000 " +
+              "AS DECIMAL(38,0)) * tot * d_s") <
+            expr("CAST(1000000 AS DECIMAL(38,0)) * 300 * w_s"))
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH src AS (
+              |  SELECT source, count(1) AS d_s,
+              |    CAST(round(sqrt(CAST(count(1) AS DOUBLE)) * 1e9)
+              |      AS BIGINT) AS w_s
+              |  FROM documents GROUP BY source
+              |), tot AS (SELECT sum(w_s) AS tot FROM src)
+              |SELECT doc_id, d.source
+              |FROM documents d JOIN src USING (source), tot
+              |WHERE CAST(${md5iDuck("CAST(doc_id AS VARCHAR)")} % 1000000
+              |    AS HUGEINT) * tot * d_s
+              |  < CAST(1000000 AS HUGEINT) * 300 * w_s
+              |ORDER BY doc_id""".stripMargin)),
+
+    // --------------------------------------- character entropy signal
+    // the Gopher-class "is this natural text" quality signal: per-doc
+    // Shannon entropy over characters, −Σ_c p_c·log2(p_c) — low for
+    // boilerplate/repeated filler, high for encrypted/random noise,
+    // mid-band for prose. Plan: per-char explode → (doc, char) hash agg
+    // (map-side-combined — the only corpus-sized pass; the frame then
+    // collapses to ≤ charset rows per doc) → doc totals re-aggregated
+    // from that frame (shuffle-aligned on doc_id) → per-char entropy
+    // terms. Cross-engine determinism: each term is rounded to an e9
+    // INTEGER (n_c, N integers → p_c is the same double; log2 agrees to
+    // ~1 ulp, the e9 rounding absorbs it — q_text_unigram_logprob's
+    // margin argument), integer-summed (order-free), and the final
+    // value re-rounds to e6 micro-bits, so a one-off at e9 dies at e6.
+    QueryDef("q_text_entropy",
+      (s, d) => {
+        val cc = Tables.table(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+          .filter(col("ch") =!= "")
+          .groupBy("doc_id", "ch").agg(count(lit(1)).as("n_c"))
+        val tot = cc.groupBy("doc_id").agg(
+          sum(col("n_c")).as("n"), count(lit(1)).as("k"))
+        cc.join(tot, "doc_id")
+          .select(col("doc_id"), col("n"), col("k"),
+            expr("CAST(round(-1e9 * (CAST(n_c AS DOUBLE) / n) " +
+              "* log2(CAST(n_c AS DOUBLE) / n)) AS BIGINT)").as("t_e9"))
+          .groupBy("doc_id")
+          .agg(min(col("n")).as("n_chars_counted"),
+            min(col("k")).as("n_distinct_chars"),
+            expr("CAST(round(sum(t_e9) / 1000.0) AS BIGINT)")
+              .as("entropy_e6"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ch AS (
+             |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+             |  FROM documents
+             |), cc AS (
+             |  SELECT doc_id, ch, count(1) AS n_c FROM ch
+             |  WHERE ch <> '' GROUP BY 1, 2
+             |), tot AS (
+             |  SELECT doc_id, sum(n_c) AS n, count(1) AS k
+             |  FROM cc GROUP BY 1
+             |)
+             |SELECT cc.doc_id,
+             |  CAST(min(n) AS BIGINT) AS n_chars_counted,
+             |  CAST(min(k) AS BIGINT) AS n_distinct_chars,
+             |  CAST(round(sum(CAST(round(-1e9
+             |      * (CAST(n_c AS DOUBLE) / n)
+             |      * log2(CAST(n_c AS DOUBLE) / n)) AS BIGINT))
+             |    / 1000.0) AS BIGINT) AS entropy_e6
+             |FROM cc JOIN tot ON cc.doc_id = tot.doc_id
+             |GROUP BY cc.doc_id ORDER BY cc.doc_id""".stripMargin)),
+
     // ------------------------------------------------ per-source quotas
     // exact top-N per source by quality (n_chars standing in for any
     // monotone quality key, as in q_select_token_budget) — the
