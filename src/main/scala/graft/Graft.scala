@@ -599,6 +599,24 @@ object Graft {
     * path runs as a restartable micro-batch stream
     * ([[streaming.Streams.curate]]); oracle-checked as
     * `q_pipeline_curate`. */
+  /** Exact interpolated quantiles (`quantile_cont` semantics) per
+    * group WITHOUT the exact `percentile` aggregate's whole-column
+    * in-memory buffer ([[ops.Relational.histQuantiles]]): value-grain
+    * histogram → coarse-bucket rank offsets → in-bucket scan of only
+    * the rank-bearing buckets. Every stage is a mergeable hash agg or
+    * a bounded/partitioned window, so it survives group sizes that OOM
+    * `percentile` — the six `q_agg_percentile`-family oracle keys run
+    * through it. `ps` maps each probability to its output column name;
+    * results are rounded to 6 decimals (the cross-engine boundary
+    * precision the oracle contract uses). */
+  def quantiles(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      ps: Seq[(Double, String)]): DataFrame = {
+    require(ps.nonEmpty, "quantiles needs at least one (p, name)")
+    ps.foreach { case (p, _) =>
+      require(p >= 0.0 && p <= 1.0, s"probability out of [0,1]: $p") }
+    ops.Relational.histQuantiles(df, valueCol, groupCols, ps)
+  }
+
   /** SQL-text entry point ([[SqlText.sql]]): `spark.sql` plus the two
     * warehouse statements a reference `read_snowflake(query)` caller
     * types that Spark SQL lacks — `MERGE INTO` (→ [[upsert]]) and

@@ -83,6 +83,17 @@ class HistQuantilesSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("Graft.quantiles facade guards probabilities and delegates") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("g", "v")
+    val out = graft.Graft.quantiles(df, "v", Seq("g"), Seq(0.5 -> "med"))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.toSeq == Seq(("a", 1.5), ("b", 3.0)))
+    intercept[IllegalArgumentException](
+      graft.Graft.quantiles(df, "v", Nil, Seq(1.5 -> "bad")))
+    intercept[IllegalArgumentException](
+      graft.Graft.quantiles(df, "v", Nil, Nil))
+  }
+
   test("ungrouped (global) quantiles with totalAs row count") {
     val rnd = new scala.util.Random(3)
     val df = (1 to 999).map(_ => rnd.nextDouble() * 1e6).toDF("v")
