@@ -2077,6 +2077,81 @@ object Relational {
              |WHERE rn = 1
              |ORDER BY user_id""".stripMargin)),
 
+    // --------------------------------- higher-moment profile (shape)
+    // skewness + excess kurtosis per group — the distribution-SHAPE
+    // profile next to q_agg_stats' location/spread. Both engines'
+    // built-ins disagree on estimator convention (sample vs population
+    // corrections), so the engine form computes POPULATION moments from
+    // exact integer power sums: values scale to cents (exact — the
+    // column carries 2 decimals), Σx/Σx²/Σx³/Σx⁴ accumulate as int128
+    // (Spark DECIMAL(38,0) ≡ DuckDB HUGEINT — order-free, overflow-free
+    // to 1e38), and only the FINAL ratio arithmetic runs in double with
+    // the identical expression text on both sides (m2^1.5 written as
+    // m2·sqrt(m2): IEEE sqrt and multiply are exactly rounded, so no
+    // pow-library drift). Skew/kurtosis are scale-invariant, so the
+    // cents scaling cancels. ONE map-side-combined agg, group-count
+    // output. Scale bound: Σx⁴ < 1e38 holds to ~10M rows of 6e7-cent
+    // values per group; past that, re-scale the unit (dollars: ×1e8
+    // headroom) — the note a 100 TB deployment needs.
+    QueryDef("q_profile_moments",
+      (s, d) => {
+        val xc = "CAST(round(o_totalprice * 100) AS DECIMAL(38,0))"
+        val mRaw = t(s, d, "orders").groupBy("o_orderstatus").agg(
+          count(lit(1)).as("n"),
+          expr(s"sum($xc)").as("s1"),
+          expr(s"sum($xc * $xc)").as("s2"),
+          expr(s"sum($xc * $xc * $xc)").as("s3"),
+          expr(s"sum($xc * $xc * $xc * $xc)").as("s4"))
+        mRaw.select(col("o_orderstatus"), col("n"),
+            expr("CAST(s1 AS DOUBLE) / n").as("m"),
+            expr("CAST(s2 AS DOUBLE) / n").as("r2"),
+            expr("CAST(s3 AS DOUBLE) / n").as("r3"),
+            expr("CAST(s4 AS DOUBLE) / n").as("r4"))
+          .select(col("o_orderstatus"), col("n"), col("m"),
+            expr("r2 - m * m").as("m2"),
+            expr("r3 - 3 * m * r2 + 2 * m * m * m").as("m3"),
+            expr("r4 - 4 * m * r3 + 6 * m * m * r2 - 3 * m * m * m * m")
+              .as("m4"))
+          .select(col("o_orderstatus"), col("n"),
+            round(expr("m / 100.0"), 6).as("mean"),
+            round(expr("m3 / (m2 * sqrt(m2))"), 6).as("skewness"),
+            round(expr("m4 / (m2 * m2) - 3"), 6).as("kurtosis_excess"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH a AS (
+             |  SELECT o_orderstatus, count(1) AS n,
+             |    sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS s1,
+             |    sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+             |      * CAST(round(o_totalprice * 100) AS HUGEINT)) AS s2,
+             |    sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+             |      * CAST(round(o_totalprice * 100) AS HUGEINT)
+             |      * CAST(round(o_totalprice * 100) AS HUGEINT)) AS s3,
+             |    sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+             |      * CAST(round(o_totalprice * 100) AS HUGEINT)
+             |      * CAST(round(o_totalprice * 100) AS HUGEINT)
+             |      * CAST(round(o_totalprice * 100) AS HUGEINT)) AS s4
+             |  FROM orders GROUP BY 1
+             |), r AS (
+             |  SELECT o_orderstatus, n,
+             |    CAST(s1 AS DOUBLE) / n AS m,
+             |    CAST(s2 AS DOUBLE) / n AS r2,
+             |    CAST(s3 AS DOUBLE) / n AS r3,
+             |    CAST(s4 AS DOUBLE) / n AS r4
+             |  FROM a
+             |), c AS (
+             |  SELECT o_orderstatus, n, m,
+             |    r2 - m * m AS m2,
+             |    r3 - 3 * m * r2 + 2 * m * m * m AS m3,
+             |    r4 - 4 * m * r3 + 6 * m * m * r2 - 3 * m * m * m * m
+             |      AS m4
+             |  FROM r
+             |)
+             |SELECT o_orderstatus, CAST(n AS BIGINT) AS n,
+             |  round(m / 100.0, 6) AS mean,
+             |  round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+             |  round(m4 / (m2 * m2) - 3, 6) AS kurtosis_excess
+             |FROM c ORDER BY o_orderstatus""".stripMargin)),
+
     // -------------------------------------- equi-depth histogram
     // quartile-bucket profiling — the equi-DEPTH twin of
     // q_profile_histogram's equi-width bins. The naive form (ntile over
