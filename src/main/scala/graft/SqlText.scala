@@ -3,22 +3,26 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Warehouse-SQL text front-end — the reference's query-string-first UX
-  * (`read_snowflake(query)`, dask_snowflake/core.py:143) for the two
+  * (`read_snowflake(query)`, dask_snowflake/core.py:143) for the three
   * statements a warehouse user types that Spark SQL cannot run without
   * extra machinery: `MERGE INTO` (Spark parses it but needs a v2 table
-  * format to analyze) and Snowflake-style `ASOF JOIN … MATCH_CONDITION`
-  * (no Spark syntax at all). Both are recognized by a restricted
-  * canonical grammar and REWRITTEN onto the engine's native operators
-  * ([[Graft.upsert]], [[Graft.asofJoin]]) — the SQL text is a front
-  * door, not a second implementation, so the scale story (one
+  * format to analyze), Snowflake-style `ASOF JOIN … MATCH_CONDITION`
+  * (no Spark syntax at all), and the `QUALIFY` window-filter clause
+  * (no QUALIFY token in Spark 4.1's parser). Each is recognized by a
+  * restricted canonical grammar and REWRITTEN — MERGE/ASOF onto the
+  * engine's native operators ([[Graft.upsert]], [[Graft.asofJoin]]),
+  * QUALIFY onto the wrapped-subquery filter — so the SQL text is a
+  * front door, not a second implementation, and the scale story (one
   * key-shuffle merge; union+window as-of with no range explosion) is
   * exactly the API one's. Everything else passes through to
   * `spark.sql` verbatim.
   *
-  * Restrictions are LOUD (`require`), never silent: unsupported MERGE
-  * actions, non-equi ON conjuncts, or a MATCH_CONDITION that is not a
-  * single `l.t >= r.t` / `l.t <= r.t` comparison all throw with the
-  * offending text. Oracle-checked as `q_sql_merge` / `q_sql_asof`.
+  * Restrictions are LOUD (`require`/analysis errors), never silent:
+  * unsupported MERGE actions, non-equi ON conjuncts, a
+  * MATCH_CONDITION that is not a single `l.t >= r.t` / `l.t <= r.t`
+  * comparison, or a QUALIFY predicate over an un-aliased window all
+  * fail with the offending text. Oracle-checked as `q_sql_merge` /
+  * `q_sql_asof` / `q_sql_qualify`.
   */
 object SqlText {
 
@@ -44,6 +48,16 @@ object SqlText {
      """\s+MATCH_CONDITION\s*\(\s*(\w+)\.(\w+)\s*(>=|<=)\s*(\w+)\.(\w+)\s*\)""" +
      """\s+ON\s+(.+?)""" +
      """(\s+(?:WHERE|GROUP\s+BY|ORDER\s+BY|LIMIT)\b.*?)?\s*;?\s*$""").r
+
+  // SELECT … QUALIFY <pred> [ORDER BY …] — Snowflake/DuckDB's
+  // window-filter clause, absent from Spark SQL (no QUALIFY token in
+  // the 4.1 parser). Canonical rewrite: wrap the pre-QUALIFY query and
+  // filter the wrapper, so the predicate references the select list's
+  // aliases — the `rn <= k` top-k-per-group idiom. A predicate naming
+  // a window expression NOT aliased in the select list fails loudly at
+  // analysis (unresolved column), never silently.
+  private val QualifyRe =
+    """(?is)^\s*(SELECT\s+.+?)\s+QUALIFY\s+(.+?)(\s+ORDER\s+BY\s+.+?)?\s*;?\s*$""".r
 
   private val EquiRe = """(?s)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
 
@@ -122,6 +136,10 @@ object SqlText {
       val out = spark.sql(rewritten)
       spark.catalog.dropTempView(view)
       out
+
+    case QualifyRe(head, pred, orderOrNull) =>
+      spark.sql(s"SELECT * FROM ($head) __graft_qualify WHERE $pred" +
+        Option(orderOrNull).getOrElse(""))
 
     case other => spark.sql(other)
   }

@@ -39,6 +39,16 @@ object Relational {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.table(s, dir, n)
 
+  /** ONE string for `q_sql_qualify`: Spark runs it through the
+    * [[graft.SqlText]] QUALIFY rewrite, DuckDB runs it natively. */
+  private val qualifySql =
+    """SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |  row_number() OVER (PARTITION BY o_orderstatus
+      |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |FROM orders
+      |QUALIFY rn <= 3
+      |ORDER BY o_orderstatus, rn""".stripMargin
+
   /** Generic equi-width histogram ([[graft.Graft.histogram]];
     * `q_profile_histogram`): ONE hash-agg pass over the scan, output
     * bounded by the bin count whatever the input size, partial
@@ -1332,6 +1342,23 @@ object Relational {
              |       ELSE c.n_chars END AS n_chars
              |FROM corpus c FULL OUTER JOIN batch b ON c.doc_id = b.doc_id
              |ORDER BY doc_id""".stripMargin)),
+
+    // --------------------------------------------- QUALIFY (SQL text)
+    // Snowflake's window-filter clause through the SQL-text front door
+    // ([[graft.SqlText.sql]]): the `rn <= k` top-k-per-group idiom a
+    // warehouse user types, rewritten onto a wrapped-subquery filter
+    // (Spark 4.1's parser has no QUALIFY token; DuckDB runs the SAME
+    // text natively — one string, two engines, the groupingSetsSql
+    // sharing pattern). Scale note: the per-group window is the demo
+    // shape; the engine's salted two-level rank (topNPerGroup,
+    // q_sample_quota) is the hot-group path and computes identical
+    // rows.
+    QueryDef("q_sql_qualify",
+      (s, d) => {
+        Tables.register(s, d)
+        graft.SqlText.sql(s, qualifySql)
+      },
+      Some(qualifySql)),
 
     // --------------------------------------------- table checksum
     // the replication/migration validator: an ORDER-INDEPENDENT content

@@ -86,6 +86,24 @@ class SqlTextSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getLong(1) == 7L)
   }
 
+  test("QUALIFY rewrites to a wrapped-subquery filter on select aliases") {
+    Seq(("a", 3L), ("a", 1L), ("a", 2L), ("b", 9L), ("b", 8L))
+      .toDF("g", "v").createOrReplaceTempView("st_q")
+    val out = SqlText.sql(spark,
+      """SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v DESC) AS rn
+        |FROM st_q QUALIFY rn <= 2 ORDER BY g, rn""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq(("a", 3L, 1), ("a", 2L, 2), ("b", 9L, 1), ("b", 8L, 2)))
+  }
+
+  test("QUALIFY over an un-aliased window fails loudly at analysis") {
+    Seq(("a", 1L)).toDF("g", "v").createOrReplaceTempView("st_q2")
+    val e = intercept[Exception](SqlText.sql(spark,
+      "SELECT g, v FROM st_q2 QUALIFY row_number() OVER (ORDER BY v) <= 1")
+      .collect())
+    assert(e.getMessage != null)
+  }
+
   test("plain SQL passes through untouched") {
     val out = SqlText.sql(spark, "SELECT 1 + 1 AS two")
     assert(out.collect()(0).getInt(0) == 2)
