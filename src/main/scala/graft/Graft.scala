@@ -156,6 +156,41 @@ object Graft {
       }.toIndexedSeq: _*)
   }
 
+  /** Partial-update MERGE ([[upsert]] with an explicit `UPDATE SET`
+    * list — oracle key `q_sql_merge_partial`): matched keys take the
+    * batch value ONLY for the columns in `set` (target column →
+    * source column) and keep the corpus value elsewhere; unmatched
+    * corpus rows survive; unmatched batch rows insert whole (`INSERT
+    * *`, so the schemas must still align). Same single full-outer key
+    * shuffle as [[upsert]]; same one-row-per-key precondition. */
+  def upsertPartial(corpus: DataFrame, batch: DataFrame,
+      keys: Seq[String], set: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, when}
+    require(keys.nonEmpty, "upsertPartial needs at least one key column")
+    require(corpus.columns.sameElements(batch.columns),
+      s"schema mismatch: corpus ${corpus.columns.mkString(",")} vs " +
+        s"batch ${batch.columns.mkString(",")}")
+    require(set.nonEmpty, "upsertPartial needs at least one SET column")
+    val setMap = set.toMap
+    set.foreach { case (tc, sc) =>
+      require(corpus.columns.contains(tc), s"unknown SET target column: $tc")
+      require(batch.columns.contains(sc), s"unknown SET source column: $sc")
+      require(!keys.contains(tc), s"SET may not assign a key column: $tc")
+    }
+    val c = corpus.alias("c")
+    val b = batch.alias("b")
+    val cond = keys.map(k => col(s"c.$k") <=> col(s"b.$k")).reduce(_ && _)
+    val inNew = col(s"b.${keys.head}").isNotNull
+    val inOld = col(s"c.${keys.head}").isNotNull
+    c.join(b, cond, "full_outer")
+      .select(corpus.columns.map { n =>
+        when(inNew && inOld,
+            if (setMap.contains(n)) col(s"b.${setMap(n)}") else col(s"c.$n"))
+          .when(inNew && !inOld, col(s"b.$n"))
+          .otherwise(col(s"c.$n")).as(n)
+      }.toIndexedSeq: _*)
+  }
+
   /** CDC-style snapshot diff (oracle key `q_snapshot_diff`): classify
     * every key of two snapshot frames as added / removed / changed /
     * unchanged. The engine form is ONE full-outer join on `keys` with a

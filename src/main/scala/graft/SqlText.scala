@@ -27,16 +27,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SqlText {
 
   // MERGE INTO <target> [AS t] USING <source> [AS s] ON <equi-conds>
-  //   [WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *]
-  // — the canonical full-row upsert. The action clauses are optional
-  // because they are the ONLY supported pair; writing them is
-  // documentation, omitting them means the same thing.
+  //   [WHEN MATCHED THEN UPDATE SET <* | assignments>
+  //    WHEN NOT MATCHED THEN INSERT *]
+  // — `SET *` (or no action clauses at all) is the canonical full-row
+  // upsert; `SET col = s.col, …` is the partial update (matched rows
+  // keep every unlisted column). INSERT is always full-row, so the
+  // schemas must align either way.
   private val MergeRe =
     ("""(?is)^\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?""" +
      """\s+USING\s+(\w+)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?""" +
      """\s+ON\s+(.+?)""" +
-     """(\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
+     """(?:\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(\*|.+?)""" +
      """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?\s*;?\s*$""").r
+
+  private val AssignRe =
+    """(?s)^\s*(?:(\w+)\.)?(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
 
   // SELECT … FROM <lt> [AS l] ASOF JOIN <rt> [AS r]
   //   MATCH_CONDITION(<a>.<t> >= <b>.<t2>) ON <equi-conds> [tail…]
@@ -91,7 +96,8 @@ object SqlText {
     * mutate without a v2 catalog) the result IS the merged relation,
     * which the caller writes wherever the target lives. */
   def sql(spark: SparkSession, text: String): DataFrame = text match {
-    case MergeRe(target, tAliasOrNull, source, sAliasOrNull, cond, _) =>
+    case MergeRe(target, tAliasOrNull, source, sAliasOrNull, cond,
+        setOrNull) =>
       val tAlias = Option(tAliasOrNull).getOrElse(target)
       val sAlias = Option(sAliasOrNull).getOrElse(source)
       val keys = equiKeys(cond, tAlias, sAlias)
@@ -100,7 +106,26 @@ object SqlText {
           s"MERGE keys must share a column name (got $tAlias.$tk = $sAlias.$sk); " +
             "rename the source column before merging")
       }
-      Graft.upsert(spark.table(target), spark.table(source), keys.map(_._1))
+      Option(setOrNull).map(_.trim).filter(_ != "*") match {
+        case None =>
+          Graft.upsert(spark.table(target), spark.table(source),
+            keys.map(_._1))
+        case Some(assigns) =>
+          val set = assigns.split(",").toSeq.map {
+            case AssignRe(lhsAliasOrNull, tc, rhsAlias, sc) =>
+              require(lhsAliasOrNull == null ||
+                  lhsAliasOrNull.equalsIgnoreCase(tAlias),
+                s"SET target must be a '$tAlias' column: $lhsAliasOrNull.$tc")
+              require(rhsAlias.equalsIgnoreCase(sAlias),
+                s"SET source must be a '$sAlias' column: $rhsAlias.$sc")
+              (tc, sc)
+            case other => sys.error(
+              s"only 'col = $sAlias.col' assignments are supported in SET, " +
+                s"got: '$other'")
+          }
+          Graft.upsertPartial(spark.table(target), spark.table(source),
+            keys.map(_._1), set)
+      }
 
     case AsofRe(proj, lt, lAliasOrNull, rt, rAliasOrNull,
         mcA, mcT, op, mcB, mcT2, cond, tailOrNull) =>

@@ -1343,6 +1343,52 @@ object Relational {
              |FROM corpus c FULL OUTER JOIN batch b ON c.doc_id = b.doc_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // ----------------------------------- partial-update MERGE (SQL text)
+    // `WHEN MATCHED THEN UPDATE SET col = s.col` with an explicit
+    // assignment list ([[graft.Graft.upsertPartial]] via
+    // [[graft.SqlText.sql]]): matched rows take the batch value ONLY
+    // for the SET columns and keep everything else; inserts are still
+    // full-row. The batch deliberately carries a poison lang ('zz') on
+    // its update rows — the oracle proves the unlisted column is NOT
+    // overwritten on matches while inserts keep their own lang. Same
+    // single full-outer key shuffle as q_upsert/q_sql_merge.
+    QueryDef("q_sql_merge_partial",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+        docs.createOrReplaceTempView("mergep_corpus")
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), lit("zz").as("lang"),
+            (col("n_chars") + 1000L).as("n_chars"))
+          .unionAll(docs.filter(col("doc_id") % 7 === 3)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+              col("n_chars")))
+          .createOrReplaceTempView("mergep_batch")
+        graft.SqlText.sql(s,
+            """MERGE INTO mergep_corpus AS c USING mergep_batch AS b
+              |ON c.doc_id = b.doc_id
+              |WHEN MATCHED THEN UPDATE SET n_chars = b.n_chars
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, lang, n_chars FROM documents
+             |), batch AS (
+             |  SELECT doc_id, 'zz' AS lang, n_chars + 1000 AS n_chars
+             |  FROM corpus WHERE doc_id % 10 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, lang, n_chars
+             |  FROM corpus WHERE doc_id % 7 = 3
+             |)
+             |SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+             |  CASE WHEN b.doc_id IS NOT NULL AND c.doc_id IS NOT NULL
+             |         THEN c.lang
+             |       WHEN b.doc_id IS NOT NULL THEN b.lang
+             |       ELSE c.lang END AS lang,
+             |  CASE WHEN b.doc_id IS NOT NULL THEN b.n_chars
+             |       ELSE c.n_chars END AS n_chars
+             |FROM corpus c FULL OUTER JOIN batch b ON c.doc_id = b.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
     // --------------------------------------------- QUALIFY (SQL text)
     // Snowflake's window-filter clause through the SQL-text front door
     // ([[graft.SqlText.sql]]): the `rn <= k` top-k-per-group idiom a

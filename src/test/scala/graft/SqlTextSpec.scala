@@ -35,6 +35,33 @@ class SqlTextSpec extends SparkSpec {
     assert(out.count() == 4)
   }
 
+  test("MERGE with explicit SET list updates only the listed columns") {
+    stage()
+    val out = SqlText.sql(spark,
+      """MERGE INTO st_corpus AS c USING st_batch AS b ON c.k = b.k
+        |WHEN MATCHED THEN UPDATE SET v = b.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // matched key 2 takes the batch v (99) but KEEPS the corpus tag "b";
+    // unmatched batch key 9 inserts whole
+    assert(out.toSeq == Seq((1L, "a", 10L), (2L, "b", 99L),
+      (3L, "c", 30L), (9L, "z", 1L)))
+  }
+
+  test("MERGE SET rejects key assignment, bad aliases, and exprs loudly") {
+    stage()
+    val e1 = intercept[IllegalArgumentException](SqlText.sql(spark,
+      """MERGE INTO st_corpus c USING st_batch b ON c.k = b.k
+        |WHEN MATCHED THEN UPDATE SET k = b.k
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e1.getMessage.contains("key column"))
+    val e2 = intercept[RuntimeException](SqlText.sql(spark,
+      """MERGE INTO st_corpus c USING st_batch b ON c.k = b.k
+        |WHEN MATCHED THEN UPDATE SET v = b.v + 1
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e2.getMessage.contains("assignments"))
+  }
+
   test("MERGE rejects non-equi ON and differing key names loudly") {
     stage()
     val e1 = intercept[RuntimeException](SqlText.sql(spark,
