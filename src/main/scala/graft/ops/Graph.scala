@@ -168,6 +168,72 @@ object Graph {
     base + steps
   }
 
+  /** Semi-synchronous label propagation (community detection) over a
+    * symmetrized edge list: `iters` fixed rounds, each node adopting
+    * the most frequent label among its neighbours with a DETERMINISTIC
+    * tie-break (frequency ties → smallest label — GraphX's LPA returns
+    * an arbitrary tied label, which could never hash-match a replay).
+    * The per-round plan is the modePerGroup counts-then-argmax rewrite:
+    * (node, label) hash agg → per-node max(n) join-back → min(label),
+    * all map-side-combinable — never a per-node window. Same
+    * size-adaptive dispatch as [[pageRank]]: the label vector rides
+    * broadcast joins on small graphs; above [[BroadcastMaxNodes]] it
+    * flows through shuffle joins with a per-round `localCheckpoint`
+    * lineage cut (the Pregel-as-joins hygiene). */
+  private[graft] def labelPropagation(edges: DataFrame, iters: Int,
+      broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
+    require(iters >= 1 && iters <= 20,
+      s"labelPropagation unrolls a fixed plan per round; $iters is " +
+        "outside the sane 1..20 range")
+    val und = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val nodes = und.select(col("src").as("node")).distinct()
+    val small = nodes.count() <= broadcastMaxNodes
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val lab = (if (small) broadcast(labels) else labels)
+        .select(col("node").as("__n"), col("label"))
+      val counts = und.join(lab, und("dst") === col("__n"))
+        .groupBy(und("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val top = counts.groupBy("node").agg(max(col("n")).as("top_n"))
+      val next = counts
+        .join(if (small) broadcast(top) else top, "node")
+        .filter(col("n") === col("top_n"))
+        .groupBy("node").agg(min(col("label")).as("label"))
+      labels = if (small) next else next.localCheckpoint()
+    }
+    labels
+  }
+
+  /** DuckDB twin of [[labelPropagation]] on the trade graph, rounds
+    * unrolled as chained CTEs — integer counts and min tie-breaks,
+    * bit-exact. */
+  private def duckLabelProp(iters: Int): String = {
+    val base =
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), und AS (
+        |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+        |), l0 AS (
+        |  SELECT DISTINCT src AS node, src AS label FROM und
+        |)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""", c$i AS (
+         |  SELECT u.src AS node, l.label, count(1) AS n
+         |  FROM und u JOIN l${i - 1} l ON u.dst = l.node
+         |  GROUP BY 1, 2
+         |), t$i AS (
+         |  SELECT node, max(n) AS top_n FROM c$i GROUP BY 1
+         |), l$i AS (
+         |  SELECT c$i.node AS node, min(label) AS label
+         |  FROM c$i JOIN t$i ON c$i.node = t$i.node AND c$i.n = t$i.top_n
+         |  GROUP BY 1
+         |)""".stripMargin
+    }.mkString
+    base + steps
+  }
+
   /** Degree-ordered orientation of a canonical (a < b) undirected edge
     * list: every edge points from its (degree, id)-smaller endpoint to
     * the larger, so out-degrees are O(√m) on ANY degree distribution —
@@ -313,6 +379,25 @@ object Graph {
               |FROM r3
               |ORDER BY rank_micro DESC, node_id
               |LIMIT 20""".stripMargin)),
+
+    // ------------------------------------------------- label propagation
+    // community detection by 3 fixed LPA rounds over the trade graph
+    // ([[labelPropagation]]) — the modularity-free community primitive
+    // next to connected components (which needs the ≥4-trade cut to be
+    // interesting; LPA finds structure in the dense graph as-is). Every
+    // round is the deterministic counts-then-argmax rewrite, so the
+    // oracle replays all 3 rounds as chained CTEs bit-exactly.
+    QueryDef("q_graph_labelprop",
+      (s, d) => labelPropagation(tradeGraph(s, d), iters = 3)
+        .select(col("node").as("node_id"), nodeType.as("node_type"),
+          col("label").as("community"))
+        .orderBy("node_id"),
+      Some(s"""${duckLabelProp(3)}
+              |SELECT node AS node_id,
+              |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+              |    AS node_type,
+              |  CAST(label AS BIGINT) AS community
+              |FROM l3 ORDER BY node_id""".stripMargin)),
 
     // ------------------------------------------------- connected components
     // community structure of the REPEAT-trade graph: only (customer,

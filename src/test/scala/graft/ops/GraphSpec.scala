@@ -78,6 +78,36 @@ class GraphSpec extends SparkSpec {
       "execution-shape dispatch changed the integer rank results")
   }
 
+  test("labelPropagation matches a sequential replay and both dispatch paths agree") {
+    import spark.implicits._
+    def bruteLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val nbrs = edges.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+      var lab = nbrs.keys.map(n => n -> n).toMap
+      for (_ <- 1 to iters) {
+        lab = nbrs.map { case (n, ns) =>
+          val counts = ns.groupBy(lab).map { case (l, xs) => l -> xs.size }
+          val topN = counts.values.max
+          n -> counts.filter(_._2 == topN).keys.min
+        }
+      }
+      lab
+    }
+    val rnd = new scala.util.Random(23)
+    val edges = symmetrize(
+      Seq.fill(90)((rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+        .filter { case (a, b) => a != b })
+    val df = edges.toDF("src", "dst")
+    def toMap(r: Array[org.apache.spark.sql.Row]) =
+      r.map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val got = toMap(Graph.labelPropagation(df, 3).collect())
+    assert(got == bruteLpa(edges, 3),
+      "distributed LPA diverged from the sequential min-tie-break replay")
+    val shuffled = toMap(
+      Graph.labelPropagation(df, 3, broadcastMaxNodes = 0L).collect())
+    assert(got == shuffled,
+      "execution-shape dispatch changed the LPA labels")
+  }
+
   test("the hub of a star graph gets the highest rank; mass is conserved up to floor loss") {
     // star: node 0 ↔ nodes 1..10
     val edges = symmetrize((1L to 10L).map(i => (0L, i)))
