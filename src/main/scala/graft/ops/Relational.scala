@@ -1193,6 +1193,58 @@ object Relational {
     // zscoreOutliers scaladoc); events.value is exponential-ish in the
     // fixture, so ~190 rows flag at sf0.01 — a real report, not an
     // empty-result degenerate.
+    // ----------------------------------- robust (MAD) outlier flags
+    // the z-score report's ROBUST sibling: modified z-score
+    // 0.6745·|x − median| / MAD — immune to the outliers' own pull on
+    // mean/σ, the estimator a curation pipeline actually wants on
+    // heavy-tailed spend/latency columns. Composes [[histQuantiles]]
+    // twice (median, then median-of-deviations — q_agg_mad's shape)
+    // and filters row-locally against the broadcast (median, MAD)
+    // frame: the fact shuffles ZERO times beyond the quantile
+    // histograms. Threshold 1.25 (not the textbook 3.5) because the
+    // synthetic uniform-ish totalprice has thin tails — max modz ≈
+    // 1.35; the expression is identical double text on both engines so
+    // the cut is deterministic. Deviations round(…,6) before BOTH the
+    // MAD histogram and the z numerator — one shared lattice.
+    QueryDef("q_profile_outliers_robust",
+      (s, d) => {
+        val med = histQuantiles(
+            t(s, d, "orders").select("o_orderstatus", "o_totalprice"),
+            "o_totalprice", Seq("o_orderstatus"), Seq(0.5 -> "med"))
+        val dev = t(s, d, "orders")
+          .join(broadcast(med), Seq("o_orderstatus"))
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("med"),
+            round(abs(col("o_totalprice") - col("med")), 6).as("dev"))
+        val mad = histQuantiles(
+          dev.select("o_orderstatus", "dev"), "dev",
+          Seq("o_orderstatus"), Seq(0.5 -> "mad"))
+        dev.join(broadcast(mad), Seq("o_orderstatus"))
+          .filter(expr("0.6745 * dev / mad > 1.25"))
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"),
+            round(expr("0.6745 * dev / mad"), 6).as("mod_z"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH med AS (
+             |  SELECT o_orderstatus AS ms,
+             |    round(quantile_cont(o_totalprice, 0.5), 6) AS med
+             |  FROM orders GROUP BY 1
+             |), dev AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |    round(abs(o_totalprice - med), 6) AS dev
+             |  FROM orders JOIN med ON o_orderstatus = ms
+             |), mad AS (
+             |  SELECT o_orderstatus AS ms,
+             |    round(quantile_cont(dev, 0.5), 6) AS mad
+             |  FROM dev GROUP BY 1
+             |)
+             |SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |  round(0.6745 * dev / mad, 6) AS mod_z
+             |FROM dev JOIN mad ON o_orderstatus = ms
+             |WHERE 0.6745 * dev / mad > 1.25
+             |ORDER BY o_orderkey""".stripMargin)),
+
     QueryDef("q_profile_outliers",
       (s, d) => zscoreOutliers(
           t(s, d, "events").select("event_id", "event_type", "value"),
