@@ -915,6 +915,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_text_entropy collapses per-char rows through a partial agg before the shuffle") {
+    val p = plan("q_text_entropy")
+    // the per-char explode is the only corpus-sized frame; it must
+    // combine map-side on (doc_id, ch) so the exchange carries distinct
+    // chars per doc, never raw exploded rows
+    assert(p.contains("partial_count"), s"map-side combine missing:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"the scan must prune to (doc_id, text):\n$p")
+  }
+
+  test("q_sample_temperature never shuffles the corpus") {
+    val p = plan("q_sample_temperature")
+    // sources-sized weight frame + 1-row total broadcast onto a narrow
+    // scan; the admission is a per-row predicate — any hashpartitioning
+    // of the docs scan would mean the filter got planned as a shuffle
+    val docScanSide = p.split("BroadcastExchange").head
+    assert(!docScanSide.contains("Exchange hashpartitioning(doc_id"),
+      s"the admission filter must not shuffle the corpus:\n$p")
+    assert(p.contains("BroadcastExchange"), s"weights must broadcast:\n$p")
+  }
+
+  test("q_sql_merge_partial keeps the single full-outer key shuffle of q_upsert") {
+    val p = plan("q_sql_merge_partial")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"the merge must be one key-shuffled full-outer join:\n$p")
+    assert(p.contains("FullOuter"), s"full-outer join missing:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and
