@@ -480,6 +480,17 @@ object Graft {
   def pageRank(edges: DataFrame, iters: Int = 3): DataFrame =
     ops.Graph.pageRank(edges, iters)
 
+  /** Community detection by deterministic label propagation: `iters`
+    * semi-synchronous rounds over a symmetrized (src, dst) edge list,
+    * each node adopting its neighbours' most frequent label with
+    * frequency ties broken to the SMALLEST label — reproducible at any
+    * partitioning where GraphX's arbitrary-tie LPA is not. Rounds are
+    * counts-then-argmax hash aggs (no per-node window), size-adaptive
+    * like [[pageRank]]. Oracle-checked as `q_graph_labelprop`;
+    * sequential-replay + dispatch-equality properties in GraphSpec. */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame =
+    ops.Graph.labelPropagation(edges, iters)
+
   /** Per-node triangle participation of an undirected graph: (node,
     * n_tri) for every node in ≥1 triangle. `edges` must carry two
     * numeric endpoint columns; they are canonicalized (self-loops
