@@ -554,11 +554,16 @@ object Graft {
     * after their earliest completion of the previous one. N key-local
     * agg passes, every shuffle on `userCol` (one reused partitioning, no
     * corpus-wide window); at 100 TB each stage's output is ≤ one row per
-    * surviving user. Oracle-checked as `q_events_funnel`. */
+    * surviving user. `windowSeconds` adds the attribution-window bound:
+    * each step must land within that many seconds of the previous
+    * step's time (timestamp or numeric time columns both work).
+    * Oracle-checked as `q_events_funnel` / `q_events_funnel_windowed`. */
   def eventFunnel(events: DataFrame, steps: Seq[String],
       userCol: String = "user_id", typeCol: String = "event_type",
-      tsCol: String = "ts"): DataFrame =
-    ops.Temporal.eventFunnel(events, steps, userCol, typeCol, tsCol)
+      tsCol: String = "ts",
+      windowSeconds: Option[Long] = None): DataFrame =
+    ops.Temporal.eventFunnel(events, steps, userCol, typeCol, tsCol,
+      windowSeconds)
 
   /** Cohort retention over any events-shaped frame: activity bucketed
     * into `periodDays`-wide periods from `anchor` (an ISO date), users

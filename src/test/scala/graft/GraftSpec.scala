@@ -342,6 +342,38 @@ class GraftSpec extends SparkSpec {
     }
   }
 
+  test("windowed eventFunnel matches a driver brute force on numeric times") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19L)
+    val steps = Seq("e0", "e1", "e2")
+    val W = 8L
+    val events = Seq.fill(150)(
+      (rnd.nextInt(10).toLong, s"e${rnd.nextInt(4)}", rnd.nextInt(60).toLong))
+    val byUser = events.groupBy(_._1)
+    def chain(evs: Seq[(Long, String, Long)]): Int = {
+      var prev = Option.empty[Long]
+      var depth = 0
+      var alive = true
+      for (et <- steps if alive) {
+        val c = evs.filter(e => e._2 == et &&
+          prev.forall(p => e._3 > p && e._3 <= p + W)).map(_._3)
+        if (c.isEmpty) alive = false
+        else { prev = Some(c.min); depth += 1 }
+      }
+      depth
+    }
+    val expected = steps.zipWithIndex.map { case (et, i) =>
+      (f"${i + 1}%02d_" + et,
+        byUser.values.count(evs => chain(evs) > i).toLong)
+    }.toMap
+    val got = Graft.eventFunnel(
+        events.toDF("user_id", "event_type", "ts"), steps,
+        windowSeconds = Some(W))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"windowed funnel != brute force ($got vs $expected)")
+  }
+
   test("eventFunnel facade: fixture == key, steps monotone, prefix consistent") {
     val ev = graft.warehouse.Tables.table(spark, sfDir, "events")
     val api = Graft.eventFunnel(ev, Seq("view", "click", "purchase"))
