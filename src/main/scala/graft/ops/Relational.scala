@@ -502,6 +502,55 @@ object Relational {
              | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
              |ORDER BY l_orderkey, l_linenumber, l_shipdate""".stripMargin)),
 
+    // --------------------------------- interval-overlap join (bucketed)
+    // pairs of a customer's orders whose FULFILLMENT intervals
+    // [orderdate, last shipdate] overlap — the interval×interval join
+    // (co-active sessions, overlapping reservations, concurrent spans).
+    // The naive form is a per-key theta self-join: fine when entities
+    // are small, quadratic on a hot entity. Engine form is the BUCKET
+    // decomposition: each interval explodes to the YEAR buckets it
+    // covers (bounded by span/width — ≤ 8 here; at scale pick width ≈
+    // the median span so replication stays O(1)), pairs join on
+    // (entity, bucket) with the exact overlap predicate re-checked,
+    // and a distinct collapses pairs found in several shared buckets —
+    // a hot entity's pairs spread over its buckets instead of one
+    // reducer. The oracle is the PLAIN theta self-join: the rewrite
+    // must be row-identical (the q_join_skew_salted proof pattern).
+    QueryDef("q_join_interval",
+      (s, d) => {
+        val itv = t(s, d, "orders")
+          .join(t(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+          .agg(max(col("l_shipdate")).as("e"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderdate").as("s"), col("e"))
+        val buckets = itv.withColumn("yr",
+          explode(sequence(year(col("s")), year(col("e")))))
+        val a = buckets.select(col("o_custkey"), col("yr"),
+          col("o_orderkey").as("ok_a"), col("s").as("s_a"), col("e").as("e_a"))
+        val b = buckets.select(col("o_custkey"), col("yr"),
+          col("o_orderkey").as("ok_b"), col("s").as("s_b"), col("e").as("e_b"))
+        a.join(b, Seq("o_custkey", "yr"))
+          .filter(col("ok_a") < col("ok_b") &&
+            col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+          .select("o_custkey", "ok_a", "ok_b").distinct()
+          .orderBy("o_custkey", "ok_a", "ok_b")
+      },
+      Some("""WITH itv AS (
+             |  SELECT o_custkey, o_orderkey, o_orderdate AS s,
+             |    max(l_shipdate) AS e
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |  GROUP BY 1, 2, 3
+             |)
+             |SELECT a.o_custkey AS o_custkey,
+             |  a.o_orderkey AS ok_a, b.o_orderkey AS ok_b
+             |FROM itv a JOIN itv b
+             |  ON a.o_custkey = b.o_custkey
+             | AND a.o_orderkey < b.o_orderkey
+             | AND a.s <= b.e AND b.s <= a.e
+             |ORDER BY o_custkey, ok_a, ok_b""".stripMargin)),
+
     // shuffle-hash hint: build a per-partition hash table instead of
     // sorting both sides — wins when one side is modest but above the
     // broadcast threshold
