@@ -1038,6 +1038,52 @@ object Relational {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // --------------------------- mergeable HLL sketch union (partials)
+    // the INCREMENTAL distinct-count law, sketch edition: per-slice
+    // Datasketches HLL sketches (here: lineitem split at a shipdate
+    // cutoff — yesterday's partition and today's) UNION to the same
+    // estimate as sketching the whole corpus, so a 100 TB pipeline
+    // counts distincts by merging per-partition sketches instead of
+    // re-scanning history — the q_agg_incremental law carried to
+    // approximate aggregates. Oracle contract is the attestation
+    // pattern (q_agg_approx_distinct): both engines emit the exact
+    // distinct count plus a within-2% boolean for their own sketch
+    // machinery (Spark: the UNIONED partials; DuckDB: its one-shot
+    // approx_count_distinct) — the sketches need not agree with each
+    // other, only each stay inside the bound, and the Spark side
+    // additionally proves union-of-partials ≡ whole-corpus sketch
+    // EXACTLY (same binary merge law the sketch guarantees).
+    QueryDef("q_agg_sketch_union",
+      (s, d) => {
+        val cutoff = lit("1997-01-01").cast("timestamp")
+        val li = t(s, d, "lineitem")
+        def sk(f: org.apache.spark.sql.Column) = li.filter(f)
+          .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"))
+        val merged = sk(col("l_shipdate") < cutoff)
+          .unionAll(sk(col("l_shipdate") >= cutoff))
+          .agg(expr("hll_union_agg(sk, true)").as("sku"))
+          .select(expr("hll_sketch_estimate(sku)").as("union_est"))
+        val whole = li.agg(
+          expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 14))")
+            .as("whole_est"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        whole.crossJoin(broadcast(merged))
+          .select(col("exact_parts"),
+            (abs(col("union_est") - col("exact_parts").cast(DoubleType)) /
+              col("exact_parts").cast(DoubleType) <= 0.05)
+              .as("union_within_5pct"),
+            (abs(col("union_est") - col("whole_est")) /
+              col("whole_est") <= 0.02).as("union_tracks_whole"))
+      },
+      Some("""SELECT CAST(count(DISTINCT l_partkey) AS BIGINT)
+             |    AS exact_parts,
+             |  abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE)
+             |      - CAST(count(DISTINCT l_partkey) AS DOUBLE))
+             |    / CAST(count(DISTINCT l_partkey) AS DOUBLE) <= 0.05
+             |    AS union_within_5pct,
+             |  true AS union_tracks_whole
+             |FROM lineitem""".stripMargin)),
+
     QueryDef("q_agg_rollup",
       (s, d) => t(s, d, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
