@@ -1084,6 +1084,58 @@ object Relational {
              |  true AS union_tracks_whole
              |FROM lineitem""".stripMargin)),
 
+    // ------------------------- theta sketch set ops (overlap/diff)
+    // the approximate SET-OVERLAP primitive: how many distinct parts
+    // traded in BOTH halves of the time range, and in the first half
+    // only — via Datasketches THETA sketches, whose intersection /
+    // difference are sketch-sized operations where the exact answer
+    // needs a distinct-distinct join. At 100 TB this is how source
+    // overlap (q_source_overlap's exact form) is estimated across
+    // hundreds of slice pairs without N² joins: one sketch per slice,
+    // set algebra on the sketches. Attestation oracle (the
+    // q_agg_approx_distinct contract): exact set-op counts computed
+    // identically on both engines, Spark attests its sketch estimates
+    // within 5%, DuckDB (no theta sketches) attests true.
+    QueryDef("q_agg_sketch_intersect",
+      (s, d) => {
+        val cutoff = lit("1997-01-01").cast("timestamp")
+        val li = t(s, d, "lineitem")
+        val ea = li.filter(col("l_shipdate") < cutoff).select("l_partkey")
+        val eb = li.filter(col("l_shipdate") >= cutoff).select("l_partkey")
+        val ests = ea.agg(expr("theta_sketch_agg(l_partkey)").as("ska"))
+          .crossJoin(eb.agg(expr("theta_sketch_agg(l_partkey)").as("skb")))
+          .select(
+            expr("theta_sketch_estimate(theta_intersection(ska, skb))")
+              .as("est_both"),
+            expr("theta_sketch_estimate(theta_difference(ska, skb))")
+              .as("est_only_a"))
+        val exact = ea.intersect(eb).agg(count(lit(1)).as("n_both"))
+          .crossJoin(ea.distinct().exceptAll(eb.distinct())
+            .agg(count(lit(1)).as("n_only_a")))
+        exact.crossJoin(broadcast(ests))
+          .select(col("n_both"), col("n_only_a"),
+            (abs(col("est_both") - col("n_both").cast(DoubleType)) /
+              col("n_both").cast(DoubleType) <= 0.05)
+              .as("inter_within_5pct"),
+            (abs(col("est_only_a") - col("n_only_a").cast(DoubleType)) /
+              greatest(col("n_only_a").cast(DoubleType), lit(1.0)) <= 0.05)
+              .as("diff_within_5pct"))
+      },
+      Some("""WITH a AS (
+             |  SELECT DISTINCT l_partkey FROM lineitem
+             |  WHERE l_shipdate < TIMESTAMP '1997-01-01'
+             |), b AS (
+             |  SELECT DISTINCT l_partkey FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |)
+             |SELECT
+             |  CAST((SELECT count(1) FROM a WHERE l_partkey IN
+             |    (SELECT l_partkey FROM b)) AS BIGINT) AS n_both,
+             |  CAST((SELECT count(1) FROM a WHERE l_partkey NOT IN
+             |    (SELECT l_partkey FROM b)) AS BIGINT) AS n_only_a,
+             |  true AS inter_within_5pct,
+             |  true AS diff_within_5pct""".stripMargin)),
+
     QueryDef("q_agg_rollup",
       (s, d) => t(s, d, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
