@@ -1136,6 +1136,43 @@ object Relational {
              |  true AS inter_within_5pct,
              |  true AS diff_within_5pct""".stripMargin)),
 
+    // ----------------------- mergeable KLL quantile partials (sketch)
+    // the incremental QUANTILE law, completing the sketch family next
+    // to q_agg_sketch_union (distincts) and q_agg_sketch_intersect
+    // (set ops): per-slice Datasketches KLL sketches merge
+    // (`kll_merge_agg_double`) to a whole-corpus quantile estimate —
+    // how a 100 TB pipeline keeps a running p50 by merging
+    // per-partition sketches instead of re-scanning history, and the
+    // mergeable complement to [[histQuantiles]]' exact path (which the
+    // exact column here rides). Attestation contract: exact p50
+    // identical on both engines; Spark attests its MERGED sketch
+    // within 5% (k=800 ⇒ ~0.4% rank error), DuckDB its own t-digest.
+    QueryDef("q_agg_sketch_quantile",
+      (s, d) => {
+        val cutoff = lit("1997-01-01").cast("timestamp")
+        val li = t(s, d, "lineitem")
+        def sk(f: org.apache.spark.sql.Column) = li.filter(f)
+          .agg(expr("kll_sketch_agg_double(l_extendedprice, 800)").as("sk"))
+        val merged = sk(col("l_shipdate") < cutoff)
+          .unionAll(sk(col("l_shipdate") >= cutoff))
+          .agg(expr("kll_merge_agg_double(sk, 800)").as("skm"))
+          .select(expr("kll_sketch_get_quantile_double(skm, 0.5)")
+            .as("est_p50"))
+        val exact = histQuantiles(li.select("l_extendedprice"),
+          "l_extendedprice", Nil, Seq(0.5 -> "exact_p50"))
+        exact.crossJoin(broadcast(merged))
+          .select(col("exact_p50"),
+            (abs(col("est_p50") - col("exact_p50")) / col("exact_p50")
+              <= 0.05).as("merged_within_5pct"))
+      },
+      Some("""SELECT round(quantile_cont(l_extendedprice, 0.5), 6)
+             |    AS exact_p50,
+             |  abs(approx_quantile(l_extendedprice, 0.5)
+             |      - quantile_cont(l_extendedprice, 0.5))
+             |    / quantile_cont(l_extendedprice, 0.5) <= 0.05
+             |    AS merged_within_5pct
+             |FROM lineitem""".stripMargin)),
+
     QueryDef("q_agg_rollup",
       (s, d) => t(s, d, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
