@@ -171,6 +171,8 @@ object Graft {
       s"schema mismatch: corpus ${corpus.columns.mkString(",")} vs " +
         s"batch ${batch.columns.mkString(",")}")
     require(set.nonEmpty, "upsertPartial needs at least one SET column")
+    require(set.map(_._1).distinct.size == set.size,
+      s"duplicate SET target columns: ${set.map(_._1).mkString(",")}")
     val setMap = set.toMap
     set.foreach { case (tc, sc) =>
       require(corpus.columns.contains(tc), s"unknown SET target column: $tc")
