@@ -789,6 +789,67 @@ object Temporal {
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |ORDER BY m""".stripMargin)),
 
+    // ------------------------------------------- cohort LTV curves
+    // cumulative purchase value per (cohort week, week offset) — the
+    // LTV curve next to q_events_retention's user counts: users cohort
+    // by FIRST activity week (any event type), value accrues from
+    // purchases only, and the running total per cohort answers "how
+    // much has week-N's cohort spent by offset k". Plan: one distinct
+    // (user, week) reduction + first-week agg (both user-keyed, reused
+    // partitioning), purchase values reduce to the (cohort, offset)
+    // grain in ONE exact-decimal agg, and the cumsum window runs over
+    // that weeks²-bounded frame — never the fact (the q_orders_backlog
+    // skew-collapse shape). Values sum as DECIMAL(38,6) (identical
+    // rounding both engines), DOUBLE only on the way out.
+    QueryDef("q_events_cohort_ltv",
+      (s, d) => {
+        val ev = Tables.table(s, d, "events")
+        val wkOf = floor(datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")) / lit(7.0)).cast(LongType)
+        val first = ev.select(col("user_id"), wkOf.as("wk")).distinct()
+          .groupBy("user_id").agg(min("wk").as("cohort_wk"))
+        val cells = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), wkOf.as("wk"),
+            col("value").cast(D386).as("v"))
+          .join(first, Seq("user_id"))
+          .groupBy(col("cohort_wk"),
+            (col("wk") - col("cohort_wk")).as("week_offset"))
+          .agg(sum(col("v")).as("val_sum"), count(lit(1)).as("n_purch"))
+        val w = Window.partitionBy("cohort_wk").orderBy("week_offset")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cells
+          .withColumn("cum_value",
+            sum(col("val_sum")).over(w).cast(DoubleType))
+          .select(col("cohort_wk"), col("week_offset"), col("n_purch"),
+            col("cum_value"))
+          .orderBy("cohort_wk", "week_offset")
+      },
+      Some("""WITH act AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(floor(date_diff('day', DATE '2024-01-01',
+             |      CAST(ts AS DATE)) / 7.0) AS BIGINT) AS wk
+             |  FROM events
+             |), fw AS (
+             |  SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY 1
+             |), cells AS (
+             |  SELECT cohort_wk,
+             |    CAST(floor(date_diff('day', DATE '2024-01-01',
+             |      CAST(ts AS DATE)) / 7.0) AS BIGINT) - cohort_wk
+             |      AS week_offset,
+             |    sum(CAST(value AS DECIMAL(38,6))) AS val_sum,
+             |    CAST(count(1) AS BIGINT) AS n_purch
+             |  FROM events e JOIN fw ON e.user_id = fw.user_id
+             |  WHERE event_type = 'purchase'
+             |  GROUP BY 1, 2
+             |)
+             |SELECT cohort_wk, week_offset, n_purch,
+             |  CAST(sum(val_sum) OVER (PARTITION BY cohort_wk
+             |    ORDER BY week_offset
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS DOUBLE) AS cum_value
+             |FROM cells
+             |ORDER BY cohort_wk, week_offset""".stripMargin)),
+
     QueryDef("q_events_retention",
       (s, d) => retentionCohorts(Tables.table(s, d, "events"), "2024-01-01"),
       Some("""WITH act AS (
