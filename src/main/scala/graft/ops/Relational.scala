@@ -2506,6 +2506,59 @@ object Relational {
              |FROM orders, cuts
              |GROUP BY 1 ORDER BY bin""".stripMargin)),
 
+    // ------------------------------------- gaps-and-islands streaks
+    // longest consecutive-DAY activity streak per user — the canonical
+    // gaps-and-islands rewrite (login streaks, uptime runs): distinct
+    // (user, day) reduction, island anchor = day − row_number (equal
+    // for consecutive days, a new anchor at every gap), island grain
+    // agg, then the deterministic argmax (longest streak, ties → the
+    // EARLIEST start — the q_agg_mode counts-then-join-back pattern,
+    // no arbitrary max_by tie). The only window is per-user over the
+    // user's distinct DAYS (≤ calendar span rows — key-local and
+    // span-bounded); everything else is mergeable hash aggs.
+    QueryDef("q_window_islands",
+      (s, d) => {
+        val ud = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val islands = ud
+          .withColumn("anchor",
+            date_sub(col("day"), row_number().over(w)))
+          .groupBy("user_id", "anchor")
+          .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
+        val best = islands.groupBy("user_id")
+          .agg(max(col("len")).as("best_streak"))
+        islands.join(best, Seq("user_id"))
+          .filter(col("len") === col("best_streak"))
+          .groupBy("user_id", "best_streak")
+          .agg(min(col("start")).cast("timestamp").as("streak_start"))
+          .select("user_id", "best_streak", "streak_start")
+          .orderBy("user_id")
+      },
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+             |  FROM events
+             |), isl AS (
+             |  SELECT user_id,
+             |    day - CAST(row_number() OVER (PARTITION BY user_id
+             |      ORDER BY day) AS INT) AS anchor,
+             |    day
+             |  FROM ud
+             |), runs AS (
+             |  SELECT user_id, anchor, CAST(count(1) AS BIGINT) AS len,
+             |    min(day) AS start
+             |  FROM isl GROUP BY 1, 2
+             |), best AS (
+             |  SELECT user_id, max(len) AS best_streak
+             |  FROM runs GROUP BY 1
+             |)
+             |SELECT r.user_id AS user_id, best_streak,
+             |  CAST(min(start) AS TIMESTAMP) AS streak_start
+             |FROM runs r JOIN best b
+             |  ON r.user_id = b.user_id AND r.len = b.best_streak
+             |GROUP BY 1, 2
+             |ORDER BY user_id""".stripMargin)),
+
     // ------------------------------------------ deterministic argmax
     // "the row that holds the group's maximum" with a total tie order —
     // built-in max_by/arg_max return an ARBITRARY tied row on both

@@ -392,6 +392,44 @@ object Text {
     // document frequency per term (computed over ALL docs), N as a
     // broadcast scalar. Output restricted to doc_id < 20 to keep the
     // verify dump small; the aggregates themselves run over the full table.
+    // ------------------------------- corpus-derived stopword candidates
+    // tokens appearing in ≥ 60% of documents — the data-driven stopword
+    // list a multilingual curation pipeline builds when no fixed list
+    // exists (the df side of tf-idf, thresholded instead of weighted).
+    // One explode → (doc, token) hash agg (rows per token ARE the
+    // distinct docs containing it — same df derivation as q_text_tfidf)
+    // → token-grain df agg → threshold against the broadcast doc count.
+    // Output is vocab-bounded; the threshold is an ALL-INTEGER
+    // cross-multiplication (100·df ≥ 60·N) so no float boundary exists.
+    QueryDef("q_text_stopwords",
+      (s, d) => {
+        val docs = Tables.table(s, d, "documents")
+        val df_ = docs.select(col("doc_id"), explode(toks).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+          .groupBy("token").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        df_.join(broadcast(n))
+          .filter(col("df") * 100 >= col("n_docs") * 60)
+          .select(col("token"), col("df"),
+            round(col("df").cast(DoubleType) /
+              col("n_docs").cast(DoubleType), 6).as("doc_frac"))
+          .orderBy("token")
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |  FROM documents
+             |), df AS (
+             |  SELECT token, CAST(count(1) AS BIGINT) AS df FROM (
+             |    SELECT DISTINCT doc_id, token FROM tf
+             |  ) GROUP BY token
+             |), n AS (SELECT count(1) AS n_docs FROM documents)
+             |SELECT token, df,
+             |  round(CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+             |    AS doc_frac
+             |FROM df, n
+             |WHERE df * 100 >= n_docs * 60
+             |ORDER BY token""".stripMargin)),
+
     QueryDef("q_text_tfidf",
       (s, d) => {
         val docs = Tables.table(s, d, "documents")
