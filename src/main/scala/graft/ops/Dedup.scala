@@ -1100,6 +1100,40 @@ object Dedup {
       (s, d) => sparkCandidates(s, d).orderBy("doc_a", "doc_b"),
       Some(s"$duckCandidates\nORDER BY doc_a, doc_b")),
 
+    // --------------------------------------- source×source dup matrix
+    // WHICH sources duplicate each other — the curation diagnostic that
+    // turns the near-dup pair set into an actionable report ("source C
+    // is 80% copies of source A; drop C first"). Rides the SAME guarded
+    // LSH candidate machinery (registry-cached bands, sub-salted hot
+    // buckets) and reduces pairs to the |sources|²-bounded matrix with
+    // one doc-keyed join per pair side; the (x, y) cell canonicalizes
+    // by least/greatest so the matrix is triangular regardless of pair
+    // orientation. Same DuckDB candidate CTEs as q_dedup_minhash: the
+    // matrix can never disagree with the pair set it summarizes.
+    QueryDef("q_dedup_source_matrix",
+      (s, d) => {
+        val src = Tables.table(s, d, "documents")
+          .select(col("doc_id"), col("source"))
+        sparkCandidates(s, d)
+          .join(src.select(col("doc_id").as("doc_a"),
+            col("source").as("src_a")), Seq("doc_a"))
+          .join(src.select(col("doc_id").as("doc_b"),
+            col("source").as("src_b")), Seq("doc_b"))
+          .groupBy(least(col("src_a"), col("src_b")).as("source_x"),
+            greatest(col("src_a"), col("src_b")).as("source_y"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_x", "source_y")
+      },
+      Some(s"""$duckBandsCte, $duckCandCte
+              |SELECT least(da.source, db.source) AS source_x,
+              |  greatest(da.source, db.source) AS source_y,
+              |  CAST(count(1) AS BIGINT) AS n_pairs
+              |FROM cand
+              |JOIN documents da ON cand.doc_a = da.doc_id
+              |JOIN documents db ON cand.doc_b = db.doc_id
+              |GROUP BY 1, 2
+              |ORDER BY source_x, source_y""".stripMargin)),
+
     // ------------------------------------------------ incremental dedup
     // the PRODUCTION dedup mode: a newly-ingested batch is deduped
     // against the standing corpus, without ever re-touching old×old.
