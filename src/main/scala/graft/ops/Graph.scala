@@ -173,13 +173,16 @@ object Graph {
     * the most frequent label among its neighbours with a DETERMINISTIC
     * tie-break (frequency ties → smallest label — GraphX's LPA returns
     * an arbitrary tied label, which could never hash-match a replay).
-    * The per-round plan is the modePerGroup counts-then-argmax rewrite:
-    * (node, label) hash agg → per-node max(n) join-back → min(label),
-    * all map-side-combinable — never a per-node window. Same
-    * size-adaptive dispatch as [[pageRank]]: the label vector rides
-    * broadcast joins on small graphs; above [[BroadcastMaxNodes]] it
-    * flows through shuffle joins with a per-round `localCheckpoint`
-    * lineage cut (the Pregel-as-joins hygiene). */
+    * The per-round plan is (node, label) hash agg → ONE mergeable
+    * struct-max `max((n, −label))` per node — labels are numeric so
+    * the min-label tie-break is the negation trick, no join-back and
+    * never a per-node window. Same size-adaptive dispatch as
+    * [[pageRank]]: the label vector rides broadcast joins on small
+    * graphs and shuffle joins above [[BroadcastMaxNodes]]; EVERY round
+    * ends in a `localCheckpoint` lineage cut — each round broadcasts
+    * the label vector, and broadcasting an un-materialized chain
+    * re-executes all earlier rounds, O(iters²) work (measured 12 s →
+    * 1.x s at sf0.1 over 3 rounds). */
   private[graft] def labelPropagation(edges: DataFrame, iters: Int,
       broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
     require(iters >= 1 && iters <= 20,
@@ -195,12 +198,13 @@ object Graph {
       val counts = und.join(lab, und("dst") === col("__n"))
         .groupBy(und("src").as("node"), col("label"))
         .agg(count(lit(1)).as("n"))
-      val top = counts.groupBy("node").agg(max(col("n")).as("top_n"))
+      // argmax as one struct max: (n, −label) picks the highest count,
+      // count ties resolve to the SMALLEST label via the negation
       val next = counts
-        .join(if (small) broadcast(top) else top, "node")
-        .filter(col("n") === col("top_n"))
-        .groupBy("node").agg(min(col("label")).as("label"))
-      labels = if (small) next else next.localCheckpoint()
+        .groupBy("node")
+        .agg(max(struct(col("n"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+      labels = next.localCheckpoint()
     }
     labels
   }
