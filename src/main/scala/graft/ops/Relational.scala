@@ -172,6 +172,27 @@ object Relational {
     byG.select(outCols: _*)
   }
 
+  /** Per-status (median, MAD) of o_totalprice — TWO [[histQuantiles]]
+    * passes (median, then median-of-deviations, both round(…,6) on the
+    * shared cross-engine lattice). Registry-cached: the frame is
+    * group-count-sized (3 rows) and BOTH `q_agg_mad` and
+    * `q_profile_outliers_robust` consume it — one computation per
+    * (session, sf dir), not one per key. */
+  private def ordersMadByStatus(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.getOrPersist("orders_mad_by_status", d, {
+      val med = histQuantiles(
+          t(s, d, "orders").select("o_orderstatus", "o_totalprice"),
+          "o_totalprice", Seq("o_orderstatus"), Seq(0.5 -> "med"))
+        .withColumnRenamed("o_orderstatus", "ms")
+      val dev = t(s, d, "orders").join(broadcast(med),
+          col("o_orderstatus") === col("ms"))
+        .select(col("o_orderstatus"),
+          round(abs(col("o_totalprice") - col("med")), 6).as("dev"))
+      histQuantiles(dev, "dev", Seq("o_orderstatus"), Seq(0.5 -> "mad"))
+        .join(med, col("o_orderstatus") === col("ms"))
+        .select(col("o_orderstatus"), col("med"), col("mad"))
+    })
+
   /** One-pass multi-column profile ([[graft.Graft.profileStats]];
     * `q_profile_stats`): per numeric column, (non-null count, null
     * count, min, max) — ALL columns through ONE global aggregate (4
@@ -783,20 +804,13 @@ object Relational {
     // unbounded Percentile buffer in either), both rounded to the
     // shared 6-decimal boundary so the second pass's deviations are
     // bit-identical inputs on both engines. Group count bounds every
-    // intermediate; the fact never sorts globally.
+    // intermediate; the fact never sorts globally. The (med, mad)
+    // frame itself is the registry-cached [[ordersMadByStatus]],
+    // shared with q_profile_outliers_robust.
     QueryDef("q_agg_mad",
-      (s, d) => {
-        val med = histQuantiles(
-            t(s, d, "orders").select("o_orderstatus", "o_totalprice"),
-            "o_totalprice", Seq("o_orderstatus"), Seq(0.5 -> "med"))
-          .withColumnRenamed("o_orderstatus", "ms")
-        val dev = t(s, d, "orders").join(broadcast(med),
-            col("o_orderstatus") === col("ms"))
-          .select(col("o_orderstatus"),
-            round(abs(col("o_totalprice") - col("med")), 6).as("dev"))
-        histQuantiles(dev, "dev", Seq("o_orderstatus"), Seq(0.5 -> "mad"))
-          .orderBy("o_orderstatus")
-      },
+      (s, d) => ordersMadByStatus(s, d)
+        .select("o_orderstatus", "mad")
+        .orderBy("o_orderstatus"),
       Some("""WITH med AS (
              |  SELECT o_orderstatus AS ms,
              |    round(quantile_cont(o_totalprice, 0.5), 6) AS med
@@ -1381,29 +1395,24 @@ object Relational {
     // the z-score report's ROBUST sibling: modified z-score
     // 0.6745·|x − median| / MAD — immune to the outliers' own pull on
     // mean/σ, the estimator a curation pipeline actually wants on
-    // heavy-tailed spend/latency columns. Composes [[histQuantiles]]
-    // twice (median, then median-of-deviations — q_agg_mad's shape)
-    // and filters row-locally against the broadcast (median, MAD)
-    // frame: the fact shuffles ZERO times beyond the quantile
-    // histograms. Threshold 1.25 (not the textbook 3.5) because the
+    // heavy-tailed spend/latency columns. The (median, MAD) frame is
+    // the registry-cached [[ordersMadByStatus]] (shared with
+    // q_agg_mad — the two histQuantiles passes run once per session),
+    // broadcast back for a row-local filter: the fact shuffles ZERO
+    // times beyond the quantile histograms. Threshold 1.25 (not the
+    // textbook 3.5) because the
     // synthetic uniform-ish totalprice has thin tails — max modz ≈
     // 1.35; the expression is identical double text on both engines so
     // the cut is deterministic. Deviations round(…,6) before BOTH the
     // MAD histogram and the z numerator — one shared lattice.
     QueryDef("q_profile_outliers_robust",
       (s, d) => {
-        val med = histQuantiles(
-            t(s, d, "orders").select("o_orderstatus", "o_totalprice"),
-            "o_totalprice", Seq("o_orderstatus"), Seq(0.5 -> "med"))
-        val dev = t(s, d, "orders")
-          .join(broadcast(med), Seq("o_orderstatus"))
+        val mm = ordersMadByStatus(s, d)
+        t(s, d, "orders")
+          .join(broadcast(mm), Seq("o_orderstatus"))
           .select(col("o_orderkey"), col("o_orderstatus"),
-            col("o_totalprice"), col("med"),
+            col("o_totalprice"), col("mad"),
             round(abs(col("o_totalprice") - col("med")), 6).as("dev"))
-        val mad = histQuantiles(
-          dev.select("o_orderstatus", "dev"), "dev",
-          Seq("o_orderstatus"), Seq(0.5 -> "mad"))
-        dev.join(broadcast(mad), Seq("o_orderstatus"))
           .filter(expr("0.6745 * dev / mad > 1.25"))
           .select(col("o_orderkey"), col("o_orderstatus"),
             col("o_totalprice"),
