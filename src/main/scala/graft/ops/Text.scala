@@ -872,6 +872,55 @@ object Text {
               |  < CAST(1000000 AS HUGEINT) * 300 * w_s
               |ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------------ multi-epoch sampling manifest
+    // the EPOCH-oversampling draw (rate > 1 ⇒ a low-resource source
+    // repeats): q_sample_temperature's sibling where each doc emits
+    // floor/ceil(rate) copies instead of a 0/1 admission. Epoch-ladder
+    // form: doc d with uniform u = md5(d) % 1e6 appears in epoch e iff
+    //   rate − e > u/1e6   ⟺   u·TOT·D_s < 1e6·(B·w_s − e·TOT·D_s)
+    // — a PREFIX of epochs, expected copies exactly `rate`, and the
+    // whole ladder is int128 arithmetic (Spark DECIMAL(38,0) ≡ DuckDB
+    // HUGEINT): no rational division, no float boundary anywhere. The
+    // budget B = 1000 docs makes rates straddle 1 across the scale
+    // factors, so both the repeat (>1) and thin-sample (<1) regimes are
+    // exercised. Plan: sources-sized weight math broadcast onto a
+    // narrow scan + a ≤5-wide epoch explode — the corpus never
+    // shuffles.
+    QueryDef("q_sample_epochs",
+      (s, d) => {
+        val srcW = Tables.table(s, d, "documents")
+          .groupBy("source").agg(count(lit(1)).as("d_s"))
+          .withColumn("w_s",
+            expr("CAST(round(sqrt(CAST(d_s AS DOUBLE)) * 1e9) AS BIGINT)"))
+        val tot = srcW.agg(sum(col("w_s")).as("tot"))
+        Tables.table(s, d, "documents").select("doc_id", "source")
+          .join(broadcast(srcW), "source")
+          .crossJoin(broadcast(tot))
+          .withColumn("epoch", explode(sequence(lit(0), lit(4))))
+          .filter(
+            expr(s"CAST(${md5i("CAST(doc_id AS STRING)")} % 1000000 " +
+              "AS DECIMAL(38,0)) * tot * d_s") <
+            expr("CAST(1000000 AS DECIMAL(38,0)) " +
+              "* (1000 * w_s - epoch * tot * d_s)"))
+          .select(col("doc_id"), col("source"), col("epoch").cast(LongType)
+            .as("epoch"))
+          .orderBy("doc_id", "epoch")
+      },
+      Some(s"""WITH src AS (
+              |  SELECT source, count(1) AS d_s,
+              |    CAST(round(sqrt(CAST(count(1) AS DOUBLE)) * 1e9)
+              |      AS BIGINT) AS w_s
+              |  FROM documents GROUP BY source
+              |), tot AS (SELECT sum(w_s) AS tot FROM src),
+              |ladder AS (SELECT unnest(generate_series(0, 4)) AS epoch)
+              |SELECT doc_id, d.source, CAST(epoch AS BIGINT) AS epoch
+              |FROM documents d JOIN src USING (source), tot, ladder
+              |WHERE CAST(${md5iDuck("CAST(doc_id AS VARCHAR)")} % 1000000
+              |    AS HUGEINT) * tot * d_s
+              |  < CAST(1000000 AS HUGEINT)
+              |    * (1000 * w_s - epoch * tot * d_s)
+              |ORDER BY doc_id, epoch""".stripMargin)),
+
     // --------------------------------------- character entropy signal
     // the Gopher-class "is this natural text" quality signal: per-doc
     // Shannon entropy over characters, −Σ_c p_c·log2(p_c) — low for
