@@ -645,13 +645,6 @@ object Graft {
       case None => ops.Temporal.asofJoin(left, right, keys, leftTime, rightTime)
     }
 
-  /** End-to-end corpus curation (north-star "end-to-end" pipeline) as
-    * one call: guarded MinHash/LSH candidates → connected-component
-    * keep-list → drop non-survivors → quality gate. Returns the
-    * training-corpus manifest (doc_id, lang, quality_e6). The same code
-    * path runs as a restartable micro-batch stream
-    * ([[streaming.Streams.curate]]); oracle-checked as
-    * `q_pipeline_curate`. */
   /** Exact interpolated quantiles (`quantile_cont` semantics) per
     * group WITHOUT the exact `percentile` aggregate's whole-column
     * in-memory buffer ([[ops.Relational.histQuantiles]]): value-grain
@@ -678,6 +671,13 @@ object Graft {
   def sql(spark: SparkSession, text: String): DataFrame =
     SqlText.sql(spark, text)
 
+  /** End-to-end corpus curation (north-star "end-to-end" pipeline) as
+    * one call: guarded MinHash/LSH candidates → connected-component
+    * keep-list → drop non-survivors → quality gate. Returns the
+    * training-corpus manifest (doc_id, lang, quality_e6). The same code
+    * path runs as a restartable micro-batch stream
+    * ([[streaming.Streams.curate]]); oracle-checked as
+    * `q_pipeline_curate`. */
   def curate(spark: SparkSession, sfDir: String): DataFrame =
     ops.Dedup.curateCorpus(spark, sfDir)
 

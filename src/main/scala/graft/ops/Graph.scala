@@ -238,20 +238,40 @@ object Graph {
     base + steps
   }
 
+  /** Size-adaptive broadcast hint for NODE-grain frames (degrees, ranks,
+    * labels). A node-grain frame on a 100 TB graph is billions of rows —
+    * an unconditional `broadcast()` of it OOMs the driver and every
+    * executor — so every degree/rank attach in this file routes through
+    * this measured-count dispatch: broadcast below `broadcastMaxNodes`
+    * rows, plain (shuffle) join above. GraphSpec pins that both arms
+    * produce identical results; PlanSpec pins the adaptivity. */
+  private[graft] def hintNodeGrain(df: DataFrame, nNodes: Long,
+      broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame =
+    if (nNodes <= broadcastMaxNodes) broadcast(df) else df
+
   /** Degree-ordered orientation of a canonical (a < b) undirected edge
     * list: every edge points from its (degree, id)-smaller endpoint to
     * the larger, so out-degrees are O(√m) on ANY degree distribution —
     * the bound that keeps the wedge expansion below safe on hub nodes.
-    * Degrees attach as explicit broadcasts (node-grain = dim policy). */
-  private[graft] def orientEdges(edges: DataFrame): DataFrame = {
+    * The two degree attaches ride [[hintNodeGrain]]: the degree table is
+    * node-grain, so it broadcasts only below the measured-|V| gate and
+    * falls back to shuffle joins on a big graph (same dispatch as
+    * [[pageRank]]'s rank vector). The table is materialized once
+    * (localCheckpoint) so the |V| measurement and both attach joins read
+    * the same concrete rows instead of re-running the |E| degree agg. */
+  private[graft] def orientEdges(edges: DataFrame,
+      broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
     val deg = edges.select(col("a").as("n"))
       .unionAll(edges.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("dg"))
+      .localCheckpoint(true)
+    val nV = deg.count()
     val da = deg.select(col("n").as("a"), col("dg").as("da"))
     val db = deg.select(col("n").as("b"), col("dg").as("db"))
     val lowFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    edges.join(broadcast(da), "a").join(broadcast(db), "b")
+    edges.join(hintNodeGrain(da, nV, broadcastMaxNodes), "a")
+      .join(hintNodeGrain(db, nV, broadcastMaxNodes), "b")
       .select(when(lowFirst, col("a")).otherwise(col("b")).as("src"),
         when(lowFirst, col("b")).otherwise(col("a")).as("dst"))
   }
@@ -627,12 +647,19 @@ object Graph {
     QueryDef("q_graph_edge_jaccard",
       (s, d) => {
         val (edges, tris) = copurchase(s, d)
-        val deg = degrees(edges)
+        // node-grain degree attach → size-adaptive, same gate as
+        // orientEdges: broadcast at fixture |V|, shuffle join on a big
+        // graph (an unconditional broadcast of a billions-row degree
+        // table is the 100 TB OOM this file's dispatch exists to avoid)
+        val deg = degrees(edges).localCheckpoint(true)
+        val nV = deg.count()
         val common = triangleEdges(tris).groupBy("a", "b")
           .agg(count(lit(1)).as("common"))
         edges.join(common, Seq("a", "b"), "inner")
-          .join(broadcast(deg.select(col("n").as("a"), col("dg").as("da"))), "a")
-          .join(broadcast(deg.select(col("n").as("b"), col("dg").as("db"))), "b")
+          .join(hintNodeGrain(
+            deg.select(col("n").as("a"), col("dg").as("da")), nV), "a")
+          .join(hintNodeGrain(
+            deg.select(col("n").as("b"), col("dg").as("db")), nV), "b")
           .select(col("a"), col("b"), col("common"),
             (col("da") + col("db") - 2 - col("common")).as("union_n"),
             (col("common").cast("double") /

@@ -119,9 +119,19 @@ object Relational {
           least(floor(h).cast(LongType) + 2, col("__tot")))
         .withColumn(s"__frac$i", h - floor(h))
     }
+    // group-key joins are NULL-SAFE (<=> per column): groupBy treats a
+    // NULL key as a real group, so the rank attach must too — a plain
+    // equi-join would silently drop every NULL-keyed group
     def bJoin(l: DataFrame, r: DataFrame): DataFrame =
       if (groupCols.isEmpty) l.join(broadcast(r))
-      else l.join(broadcast(r), groupCols)
+      else {
+        val rr = groupCols.foldLeft(r)(
+          (d, c) => d.withColumnRenamed(c, s"__r_$c"))
+        val cond = groupCols.map(c => col(c) <=> col(s"__r_$c"))
+          .reduce(_ && _)
+        l.join(broadcast(rr), cond)
+          .drop(groupCols.map(c => s"__r_$c"): _*)
+      }
     val joined = bJoin(hist, ranks)
     // monotone coarse bucket over the group's value range
     val span = col("__ghi") - col("__glo")
@@ -146,9 +156,15 @@ object Relational {
     val needed = boff.filter(neededCond)
       .select((gc :+ col("__b") :+ col("__base")): _*)
     // level-2 scan: only the rank-bearing buckets, partitioned per
-    // (group, bucket) — ≤ 2·|ps| buckets per group ever sort
-    val scan = hb.join(broadcast(needed),
-      groupCols :+ "__b")
+    // (group, bucket) — ≤ 2·|ps| buckets per group ever sort; the
+    // group-key part of the join is null-safe like bJoin
+    val neededR = groupCols.foldLeft(needed)(
+        (d, c) => d.withColumnRenamed(c, s"__r_$c"))
+      .withColumnRenamed("__b", "__rb")
+    val scanCond = (groupCols.map(c => col(c) <=> col(s"__r_$c")) :+
+      (col("__b") === col("__rb"))).reduce(_ && _)
+    val scan = hb.join(broadcast(neededR), scanCond)
+      .drop("__rb").drop(groupCols.map(c => s"__r_$c"): _*)
     val wIn = Window.partitionBy((gc :+ col("__b")): _*)
       .orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -164,7 +180,11 @@ object Relational {
         min(col(s"__frac$i")).as(s"__f$i"))
     } ++ totalAs.map(n => min(col("__tot")).as(n))
     val byG = cum.groupBy(gc: _*).agg(aggs.head, aggs.tail: _*)
-    val outCols = gc ++ totalAs.map(col) ++
+    // empty-input contract: the global (no-group) path still returns
+    // one row — its count is 0 (matching count(*) semantics), its
+    // quantile columns NULL; without the coalesce the min() partial
+    // would surface NULL where an aggregate count reports 0
+    val outCols = gc ++ totalAs.map(n => coalesce(col(n), lit(0L)).as(n)) ++
       ps.zipWithIndex.map { case ((_, name), i) =>
         round(col(s"__vlo$i") +
           col(s"__f$i") * (col(s"__vhi$i") - col(s"__vlo$i")), 6).as(name)

@@ -225,6 +225,25 @@ object Text {
       saltKey = col(idCol))
   }
 
+  /** Epoch-ladder width guard for the multi-epoch sampling draw: source
+    * s's oversampling rate is `budget·w_s / (tot·d_s)`; a rate at or
+    * above `ladderWidth` would have its extra copies silently truncated
+    * by the fixed 0..ladderWidth−1 explode — identically on both
+    * engines, so the oracle cannot see it. This rewrites the
+    * load-bearing `w_s` column (so column pruning cannot drop the
+    * check) to `raise_error` on any out-of-ladder source: truncation is
+    * loud, and the evaluation is sources-grain (a handful of rows),
+    * never per-document. Input must carry (d_s, w_s, tot). */
+  private[graft] def guardEpochLadder(srcWithTot: DataFrame, budget: Int,
+      ladderWidth: Int): DataFrame =
+    srcWithTot.withColumn("w_s",
+      when(expr(s"CAST($budget AS DECIMAL(38,0)) * w_s >= " +
+          s"CAST($ladderWidth AS DECIMAL(38,0)) * tot * d_s"),
+        expr(s"CAST(raise_error('epoch ladder too narrow: a source " +
+          s"oversampling rate is >= $ladderWidth — widen the ladder') " +
+          "AS BIGINT)"))
+      .otherwise(col("w_s")))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------ token counting
@@ -893,9 +912,14 @@ object Text {
           .withColumn("w_s",
             expr("CAST(round(sqrt(CAST(d_s AS DOUBLE)) * 1e9) AS BIGINT)"))
         val tot = srcW.agg(sum(col("w_s")).as("tot"))
+        // sources-grain ladder guard: a rate above the 0..4 ladder would
+        // be truncated IDENTICALLY on both engines (invisible to the
+        // oracle), so it must fail loudly instead — raise_error rides
+        // the load-bearing w_s column so pruning can't drop it
+        val srcWG = guardEpochLadder(
+          srcW.crossJoin(broadcast(tot)), budget = 1000, ladderWidth = 5)
         Tables.table(s, d, "documents").select("doc_id", "source")
-          .join(broadcast(srcW), "source")
-          .crossJoin(broadcast(tot))
+          .join(broadcast(srcWG), "source")
           .withColumn("epoch", explode(sequence(lit(0), lit(4))))
           .filter(
             expr(s"CAST(${md5i("CAST(doc_id AS STRING)")} % 1000000 " +
@@ -936,8 +960,15 @@ object Text {
     // value re-rounds to e6 micro-bits, so a one-off at e9 dies at e6.
     QueryDef("q_text_entropy",
       (s, d) => {
+        // char = explicit CODE POINT on both engines ('(?s).' matches
+        // one code point in Java regex and RE2 alike) — split(text, '')
+        // vs string_split(text, '') can disagree on non-ASCII text
+        // (code units / grapheme clusters), the stated multilingual
+        // domain; TextSpec pins the code-point contract on surrogate +
+        // combining-mark fixtures
         val cc = Tables.table(s, d, "documents")
-          .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+          .select(col("doc_id"),
+            explode(expr("regexp_extract_all(text, '(?s).', 0)")).as("ch"))
           .filter(col("ch") =!= "")
           .groupBy("doc_id", "ch").agg(count(lit(1)).as("n_c"))
         val tot = cc.groupBy("doc_id").agg(
@@ -954,7 +985,8 @@ object Text {
           .orderBy("doc_id")
       },
       Some("""WITH ch AS (
-             |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+             |  SELECT doc_id,
+             |    unnest(regexp_extract_all(text, '(?s).')) AS ch
              |  FROM documents
              |), cc AS (
              |  SELECT doc_id, ch, count(1) AS n_c FROM ch

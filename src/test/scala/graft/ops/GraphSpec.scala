@@ -164,4 +164,20 @@ class GraphSpec extends SparkSpec {
       }
     }
   }
+
+  test("orientEdges' broadcast and shuffle degree-attach arms agree exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = (for {
+      a <- 0L until 30; b <- (a + 1) until 30 if rnd.nextDouble() < 0.2
+    } yield (a, b)).toDF("a", "b")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // broadcastMaxNodes = 0 forces the shuffle-join arm on the same
+    // input — the 100 TB path must orient every edge identically
+    val small = canon(Graph.orientEdges(edges))
+    val large = canon(Graph.orientEdges(edges, broadcastMaxNodes = 0L))
+    assert(small == large, s"dispatch arms diverge: $small vs $large")
+    assert(small.nonEmpty)
+  }
 }

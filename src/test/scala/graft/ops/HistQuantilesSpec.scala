@@ -104,4 +104,31 @@ class HistQuantilesSpec extends SparkSpec {
     assert(out.getAs[Long]("n") == 999L)
     assert(out.getAs[Double]("med") == ref)
   }
+
+  test("a NULL group key is a real group, like groupBy+percentile") {
+    // the rank attach joins are null-safe (<=>): without that, the
+    // NULL-keyed group silently vanishes from the output
+    val df = Seq(("a", 1.0), ("a", 3.0),
+        (null.asInstanceOf[String], 10.0),
+        (null.asInstanceOf[String], 20.0),
+        (null.asInstanceOf[String], 30.0))
+      .toDF("g", "v")
+    val got = Relational.histQuantiles(df, "v", Seq("g"),
+        Seq(0.5 -> "med")).collect()
+      .map(r => (Option(r.getString(0)), r.getDouble(1))).toSet
+    assert(got == Set((Some("a"), 2.0), (None, 20.0)),
+      s"NULL-keyed group must survive the rank joins: $got")
+  }
+
+  test("empty input: global path reports count 0, grouped path no rows") {
+    val empty = Seq.empty[(String, Double)].toDF("g", "v")
+    val global = Relational.histQuantiles(empty, "v", Nil,
+      Seq(0.5 -> "med"), totalAs = Some("n")).collect()
+    assert(global.length == 1 && global(0).getAs[Long]("n") == 0L,
+      "empty global input must yield one row with count 0")
+    assert(global(0).isNullAt(global(0).fieldIndex("med")))
+    val grouped = Relational.histQuantiles(empty, "v", Seq("g"),
+      Seq(0.5 -> "med")).collect()
+    assert(grouped.isEmpty)
+  }
 }

@@ -898,6 +898,32 @@ class PlanSpec extends SparkSpec {
       s"the scan description must show the pushed limit:\n$p")
   }
 
+  test("the triangle-family degree attach is join-strategy-adaptive, never an unconditional |V| broadcast") {
+    // the degree table is NODE-grain — billions of rows on a 100 TB
+    // graph — so orientEdges (feeding q_graph_triangles/_clustering)
+    // and the edge-jaccard attaches must route it through the measured
+    // BroadcastMaxNodes gate: broadcast below, shuffle join above.
+    // autoBroadcastJoinThreshold is disabled so the plan reflects the
+    // dispatch's HINT, not the planner's own small-table opinion.
+    import spark.implicits._
+    val edges = (0L until 40).flatMap(a => Seq((a, (a + 1) % 40), (a, (a + 3) % 40)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      .toDF("a", "b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val smallP = Graph.orientEdges(edges)
+        .queryExecution.executedPlan.toString
+      assert(smallP.contains("BroadcastHashJoin"),
+        s"below the gate the degree table must broadcast:\n$smallP")
+      val largeP = Graph.orientEdges(edges, broadcastMaxNodes = 0L)
+        .queryExecution.executedPlan.toString
+      assert(!largeP.contains("BroadcastHashJoin"),
+        s"above the gate the degree attach must be a shuffle join " +
+          s"(an unconditional broadcast OOMs at 100 TB):\n$largeP")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("no exact Percentile aggregate in any quantile key's plan") {
     // Spark's Percentile buffers the group's whole value column in ONE
     // in-memory agg buffer (OpenHashMap) — executor OOM at 100 TB. All

@@ -247,4 +247,36 @@ class TextSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] { graft.Graft.textChunks(df, 0, 1) }
   }
+
+  test("entropy char split is CODE POINTS: surrogate pairs whole, combining marks separate") {
+    import spark.implicits._
+    // "a" + U+1F4AF (supplementary, 2 UTF-16 units) + "e" + U+0301
+    // (combining acute): code-point splitting must keep the emoji as
+    // ONE element (never split the surrogate pair) and the combining
+    // mark as its OWN element (never merged into a grapheme) — the
+    // contract q_text_entropy shares with the DuckDB oracle's
+    // regexp_extract_all('(?s).')
+    val text = "a💯é\nz"
+    val got = Seq(text).toDF("text")
+      .selectExpr("regexp_extract_all(text, '(?s).', 0) AS cps")
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("a", "💯", "e", "́", "\n", "z"),
+      s"code-point split diverged: ${got.map(_.map(_.toInt.toHexString))}")
+  }
+
+  test("guardEpochLadder: in-ladder sources pass through, out-of-ladder raises") {
+    import spark.implicits._
+    // rate = budget·w_s/(tot·d_s); budget=1000, width=5 ⇒ raise iff
+    // 1000·w_s >= 5·tot·d_s
+    val ok = Seq(("s1", 100L, 1000L, 1000000L)).toDF("source", "d_s", "w_s", "tot")
+    val passed = Text.guardEpochLadder(ok, 1000, 5).collect()
+    assert(passed.map(_.getLong(2)).toSeq == Seq(1000L))
+    val hot = Seq(("s2", 1L, 999999L, 1000000L)).toDF("source", "d_s", "w_s", "tot")
+    val e = intercept[Exception] {
+      Text.guardEpochLadder(hot, 1000, 5).collect()
+    }
+    assert(e.getMessage.contains("epoch ladder too narrow") ||
+      Option(e.getCause).exists(_.getMessage.contains("epoch ladder too narrow")),
+      s"unexpected failure: $e")
+  }
 }
