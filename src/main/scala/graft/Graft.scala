@@ -162,9 +162,16 @@ object Graft {
     * source column) and keep the corpus value elsewhere; unmatched
     * corpus rows survive; unmatched batch rows insert whole (`INSERT
     * *`, so the schemas must still align). Same single full-outer key
-    * shuffle as [[upsert]]; same one-row-per-key precondition. */
+    * shuffle as [[upsert]]; same one-row-per-key precondition.
+    *
+    * `matchedCond` is the `WHEN MATCHED AND <pred>` gate: when set,
+    * only matched pairs satisfying it take the SET values — matched
+    * rows failing it keep every corpus value. Reference the two sides
+    * as aliases `c` (corpus) and `b` (batch), e.g.
+    * `expr("b.n_chars > c.n_chars")`. */
   def upsertPartial(corpus: DataFrame, batch: DataFrame,
-      keys: Seq[String], set: Seq[(String, String)]): DataFrame = {
+      keys: Seq[String], set: Seq[(String, String)],
+      matchedCond: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, when}
     require(keys.nonEmpty, "upsertPartial needs at least one key column")
     require(corpus.columns.sameElements(batch.columns),
@@ -184,13 +191,55 @@ object Graft {
     val cond = keys.map(k => col(s"c.$k") <=> col(s"b.$k")).reduce(_ && _)
     val inNew = col(s"b.${keys.head}").isNotNull
     val inOld = col(s"c.${keys.head}").isNotNull
+    // the AND-pred gate rides inside the same single full-outer join —
+    // a matched pair failing it falls through to the corpus values
+    val gate = matchedCond.getOrElse(org.apache.spark.sql.functions.lit(true))
     c.join(b, cond, "full_outer")
       .select(corpus.columns.map { n =>
-        when(inNew && inOld,
+        when(inNew && inOld && gate,
             if (setMap.contains(n)) col(s"b.${setMap(n)}") else col(s"c.$n"))
           .when(inNew && !inOld, col(s"b.$n"))
           .otherwise(col(s"c.$n")).as(n)
       }.toIndexedSeq: _*)
+  }
+
+  /** DELETE-action MERGE ([[upsert]]'s CDC sibling — oracle key
+    * `q_sql_merge_delete`): remove from `corpus` every row whose key
+    * matches a `batch` row — optionally only when `matchedCond` holds
+    * for the (corpus, batch) pair; reference the sides as aliases `c`
+    * and `b`, e.g. `expr("b.n_chars > c.n_chars")`. With
+    * `insertUnmatched`, batch rows with no key match insert whole
+    * (`INSERT *`, so the schemas must align — delete-only needs no
+    * schema alignment, just the key columns). Engine form: ONE
+    * left-anti key join for the survivors (plus one more anti join for
+    * the insert arm) — a single key shuffle per side at any scale, no
+    * broadcast assumption, and anti joins never fan out, so the batch
+    * may even carry duplicate keys on the delete arm. NULL keys never
+    * match (SQL join semantics): NULL-keyed corpus rows always
+    * survive. */
+  def mergeDelete(corpus: DataFrame, batch: DataFrame, keys: Seq[String],
+      matchedCond: Option[Column] = None,
+      insertUnmatched: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(keys.nonEmpty, "mergeDelete needs at least one key column")
+    keys.foreach { k =>
+      require(corpus.columns.contains(k), s"unknown key column in corpus: $k")
+      require(batch.columns.contains(k), s"unknown key column in batch: $k")
+    }
+    if (insertUnmatched)
+      require(corpus.columns.sameElements(batch.columns),
+        s"INSERT * needs aligned schemas: corpus " +
+          s"${corpus.columns.mkString(",")} vs batch " +
+          s"${batch.columns.mkString(",")}")
+    val keyCond = keys.map(k => col(s"c.$k") === col(s"b.$k")).reduce(_ && _)
+    val delCond = matchedCond.map(keyCond && _).getOrElse(keyCond)
+    val survivors = corpus.alias("c").join(batch.alias("b"), delCond, "left_anti")
+    if (!insertUnmatched) survivors
+    else {
+      val insCond = keys.map(k => col(s"b.$k") === col(s"c.$k")).reduce(_ && _)
+      survivors.unionAll(
+        batch.alias("b").join(corpus.alias("c"), insCond, "left_anti"))
+    }
   }
 
   /** CDC-style snapshot diff (oracle key `q_snapshot_diff`): classify

@@ -1654,6 +1654,59 @@ object Relational {
              |FROM corpus c FULL OUTER JOIN batch b ON c.doc_id = b.doc_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------------- DELETE-action MERGE (SQL text)
+    // `WHEN MATCHED AND <pred> THEN DELETE` + `WHEN NOT MATCHED THEN
+    // INSERT *` — the most common warehouse CDC verb pair
+    // ([[graft.Graft.mergeDelete]] via [[graft.SqlText.sql]]). The
+    // batch carries three populations: matched rows with LARGER
+    // n_chars (gate true → the corpus row is deleted), matched rows
+    // with SMALLER n_chars (gate false → the corpus row survives
+    // untouched), and unmatched rows (inserted whole). Engine form is
+    // two anti key joins — one key shuffle per side, no fan-out even
+    // on duplicate batch keys; the oracle replays the same semantics
+    // as NOT EXISTS anti joins.
+    QueryDef("q_sql_merge_delete",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+        docs.createOrReplaceTempView("merged_corpus")
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") + 1000L).as("n_chars"))
+          .unionAll(docs.filter(col("doc_id") % 10 === 1)
+            .select(col("doc_id"), col("lang"),
+              (col("n_chars") - 1000L).as("n_chars")))
+          .unionAll(docs.filter(col("doc_id") % 7 === 3)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+              col("n_chars")))
+          .createOrReplaceTempView("merged_batch")
+        graft.SqlText.sql(s,
+            """MERGE INTO merged_corpus AS c USING merged_batch AS b
+              |ON c.doc_id = b.doc_id
+              |WHEN MATCHED AND b.n_chars > c.n_chars THEN DELETE
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, lang, n_chars FROM documents
+             |), batch AS (
+             |  SELECT doc_id, lang, n_chars + 1000 AS n_chars
+             |  FROM corpus WHERE doc_id % 10 = 0
+             |  UNION ALL
+             |  SELECT doc_id, lang, n_chars - 1000 AS n_chars
+             |  FROM corpus WHERE doc_id % 10 = 1
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, lang, n_chars
+             |  FROM corpus WHERE doc_id % 7 = 3
+             |)
+             |SELECT doc_id, lang, n_chars FROM corpus c
+             |WHERE NOT EXISTS (SELECT 1 FROM batch b
+             |  WHERE b.doc_id = c.doc_id AND b.n_chars > c.n_chars)
+             |UNION ALL
+             |SELECT doc_id, lang, n_chars FROM batch b
+             |WHERE NOT EXISTS (SELECT 1 FROM corpus c
+             |  WHERE c.doc_id = b.doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // --------------------------------------------- QUALIFY (SQL text)
     // Snowflake's window-filter clause through the SQL-text front door
     // ([[graft.SqlText.sql]]): the `rn <= k` top-k-per-group idiom a

@@ -62,6 +62,101 @@ class SqlTextSpec extends SparkSpec {
     assert(e2.getMessage.contains("assignments"))
   }
 
+  test("MERGE WHEN MATCHED THEN DELETE removes matched target rows") {
+    stage()
+    val out = SqlText.sql(spark,
+      """MERGE INTO st_corpus AS c USING st_batch AS b ON c.k = b.k
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "a", 10L), (3L, "c", 30L)))
+  }
+
+  test("MERGE DELETE with AND gate and INSERT * applies both arms") {
+    stage()
+    // gate: only delete when the batch value exceeds the corpus value
+    // (k=2: 99 > 20 → deleted); unmatched batch key 9 inserts
+    val out = SqlText.sql(spark,
+      """MERGE INTO st_corpus AS c USING st_batch AS b ON c.k = b.k
+        |WHEN MATCHED AND b.v > c.v THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "a", 10L), (3L, "c", 30L), (9L, "z", 1L)))
+    // flipped gate: nothing qualifies, only the insert lands
+    val kept = SqlText.sql(spark,
+      """MERGE INTO st_corpus AS c USING st_batch AS b ON c.k = b.k
+        |WHEN MATCHED AND b.v < c.v THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .orderBy("k").collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(1L, 2L, 3L, 9L))
+  }
+
+  test("MERGE conditional UPDATE gates the SET on the AND predicate") {
+    stage()
+    // k=2 matched and 99 > 20 → v updated (tag kept); gate flipped →
+    // row unchanged
+    val hit = SqlText.sql(spark,
+      """MERGE INTO st_corpus AS c USING st_batch AS b ON c.k = b.k
+        |WHEN MATCHED AND b.v > c.v THEN UPDATE SET v = b.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(hit.toSeq == Seq((1L, "a", 10L), (2L, "b", 99L),
+      (3L, "c", 30L), (9L, "z", 1L)))
+    val miss = SqlText.sql(spark,
+      """MERGE INTO st_corpus AS c USING st_batch AS b ON c.k = b.k
+        |WHEN MATCHED AND b.v < c.v THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(miss.toSeq == Seq((1L, "a", 10L), (2L, "b", 20L),
+      (3L, "c", 30L), (9L, "z", 1L)))
+  }
+
+  test("insert-only MERGE appends unmatched batch rows, leaves matches alone") {
+    stage()
+    val out = SqlText.sql(spark,
+      """MERGE INTO st_corpus USING st_batch
+        |ON st_corpus.k = st_batch.k
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "a", 10L), (2L, "b", 20L),
+      (3L, "c", 30L), (9L, "z", 1L)))
+  }
+
+  test("MERGE rejects still-unsupported clause shapes loudly") {
+    stage()
+    // INSERT with a VALUES list
+    val e1 = intercept[RuntimeException](SqlText.sql(spark,
+      """MERGE INTO st_corpus c USING st_batch b ON c.k = b.k
+        |WHEN NOT MATCHED THEN INSERT (k, tag, v) VALUES (b.k, b.tag, b.v)""".stripMargin))
+    assert(e1.getMessage.contains("unsupported MERGE clause"), e1.getMessage)
+    // two matched branches
+    val e2 = intercept[IllegalArgumentException](SqlText.sql(spark,
+      """MERGE INTO st_corpus c USING st_batch b ON c.k = b.k
+        |WHEN MATCHED AND b.v > c.v THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e2.getMessage.contains("one WHEN MATCHED"), e2.getMessage)
+    // update-only merge (no insert clause)
+    val e3 = intercept[RuntimeException](SqlText.sql(spark,
+      """MERGE INTO st_corpus c USING st_batch b ON c.k = b.k
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
+    assert(e3.getMessage.contains("add the insert clause"), e3.getMessage)
+  }
+
+  test("mergeDelete API: delete-only needs no schema alignment, anti join never fans out") {
+    // batch carries ONLY the key + gate columns, and a duplicate key —
+    // survivors must not duplicate
+    val corpus = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "tag", "v")
+    val dels = Seq((2L, 100L), (2L, 200L), (7L, 1L)).toDF("k", "v")
+    val out = Graft.mergeDelete(corpus, dels, Seq("k"))
+      .orderBy("k").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L, 3L))
+    // schemas must align as soon as the insert arm is requested
+    val e = intercept[IllegalArgumentException](
+      Graft.mergeDelete(corpus, dels, Seq("k"), insertUnmatched = true))
+    assert(e.getMessage.contains("aligned schemas"))
+  }
+
   test("MERGE rejects non-equi ON and differing key names loudly") {
     stage()
     val e1 = intercept[RuntimeException](SqlText.sql(spark,
