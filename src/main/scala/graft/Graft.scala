@@ -527,9 +527,19 @@ object Graft {
     * bit-reproducible under any partitioning. Pass the symmetrized edge
     * union for undirected graphs; raw directed graphs drop dangling-node
     * mass (documented simplification). Oracle-checked as
-    * `q_graph_pagerank` on the customer↔supplier trade graph. */
-  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame =
-    ops.Graph.pageRank(edges, iters)
+    * `q_graph_pagerank` on the customer↔supplier trade graph.
+    *
+    * `converge = true` is the production mode for graphs whose mixing
+    * time is unknown: iterate until the integer rank vector reaches its
+    * EXACT fixed point (≤ `maxIters`, loud error past it), with a
+    * lineage cut per round so plan depth stays constant. Because the
+    * ranks are integers, the converged result equals any sufficiently
+    * long fixed-round run bit-for-bit — GraphSpec pins that equality —
+    * so the two modes are one algorithm, not two. */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+      converge: Boolean = false, maxIters: Int = 50): DataFrame =
+    if (converge) ops.Graph.pageRankConverge(edges, maxIters)
+    else ops.Graph.pageRank(edges, iters)
 
   /** Community detection by deterministic label propagation: `iters`
     * semi-synchronous rounds over a symmetrized (src, dst) edge list,
@@ -538,9 +548,35 @@ object Graft {
     * partitioning where GraphX's arbitrary-tie LPA is not. Rounds are
     * counts-then-argmax hash aggs (no per-node window), size-adaptive
     * like [[pageRank]]. Oracle-checked as `q_graph_labelprop`;
-    * sequential-replay + dispatch-equality properties in GraphSpec. */
-  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame =
-    ops.Graph.labelPropagation(edges, iters)
+    * sequential-replay + dispatch-equality properties in GraphSpec.
+    * `converge = true` iterates to the exact integer fixed point like
+    * [[pageRank]] (deterministic LPA can 2-cycle on bipartite-ish
+    * graphs — that raises rather than returning an arbitrary phase). */
+  def labelPropagation(edges: DataFrame, iters: Int = 3,
+      converge: Boolean = false, maxIters: Int = 50): DataFrame =
+    if (converge) ops.Graph.labelPropagationConverge(edges, maxIters)
+    else ops.Graph.labelPropagation(edges, iters)
+
+  /** Exact k-core of an undirected graph, run to convergence: peel
+    * degree-<k nodes until a round removes none (peeling is monotone,
+    * so the stable survivor set IS the true k-core — every remaining
+    * node keeps induced degree ≥ k). Returns (n, dg): the core's nodes
+    * with their induced degrees. `edges` carries two numeric endpoint
+    * columns, canonicalized like [[triangleCounts]] (self-loops
+    * dropped, (min, max) dedup). Each peel round is two semi joins +
+    * one degree agg with a lineage cut — the fixed-round variant of
+    * the same loop is oracle-checked as `q_graph_kcore`; GraphSpec
+    * pins fixed-point equality between the two. */
+  def kCore(edges: DataFrame, k: Int, src: String = "src",
+      dst: String = "dst", maxRounds: Int = 100): DataFrame = {
+    import org.apache.spark.sql.functions.{col, least, greatest}
+    require(k >= 1, s"k must be >= 1: $k")
+    val canon = edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    ops.Graph.kCoreConverge(canon, k, maxRounds)
+  }
 
   /** Per-node triangle participation of an undirected graph: (node,
     * n_tri) for every node in ≥1 triangle. `edges` must carry two

@@ -118,6 +118,60 @@ object Graph {
     ranks
   }
 
+  /** Run-to-convergence PageRank — the 100 TB production mode next to
+    * the fixed-round oracle mode: iterate [[iterate]] until the integer
+    * rank vector reaches its EXACT fixed point (micro-unit ranks make
+    * the convergence test exact equality, not an epsilon — once a round
+    * changes no node, every later round is the identity, so the result
+    * equals any sufficiently long fixed-round run; GraphSpec pins
+    * that). Every round is materialized + lineage-cut, so plan depth
+    * never grows with the round count and `maxIters` may far exceed
+    * the fixed-round 20-cap; the per-round fixed-point probe is one
+    * |V| join (broadcast below the gate) with an `isEmpty`
+    * short-circuit. Raises if `maxIters` rounds pass without a fixed
+    * point — silent non-convergence is not a result. */
+  /** One PageRank step applied to a GIVEN rank vector over freshly
+    * built graph tables — the test hook that lets GraphSpec verify the
+    * converged vector is an exact fixed point (step(conv) == conv).
+    * Because the integer map is deterministic and a fixed point is
+    * absorbing, that identity is equivalent to equality with every
+    * fixed-round run long enough to have converged. */
+  private[graft] def pageRankStep(edges: DataFrame,
+      ranks: DataFrame): DataFrame = {
+    val und = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    iterate(und.join(deg, "src"), deg, ranks, hintSmall = true)
+  }
+
+  private[graft] def pageRankConverge(edges: DataFrame, maxIters: Int = 50,
+      broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
+    require(maxIters >= 1 && maxIters <= 500,
+      s"maxIters outside the sane 1..500 range: $maxIters")
+    val und = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val fused = und.join(deg, "src").persist()
+    val nV = deg.count()
+    val small = nV <= broadcastMaxNodes
+    var ranks = deg.select(col("src").as("node"),
+      lit(1000000000000L).as("rank")).localCheckpoint(true)
+    var i = 0
+    var done = false
+    while (!done && i < maxIters) {
+      val next = iterate(fused, deg, ranks, hintSmall = small)
+        .localCheckpoint(true)
+      val probe = if (small) broadcast(ranks) else ranks
+      done = next.alias("n")
+        .join(probe.alias("p"), col("n.node") === col("p.node"))
+        .filter(col("n.rank") =!= col("p.rank")).isEmpty
+      ranks = next
+      i += 1
+    }
+    deg.unpersist(); fused.unpersist()
+    if (!done) sys.error(
+      s"pageRank did not reach its integer fixed point in $maxIters rounds")
+    ranks
+  }
+
   /** The customer↔supplier trade graph: an edge for every DISTINCT
     * (customer, supplier) pair that traded, symmetrized. Node ids are
     * namespaced (2·custkey / 2·suppkey + 1) because the synthetic keys
@@ -206,6 +260,50 @@ object Graph {
         .select(col("node"), (-col("m.nl")).as("label"))
       labels = next.localCheckpoint()
     }
+    labels
+  }
+
+  /** Run-to-convergence label propagation — [[pageRankConverge]]'s LPA
+    * twin: semi-synchronous deterministic rounds until the label vector
+    * stops changing (labels are integers, so the fixed-point test is
+    * exact equality and the converged result equals any longer
+    * fixed-round run). Per-round lineage cuts keep plan depth constant;
+    * raises on non-convergence within `maxIters` (deterministic
+    * min-tie-break LPA CAN 2-cycle on bipartite-ish structures — a
+    * loud error beats an arbitrary winner). */
+  private[graft] def labelPropagationConverge(edges: DataFrame,
+      maxIters: Int = 50,
+      broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
+    require(maxIters >= 1 && maxIters <= 500,
+      s"maxIters outside the sane 1..500 range: $maxIters")
+    val und = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val nodes = und.select(col("src").as("node")).distinct()
+    val small = nodes.count() <= broadcastMaxNodes
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint(true)
+    var i = 0
+    var done = false
+    while (!done && i < maxIters) {
+      val lab = (if (small) broadcast(labels) else labels)
+        .select(col("node").as("__n"), col("label"))
+      val counts = und.join(lab, und("dst") === col("__n"))
+        .groupBy(und("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val next = counts
+        .groupBy("node")
+        .agg(max(struct(col("n"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint(true)
+      val probe = if (small) broadcast(labels) else labels
+      done = next.alias("n")
+        .join(probe.alias("p"), col("n.node") === col("p.node"))
+        .filter(col("n.label") =!= col("p.label")).isEmpty
+      labels = next
+      i += 1
+    }
+    if (!done) sys.error(
+      s"labelPropagation did not converge in $maxIters rounds " +
+        "(deterministic LPA can oscillate; inspect the graph or use " +
+        "the fixed-round mode)")
     labels
   }
 
@@ -378,6 +476,65 @@ object Graph {
     edges.select(col("a").as("n")).unionAll(edges.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("dg"))
 
+  /** Induced-subgraph restriction of a canonical edge list to a node
+    * set — two semi joins, the k-core peel step. */
+  private def induced(edges: DataFrame, nodes: DataFrame): DataFrame =
+    edges
+      .join(nodes.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+      .join(nodes.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+
+  /** FIXED-ROUND k-core peel over a canonical (a < b) edge list:
+    * `rounds` peels of degree-<k nodes, then the final degree table of
+    * the surviving induced subgraph (n, dg ≥ k). Each round cuts
+    * lineage (the survivor set is referenced twice per round — an
+    * unrolled chain doubles per round). The oracle key
+    * `q_graph_kcore` replays these exact rounds as chained CTEs. */
+  private[graft] def kCorePeel(edges: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    var nodes = degrees(edges).filter(col("dg") >= k).select("n")
+    for (_ <- 1 to rounds) {
+      nodes = nodes.localCheckpoint(true)
+      nodes = degrees(induced(edges, nodes)).filter(col("dg") >= k)
+        .select("n")
+    }
+    nodes = nodes.localCheckpoint(true)
+    degrees(induced(edges, nodes)).filter(col("dg") >= k)
+  }
+
+  /** Run-to-convergence k-core — peel until a round removes NO node
+    * (peeling is monotone, so a stable survivor count IS the exact
+    * fixed point: every remaining node has induced degree ≥ k, the
+    * true k-core). The per-round probe is the `count()` of the already-
+    * materialized survivor set — free next to the peel itself — and
+    * the result equals any sufficiently long fixed-round
+    * [[kCorePeel]]; GraphSpec pins that. Raises on `maxRounds`
+    * exhaustion (cannot happen below |V| rounds — each non-final round
+    * removes ≥ 1 node — so hitting the cap means the cap is too small
+    * for the graph's peel depth, a configuration error worth a loud
+    * stop). */
+  private[graft] def kCoreConverge(edges: DataFrame, k: Int,
+      maxRounds: Int = 100): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    var nodes = degrees(edges).filter(col("dg") >= k).select("n")
+      .localCheckpoint(true)
+    var prev = nodes.count()
+    var i = 0
+    var done = false
+    while (!done && i < maxRounds) {
+      val next = degrees(induced(edges, nodes)).filter(col("dg") >= k)
+        .select("n").localCheckpoint(true)
+      val cnt = next.count()
+      done = cnt == prev
+      prev = cnt
+      nodes = next
+      i += 1
+    }
+    if (!done) sys.error(
+      s"k-core did not stabilize in $maxRounds rounds; raise maxRounds " +
+        "(peel depth exceeds the cap)")
+    degrees(induced(edges, nodes))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------ PageRank
@@ -547,27 +704,8 @@ object Graph {
     // ALGORITHM; the round count is the documented knob).
     QueryDef("q_graph_kcore",
       (s, d) => {
-        val k = 4
         val (edges, _) = copurchase(s, d)
-        var nodes = degrees(edges).filter(col("dg") >= k).select("n")
-        for (_ <- 1 to 3) {
-          // each round references `nodes` TWICE (both endpoints), so an
-          // unrolled lineage doubles per round — 2^rounds recomputes of
-          // the base degree agg (measured: fine at sf0.001, runaway at
-          // sf0.01). The survivor set is |V|-bounded and shrinking:
-          // materialize + CUT per round, the same Pregel hygiene as
-          // [[pageRank]]'s large-graph path.
-          nodes = nodes.localCheckpoint(true)
-          val live = edges
-            .join(nodes.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
-            .join(nodes.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
-          nodes = degrees(live).filter(col("dg") >= k).select("n")
-        }
-        nodes = nodes.localCheckpoint(true)
-        val live = edges
-          .join(nodes.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
-          .join(nodes.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
-        degrees(live).filter(col("dg") >= k)
+        kCorePeel(edges, k = 4, rounds = 3)
           .select(col("n").as("p_partkey"), col("dg").as("core_degree"))
           .orderBy("p_partkey")
       },

@@ -165,6 +165,71 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("pageRank(converge) equals a long fixed-round run, and the fixed point is stable") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val raw = (for {
+      a <- 0L until 24; b <- (a + 1) until 24 if rnd.nextDouble() < 0.25
+    } yield (a, b)).toSeq
+    val edges = symmetrize(raw).toDF("src", "dst")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val convDf = graft.Graft.pageRank(edges, converge = true,
+      maxIters = 300).localCheckpoint(true)
+    val conv = toMap(convDf)
+    // exact-fixed-point identity: one more step of the SAME integer map
+    // changes nothing. The map is deterministic with a unique
+    // trajectory and an absorbing fixed point, so this identity is
+    // equivalent to bit-equality with EVERY fixed-round run long
+    // enough to have converged (damping 0.85 needs ~170 rounds to mix
+    // down to the 10^-12 integer grain — past the fixed-round mode's
+    // unrolled-plan cap, which is exactly why converge mode exists)
+    val stepped = toMap(Graph.pageRankStep(edges, convDf))
+    assert(stepped == conv, "converged vector is not a fixed point")
+    // and five more steps stay put — the "long fixed-round run
+    // continued past convergence" replay
+    val chain = (1 to 5).foldLeft(convDf)((r, _) =>
+      Graph.pageRankStep(edges, r).localCheckpoint(true))
+    assert(toMap(chain) == conv)
+    // determinism: an independent converge run lands identically
+    val again = toMap(graft.Graft.pageRank(edges, converge = true,
+      maxIters = 300))
+    assert(again == conv)
+  }
+
+  test("labelPropagation(converge) reaches the fixed-round fixed point") {
+    import spark.implicits._
+    // two triangles joined by one bridge edge — converges in a few
+    // rounds to the min-label communities
+    val raw = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (2L, 10L))
+    val edges = symmetrize(raw).toDF("src", "dst")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val conv = toMap(graft.Graft.labelPropagation(edges, converge = true,
+      maxIters = 50))
+    val fixed = toMap(graft.Graft.labelPropagation(edges, iters = 12))
+    assert(conv == fixed)
+  }
+
+  test("kCore convergence equals a deep fixed-round peel and is the true core") {
+    import spark.implicits._
+    // a triangle (the 2-core) with a pendant PATH: at k = 2 the path
+    // interior nodes all start at degree 2, so the peel removes only
+    // the current endpoint each round — a genuine multi-round cascade
+    // (4 rounds deep), not a single-shot filter
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L))
+    val path = Seq((2L, 100L), (100L, 101L), (101L, 102L), (102L, 103L))
+    val edges = (tri ++ path).toDF("a", "b")
+    val conv = graft.Graft.kCore(edges, k = 2, src = "a", dst = "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(conv == Map(0L -> 2L, 1L -> 2L, 2L -> 2L),
+      s"2-core must be exactly the triangle: $conv")
+    val fixedRound = Graph.kCorePeel(edges, k = 2, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(conv == fixedRound)
+  }
+
   test("orientEdges' broadcast and shuffle degree-attach arms agree exactly") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
