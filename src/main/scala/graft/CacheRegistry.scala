@@ -42,6 +42,26 @@ object CacheRegistry {
     }
   }
 
+  /** Like [[getOrPersist]], but materializes the frame with an EAGER
+    * `localCheckpoint` instead of a lazy persist: the registered frame's
+    * logical plan collapses to a `LogicalRDD` scan. For artifacts that
+    * feed ITERATIVE loops (the graph family) this is the difference
+    * between re-ANALYZING the artifact's full build tree every round and
+    * analyzing a one-node scan — the build tree is paid once, here.
+    * No CacheManager entry is involved, so the registration race is
+    * benign (the loser's materialization is discarded and GC'd). */
+  def getOrCheckpoint(operator: String, input: String,
+      build: => DataFrame): DataFrame = {
+    val key = (operator, input)
+    entries.get(key) match {
+      case Some(df) if !df.sparkSession.sparkContext.isStopped => df
+      case stale =>
+        stale.foreach(_ => entries.remove(key))
+        val df = build.localCheckpoint(true)
+        entries.putIfAbsent(key, df).getOrElse(df)
+    }
+  }
+
   /** Unpersist (blocking) and forget every registered DataFrame. */
   def releaseAll(): Unit = {
     entries.values.foreach(_.unpersist(blocking = true))

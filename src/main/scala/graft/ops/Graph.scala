@@ -83,13 +83,13 @@ object Graph {
     // persist shareable with q_graph_degrees.
     def buildDeg = und.groupBy("src").agg(count(lit(1)).as("deg"))
     val deg = degCacheKey
-      .map(k => graft.CacheRegistry.getOrPersist("graph_out_degrees", k, buildDeg))
+      .map(k => graft.CacheRegistry.getOrCheckpoint("graph_out_degrees", k, buildDeg))
       .getOrElse(buildDeg)
     // the degree-annotated edge list (src, dst, deg): built and cached
     // ONCE — the per-round plan joins only the rank vector against it
     def buildFused = und.join(deg, "src")
     val fused = degCacheKey
-      .map(k => graft.CacheRegistry.getOrPersist("graph_edges_deg", k, buildFused))
+      .map(k => graft.CacheRegistry.getOrCheckpoint("graph_edges_deg", k, buildFused))
       .getOrElse(buildFused)
     // Size-adaptive execution, the same dispatch pattern as the dedup
     // cluster resolution (driver union-find below a threshold, BSP
@@ -178,7 +178,7 @@ object Graph {
     * overlap numerically. Registry-cached: the graph is rebuilt once per
     * (session, sf dir), not once per iteration or per key. */
   private def tradeGraph(s: SparkSession, d: String): DataFrame =
-    graft.CacheRegistry.getOrPersist("graph_trade_edges", d, {
+    graft.CacheRegistry.getOrCheckpoint("graph_trade_edges", d, {
       val e = Tables.table(s, d, "orders").select("o_orderkey", "o_custkey")
         .join(Tables.table(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
           col("o_orderkey") === col("l_orderkey"))
@@ -258,7 +258,10 @@ object Graph {
         .groupBy("node")
         .agg(max(struct(col("n"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("label"))
-      labels = next.localCheckpoint()
+      // LAZY checkpoint: the next round's broadcast collect is the
+      // first (and only) materialization, so it persists the partitions
+      // as a side effect — one pass instead of an eager job + a collect
+      labels = next.localCheckpoint(false)
     }
     labels
   }
@@ -452,7 +455,7 @@ object Graph {
         .filter(col("p_size") <= 10).select("p_partkey")),
         col("l_partkey") === col("p_partkey"))
       .select("l_orderkey", "l_partkey")
-    val edges = graft.CacheRegistry.getOrPersist("graph_copurchase_edges", d,
+    val edges = graft.CacheRegistry.getOrCheckpoint("graph_copurchase_edges", d,
       items.groupBy("l_orderkey")
         .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
         .select(col("parts"), posexplode(col("parts")))
@@ -460,13 +463,13 @@ object Graph {
           explode(slice(col("parts"), col("pos") + lit(2),
             size(col("parts")))).as("b"))
         .distinct())
-    val oriented = graft.CacheRegistry.getOrPersist(
+    val oriented = graft.CacheRegistry.getOrCheckpoint(
       "graph_copurchase_oriented", d, orientEdges(edges))
     // the triangle FRAME is the third shared artifact (14k rows at
     // sf0.1): census, clustering, and embeddedness all reduce from it —
     // without this cache each key re-ran the wedge pass (~1 s of
     // replanning each, measured)
-    val tris = graft.CacheRegistry.getOrPersist(
+    val tris = graft.CacheRegistry.getOrCheckpoint(
       "graph_copurchase_tris", d, wedgeTriangles(edges, oriented))
     (edges, tris)
   }
@@ -477,11 +480,14 @@ object Graph {
       .groupBy("n").agg(count(lit(1)).as("dg"))
 
   /** Induced-subgraph restriction of a canonical edge list to a node
-    * set — two semi joins, the k-core peel step. */
-  private def induced(edges: DataFrame, nodes: DataFrame): DataFrame =
-    edges
-      .join(nodes.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
-      .join(nodes.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+    * set — two semi joins, the k-core peel step. Both joins reference
+    * the SAME `nodes` plan (condition-based, no per-side rename), so
+    * the physical broadcast exchange is built once and REUSED for the
+    * second join instead of collected twice per round. */
+  private def induced(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val e1 = edges.join(nodes, edges("a") === nodes("n"), "left_semi")
+    e1.join(nodes, e1("b") === nodes("n"), "left_semi")
+  }
 
   /** FIXED-ROUND k-core peel over a canonical (a < b) edge list:
     * `rounds` peels of degree-<k nodes, then the final degree table of
@@ -493,11 +499,14 @@ object Graph {
       rounds: Int): DataFrame = {
     var nodes = degrees(edges).filter(col("dg") >= k).select("n")
     for (_ <- 1 to rounds) {
-      nodes = nodes.localCheckpoint(true)
+      // LAZY cut: the round's broadcast collect is the only
+      // materialization (the reused exchange means the second semi join
+      // reads the same broadcast) — persists as a side effect
+      nodes = nodes.localCheckpoint(false)
       nodes = degrees(induced(edges, nodes)).filter(col("dg") >= k)
         .select("n")
     }
-    nodes = nodes.localCheckpoint(true)
+    nodes = nodes.localCheckpoint(false)
     degrees(induced(edges, nodes)).filter(col("dg") >= k)
   }
 
@@ -516,13 +525,13 @@ object Graph {
       maxRounds: Int = 100): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
     var nodes = degrees(edges).filter(col("dg") >= k).select("n")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var prev = nodes.count()
     var i = 0
     var done = false
     while (!done && i < maxRounds) {
       val next = degrees(induced(edges, nodes)).filter(col("dg") >= k)
-        .select("n").localCheckpoint(true)
+        .select("n").localCheckpoint(false)
       val cnt = next.count()
       done = cnt == prev
       prev = cnt
@@ -596,7 +605,7 @@ object Graph {
     // agg; the ≥4 cut happens BEFORE any component work touches a row.
     QueryDef("q_graph_components",
       (s, d) => {
-        val e = graft.CacheRegistry.getOrPersist("graph_repeat_edges", d,
+        val e = graft.CacheRegistry.getOrCheckpoint("graph_repeat_edges", d,
           Tables.table(s, d, "orders").select("o_orderkey", "o_custkey")
             .join(Tables.table(s, d, "lineitem")
               .select("l_orderkey", "l_suppkey"),
@@ -639,7 +648,7 @@ object Graph {
     QueryDef("q_graph_degrees",
       // reads the SAME registry-persisted out-degree table the PageRank
       // iterations divide by — whichever graph key runs first builds it
-      (s, d) => graft.CacheRegistry.getOrPersist("graph_out_degrees", d,
+      (s, d) => graft.CacheRegistry.getOrCheckpoint("graph_out_degrees", d,
           tradeGraph(s, d).groupBy("src").agg(count(lit(1)).as("deg")))
         .select(col("deg").as("degree"))
         .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
