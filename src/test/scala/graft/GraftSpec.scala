@@ -599,4 +599,17 @@ class GraftSpec extends SparkSpec {
     val out = Graft.seasonalOutliers(ev).select("event_id").collect().map(_.getLong(0))
     assert(out.toSeq == Seq(999L), s"only the spike should flag: ${out.toSeq}")
   }
+
+  test("Graft.write round-trips through the session catalog (to_snowflake semantics)") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    // uppercased table name, overwrite mode — the reference's
+    // to_snowflake surface through the facade
+    Graft.write(df, "surface_write_tbl", overwrite = true)
+    assert(spark.table("SURFACE_WRITE_TBL").count() == 2)
+    Graft.write(df, "surface_write_tbl", overwrite = true)
+    assert(spark.table("SURFACE_WRITE_TBL").count() == 2,
+      "overwrite must replace, not append")
+    spark.sql("DROP TABLE SURFACE_WRITE_TBL")
+  }
 }

@@ -30,7 +30,8 @@ class PartnerTagSpec extends SparkSpec {
         Graft.read(spark, sfDir, "SELECT * FROM region").count()
       }
     }
-    assert(gs.nonEmpty && gs.forall(_ == "graft.partner=graft"), gs)
+    assert(gs.nonEmpty &&
+      gs.forall(_ == s"graft.partner=${Graft.DefaultPartner}"), gs)
   }
 
   test("config override (test_core.py:173-196)") {
