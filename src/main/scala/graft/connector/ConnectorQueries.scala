@@ -233,13 +233,19 @@ object ConnectorQueries {
           .selectExpr(
             "c_custkey",
             "CAST(bal_dec AS DOUBLE) AS bal_dec",
-            "CAST(bal_wide AS DOUBLE) AS bal_wide",
+            // the STAGED column stays DECIMAL(38,10) — that is the wide
+            // read under test — but the comparison value reduces mod
+            // 1e5 first, so its scaled integer stays < 2^53 and the
+            // decimal→double cast is EXACT on both engines (above 2^53
+            // DuckDB double-rounds int128→double→÷10^10; a 10×-scale
+            // custkey made that a 45k-row last-ulp drift)
+            "CAST(CAST(bal_wide % 100000 AS DECIMAL(15,10)) AS DOUBLE) AS bal_wide",
             "CAST(stage_date AS STRING) AS stage_date")
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey,
              |  CAST(CAST(c_custkey AS DECIMAL(12,2)) + 0.25 AS DOUBLE) AS bal_dec,
-             |  CAST(CAST(CAST(c_custkey AS DECIMAL(27,10)) + 0.1234567891 AS DECIMAL(38,10)) AS DOUBLE) AS bal_wide,
+             |  CAST(CAST(CAST(CAST(c_custkey AS DECIMAL(27,10)) + 0.1234567891 AS DECIMAL(38,10)) % 100000 AS DECIMAL(15,10)) AS DOUBLE) AS bal_wide,
              |  CAST(DATE '1992-01-03' + CAST(c_custkey % 2000 AS INTEGER) AS VARCHAR) AS stage_date
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 

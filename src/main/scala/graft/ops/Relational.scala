@@ -25,6 +25,7 @@ object Relational {
     c_custkey: Long, c_nationkey: Long, c_acctbal: Double)
 
   private val D386 = DecimalType(38, 6)
+  private val D380 = DecimalType(38, 0)
 
   /** ONE ANSI string for `q_agg_grouping_sets`, run verbatim by BOTH
     * Spark and the DuckDB oracle (the asofOracle sharing pattern). */
@@ -799,23 +800,30 @@ object Relational {
       (s, d) => {
         val cuts = histQuantiles(t(s, d, "orders").select("o_totalprice"),
           "o_totalprice", Nil, Seq(0.1 -> "lo", 0.9 -> "hi"))
+        // micro-unit integer mean: per-row round(price·1e6) is the same
+        // double→integer on both engines, the sum is exact, and the
+        // floor division is exact — no decimal→double conversion, which
+        // DOUBLE-ROUNDS (int128→double→÷10^k) in DuckDB once the scaled
+        // sum passes 2^53 (the 10×-scale run caught the last-ulp drift)
         t(s, d, "orders").select("o_totalprice").join(broadcast(cuts))
           .filter(col("o_totalprice") > col("lo") &&
             col("o_totalprice") < col("hi"))
           .agg(count(lit(1)).as("n_kept"),
-            (sum(col("o_totalprice").cast(D386)).cast(DoubleType) /
-              count(lit(1))).as("trimmed_mean"))
+            expr("sum(CAST(round(o_totalprice * 1e6) AS BIGINT))").as("s6"))
+          .select(col("n_kept"),
+            expr("s6 div n_kept").as("trimmed_mean_e6"))
       },
       Some("""WITH cuts AS (
              |  SELECT round(quantile_cont(o_totalprice, 0.1), 6) AS lo,
              |    round(quantile_cont(o_totalprice, 0.9), 6) AS hi
              |  FROM orders
              |)
-             |SELECT CAST(count(1) AS BIGINT) AS n_kept,
-             |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
-             |    / count(1) AS trimmed_mean
-             |FROM orders, cuts
-             |WHERE o_totalprice > lo AND o_totalprice < hi""".stripMargin)),
+             |SELECT n_kept, s6 // n_kept AS trimmed_mean_e6 FROM (
+             |  SELECT CAST(count(1) AS BIGINT) AS n_kept,
+             |    CAST(sum(CAST(round(o_totalprice * 1e6) AS BIGINT))
+             |      AS BIGINT) AS s6
+             |  FROM orders, cuts
+             |  WHERE o_totalprice > lo AND o_totalprice < hi)""".stripMargin)),
 
     // ------------------------------- median absolute deviation (MAD)
     // the robust SCALE estimate next to the trimmed mean's location:
@@ -852,20 +860,27 @@ object Relational {
     // float accumulation; this is the only shape that hashes across
     // engines.
     QueryDef("q_agg_weighted_avg",
+      // micro-unit integer ratio: per-row round(v·1e6) is engine-exact,
+      // the DECIMAL(38,0) sums are exact integers (the weighted value
+      // sum passes int64 at 10× scale), and the final `div` is an exact
+      // integer floor — no decimal→double conversion anywhere (DuckDB
+      // double-rounds int128→double→÷10^k past 2^53; caught at 10×)
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(sum((col("l_quantity") * col("l_extendedprice")).cast(D386))
-            .as("wv"),
-          sum(col("l_quantity").cast(D386)).as("w"))
+        .agg(
+          sum(expr("CAST(round(l_quantity * l_extendedprice * 1e6) AS BIGINT)")
+            .cast(D380)).as("wv6"),
+          sum(expr("CAST(round(l_quantity * 1e6) AS BIGINT)")
+            .cast(D380)).as("w6"))
         .select(col("l_returnflag"),
-          (col("wv").cast(DoubleType) / col("w").cast(DoubleType))
-            .as("avg_price_per_unit"))
+          expr("CAST((wv6 * 1000000) div w6 AS BIGINT)")
+            .as("avg_price_per_unit_e6"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
-             |  CAST(sum(CAST(l_quantity * l_extendedprice
-             |    AS DECIMAL(38,6))) AS DOUBLE)
-             |  / CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
-             |    AS avg_price_per_unit
+             |  CAST(sum(CAST(round(l_quantity * l_extendedprice * 1e6)
+             |        AS HUGEINT)) * 1000000
+             |    // sum(CAST(round(l_quantity * 1e6) AS HUGEINT))
+             |    AS BIGINT) AS avg_price_per_unit_e6
              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
     // ------------------------------------- period-over-period movers

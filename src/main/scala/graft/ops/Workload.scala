@@ -125,9 +125,16 @@ object Workload {
     // parquet scan, partial (map-side) aggregation before the one tiny
     // shuffle, and NO join/window anywhere. Money sums run in
     // DECIMAL(38,6) (exact, order-independent); averages are derived
-    // from the decimal sums AFTER aggregation (CAST(sum AS DOUBLE) /
-    // count — identical text both engines), never a float avg() whose
-    // accumulation order could wiggle the hash.
+    // from the decimal sums AFTER aggregation, never a float avg()
+    // whose accumulation order could wiggle the hash. The oracle's
+    // decimal→double casts route through VARCHAR
+    // (CAST(CAST(x AS VARCHAR) AS DOUBLE)): once a sum's scaled
+    // integer passes 2^53 (sum_charge did at 10× scale), DuckDB's
+    // direct decimal→double DOUBLE-ROUNDS (int128→double, then ÷10^6)
+    // while Spark's BigDecimal→double rounds the true rational once —
+    // the string round-trip makes DuckDB parse the exact digits, which
+    // is correctly rounded, matching Spark bit-for-bit at any
+    // magnitude.
     QueryDef("q_tpch_q1",
       (s, d) => {
         val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
@@ -169,13 +176,13 @@ object Workload {
              |  GROUP BY l_returnflag, l_linestatus
              |)
              |SELECT l_returnflag, l_linestatus,
-             |  CAST(dq AS DOUBLE) AS sum_qty,
-             |  CAST(dbp AS DOUBLE) AS sum_base_price,
-             |  CAST(ddp AS DOUBLE) AS sum_disc_price,
-             |  CAST(dch AS DOUBLE) AS sum_charge,
-             |  CAST(dq AS DOUBLE) / count_order AS avg_qty,
-             |  CAST(dbp AS DOUBLE) / count_order AS avg_price,
-             |  CAST(ddisc AS DOUBLE) / count_order AS avg_disc,
+             |  CAST(CAST(dq AS VARCHAR) AS DOUBLE) AS sum_qty,
+             |  CAST(CAST(dbp AS VARCHAR) AS DOUBLE) AS sum_base_price,
+             |  CAST(CAST(ddp AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+             |  CAST(CAST(dch AS VARCHAR) AS DOUBLE) AS sum_charge,
+             |  CAST(CAST(dq AS VARCHAR) AS DOUBLE) / count_order AS avg_qty,
+             |  CAST(CAST(dbp AS VARCHAR) AS DOUBLE) / count_order AS avg_price,
+             |  CAST(CAST(ddisc AS VARCHAR) AS DOUBLE) / count_order AS avg_disc,
              |  count_order
              |FROM agg
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
@@ -203,8 +210,8 @@ object Workload {
             .cast(DoubleType).as("revenue"),
           count(lit(1)).as("n_rows")),
       Some("""SELECT
-             |  CAST(sum(CAST(l_extendedprice * l_discount
-             |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+             |  CAST(CAST(sum(CAST(l_extendedprice * l_discount
+             |    AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue,
              |  count(1) AS n_rows
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
