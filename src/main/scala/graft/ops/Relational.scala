@@ -652,8 +652,8 @@ object Relational {
                 |ORDER BY l_returnflag""".stripMargin)
       },
       Some("""SELECT l_returnflag, CAST(count(1) AS BIGINT) AS n_items,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
-             |    AS DOUBLE) AS total_price
+             |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+             |    AS VARCHAR) AS DOUBLE) AS total_price
              |FROM lineitem
              |JOIN (SELECT o_orderkey FROM orders
              |      WHERE o_orderpriority = '1-URGENT') o
@@ -703,10 +703,12 @@ object Relational {
         .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
-             |  CAST(sum(CASE WHEN l_linestatus = 'F'
-             |    THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS qty_f,
-             |  CAST(sum(CASE WHEN l_linestatus = 'O'
-             |    THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS qty_o
+             |  CAST(CAST(sum(CASE WHEN l_linestatus = 'F'
+             |    THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS VARCHAR)
+             |    AS DOUBLE) AS qty_f,
+             |  CAST(CAST(sum(CASE WHEN l_linestatus = 'O'
+             |    THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS VARCHAR)
+             |    AS DOUBLE) AS qty_o
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // ---------------------------------------------------------- aggregates
@@ -728,9 +730,9 @@ object Relational {
         .filter(col("count_order") > 0)
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
-             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+             |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+             |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
              |  CAST(count(1) AS BIGINT) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -779,11 +781,11 @@ object Relational {
           .orderBy("l_returnflag")
       },
       Some("""SELECT l_returnflag,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
-             |    AS sum_qty,
+             |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR)
+             |    AS DOUBLE) AS sum_qty,
              |  CAST(count(1) AS BIGINT) AS n,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
-             |    / count(1) AS avg_qty
+             |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR)
+             |    AS DOUBLE) / count(1) AS avg_qty
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
@@ -1011,8 +1013,8 @@ object Relational {
           .orderBy("o_orderpriority")
       },
       Some("""SELECT o_orderpriority, CAST(count(1) AS BIGINT) AS n,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
-             |    AS sum_qty
+             |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR)
+             |    AS DOUBLE) AS sum_qty
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
 

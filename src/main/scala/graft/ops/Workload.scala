@@ -65,8 +65,8 @@ object Workload {
           .limit(10)
       },
       Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
-             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-             |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+             |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |    AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue
              |FROM customer, orders, lineitem
              |WHERE c_mktsegment = 'BUILDING'
              |  AND c_custkey = o_custkey
@@ -105,8 +105,8 @@ object Workload {
           .limit(20)
       },
       Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
-             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-             |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+             |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |    AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue
              |FROM customer, orders, lineitem, nation
              |WHERE c_custkey = o_custkey
              |  AND l_orderkey = o_orderkey
@@ -264,8 +264,8 @@ object Workload {
              |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
              |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
              |)
-             |SELECT round(100.0 * CAST(dpromo AS DOUBLE)
-             |    / CAST(dall AS DOUBLE), 6) AS promo_revenue,
+             |SELECT round(100.0 * CAST(CAST(dpromo AS VARCHAR) AS DOUBLE)
+             |    / CAST(CAST(dall AS VARCHAR) AS DOUBLE), 6) AS promo_revenue,
              |  n_rows
              |FROM agg""".stripMargin)),
 
@@ -309,7 +309,7 @@ object Workload {
              |  HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > 250
              |)
              |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-             |  CAST(qsum AS DOUBLE) AS total_qty
+             |  CAST(CAST(qsum AS VARCHAR) AS DOUBLE) AS total_qty
              |FROM orders
              |JOIN qual ON o_orderkey = l_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -363,8 +363,8 @@ object Workload {
           .orderBy(col("revenue").desc, col("n_name"))
       },
       Some("""SELECT n_name,
-             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-             |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+             |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |    AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue
              |FROM customer, orders, lineitem, supplier, nation, region
              |WHERE c_custkey = o_custkey
              |  AND l_orderkey = o_orderkey
@@ -411,8 +411,8 @@ object Workload {
             count(lit(1)).as("n_rows"))
       },
       Some("""SELECT
-             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-             |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+             |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |    AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue,
              |  count(1) AS n_rows
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |WHERE
@@ -544,7 +544,7 @@ object Workload {
           .orderBy("supp_nation", "cust_nation", "l_year")
       },
       Some("""SELECT supp_nation, cust_nation, l_year,
-             |  CAST(sum(volume) AS DOUBLE) AS revenue
+             |  CAST(CAST(sum(volume) AS VARCHAR) AS DOUBLE) AS revenue
              |FROM (
              |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -715,7 +715,7 @@ object Workload {
              |  GROUP BY 1
              |)
              |SELECT supplier_no, s_name,
-             |  CAST(total_revenue AS DOUBLE) AS total_revenue
+             |  CAST(CAST(total_revenue AS VARCHAR) AS DOUBLE) AS total_revenue
              |FROM rev JOIN supplier ON supplier_no = s_suppkey
              |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
              |ORDER BY supplier_no""".stripMargin)),
@@ -753,13 +753,14 @@ object Workload {
           .orderBy("n_name")
       },
       Some("""WITH avg_bal AS (
-             |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+             |  SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS VARCHAR)
+             |        AS DOUBLE)
              |      / count(1) AS avg_bal
              |  FROM customer WHERE c_acctbal > 0
              |)
              |SELECT n_name, CAST(count(1) AS BIGINT) AS numcust,
-             |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
-             |    AS totacctbal
+             |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS VARCHAR)
+             |    AS DOUBLE) AS totacctbal
              |FROM customer, nation, avg_bal
              |WHERE c_nationkey = n_nationkey
              |  AND c_acctbal > avg_bal
@@ -804,7 +805,8 @@ object Workload {
              |  WHERE p_brand = 'Brand#23'
              |), caps AS (
              |  SELECT l_partkey,
-             |    CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR)
+             |        AS DOUBLE)
              |      / count(1) * 0.2 AS qty_cap
              |  FROM f GROUP BY 1
              |)
@@ -973,9 +975,9 @@ object Workload {
           .orderBy(col("nation"), col("o_year").desc)
       },
       Some("""SELECT n_name AS nation, year(o_orderdate) AS o_year,
-             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
              |      - 0.6 * p_retailprice * l_quantity
-             |    AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+             |    AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_profit
              |FROM part, supplier, lineitem, orders, nation
              |WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
              |  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
@@ -1026,10 +1028,11 @@ object Workload {
              |    AND n_name = 'NATION_7'
              |  GROUP BY 1
              |)
-             |SELECT ps_partkey, CAST(vdec AS DOUBLE) AS value
+             |SELECT ps_partkey, CAST(CAST(vdec AS VARCHAR) AS DOUBLE) AS value
              |FROM vals
-             |WHERE CAST(vdec AS DOUBLE) >
-             |  (SELECT CAST(sum(vdec) AS DOUBLE) * 2.0 / count(1) FROM vals)
+             |WHERE CAST(CAST(vdec AS VARCHAR) AS DOUBLE) >
+             |  (SELECT CAST(CAST(sum(vdec) AS VARCHAR) AS DOUBLE) * 2.0
+             |   / count(1) FROM vals)
              |ORDER BY value DESC, ps_partkey""".stripMargin)),
 
     // --------------------------------------------------------- TPC-H Q16
