@@ -534,8 +534,8 @@ object Temporal {
       },
       Some("""SELECT event_id, user_id,
              |  CAST(count(1) OVER w AS BIGINT) AS n_1h,
-             |  CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
-             |    AS sum_1h
+             |  CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS VARCHAR)
+             |    AS DOUBLE) AS sum_1h
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -874,7 +874,8 @@ object Temporal {
         .orderBy("window_start", "event_type"),
       Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
              |  CAST(count(1) AS BIGINT) AS n,
-             |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+             |  CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR)
+             |    AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2
              |ORDER BY window_start, event_type""".stripMargin)),
 
@@ -889,7 +890,8 @@ object Temporal {
       Some("""SELECT time_bucket(INTERVAL '15 minutes', ts)
              |         - k * INTERVAL '15 minutes' AS window_start,
              |  CAST(count(1) AS BIGINT) AS n,
-             |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+             |  CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR)
+             |    AS DOUBLE) AS sum_value
              |FROM events, (SELECT unnest(generate_series(0, 3)) AS k)
              |GROUP BY 1 ORDER BY window_start""".stripMargin)),
 
@@ -918,7 +920,8 @@ object Temporal {
              |)
              |SELECT user_id, min(ts) AS session_start,
              |  CAST(count(1) AS BIGINT) AS n,
-             |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+             |  CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR)
+             |    AS DOUBLE) AS sum_value
              |FROM islands GROUP BY user_id, sess
              |ORDER BY user_id, session_start""".stripMargin)),
 
@@ -1270,15 +1273,15 @@ object Temporal {
         .orderBy("event_id"),
       Some("""WITH prof AS (
              |  SELECT event_type AS p_type, hour(ts) AS p_hr,
-             |    CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             |    CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
              |      / count(1) AS mean,
              |    sqrt(greatest(
-             |      CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
-             |        / count(1)
-             |      - (CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
-             |        / count(1))
-             |      * (CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
-             |        / count(1)), 0.0)) AS sd
+             |      CAST(CAST(sum(CAST(value * value AS DECIMAL(38,6)))
+             |        AS VARCHAR) AS DOUBLE) / count(1)
+             |      - (CAST(CAST(sum(CAST(value AS DECIMAL(38,6)))
+             |        AS VARCHAR) AS DOUBLE) / count(1))
+             |      * (CAST(CAST(sum(CAST(value AS DECIMAL(38,6)))
+             |        AS VARCHAR) AS DOUBLE) / count(1)), 0.0)) AS sd
              |  FROM events GROUP BY 1, 2
              |)
              |SELECT event_id, event_type, hour(ts) AS hr, value
