@@ -106,9 +106,15 @@ object Relational {
       totalAs: Option[String] = None, buckets: Int = 1024): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     val gc = groupCols.map(col)
+    // the value-grain histogram is read THREE times (rank totals, the
+    // bucket pass, the level-2 scan) — materialize + cut it once so the
+    // corpus pass runs once, not three times (disk-backed partitions,
+    // |distinct|-bounded; this makes the call eager, like the measured
+    // dispatches elsewhere)
     val hist = df.filter(col(valueCol).isNotNull)
       .groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(true)
     val ranks0 = hist.groupBy(gc: _*).agg(sum(col("__cnt")).as("__tot"),
       min(col(valueCol)).as("__glo"), max(col(valueCol)).as("__ghi"))
     val ranks = ps.zipWithIndex.foldLeft(ranks0) { case (r, ((p, _), i)) =>
@@ -567,8 +573,12 @@ object Relational {
           .agg(max(col("l_shipdate")).as("e"))
           .select(col("o_custkey"), col("o_orderkey"),
             col("o_orderdate").as("s"), col("e"))
+        // the bucketed frame feeds BOTH self-join sides: materialize +
+        // cut once (150k rows at sf0.1) so the orders⋈lineitem build
+        // isn't executed twice and each side's plan is a one-node scan
         val buckets = itv.withColumn("yr",
           explode(sequence(year(col("s")), year(col("e")))))
+          .localCheckpoint(true)
         val a = buckets.select(col("o_custkey"), col("yr"),
           col("o_orderkey").as("ok_a"), col("s").as("s_a"), col("e").as("e_a"))
         val b = buckets.select(col("o_custkey"), col("yr"),

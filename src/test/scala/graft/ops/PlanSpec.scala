@@ -830,17 +830,19 @@ class PlanSpec extends SparkSpec {
 
   test("q_profile_equidepth bins via broadcast cutpoints, never a global sort of the fact") {
     val p = plan("q_profile_equidepth")
-    // histQuantiles' running-count window is allowed ONLY over the
-    // value-grain histogram: the fact must collapse through a
-    // map-side-combined groupBy(value) hash agg first, so the window's
-    // input carries distinct values, never raw rows
-    assert(p.contains("HashAggregate(keys=[o_totalprice"),
-      s"the fact must collapse to its value histogram before any window:\n$p")
-    // printed top-down: the Window must appear before its input, the
-    // value-grain histogram agg — i.e. the window consumes the
-    // collapsed histogram, never raw fact rows
-    assert(p.indexOf("Window") < p.indexOf("HashAggregate(keys=[o_totalprice"),
-      s"the window must sit above the histogram agg, not the fact:\n$p")
+    // histQuantiles materializes the value-grain histogram with a
+    // lineage cut (the corpus pass runs ONCE), so the plan reads it as
+    // a concrete RDD scan; windows run only over histogram-derived
+    // frames, never raw fact rows
+    assert(p.contains("Scan ExistingRDD"),
+      s"the value histogram must be a materialized (checkpointed) scan:\n$p")
+    // the only parquet scans left belong to the final binning pass —
+    // pruned to the value column; a window over the raw fact would
+    // need a wider scan than this
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.nonEmpty &&
+      scans.forall(_.contains("ReadSchema: struct<o_totalprice:double>")),
+      s"every remaining fact scan must be the pruned binning pass:\n$p")
     assert(p.contains("BroadcastExchange"),
       s"the 1-row cutpoints must broadcast back onto the fact:\n$p")
   }
