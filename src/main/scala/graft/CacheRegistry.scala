@@ -2,7 +2,9 @@ package graft
 
 import scala.collection.concurrent.TrieMap
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** Registry for operator-internal persisted DataFrames.
   *
@@ -14,11 +16,18 @@ import org.apache.spark.sql.DataFrame
   * [[getOrPersist]] shares one copy per key across operators and repeated
   * invocations, and [[releaseAll]] drops every registered block (the
   * Verify/Bench mains call it after their run; long-lived sessions call it
-  * whenever the staged inputs change).
+  * whenever the staged inputs change). Checkpoint-backed entries
+  * ([[getOrCheckpoint]]) track their materialized RDD alongside the frame,
+  * because `Dataset.unpersist` only talks to the CacheManager and would
+  * leave a localCheckpoint's executor blocks behind until GC.
   */
 object CacheRegistry {
 
-  private val entries = TrieMap.empty[(String, String), DataFrame]
+  /** A registered frame plus, for checkpoint-backed entries, the
+    * materialized RDD whose storage blocks `releaseAll` must free. */
+  private final case class Entry(df: DataFrame, rdd: Option[RDD[_]])
+
+  private val entries = TrieMap.empty[(String, String), Entry]
 
   /** The persisted DataFrame for `(operator, input)`, building and
     * persisting it on first use. An entry bound to a STOPPED SparkSession
@@ -27,7 +36,7 @@ object CacheRegistry {
   def getOrPersist(operator: String, input: String, build: => DataFrame): DataFrame = {
     val key = (operator, input)
     entries.get(key) match {
-      case Some(df) if !df.sparkSession.sparkContext.isStopped => df
+      case Some(e) if !e.df.sparkSession.sparkContext.isStopped => e.df
       case stale =>
         stale.foreach(_ => entries.remove(key))
         // resolve the registration race BEFORE persisting: both racers'
@@ -35,8 +44,8 @@ object CacheRegistry {
         // between them — the loser's unpersist would silently drop the
         // winner's blocks too. Only the insert winner persists.
         val df = build
-        entries.putIfAbsent(key, df) match {
-          case Some(winner) => winner
+        entries.putIfAbsent(key, Entry(df, None)) match {
+          case Some(winner) => winner.df
           case None => df.persist(); df
         }
     }
@@ -49,22 +58,41 @@ object CacheRegistry {
     * between re-ANALYZING the artifact's full build tree every round and
     * analyzing a one-node scan — the build tree is paid once, here.
     * No CacheManager entry is involved, so the registration race is
-    * benign (the loser's materialization is discarded and GC'd). */
+    * benign (the loser's materialization is discarded and GC'd).
+    *
+    * CAVEAT (single-process / bench assumption): localCheckpoint blocks
+    * are non-replicated and NON-RECOMPUTABLE — the lineage is cut, so on
+    * a multi-executor cluster losing an executor after registration fails
+    * every dependent query for the session instead of transparently
+    * recomputing. A cluster deployment that must survive executor loss
+    * should use [[getOrPersist]] (recomputable) or reliable
+    * `checkpoint()` against a durable checkpoint dir for these artifacts. */
   def getOrCheckpoint(operator: String, input: String,
       build: => DataFrame): DataFrame = {
     val key = (operator, input)
     entries.get(key) match {
-      case Some(df) if !df.sparkSession.sparkContext.isStopped => df
+      case Some(e) if !e.df.sparkSession.sparkContext.isStopped => e.df
       case stale =>
         stale.foreach(_ => entries.remove(key))
         val df = build.localCheckpoint(true)
-        entries.putIfAbsent(key, df).getOrElse(df)
+        // extract the materialized RDD behind the LogicalRDD scan so
+        // releaseAll can free its storage blocks: Dataset.unpersist only
+        // clears CacheManager entries, which a checkpoint never has
+        val rdd = df.queryExecution.analyzed match {
+          case lr: LogicalRDD => Some(lr.rdd)
+          case _ => None
+        }
+        entries.putIfAbsent(key, Entry(df, rdd)).map(_.df).getOrElse(df)
     }
   }
 
-  /** Unpersist (blocking) and forget every registered DataFrame. */
+  /** Unpersist (blocking) and forget every registered DataFrame —
+    * including the executor blocks of checkpoint-backed entries. */
   def releaseAll(): Unit = {
-    entries.values.foreach(_.unpersist(blocking = true))
+    entries.values.foreach { e =>
+      e.rdd.foreach(_.unpersist(blocking = true))
+      e.df.unpersist(blocking = true)
+    }
     entries.clear()
   }
 

@@ -24,6 +24,13 @@ import graft.connector.{Read, Write}
   * and the SQL engine, so the reference's four network hops (SURVEY §3.1)
   * collapse into one distributed scan.
   */
+/** One `WHEN MATCHED [AND cond] THEN …` branch for [[Graft.merge]]:
+  * `set = Some(target → source assignments)` is `UPDATE SET …` (use
+  * every non-key column for `SET *`); `set = None` is `DELETE`. `cond`
+  * is the optional AND-gate over aliases `c` (corpus) / `b` (batch). */
+final case class MergeBranch(cond: Option[Column],
+  set: Option[Seq[(String, String)]])
+
 object Graft {
 
   /** Distributed read of a SQL query result, partition-managed like
@@ -240,6 +247,127 @@ object Graft {
       survivors.unionAll(
         batch.alias("b").join(corpus.alias("c"), insCond, "left_anti"))
     }
+  }
+
+  /** Generalized MERGE — the full Snowflake-shaped verb set that
+    * [[upsert]] / [[upsertPartial]] / [[mergeDelete]] each cover one
+    * slice of (oracle keys `q_sql_merge_branches` /
+    * `q_sql_merge_insert_list`): an ORDERED list of `WHEN MATCHED
+    * [AND cond] THEN UPDATE SET …/DELETE` branches evaluated
+    * FIRST-MATCH-WINS (Snowflake's branch semantics: a matched pair
+    * takes the first branch whose gate holds; pairs matching no branch
+    * keep the corpus row), plus an optional `WHEN NOT MATCHED THEN
+    * INSERT` arm — full-row (`insertCols = Nil` with `insert = true`)
+    * or an explicit column list (unlisted corpus columns become
+    * typed NULLs, the SQL insert-list semantics).
+    *
+    * Engine form: ONE full-outer key join; the branch choice is a
+    * cascaded `when` chain over presence markers (null-safe even for
+    * all-NULL key rows), DELETE branches become a post-join filter,
+    * and every output column is one first-match `when` cascade — a
+    * single key shuffle of each side at any scale, no broadcast
+    * assumption, AQE skew split applies. Branch conds reference the
+    * sides as aliases `c` (corpus) and `b` (batch), like
+    * [[upsertPartial]]'s gate. Matching is null-safe (`<=>`) like
+    * [[upsert]]: NULL keys match NULL keys — note [[mergeDelete]]'s
+    * standalone ANSI `===` differs (documented there and in
+    * [[SqlText]]).
+    *
+    * PRECONDITIONS: `batch` has at most one row per key (fan-out
+    * otherwise — dedupe upstream); schemas must align whenever the
+    * full-row insert arm is used. A branch AFTER an ungated branch is
+    * unreachable and rejected loudly. */
+  def merge(corpus: DataFrame, batch: DataFrame, keys: Seq[String],
+      matched: Seq[MergeBranch], insert: Boolean = false,
+      insertCols: Seq[(String, String)] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    require(keys.nonEmpty, "merge needs at least one key column")
+    keys.foreach { k =>
+      require(corpus.columns.contains(k), s"unknown key column in corpus: $k")
+      require(batch.columns.contains(k), s"unknown key column in batch: $k")
+    }
+    require(matched.nonEmpty || insert,
+      "merge with no matched branches and no insert arm is the identity — " +
+        "pass at least one action")
+    require(insertCols.isEmpty || insert,
+      "insertCols given but insert = false")
+    if (insert && insertCols.isEmpty)
+      require(corpus.columns.sameElements(batch.columns),
+        s"full-row INSERT needs aligned schemas: corpus " +
+          s"${corpus.columns.mkString(",")} vs batch " +
+          s"${batch.columns.mkString(",")}")
+    require(insertCols.map(_._1).distinct.size == insertCols.size,
+      s"duplicate INSERT target columns: ${insertCols.map(_._1).mkString(",")}")
+    insertCols.foreach { case (tc, sc) =>
+      require(corpus.columns.contains(tc), s"unknown INSERT target column: $tc")
+      require(batch.columns.contains(sc), s"unknown INSERT source column: $sc")
+    }
+    // every branch after an ungated one is dead under first-match-wins —
+    // reject instead of silently never running it
+    matched.dropRight(1).zipWithIndex.foreach { case (br, i) =>
+      require(br.cond.nonEmpty,
+        s"matched branch ${i + 1} has no AND-gate, so branch ${i + 2} is " +
+          "unreachable (first-match-wins) — gate it or drop the later branches")
+    }
+    matched.foreach { br =>
+      br.set.foreach { assigns =>
+        require(assigns.nonEmpty, "UPDATE branch with an empty SET list")
+        require(assigns.map(_._1).distinct.size == assigns.size,
+          s"duplicate SET target columns: ${assigns.map(_._1).mkString(",")}")
+        assigns.foreach { case (tc, sc) =>
+          require(corpus.columns.contains(tc), s"unknown SET target column: $tc")
+          require(batch.columns.contains(sc), s"unknown SET source column: $sc")
+          require(!keys.contains(tc), s"SET may not assign a key column: $tc")
+        }
+      }
+    }
+    // presence markers, not key-NULL probes: a NULL-keyed row matching
+    // null-safely would fool an isNotNull test (upsert's documented
+    // edge) — a literal marker column cannot be NULL on a present side
+    val c = corpus.withColumn("__c_present", lit(true)).alias("c")
+    val b = batch.withColumn("__b_present", lit(true)).alias("b")
+    val cond = keys.map(k => col(s"c.$k") <=> col(s"b.$k")).reduce(_ && _)
+    val joined = c.join(b, cond, "full_outer")
+    val isMatched = col("c.__c_present").isNotNull &&
+      col("b.__b_present").isNotNull
+    val bOnly = col("c.__c_present").isNull
+    // first-match-wins branch index: a `when` chain evaluates in order,
+    // so the first satisfied gate claims the pair; -1 = no branch
+    // (unmatched row, or matched pair failing every gate)
+    val act = matched.zipWithIndex
+      .foldLeft(when(lit(false), lit(0))) { case (ch, (br, i)) =>
+        ch.when(isMatched && br.cond.getOrElse(lit(true)), lit(i))
+      }.otherwise(lit(-1))
+    val withAct = joined.withColumn("__act", act)
+    // DELETE branches drop the pair (corpus row removed, batch row
+    // consumed); everything else survives to the projection
+    val delIdx = matched.zipWithIndex.collect {
+      case (MergeBranch(_, None), i) => i
+    }
+    val kept0 =
+      if (delIdx.isEmpty) withAct
+      else withAct.filter(!col("__act").isInCollection(delIdx))
+    // without an insert arm, batch-only rows vanish (matched pairs were
+    // already consumed by their branch or fell through to the corpus row)
+    val kept = if (insert) kept0 else kept0.filter(!bOnly)
+    val insMap = insertCols.toMap
+    val updates = matched.zipWithIndex.collect {
+      case (MergeBranch(_, Some(assigns)), i) => (assigns.toMap, i)
+    }
+    kept.select(corpus.columns.map { n =>
+      val insVal =
+        // no insert arm: bOnly rows are already filtered, but the
+        // expression must still RESOLVE — and the batch of an
+        // update-only merge need not carry every corpus column
+        if (!insert) lit(null).cast(corpus.schema(n).dataType)
+        else if (insertCols.isEmpty) col(s"b.$n")
+        else insMap.get(n).map(sc => col(s"b.$sc"))
+          .getOrElse(lit(null).cast(corpus.schema(n).dataType))
+      updates.foldLeft(when(bOnly, insVal)) { case (ch, (setMap, i)) =>
+        ch.when(col("__act") === i,
+          setMap.get(n).map(sc => col(s"b.$sc")).getOrElse(col(s"c.$n")))
+      }.otherwise(col(s"c.$n")).as(n)
+    }.toIndexedSeq: _*)
   }
 
   /** CDC-style snapshot diff (oracle key `q_snapshot_diff`): classify
@@ -739,7 +867,14 @@ object Graft {
     * `percentile` — the six `q_agg_percentile`-family oracle keys run
     * through it. `ps` maps each probability to its output column name;
     * results are rounded to 6 decimals (the cross-engine boundary
-    * precision the oracle contract uses). */
+    * precision the oracle contract uses).
+    *
+    * EAGER: the call materializes the value-grain histogram
+    * (localCheckpoint) before returning, because three internal passes
+    * reuse it — so the corpus pass executes at CALL time, not at the
+    * first action on the returned frame. The materialized frame is
+    * |distinct values|-bounded, not |rows|-bounded, so the eager cost
+    * is the histogram build it would pay anyway. */
   def quantiles(df: DataFrame, valueCol: String, groupCols: Seq[String],
       ps: Seq[(Double, String)]): DataFrame = {
     require(ps.nonEmpty, "quantiles needs at least one (p, name)")

@@ -18,34 +18,56 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `spark.sql` verbatim.
   *
   * MERGE supports the CDC verb set: full (`SET *`) and partial
-  * (`SET col = s.col, …`) updates, `DELETE`, an optional
-  * `WHEN MATCHED AND <pred>` gate on either action, insert-only
-  * merges, and `WHEN NOT MATCHED THEN INSERT *` — each rewritten onto
-  * [[Graft.upsert]] / [[Graft.upsertPartial]] / [[Graft.mergeDelete]].
+  * (`SET col = s.col, …`) updates, `DELETE`, MULTIPLE `WHEN MATCHED
+  * [AND <pred>]` branches evaluated first-match-wins (Snowflake's
+  * branch order semantics), update-only merges, and both insert
+  * forms — `WHEN NOT MATCHED THEN INSERT *` and the explicit
+  * `INSERT (cols) VALUES (s.cols)` list (unlisted target columns
+  * become typed NULLs). The canonical single-branch forms keep their
+  * dedicated engine routes ([[Graft.upsert]] / [[Graft.upsertPartial]]
+  * / [[Graft.mergeDelete]]); everything else rewrites onto the
+  * generalized [[Graft.merge]] — still ONE full-outer key shuffle.
+  *
+  * NULL-key policy differs BY VERB (round-13 ADVICE, documented here
+  * on purpose): the UPDATE routes and [[Graft.merge]] match keys
+  * null-safely (`<=>` — a NULL-keyed batch row pairs with a NULL-keyed
+  * corpus row), while the standalone DELETE route ([[Graft.mergeDelete]],
+  * two anti joins) uses ANSI `===` — NULL keys never match, so a
+  * NULL-keyed corpus row is updatable but not deletable through the
+  * single-branch form. Multi-branch merges route through
+  * [[Graft.merge]] and are uniformly null-safe, DELETE included.
   *
   * Restrictions are LOUD (`require`/analysis errors), never silent:
-  * unsupported MERGE actions (INSERT VALUES lists, multiple matched
-  * branches, update-only merges), non-equi ON conjuncts, a
-  * MATCH_CONDITION that is not a single `l.t >= r.t` / `l.t <= r.t`
-  * comparison, or a QUALIFY predicate over an un-aliased window all
-  * fail with the offending text. Oracle-checked as `q_sql_merge` /
-  * `q_sql_merge_partial` / `q_sql_merge_delete` / `q_sql_asof` /
-  * `q_sql_qualify`.
+  * expression-RHS VALUES entries (only `s.col` references), a branch
+  * after an ungated `WHEN MATCHED` (unreachable under
+  * first-match-wins), non-equi ON conjuncts, a MATCH_CONDITION that
+  * is not a single `l.t >= r.t` / `l.t <= r.t` comparison, or a
+  * QUALIFY predicate over an un-aliased window all fail with the
+  * offending text. KNOWN GRAMMAR LIMIT: the WHEN-tail splits at each
+  * `WHEN` token and gates parse up to the next `THEN`, so an AND-gate
+  * containing a `CASE WHEN … THEN … END` expression is cut
+  * mid-predicate and rejected — keep CASE expressions out of MERGE
+  * gates (compute the flag in the source relation instead).
+  * Oracle-checked as `q_sql_merge` / `q_sql_merge_partial` /
+  * `q_sql_merge_delete` / `q_sql_merge_branches` /
+  * `q_sql_merge_insert_list` / `q_sql_asof` / `q_sql_qualify`.
   */
 object SqlText {
 
   // MERGE INTO <target> [AS t] USING <source> [AS s] ON <equi-conds>
-  //   [WHEN MATCHED [AND <pred>] THEN (UPDATE SET <* | assignments> | DELETE)]
-  //   [WHEN NOT MATCHED THEN INSERT *]
+  //   [WHEN MATCHED [AND <pred>] THEN (UPDATE SET <* | assignments> | DELETE)]*
+  //   [WHEN NOT MATCHED THEN INSERT <* | (cols) VALUES (s.cols)>]
   // — `SET *` (or no action clauses at all) is the canonical full-row
   // upsert; `SET col = s.col, …` is the partial update (matched rows
   // keep every unlisted column); `DELETE` removes matched target rows;
-  // an `AND <pred>` gate restricts the matched action to pairs
-  // satisfying it (other matched rows stay unchanged). INSERT is
-  // always full-row, so the schemas must align whenever it appears.
-  // At most ONE matched clause and ONE not-matched clause, in that
-  // order — anything else (INSERT VALUES lists, multiple matched
-  // branches) fails loudly with the offending clause text.
+  // an `AND <pred>` gate restricts a matched action to pairs
+  // satisfying it. Multiple matched branches evaluate in statement
+  // order, FIRST-MATCH-WINS; a branch after an ungated one is
+  // unreachable and rejected. `INSERT *` is full-row (schemas must
+  // align); `INSERT (cols) VALUES (s.cols)` fills unlisted target
+  // columns with typed NULLs — VALUES entries must be bare source
+  // column references, expression RHS fails loudly. At most ONE
+  // not-matched clause, after every matched clause.
   private val MergeHeadRe =
     ("""(?is)^\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?""" +
      """\s+USING\s+(\w+)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?""" +
@@ -58,6 +80,10 @@ object SqlText {
     """(?is)^WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*$""".r
   private val NotMatchedInsertRe =
     """(?is)^WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$""".r
+  private val NotMatchedInsertListRe =
+    ("""(?is)^WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*""" +
+     """\(([^)]*)\)\s*VALUES\s*\(([^)]*)\)\s*$""").r
+  private val InsertValueRe = """(?s)^\s*(\w+)\.(\w+)\s*$""".r
 
   /** A parsed `WHEN MATCHED` action: the optional AND-gate text and
     * either the SET fragment (update) or None (delete). */
@@ -151,31 +177,54 @@ object SqlText {
       }
       val keyCols = keys.map(_._1)
       // split the WHEN tail into clauses at each WHEN boundary and
-      // classify; anything outside the canonical set fails loudly
+      // classify; anything outside the canonical set fails loudly.
+      // (This split is why AND-gates may not contain CASE WHEN — the
+      // boundary regex cannot tell a branch keyword from an expression
+      // keyword; see the header restriction.)
       val clauses = whenTail.split("""(?i)(?=\bWHEN\s)""").toSeq
         .map(_.trim).filter(_.nonEmpty)
-      var matchedOpt: Option[MatchedAction] = None
-      var insert = false
+      // ordered matched branches — Snowflake evaluates them
+      // first-match-wins, so statement order is semantics
+      val matchedActs = scala.collection.mutable.ListBuffer.empty[MatchedAction]
+      // None = no insert arm; Some(Nil) = INSERT *; Some(cols) = list
+      var insertSpec: Option[Seq[(String, String)]] = None
       clauses.foreach {
         case NotMatchedInsertRe() =>
-          require(!insert, "duplicate WHEN NOT MATCHED clause")
-          insert = true
+          require(insertSpec.isEmpty, "duplicate WHEN NOT MATCHED clause")
+          insertSpec = Some(Nil)
+        case c @ NotMatchedInsertListRe(colsTxt, valsTxt) =>
+          require(insertSpec.isEmpty, "duplicate WHEN NOT MATCHED clause")
+          val cols = colsTxt.split(",").toSeq.map(_.trim)
+          require(cols.nonEmpty && cols.forall(_.matches("""\w+""")),
+            s"INSERT column list must be plain column names: '$colsTxt'")
+          val vals = valsTxt.split(",").toSeq.map {
+            case InsertValueRe(a, v) =>
+              require(a.equalsIgnoreCase(sAlias),
+                s"INSERT VALUES must reference the source alias " +
+                  s"'$sAlias': got '$a.$v'")
+              v
+            case other => sys.error(
+              s"only bare '$sAlias.col' references are supported in " +
+                s"INSERT VALUES (expression RHS is not), got: '$other'")
+          }
+          require(cols.size == vals.size,
+            s"INSERT column/value arity mismatch: ${cols.size} columns " +
+              s"vs ${vals.size} values in '$c'")
+          insertSpec = Some(cols.zip(vals))
         case c @ MatchedUpdateRe(predOrNull, set) =>
-          require(matchedOpt.isEmpty,
-            s"only one WHEN MATCHED clause is supported; second: '$c'")
-          require(!insert,
+          require(insertSpec.isEmpty,
             "WHEN MATCHED must precede WHEN NOT MATCHED")
-          matchedOpt = Some(MatchedUpdate(Option(predOrNull), set.trim))
+          matchedActs += MatchedUpdate(Option(predOrNull), set.trim)
         case c @ MatchedDeleteRe(predOrNull) =>
-          require(matchedOpt.isEmpty,
-            s"only one WHEN MATCHED clause is supported; second: '$c'")
-          require(!insert,
+          require(insertSpec.isEmpty,
             "WHEN MATCHED must precede WHEN NOT MATCHED")
-          matchedOpt = Some(MatchedDelete(Option(predOrNull)))
+          matchedActs += MatchedDelete(Option(predOrNull))
         case other => sys.error(
           s"unsupported MERGE clause: '$other' (supported: WHEN MATCHED " +
-            "[AND <pred>] THEN UPDATE SET <*|col = s.col, …> | DELETE; " +
-            "WHEN NOT MATCHED THEN INSERT *)")
+            "[AND <pred>] THEN UPDATE SET <*|col = s.col, …> | DELETE, " +
+            "repeatable first-match-wins; WHEN NOT MATCHED THEN INSERT " +
+            "<*|(cols) VALUES (s.cols)>; note gates may not contain " +
+            "CASE WHEN — the clause splitter cuts at WHEN/THEN tokens)")
       }
       val corpus = spark.table(target)
       val batch = spark.table(source)
@@ -197,13 +246,25 @@ object SqlText {
             s"only 'col = $sAlias.col' assignments are supported in SET, " +
               s"got: '$other'")
         }
-      (matchedOpt, insert) match {
+      // SET * as an assignment list: every non-key corpus column from
+      // the batch column of the same name (schemas must align there)
+      def fullSet: Seq[(String, String)] =
+        corpus.columns.filterNot(keyCols.contains).map(n => (n, n)).toSeq
+      def toBranch(a: MatchedAction): MergeBranch = a match {
+        case MatchedUpdate(pred, "*") =>
+          MergeBranch(pred.map(predCol), Some(fullSet))
+        case MatchedUpdate(pred, assigns) =>
+          MergeBranch(pred.map(predCol), Some(parseAssigns(assigns)))
+        case MatchedDelete(pred) =>
+          MergeBranch(pred.map(predCol), None)
+      }
+      (matchedActs.toList, insertSpec) match {
         // bare MERGE (no clauses) stays the canonical full-row upsert
-        case (None, false) =>
+        case (Nil, None) =>
           Graft.upsert(corpus, batch, keyCols)
         // insert-only merge: matched target rows unchanged, unmatched
         // batch rows append — one anti key join
-        case (None, true) =>
+        case (Nil, Some(Nil)) =>
           require(corpus.columns.sameElements(batch.columns),
             s"INSERT * needs aligned schemas: ${corpus.columns.mkString(",")} " +
               s"vs ${batch.columns.mkString(",")}")
@@ -212,23 +273,25 @@ object SqlText {
             .reduce(_ && _)
           corpus.unionAll(
             batch.alias("b").join(corpus.alias("c"), insCond, "left_anti"))
-        case (Some(MatchedUpdate(None, "*")), true) =>
+        case (List(MatchedUpdate(None, "*")), Some(Nil)) =>
           Graft.upsert(corpus, batch, keyCols)
-        case (Some(MatchedUpdate(pred @ Some(_), "*")), true) =>
+        case (List(MatchedUpdate(pred @ Some(_), "*")), Some(Nil)) =>
           // gated full-row update ≡ SET every non-key column, gated
-          val set = corpus.columns.filterNot(keyCols.contains)
-            .map(n => (n, n)).toSeq
-          Graft.upsertPartial(corpus, batch, keyCols, set,
+          Graft.upsertPartial(corpus, batch, keyCols, fullSet,
             pred.map(predCol))
-        case (Some(MatchedUpdate(pred, assigns)), true) =>
+        case (List(MatchedUpdate(pred, assigns)), Some(Nil)) =>
           Graft.upsertPartial(corpus, batch, keyCols,
             parseAssigns(assigns), pred.map(predCol))
-        case (Some(_: MatchedUpdate), false) => sys.error(
-          "UPDATE without WHEN NOT MATCHED THEN INSERT * is not " +
-            "supported — add the insert clause (update-only MERGE)")
-        case (Some(MatchedDelete(pred)), ins) =>
+        case (List(MatchedDelete(pred)), ins @ (None | Some(Nil))) =>
+          // NOTE: this single-branch route matches keys with ANSI ===
+          // (NULL keys never match) — see the header's per-verb policy
           Graft.mergeDelete(corpus, batch, keyCols, pred.map(predCol),
-            insertUnmatched = ins)
+            insertUnmatched = ins.isDefined)
+        // everything else — multiple matched branches, insert lists,
+        // update-only merges — is the generalized one-shuffle form
+        case (acts, ins) =>
+          Graft.merge(corpus, batch, keyCols, acts.map(toBranch),
+            insert = ins.isDefined, insertCols = ins.getOrElse(Nil))
       }
 
     case AsofRe(proj, lt, lAliasOrNull, rt, rAliasOrNull,

@@ -126,9 +126,11 @@ object Graph {
     * equals any sufficiently long fixed-round run; GraphSpec pins
     * that). Every round is materialized + lineage-cut, so plan depth
     * never grows with the round count and `maxIters` may far exceed
-    * the fixed-round 20-cap; the per-round fixed-point probe is one
-    * |V| join (broadcast below the gate) with an `isEmpty`
-    * short-circuit. Raises if `maxIters` rounds pass without a fixed
+    * the fixed-round 20-cap; the per-round fixed-point probe rides
+    * inside that materialization (the previous rank joins on before
+    * the checkpoint), so the changed-row test is a narrow filter +
+    * limit-1 scan over materialized blocks, not a second |V| join
+    * job. Raises if `maxIters` rounds pass without a fixed
     * point — silent non-convergence is not a result. */
   /** One PageRank step applied to a GIVEN rank vector over freshly
     * built graph tables — the test hook that lets GraphSpec verify the
@@ -157,13 +159,21 @@ object Graph {
     var i = 0
     var done = false
     while (!done && i < maxIters) {
+      // the fixed-point probe rides INSIDE the round's materialization:
+      // the previous rank joins on before the checkpoint (broadcast
+      // below the gate, shuffle above — the same dispatch as the step
+      // itself), so the changed-row test is a narrow filter + limit-1
+      // scan over already-materialized blocks instead of its own
+      // |V| join job — converge mode costs one full job per round, not
+      // two (round-13 verdict item 7)
+      val prev = (if (small) broadcast(ranks) else ranks)
+        .select(col("node").as("__pn"), col("rank").as("__prev"))
       val next = iterate(fused, deg, ranks, hintSmall = small)
+        .join(prev, col("node") === col("__pn"))
+        .select(col("node"), col("rank"), col("__prev"))
         .localCheckpoint(true)
-      val probe = if (small) broadcast(ranks) else ranks
-      done = next.alias("n")
-        .join(probe.alias("p"), col("n.node") === col("p.node"))
-        .filter(col("n.rank") =!= col("p.rank")).isEmpty
-      ranks = next
+      done = next.filter(col("rank") =!= col("__prev")).isEmpty
+      ranks = next.select("node", "rank")
       i += 1
     }
     deg.unpersist(); fused.unpersist()
@@ -291,16 +301,21 @@ object Graph {
       val counts = und.join(lab, und("dst") === col("__n"))
         .groupBy(und("src").as("node"), col("label"))
         .agg(count(lit(1)).as("n"))
+      // probe folded into the materialization, like [[pageRankConverge]]:
+      // previous labels join on before the checkpoint, the changed-row
+      // test is a narrow filter over materialized blocks — one full job
+      // per round, not two
+      val prev = (if (small) broadcast(labels) else labels)
+        .select(col("node").as("__pn"), col("label").as("__prev"))
       val next = counts
         .groupBy("node")
         .agg(max(struct(col("n"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("label"))
+        .join(prev, col("node") === col("__pn"))
+        .select(col("node"), col("label"), col("__prev"))
         .localCheckpoint(true)
-      val probe = if (small) broadcast(labels) else labels
-      done = next.alias("n")
-        .join(probe.alias("p"), col("n.node") === col("p.node"))
-        .filter(col("n.label") =!= col("p.label")).isEmpty
-      labels = next
+      done = next.filter(col("label") =!= col("__prev")).isEmpty
+      labels = next.select("node", "label")
       i += 1
     }
     if (!done) sys.error(

@@ -813,27 +813,32 @@ object Relational {
         val cuts = histQuantiles(t(s, d, "orders").select("o_totalprice"),
           "o_totalprice", Nil, Seq(0.1 -> "lo", 0.9 -> "hi"))
         // micro-unit integer mean: per-row round(price·1e6) is the same
-        // double→integer on both engines, the sum is exact, and the
-        // floor division is exact — no decimal→double conversion, which
-        // DOUBLE-ROUNDS (int128→double→÷10^k) in DuckDB once the scaled
-        // sum passes 2^53 (the 10×-scale run caught the last-ulp drift)
+        // double→integer on both engines, the DECIMAL(38,0) sum is exact
+        // (the 10× replica already puts a plain BIGINT sum at ~7.5e18 of
+        // int64's 9.2e18 — the next rung would silently wrap under
+        // Spark's non-ANSI sum, so the accumulator is 128-bit like
+        // q_agg_weighted_avg's), and the floor division is exact — no
+        // decimal→double conversion, which DOUBLE-ROUNDS
+        // (int128→double→÷10^k) in DuckDB once the scaled sum passes
+        // 2^53 (the 10×-scale run caught the last-ulp drift)
         t(s, d, "orders").select("o_totalprice").join(broadcast(cuts))
           .filter(col("o_totalprice") > col("lo") &&
             col("o_totalprice") < col("hi"))
           .agg(count(lit(1)).as("n_kept"),
-            expr("sum(CAST(round(o_totalprice * 1e6) AS BIGINT))").as("s6"))
+            sum(expr("CAST(round(o_totalprice * 1e6) AS BIGINT)")
+              .cast(D380)).as("s6"))
           .select(col("n_kept"),
-            expr("s6 div n_kept").as("trimmed_mean_e6"))
+            expr("CAST(s6 div n_kept AS BIGINT)").as("trimmed_mean_e6"))
       },
       Some("""WITH cuts AS (
              |  SELECT round(quantile_cont(o_totalprice, 0.1), 6) AS lo,
              |    round(quantile_cont(o_totalprice, 0.9), 6) AS hi
              |  FROM orders
              |)
-             |SELECT n_kept, s6 // n_kept AS trimmed_mean_e6 FROM (
+             |SELECT n_kept, CAST(s6 // n_kept AS BIGINT) AS trimmed_mean_e6
+             |FROM (
              |  SELECT CAST(count(1) AS BIGINT) AS n_kept,
-             |    CAST(sum(CAST(round(o_totalprice * 1e6) AS BIGINT))
-             |      AS BIGINT) AS s6
+             |    sum(CAST(round(o_totalprice * 1e6) AS HUGEINT)) AS s6
              |  FROM orders, cuts
              |  WHERE o_totalprice > lo AND o_totalprice < hi)""".stripMargin)),
 
@@ -1732,6 +1737,129 @@ object Relational {
              |SELECT doc_id, lang, n_chars FROM batch b
              |WHERE NOT EXISTS (SELECT 1 FROM corpus c
              |  WHERE c.doc_id = b.doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------- multi-branch MERGE (SQL text)
+    // MULTIPLE `WHEN MATCHED` branches evaluated FIRST-MATCH-WINS —
+    // Snowflake's branch-order semantics through the front door
+    // ([[graft.Graft.merge]] via [[graft.SqlText.sql]]). Three matched
+    // populations pin the ordering: batch rows with LARGER n_chars hit
+    // branch 1 (DELETE), SMALLER n_chars hit branch 2 (UPDATE SET
+    // n_chars only — the poison 'zz' lang proves the later ungated
+    // lang-branch does NOT also fire), EQUAL n_chars fall through to
+    // the ungated branch 3 (UPDATE SET lang); unmatched batch rows
+    // insert whole. Engine form: still ONE full-outer key shuffle —
+    // the branch choice is a cascaded `when` chain, DELETE a post-join
+    // filter. The oracle replays the cascade as CASE expressions over
+    // the same full outer join.
+    QueryDef("q_sql_merge_branches",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+        docs.createOrReplaceTempView("mb_corpus")
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") + 1000L).as("n_chars"))
+          .unionAll(docs.filter(col("doc_id") % 10 === 1)
+            .select(col("doc_id"), lit("zz").as("lang"),
+              (col("n_chars") - 1000L).as("n_chars")))
+          .unionAll(docs.filter(col("doc_id") % 10 === 2)
+            .select(col("doc_id"), lit("yy").as("lang"), col("n_chars")))
+          .unionAll(docs.filter(col("doc_id") % 7 === 3)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+              col("n_chars")))
+          .createOrReplaceTempView("mb_batch")
+        graft.SqlText.sql(s,
+            """MERGE INTO mb_corpus AS c USING mb_batch AS b
+              |ON c.doc_id = b.doc_id
+              |WHEN MATCHED AND b.n_chars > c.n_chars THEN DELETE
+              |WHEN MATCHED AND b.n_chars < c.n_chars
+              |  THEN UPDATE SET n_chars = b.n_chars
+              |WHEN MATCHED THEN UPDATE SET lang = b.lang
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, lang, n_chars FROM documents
+             |), batch AS (
+             |  SELECT doc_id, lang, n_chars + 1000 AS n_chars
+             |  FROM corpus WHERE doc_id % 10 = 0
+             |  UNION ALL
+             |  SELECT doc_id, 'zz' AS lang, n_chars - 1000 AS n_chars
+             |  FROM corpus WHERE doc_id % 10 = 1
+             |  UNION ALL
+             |  SELECT doc_id, 'yy' AS lang, n_chars
+             |  FROM corpus WHERE doc_id % 10 = 2
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, lang, n_chars
+             |  FROM corpus WHERE doc_id % 7 = 3
+             |)
+             |SELECT coalesce(c.doc_id, b.doc_id) AS doc_id,
+             |  CASE WHEN c.doc_id IS NULL THEN b.lang
+             |       WHEN b.doc_id IS NULL THEN c.lang
+             |       WHEN b.n_chars < c.n_chars THEN c.lang
+             |       ELSE b.lang END AS lang,
+             |  CASE WHEN c.doc_id IS NULL THEN b.n_chars
+             |       WHEN b.doc_id IS NULL THEN c.n_chars
+             |       WHEN b.n_chars < c.n_chars THEN b.n_chars
+             |       ELSE c.n_chars END AS n_chars
+             |FROM corpus c FULL OUTER JOIN batch b ON c.doc_id = b.doc_id
+             |WHERE NOT (c.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+             |  AND b.n_chars > c.n_chars)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------- explicit-insert-list MERGE (SQL text)
+    // `WHEN NOT MATCHED THEN INSERT (cols) VALUES (s.cols)` — the most
+    // common MERGE insert form in the wild (round-13 verdict item 3),
+    // previously loud-failed. Unlisted target columns become typed
+    // NULLs (here: inserted docs carry NO lang), and the gated matched
+    // update rides the same statement, so the whole verb pair routes
+    // through the generalized [[graft.Graft.merge]] — one full-outer
+    // key shuffle. Expression RHS in VALUES still fails loudly (only
+    // bare `s.col` references). The oracle replays insert-list NULLs
+    // with an explicit CAST(NULL AS VARCHAR).
+    QueryDef("q_sql_merge_insert_list",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+        docs.createOrReplaceTempView("mi_corpus")
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") + 1000L).as("n_chars"))
+          .unionAll(docs.filter(col("doc_id") % 10 === 1)
+            .select(col("doc_id"), col("lang"),
+              (col("n_chars") - 1000L).as("n_chars")))
+          .unionAll(docs.filter(col("doc_id") % 7 === 3)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+              col("n_chars")))
+          .createOrReplaceTempView("mi_batch")
+        graft.SqlText.sql(s,
+            """MERGE INTO mi_corpus AS c USING mi_batch AS b
+              |ON c.doc_id = b.doc_id
+              |WHEN MATCHED AND b.n_chars > c.n_chars
+              |  THEN UPDATE SET n_chars = b.n_chars
+              |WHEN NOT MATCHED THEN INSERT (doc_id, n_chars)
+              |  VALUES (b.doc_id, b.n_chars)""".stripMargin)
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, lang, n_chars FROM documents
+             |), batch AS (
+             |  SELECT doc_id, lang, n_chars + 1000 AS n_chars
+             |  FROM corpus WHERE doc_id % 10 = 0
+             |  UNION ALL
+             |  SELECT doc_id, lang, n_chars - 1000 AS n_chars
+             |  FROM corpus WHERE doc_id % 10 = 1
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, lang, n_chars
+             |  FROM corpus WHERE doc_id % 7 = 3
+             |)
+             |SELECT coalesce(c.doc_id, b.doc_id) AS doc_id,
+             |  CASE WHEN c.doc_id IS NULL THEN CAST(NULL AS VARCHAR)
+             |       ELSE c.lang END AS lang,
+             |  CASE WHEN c.doc_id IS NULL THEN b.n_chars
+             |       WHEN b.doc_id IS NOT NULL AND b.n_chars > c.n_chars
+             |         THEN b.n_chars
+             |       ELSE c.n_chars END AS n_chars
+             |FROM corpus c FULL OUTER JOIN batch b ON c.doc_id = b.doc_id
              |ORDER BY doc_id""".stripMargin)),
 
     // --------------------------------------------- QUALIFY (SQL text)

@@ -37,4 +37,25 @@ class CacheRegistrySpec extends SparkSpec {
     assert(ids.intersect(fromFirst).isEmpty,
       "the bands caches must not survive releaseAll")
   }
+
+  test("releaseAll frees checkpoint-backed entries' executor blocks") {
+    // getOrCheckpoint entries are localCheckpoint-backed (LogicalRDD):
+    // Dataset.unpersist only touches the CacheManager, so without the
+    // tracked-RDD release the blocks would linger until GC (round-13
+    // ADVICE, medium). The invariant: the persistent-RDD id that appears
+    // at registration is GONE right after releaseAll, not eventually.
+    def ids: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    CacheRegistry.releaseAll()
+    val before = ids
+    val df = CacheRegistry.getOrCheckpoint("spec_ckpt_release", "t",
+      spark.range(1000).toDF("id"))
+    assert(df.count() == 1000)
+    val added = ids -- before
+    assert(added.nonEmpty,
+      "a checkpoint registration must pin at least one persistent RDD")
+    CacheRegistry.releaseAll()
+    assert(CacheRegistry.size == 0)
+    assert(ids.intersect(added).isEmpty,
+      s"checkpoint blocks $added must not survive releaseAll")
+  }
 }

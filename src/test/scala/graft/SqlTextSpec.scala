@@ -121,25 +121,74 @@ class SqlTextSpec extends SparkSpec {
       (3L, "c", 30L), (9L, "z", 1L)))
   }
 
-  test("MERGE rejects still-unsupported clause shapes loudly") {
+  test("MERGE INSERT (cols) VALUES (s.cols) fills unlisted columns with NULL") {
     stage()
-    // INSERT with a VALUES list
+    val out = SqlText.sql(spark,
+      """MERGE INTO st_corpus c USING st_batch b ON c.k = b.k
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (b.k, b.v)""".stripMargin)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+    // matched key 2 is untouched (no matched branch); unmatched key 9
+    // inserts k/v only — tag is a typed NULL, the insert-list contract
+    assert(out.toSeq == Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L),
+      (3L, Some("c"), 30L), (9L, None, 1L)))
+  }
+
+  test("multiple WHEN MATCHED branches evaluate first-match-wins") {
+    // key 2 (v 99 > 20) hits the DELETE gate FIRST even though the later
+    // ungated update would also match; key 5 (v 1 < 50) falls through to
+    // the ungated SET tag branch; key 9 inserts
+    Seq((1L, "a", 10L), (2L, "b", 20L), (5L, "e", 50L))
+      .toDF("k", "tag", "v").createOrReplaceTempView("fmw_corpus")
+    Seq((2L, "X", 99L), (5L, "Y", 1L), (9L, "z", 7L))
+      .toDF("k", "tag", "v").createOrReplaceTempView("fmw_batch")
+    val out = SqlText.sql(spark,
+      """MERGE INTO fmw_corpus c USING fmw_batch b ON c.k = b.k
+        |WHEN MATCHED AND b.v > c.v THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET tag = b.tag
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "a", 10L), (5L, "Y", 50L), (9L, "z", 7L)))
+  }
+
+  test("update-only MERGE (no insert arm) is now supported") {
+    stage()
+    val out = SqlText.sql(spark,
+      """MERGE INTO st_corpus c USING st_batch b ON c.k = b.k
+        |WHEN MATCHED THEN UPDATE SET v = b.v""".stripMargin)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // key 2 takes the batch v; unmatched batch key 9 does NOT insert
+    assert(out.toSeq == Seq((1L, "a", 10L), (2L, "b", 99L), (3L, "c", 30L)))
+  }
+
+  test("MERGE still rejects malformed branch shapes loudly") {
+    stage()
+    // expression RHS in the VALUES list
     val e1 = intercept[RuntimeException](SqlText.sql(spark,
       """MERGE INTO st_corpus c USING st_batch b ON c.k = b.k
-        |WHEN NOT MATCHED THEN INSERT (k, tag, v) VALUES (b.k, b.tag, b.v)""".stripMargin))
-    assert(e1.getMessage.contains("unsupported MERGE clause"), e1.getMessage)
-    // two matched branches
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (b.k, b.v + 1)""".stripMargin))
+    assert(e1.getMessage.contains("expression RHS"), e1.getMessage)
+    // column/value arity mismatch
     val e2 = intercept[IllegalArgumentException](SqlText.sql(spark,
       """MERGE INTO st_corpus c USING st_batch b ON c.k = b.k
-        |WHEN MATCHED AND b.v > c.v THEN DELETE
-        |WHEN MATCHED THEN UPDATE SET *
-        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
-    assert(e2.getMessage.contains("one WHEN MATCHED"), e2.getMessage)
-    // update-only merge (no insert clause)
-    val e3 = intercept[RuntimeException](SqlText.sql(spark,
+        |WHEN NOT MATCHED THEN INSERT (k, tag, v) VALUES (b.k, b.v)""".stripMargin))
+    assert(e2.getMessage.contains("arity"), e2.getMessage)
+    // a branch after an ungated branch is unreachable under
+    // first-match-wins
+    val e3 = intercept[IllegalArgumentException](SqlText.sql(spark,
       """MERGE INTO st_corpus c USING st_batch b ON c.k = b.k
-        |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
-    assert(e3.getMessage.contains("add the insert clause"), e3.getMessage)
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN MATCHED AND b.v > c.v THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e3.getMessage.contains("unreachable"), e3.getMessage)
+    // the documented CASE-WHEN-in-gate grammar limit stays a loud,
+    // self-explanatory error, not a silent misparse
+    val e4 = intercept[RuntimeException](SqlText.sql(spark,
+      """MERGE INTO st_corpus c USING st_batch b ON c.k = b.k
+        |WHEN MATCHED AND CASE WHEN b.v > 0 THEN true ELSE false END
+        |  THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e4.getMessage.contains("CASE WHEN"), e4.getMessage)
   }
 
   test("mergeDelete API: delete-only needs no schema alignment, anti join never fans out") {
