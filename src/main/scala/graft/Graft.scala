@@ -685,6 +685,32 @@ object Graft {
     if (converge) ops.Graph.labelPropagationConverge(edges, maxIters)
     else ops.Graph.labelPropagation(edges, iters)
 
+  /** Multi-source bounded-hop BFS: hop distance from every reachable
+    * node to its nearest seed, exploring at most `maxHops` rounds —
+    * the seed-expansion primitive (start from trusted documents, pull
+    * in everything within k link hops). `edges` is a (src, dst) frame
+    * in the orientation distance should flow (symmetrize for
+    * undirected graphs, like [[pageRank]]); `seeds` carries a `node`
+    * column. Returns (node, dist), seeds at 0. Frontier-as-joins with
+    * a lineage cut per round; an exhausted frontier short-circuits,
+    * so `maxHops` is a horizon, not a forced cost. Oracle-checked as
+    * `q_graph_bfs`; brute-replay + invariance properties in GraphSpec. */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame =
+    ops.Graph.bfs(edges, seeds, maxHops)
+
+  /** Gap-based sessionization: appends `session_seq` — a 1-based
+    * per-key session number that increments wherever the gap to the
+    * key's previous row exceeds `gapUs` microseconds (default 30 min).
+    * Gaps-and-islands as two windows over ONE key-hash partitioning;
+    * per-(key, session_seq) aggregates downstream reuse the same
+    * partitioning. Needs a unique `idCol` to total-order ties.
+    * Oracle-checked (with per-session stats on top) as
+    * `q_events_sessionize`; brute-replay + invariance in TemporalSpec. */
+  def sessionize(ev: DataFrame, gapUs: Long = 1800000000L,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame =
+    ops.Temporal.sessionize(ev, gapUs, keyCol, tsCol, idCol)
+
   /** Exact k-core of an undirected graph, run to convergence: peel
     * degree-<k nodes until a round removes none (peeling is monotone,
     * so the stable survivor set IS the true k-core — every remaining

@@ -510,6 +510,53 @@ object Graph {
     * lineage (the survivor set is referenced twice per round — an
     * unrolled chain doubles per round). The oracle key
     * `q_graph_kcore` replays these exact rounds as chained CTEs. */
+  /** Multi-source bounded-hop BFS ([[graft.Graft.bfs]]): hop distance
+    * from every reachable node to its NEAREST seed, exploring at most
+    * `maxHops` rounds. Returns (node, dist) — one row per node reached
+    * within the horizon, dist ∈ [0, maxHops], seeds at 0.
+    *
+    * Engine form is frontier BFS as joins: round r joins the
+    * (checkpointed, |frontier|-sized) frontier to the edge list,
+    * distinct-s the neighbors, and anti-joins the visited set — so a
+    * round costs one frontier-bounded shuffle, never a full-lineage
+    * |E| rescan (each frontier is a one-node LogicalRDD, the same
+    * replanning cut the converge loops use; pass a registry-cached
+    * edge frame so the scan side is one node too). An exhausted
+    * frontier short-circuits the remaining rounds (the materialized
+    * frontier makes the emptiness probe free), so `maxHops` is a
+    * horizon, not a forced cost. Edges must already be in the
+    * orientation the caller wants distance to flow (symmetrized for
+    * undirected graphs, same contract as [[pageRank]]). All-integer,
+    * partitioning-independent output. */
+  private[graft] def bfs(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 16,
+      s"bfs unrolls one join round per hop; maxHops=$maxHops is outside " +
+        "the sane 1..16 range (unbounded reachability is connectedComponents)")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    var visited = seeds.select(col("node").cast("long").as("node"))
+      .distinct().withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = visited.select("node")
+    var r = 1
+    var exhausted = false
+    while (r <= maxHops && !exhausted) {
+      val next = e
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(r.toLong))
+        .localCheckpoint(true)
+      if (next.isEmpty) exhausted = true
+      else {
+        visited = visited.unionAll(next)
+        frontier = next.select("node")
+      }
+      r += 1
+    }
+    visited
+  }
+
   private[graft] def kCorePeel(edges: DataFrame, k: Int,
       rounds: Int): DataFrame = {
     var nodes = degrees(edges).filter(col("dg") >= k).select("n")
@@ -845,6 +892,55 @@ object Graph {
               |FROM edges JOIN common USING (a, b)
               |  JOIN deg da ON da.n = a JOIN deg db ON db.n = b
               |ORDER BY jaccard DESC, a, b
-              |LIMIT 25""".stripMargin))
+              |LIMIT 25""".stripMargin)),
+
+    // ------------------------------------------------ bounded-hop BFS
+    // multi-source breadth-first distances on the trade graph: every
+    // node's hop distance (≤ 4) to the nearest seed supplier — the
+    // "blast radius" / influence-horizon query (and the building block
+    // of seed-based corpus expansion: start from trusted documents,
+    // pull in everything within k link hops). See [[bfs]] for the
+    // frontier-as-joins engine form. All-integer output; the oracle
+    // replays the same four frontier expansions as chained CTEs with
+    // min(dist) collapsing walk lengths to true BFS distance.
+    QueryDef("q_graph_bfs",
+      (s, d) => {
+        val edges = tradeGraph(s, d)
+        val seeds = edges.select(col("src").as("node")).distinct()
+          .filter(expr("node % 2 = 1 AND ((node - 1) div 2) % 7 = 1"))
+        bfs(edges, seeds, maxHops = 4)
+          .select(col("node").as("node_id"),
+            nodeType.as("node_type"), col("dist"))
+          .orderBy("node_id")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |), und AS (
+             |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+             |), f0 AS (
+             |  SELECT DISTINCT src AS node FROM und
+             |  WHERE src % 2 = 1 AND ((src - 1) // 2) % 7 = 1
+             |), f1 AS (
+             |  SELECT DISTINCT u.dst AS node FROM und u JOIN f0 ON u.src = f0.node
+             |), f2 AS (
+             |  SELECT DISTINCT u.dst AS node FROM und u JOIN f1 ON u.src = f1.node
+             |), f3 AS (
+             |  SELECT DISTINCT u.dst AS node FROM und u JOIN f2 ON u.src = f2.node
+             |), f4 AS (
+             |  SELECT DISTINCT u.dst AS node FROM und u JOIN f3 ON u.src = f3.node
+             |), lvl AS (
+             |  SELECT node, 0 AS dist FROM f0
+             |  UNION ALL SELECT node, 1 FROM f1
+             |  UNION ALL SELECT node, 2 FROM f2
+             |  UNION ALL SELECT node, 3 FROM f3
+             |  UNION ALL SELECT node, 4 FROM f4
+             |)
+             |SELECT node AS node_id,
+             |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             |    AS node_type,
+             |  CAST(min(dist) AS BIGINT) AS dist
+             |FROM lvl GROUP BY node
+             |ORDER BY node_id""".stripMargin))
   )
 }

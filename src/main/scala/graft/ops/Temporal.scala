@@ -22,6 +22,32 @@ object Temporal {
     * partition orders: decimal inside the agg, double on the way out. */
   private def dsum(c: String) = sum(col(c).cast(D386)).cast(DoubleType)
 
+  /** Gap-based session assignment ([[graft.Graft.sessionize]]): appends
+    * `session_seq` — a 1-based per-key session number that increments
+    * wherever the gap to the key's previous row exceeds `gapUs`
+    * microseconds. Gaps-and-islands as two windows over ONE
+    * (keyCol)-hash partitioning: a lag() marks session starts, a
+    * running sum numbers them — at 100 TB this is one shuffle on the
+    * key followed by partition-local sorts, and any downstream
+    * per-(key, session_seq) aggregate reuses the same partitioning.
+    * Determinism: the row order is total ((tsCol, idCol) with a unique
+    * id), the gap compare is exact integer microseconds. A pathological
+    * mega-key sorts on one core — the documented chunking treatment
+    * (q_pack_sequences_chunked) applies if a fixture grows one. */
+  private[graft] def sessionize(ev: org.apache.spark.sql.DataFrame,
+      gapUs: Long = 1800000000L, keyCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id") = {
+    require(gapUs > 0, s"session gap must be positive microseconds: $gapUs")
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, idCol)
+    ev.withColumn("__gap_us",
+        unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("__new_sess",
+        when(col("__gap_us").isNull || col("__gap_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("__new_sess").over(w))
+      .drop("__gap_us", "__new_sess")
+  }
+
   /** The right side of both as-of variants: one purchase per (user, ts) —
     * max event_id wins, with its value — so the as-of match is
     * deterministic under ts ties. ONE definition shared by the window and
@@ -1288,6 +1314,211 @@ object Temporal {
              |FROM events JOIN prof
              |  ON event_type = p_type AND hour(ts) = p_hr
              |WHERE value > mean + 3.0 * sd
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // -------------------------------------- gap-based sessionization
+    // the batch sessionizer (warehouse SESSIONIZE / the batch twin of
+    // q_stream_session's session_window): split each user's event
+    // stream wherever the gap to the previous event exceeds 30 minutes,
+    // then report one row per session. Engine form is the classic
+    // gaps-and-islands two-window pass: a lag() marks session starts, a
+    // running sum of the start flags numbers the sessions, then ONE
+    // groupBy folds per-session stats — all three stages share the same
+    // user_id hash partitioning, so at 100 TB this is ONE shuffle on
+    // user_id followed by entirely partition-local sorts + a map-side-
+    // combinable aggregate. Determinism: the event order is total
+    // ((ts, event_id) — event_id is unique), the gap compare is exact
+    // integer microseconds (no interval semantics to drift between
+    // engines), and the value sum rides the exact DECIMAL(38,6)
+    // accumulator. A pathological mega-user sorts on one core — the
+    // documented chunking treatment (q_pack_sequences_chunked) applies
+    // if a fixture ever grows one; this one tops out at ~2k events/user.
+    QueryDef("q_events_sessionize",
+      (s, d) => sessionize(
+          Tables.table(s, d, "events")
+            .select("user_id", "ts", "event_id", "value"))
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"),
+          max("ts").as("session_end"),
+          dsum("value").as("total_value"))
+        .orderBy("user_id", "session_seq"),
+      Some("""WITH seq AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |  FROM events
+             |), flagged AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+             |      THEN 1 ELSE 0 END AS new_sess
+             |  FROM seq
+             |), sess AS (
+             |  SELECT user_id, ts, value,
+             |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS BIGINT) AS session_seq
+             |  FROM flagged
+             |)
+             |SELECT user_id, session_seq,
+             |  CAST(count(1) AS BIGINT) AS n_events,
+             |  min(ts) AS session_start, max(ts) AS session_end,
+             |  CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR)
+             |    AS DOUBLE) AS total_value
+             |FROM sess GROUP BY 1, 2
+             |ORDER BY user_id, session_seq""".stripMargin)),
+
+    // ---------------------------------------------- OHLC resampling
+    // downsample the event stream to 15-minute OHLC bars per event
+    // type — the time-series resample/candlestick shape (and the
+    // metric-rollup pass of an observability pipeline). Bucket = exact
+    // integer floor of epoch microseconds (no calendar/interval
+    // semantics to drift between engines); open/close are picked by
+    // row_number over the TOTAL (ts, event_id) order inside each bar
+    // — two window passes and the final aggregate all share ONE
+    // (event_type, bucket) hash partitioning, so at 100 TB this is a
+    // single shuffle of the fact stream, and bar keys are high-
+    // cardinality so no reducer hot-spots. high/low/volume are plain
+    // min/max/DECIMAL-exact sums; bar count is bounded by |events|.
+    QueryDef("q_timeseries_resample",
+      (s, d) => {
+        val bucketed = Tables.table(s, d, "events")
+          .select("event_type", "ts", "event_id", "value")
+          .withColumn("bar_start", timestamp_micros(
+            expr("(unix_micros(ts) div 900000000) * 900000000")))
+        val wAsc = Window.partitionBy("event_type", "bar_start")
+          .orderBy(col("ts"), col("event_id"))
+        val wDesc = Window.partitionBy("event_type", "bar_start")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        bucketed
+          .withColumn("rn_a", row_number().over(wAsc))
+          .withColumn("rn_d", row_number().over(wDesc))
+          .groupBy("event_type", "bar_start")
+          .agg(count(lit(1)).as("n_events"),
+            max(when(col("rn_a") === 1, col("value"))).as("open"),
+            max("value").as("high"),
+            min("value").as("low"),
+            max(when(col("rn_d") === 1, col("value"))).as("close"),
+            dsum("value").as("volume"))
+          .orderBy("event_type", "bar_start")
+      },
+      Some("""WITH bucketed AS (
+             |  SELECT event_type, ts, event_id, value,
+             |    make_timestamp((epoch_us(ts) // 900000000) * 900000000)
+             |      AS bar_start
+             |  FROM events
+             |), ranked AS (
+             |  SELECT event_type, bar_start, value,
+             |    row_number() OVER (PARTITION BY event_type, bar_start
+             |      ORDER BY ts, event_id) AS rn_a,
+             |    row_number() OVER (PARTITION BY event_type, bar_start
+             |      ORDER BY ts DESC, event_id DESC) AS rn_d
+             |  FROM bucketed
+             |)
+             |SELECT event_type, bar_start,
+             |  CAST(count(1) AS BIGINT) AS n_events,
+             |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+             |  max(value) AS high, min(value) AS low,
+             |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+             |  CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR)
+             |    AS DOUBLE) AS volume
+             |FROM ranked GROUP BY 1, 2
+             |ORDER BY event_type, bar_start""".stripMargin)),
+
+    // ------------------------------------------------ RFM segmentation
+    // recency/frequency/monetary customer scoring over purchase events
+    // — the classic lifecycle-segmentation report, built scale-safe:
+    // per-user metrics are ONE map-side-combinable aggregate over the
+    // fact stream; the three quintile cutpoint sets come from the
+    // spillable value-grain histogram quantiles ([[graft.Graft
+    // .quantiles]] — NO global sort, NO whole-column window, the
+    // q_agg_percentile ≡ quantile_cont precedent), broadcast back as
+    // 1-row frames; scores are row-local threshold compares. Recency
+    // counts calendar days from each user's last purchase to the
+    // corpus max (broadcast scalar). 5 = best on every axis (most
+    // recent / most orders / most spend). Exact-decimal money sums;
+    // the cutpoint compares are doubles derived identically on both
+    // engines, so the quintile boundaries cannot flake.
+    QueryDef("q_events_rfm",
+      (s, d) => {
+        val ev = Tables.table(s, d, "events")
+        val gmax = ev.agg(max("ts").as("gmax"))
+        // |users|-grain and read FOUR times (three cutpoint histograms +
+        // the scoring join) — materialize once so the fact stream is
+        // scanned once, not four times (the q_join_interval precedent)
+        val user = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(max("ts").as("last_ts"),
+            count(lit(1)).as("frequency"),
+            dsum("value").as("monetary"))
+          .join(broadcast(gmax))
+          .withColumn("recency_days",
+            datediff(to_date(col("gmax")), to_date(col("last_ts")))
+              .cast(LongType))
+          .withColumn("__g", lit(1))
+          .localCheckpoint(true)
+        def cuts(metric: String, tag: String) =
+          graft.ops.Relational.histQuantiles(user, metric, Seq("__g"),
+            Seq(0.2 -> s"${tag}20", 0.4 -> s"${tag}40",
+              0.6 -> s"${tag}60", 0.8 -> s"${tag}80"))
+        def above(metric: String, tag: String) =
+          (col(metric) > col(s"${tag}20")).cast("int") +
+            (col(metric) > col(s"${tag}40")).cast("int") +
+            (col(metric) > col(s"${tag}60")).cast("int") +
+            (col(metric) > col(s"${tag}80")).cast("int")
+        user
+          .join(broadcast(cuts("recency_days", "r")), Seq("__g"))
+          .join(broadcast(cuts("frequency", "f")), Seq("__g"))
+          .join(broadcast(cuts("monetary", "m")), Seq("__g"))
+          .select(col("user_id"), col("recency_days"), col("frequency"),
+            col("monetary"),
+            (lit(5) - above("recency_days", "r")).cast(LongType)
+              .as("r_score"),
+            (lit(1) + above("frequency", "f")).cast(LongType)
+              .as("f_score"),
+            (lit(1) + above("monetary", "m")).cast(LongType)
+              .as("m_score"))
+          .orderBy("user_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, max(ts) AS last_ts,
+             |    CAST(count(1) AS BIGINT) AS frequency,
+             |    CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR)
+             |      AS DOUBLE) AS monetary
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+             |), g AS (SELECT max(ts) AS gmax FROM events),
+             |r AS (
+             |  SELECT user_id,
+             |    date_diff('day', CAST(last_ts AS DATE), CAST(gmax AS DATE))
+             |      AS recency_days,
+             |    frequency, monetary
+             |  FROM u, g
+             |), q AS (
+             |  SELECT
+             |    quantile_cont(recency_days, 0.2) AS r20,
+             |    quantile_cont(recency_days, 0.4) AS r40,
+             |    quantile_cont(recency_days, 0.6) AS r60,
+             |    quantile_cont(recency_days, 0.8) AS r80,
+             |    quantile_cont(frequency, 0.2) AS f20,
+             |    quantile_cont(frequency, 0.4) AS f40,
+             |    quantile_cont(frequency, 0.6) AS f60,
+             |    quantile_cont(frequency, 0.8) AS f80,
+             |    quantile_cont(monetary, 0.2) AS m20,
+             |    quantile_cont(monetary, 0.4) AS m40,
+             |    quantile_cont(monetary, 0.6) AS m60,
+             |    quantile_cont(monetary, 0.8) AS m80
+             |  FROM r
+             |)
+             |SELECT user_id, recency_days, frequency, monetary,
+             |  CAST(5 - ((recency_days > r20)::INT + (recency_days > r40)::INT
+             |    + (recency_days > r60)::INT + (recency_days > r80)::INT)
+             |    AS BIGINT) AS r_score,
+             |  CAST(1 + ((frequency > f20)::INT + (frequency > f40)::INT
+             |    + (frequency > f60)::INT + (frequency > f80)::INT)
+             |    AS BIGINT) AS f_score,
+             |  CAST(1 + ((monetary > m20)::INT + (monetary > m40)::INT
+             |    + (monetary > m60)::INT + (monetary > m80)::INT)
+             |    AS BIGINT) AS m_score
+             |FROM r, q
+             |ORDER BY user_id""".stripMargin))
   )
 }

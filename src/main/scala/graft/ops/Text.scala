@@ -1236,6 +1236,89 @@ object Text {
               |      AS rk
               |  FROM documents)
               |WHERE rk <= 5
-              |ORDER BY lang, doc_id""".stripMargin))
+              |ORDER BY lang, doc_id""".stripMargin)),
+
+    // --------------------------------------------- collocation mining
+    // PMI-style collocations per language: adjacent word pairs that
+    // co-occur far more often than their unigram frequencies predict —
+    // the phrase-detection pass of a corpus pipeline (multi-word
+    // expressions, tokenizer-merge candidates). Score is an EXACT
+    // integer lift in parts-per-million:
+    //   lift_ppm = (n_ab · 10^6 · N²) div (B · n_a · n_b)
+    // (N = tokens in the language, B = bigrams; lift ≈ p(ab)/(p(a)p(b)),
+    // the exp of PMI) — computed in DECIMAL(38,0) / HUGEINT on the two
+    // engines so partial-agg order cannot wiggle a bit, where a float
+    // log-PMI would drift. Headroom: the numerator tops out ~10^26 at
+    // the replica (≪ 10^38); the BIGINT result tops out ~10^6·N/(B·min²)
+    // ≈ 10^12 at the replica — the n_ab ≥ 3 support floor keeps the
+    // singleton-pair degenerates (lift = N²/B ≫ everything) out entirely.
+    // Plan: two explode+count aggs (token grain, bigram grain), two
+    // token-keyed joins to attach unigram counts, two broadcast joins
+    // for the per-lang totals, then the salted top-10 — at 100 TB the
+    // heavy grain is the bigram count, ONE map-side-combinable shuffle.
+    QueryDef("q_text_collocations",
+      (s, d) => {
+        val docs = Tables.table(s, d, "documents")
+        val tail = greatest(size(toks) - 1, lit(0))
+        val tok = docs.select(col("lang"), explode(toks).as("w"))
+        val uni = tok.groupBy("lang", "w").agg(count(lit(1)).as("n_w"))
+        val tot = tok.groupBy("lang").agg(count(lit(1)).as("n_tok"))
+        val bg = docs.select(col("lang"), explode(zip_with(
+            slice(toks, lit(1), tail), slice(toks, lit(2), tail),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+          .select(col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val nbg = bg.groupBy("lang").agg(count(lit(1)).as("n_bg"))
+        val scored = bg.groupBy("lang", "w1", "w2")
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 3)
+          .join(uni.select(col("lang"), col("w").as("w1"),
+            col("n_w").as("n_a")), Seq("lang", "w1"))
+          .join(uni.select(col("lang"), col("w").as("w2"),
+            col("n_w").as("n_b")), Seq("lang", "w2"))
+          .join(broadcast(tot), Seq("lang"))
+          .join(broadcast(nbg), Seq("lang"))
+          .withColumn("lift_ppm", expr(
+            """(CAST(n_ab AS DECIMAL(38,0)) * 1000000 * n_tok * n_tok)
+              | div (CAST(n_bg AS DECIMAL(38,0)) * n_a * n_b)""".stripMargin))
+          .select("lang", "w1", "w2", "n_ab", "lift_ppm")
+        topNPerGroup(scored, Seq("lang"),
+            Seq(col("lift_ppm").desc, col("w1"), col("w2")), 10,
+            saltKey = concat(col("w1"), lit(" "), col("w2")))
+          .orderBy("lang", "rank")
+      },
+      Some("""WITH tk AS (
+             |  SELECT lang, string_split(text, ' ') AS t FROM documents
+             |), uni AS (
+             |  SELECT lang, u.w, count(1) AS n_w
+             |  FROM tk, UNNEST(t) AS u(w) GROUP BY 1, 2
+             |), tot AS (
+             |  SELECT lang, count(1) AS n_tok
+             |  FROM tk, UNNEST(t) AS u(w) GROUP BY 1
+             |), bg AS (
+             |  SELECT lang, t[i] AS w1, t[i + 1] AS w2
+             |  FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+             |), nbg AS (
+             |  SELECT lang, count(1) AS n_bg FROM bg GROUP BY 1
+             |), pair AS (
+             |  SELECT lang, w1, w2, count(1) AS n_ab
+             |  FROM bg GROUP BY 1, 2, 3 HAVING count(1) >= 3
+             |), scored AS (
+             |  SELECT p.lang, p.w1, p.w2, CAST(p.n_ab AS BIGINT) AS n_ab,
+             |    CAST((CAST(p.n_ab AS HUGEINT) * 1000000 * t.n_tok * t.n_tok)
+             |      // (CAST(b.n_bg AS HUGEINT) * a.n_w * c.n_w) AS BIGINT)
+             |      AS lift_ppm
+             |  FROM pair p
+             |  JOIN uni a ON a.lang = p.lang AND a.w = p.w1
+             |  JOIN uni c ON c.lang = p.lang AND c.w = p.w2
+             |  JOIN tot t ON t.lang = p.lang
+             |  JOIN nbg b ON b.lang = p.lang
+             |)
+             |SELECT lang, w1, w2, n_ab, lift_ppm, rank FROM (
+             |  SELECT lang, w1, w2, n_ab, lift_ppm,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY lift_ppm DESC, w1, w2) AS rank
+             |  FROM scored)
+             |WHERE rank <= 10
+             |ORDER BY lang, rank""".stripMargin))
   )
 }

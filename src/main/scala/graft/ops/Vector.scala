@@ -1197,6 +1197,46 @@ object Vector {
               |FROM documents JOIN n ON doc_id = vec_id
               |ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------------------------ radius search
+    // the range-query twin of q_similarity_topk: ALL corpus vectors
+    // within a cosine radius of each query (top-k answers "best k",
+    // range answers "everything this similar" — retrieval's filter-by-
+    // score mode, and the primitive behind near-dup blocklists with an
+    // explicit threshold instead of a rank cut). Same scale shape as
+    // topk: the query batch broadcasts, the corpus streams through ONE
+    // scan with a codegen'd dot fold per pair, and the threshold filter
+    // collapses the output long before any shuffle — per query batch the
+    // cost is one corpus pass regardless of result size. The compare
+    // runs on the ROUNDED cosine (both engines round identically, so the
+    // boundary cannot flake); 0.30 sits at ~p99 of the query-pair cosine
+    // distribution on the near-orthogonal fixture vectors (max ≈ 0.40 at
+    // sf0.001-0.1; the 10x replica adds exact-copy pairs at 1.0), so the
+    // radius admits the genuine upper tail at every scale — VectorSpec
+    // pins non-empty, non-everything, and bit-exact vs a driver replay.
+    QueryDef("q_similarity_range",
+      (s, d) => {
+        val e = vecs(s, d)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        val c = e.select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("nrm").as("cn"))
+        c.join(broadcast(q), col("cid") =!= col("qid"))
+          .withColumn("cosine",
+            round(expr("dot_product(qv, cv)") / (col("qn") * col("cn")), 6))
+          .filter(col("cosine") >= 0.30)
+          .select("qid", "cid", "cosine")
+          .orderBy("qid", "cid")
+      },
+      Some(s"""$duckVecs, scored AS (
+              |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+              |    round($duckDot / (q.nrm * c.nrm), 6) AS cosine
+              |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+              |)
+              |SELECT qid, cid, cosine FROM scored
+              |WHERE cosine >= 0.30
+              |ORDER BY qid, cid""".stripMargin)),
+
     // ---------------------------------------- multimodal binary plumbing
     // opaque binary payload + typed metadata: the oracle-checkable half of
     // the binary-column pipeline (lengths + content hash + a

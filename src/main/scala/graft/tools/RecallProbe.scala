@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic main: recall@5 of every ANN search key against the
+  * brute-force `q_similarity_topk` truth at an arbitrary warehouse dir
+  * (round-13 verdict item 5 — recall was only ever pinned at
+  * sf0.001/sf0.01; IVF cell occupancy and probe caps shift with corpus
+  * size, so the 10× replica needs its own number).
+  *
+  * Recall here is SCORE-tolerant: an ANN hit counts if its cosine is ≥
+  * the query's 5th-best brute-force cosine − 1e-9. The replica corpus
+  * contains exact duplicate vectors by construction (10 shifted copies
+  * of every sf0.1 row), so massive cosine ties are the norm — id-set
+  * recall would depend on tie-break order and measure nothing. Prints
+  * one JSON line: {"sf_dir": …, "recall": {key: r@5, …}}.
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def hits(key: String): Map[Long, Seq[Double]] =
+      graft.SparkEntry.queries(key)(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getDouble(3)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+    val brute = hits("q_similarity_topk")
+    val floor5 = brute.view.mapValues(_.min).toMap
+    val keys = Seq("q_similarity_ivf", "q_similarity_lsh",
+      "q_similarity_quantized", "q_similarity_projected")
+    val recalls = keys.map { k =>
+      val ann = hits(k)
+      val rs = brute.keys.toSeq.map { qid =>
+        val got = ann.getOrElse(qid, Seq.empty)
+          .count(_ >= floor5(qid) - 1e-9)
+        math.min(got, 5).toDouble / 5.0
+      }
+      k -> rs.sum / rs.size
+    }
+    val json = recalls.map { case (k, r) => s""""$k":${f"$r%.3f"}""" }
+      .mkString(s"""{"sf_dir":"$sfDir","recall":{""", ",", "}}")
+    // JSON on stdout for the bench-narrative ritual; grep for "recall"
+    println(json)
+    spark.stop()
+  }
+}

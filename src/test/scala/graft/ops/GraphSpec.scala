@@ -245,4 +245,53 @@ class GraphSpec extends SparkSpec {
     assert(small == large, s"dispatch arms diverge: $small vs $large")
     assert(small.nonEmpty)
   }
+
+  /** sequential BFS replay: min hops from any seed, capped at maxHops */
+  private def bruteBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
+      maxHops: Int): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    for (r <- 1 to maxHops if frontier.nonEmpty) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- dist.keySet
+      dist ++= next.map(_ -> r.toLong)
+      frontier = next
+    }
+    dist
+  }
+
+  private def runBfs(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      maxHops: Int, parts: Int = 1): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.bfs(edges.toDF("src", "dst").repartition(parts),
+        seeds.toDF("node"), maxHops).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("bfs matches the sequential replay, respects the horizon, exits early") {
+    val path = symmetrize(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (10L, 11L))) // a 6-path plus an unreachable pair
+    assert(runBfs(path, Seq(0L), 4) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    // horizon caps distance...
+    assert(runBfs(path, Seq(0L), 2) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    // ...and hops beyond the diameter change nothing (early exit keeps
+    // the full-coverage answer identical at any larger horizon)
+    val full = Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L)
+    assert(runBfs(path, Seq(0L), 5) == full)
+    assert(runBfs(path, Seq(0L), 16) == full)
+  }
+
+  test("bfs multi-source takes the NEAREST seed and is partitioning-invariant") {
+    val rnd = new scala.util.Random(11)
+    val edges = symmetrize(
+      Seq.fill(90)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter { case (a, b) => a != b })
+    val seeds = Seq(0L, 7L, 19L)
+    val want = bruteBfs(edges, seeds.toSet, 3)
+    assert(runBfs(edges, seeds, 3) == want,
+      "distributed BFS diverged from the sequential replay")
+    assert(runBfs(edges, seeds, 3, parts = 7) == want,
+      "BFS distances must not depend on partitioning")
+  }
 }

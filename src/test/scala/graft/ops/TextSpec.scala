@@ -279,4 +279,39 @@ class TextSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("epoch ladder too narrow")),
       s"unexpected failure: $e")
   }
+
+  test("collocations match a sequential BigInt replay of the lift formula") {
+    // replay q_text_collocations in driver Scala with exact BigInt
+    // arithmetic: lift_ppm = (n_ab·10^6·N²) div (B·n_a·n_b), support
+    // floor n_ab ≥ 3, top-10 per lang by (lift desc, w1, w2)
+    val docs = graft.warehouse.Tables.table(spark, sfDir, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).toSeq))
+    val byLang = docs.groupBy(_._1)
+    val want = byLang.toSeq.flatMap { case (lang, ds) =>
+      val toks = ds.flatMap(_._2)
+      val bgs = ds.flatMap(_._2.sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1))).toSeq)
+      val n = BigInt(toks.size); val b = BigInt(bgs.size)
+      val uni = toks.groupBy(identity).view.mapValues(x => BigInt(x.size))
+      val ranked = bgs.groupBy(identity).toSeq
+        .map { case ((w1, w2), g) => (w1, w2, BigInt(g.size)) }
+        .filter(_._3 >= 3)
+        .map { case (w1, w2, nab) =>
+          val lift = (nab * 1000000 * n * n) / (b * uni(w1) * uni(w2))
+          (w1, w2, nab.toLong, lift.toLong)
+        }
+        .sortBy { case (w1, w2, _, lift) => (-lift, w1, w2) }
+        .take(10).zipWithIndex
+        .map { case ((w1, w2, nab, lift), i) =>
+          (lang, w1, w2, nab, lift, (i + 1).toLong) }
+      ranked
+    }.toSet
+    val got = graft.SparkEntry.queries("q_text_collocations")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == want,
+      s"collocations diverged from the replay: ${got.size} vs ${want.size}")
+    assert(want.nonEmpty)
+  }
 }

@@ -334,4 +334,35 @@ class VectorSpec extends SparkSpec {
       Vector.knnJoin(spark, sfDir, graft.ops.IvfCentroids.values, cellCap = 0)
     }
   }
+
+  test("range search matches a sequential brute-force replay exactly") {
+    // replay the engine contract in driver Scala: float→double cast,
+    // sequential left-fold dot products, cosine = dot/(|q||c|), HALF_UP
+    // rounding to 6 digits, keep rounded ≥ 0.30 — the pair SET and the
+    // scores must both match bit-for-bit
+    val emb = graft.warehouse.Tables.table(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val norm = emb.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val byId = emb.toMap
+    val want = (for {
+      (qid, qv) <- emb if qid < 5
+      (cid, cv) <- emb if cid != qid
+      c = r6(dot(qv, cv) / (norm(qid) * norm(cid))) if c >= 0.30
+    } yield (qid, cid, c)).toSet
+    val got = SparkEntry.queries("q_similarity_range")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"range result diverged: ${got.size} vs ${want.size} pairs")
+    assert(want.nonEmpty, "threshold returned nothing — fixture drifted?")
+    // the radius must actually CUT: not every pair qualifies
+    assert(want.size < 5 * (emb.length - 1),
+      "threshold admitted every pair — no longer a range query")
+  }
 }
