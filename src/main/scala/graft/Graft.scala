@@ -685,6 +685,19 @@ object Graft {
     if (converge) ops.Graph.labelPropagationConverge(edges, maxIters)
     else ops.Graph.labelPropagation(edges, iters)
 
+  /** Personalized PageRank (TrustRank-style): fixed-iteration PageRank
+    * whose restart mass lands ONLY on `seeds` (a frame with a `node`
+    * column), so rank measures importance relative to the trusted set
+    * — the seed-biased curation weighting next to [[pageRank]]'s
+    * global centrality. Exact integer micro-units, bit-reproducible
+    * at any partitioning; full |V| output vector (non-reached nodes
+    * rank 0). Same symmetrize-for-undirected contract as [[pageRank]].
+    * Oracle-checked as `q_graph_ppr`; sequential-replay + seed-mass
+    * properties in GraphSpec. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 3): DataFrame =
+    ops.Graph.pageRankFrom(edges, seeds, iters)
+
   /** Multi-source bounded-hop BFS: hop distance from every reachable
     * node to its nearest seed, exploring at most `maxHops` rounds —
     * the seed-expansion primitive (start from trusted documents, pull

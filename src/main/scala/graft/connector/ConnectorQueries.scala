@@ -21,6 +21,19 @@ object ConnectorQueries {
       key match {
         case "roundtrip" =>
           Write.toParquet(Tables.table(s, d, "supplier"), dir, overwrite = true)
+        case "roundtrip_csv" =>
+          // header on so the file is self-describing; doubles round-trip
+          // exactly (writer emits the shortest string that parses back to
+          // the same IEEE value), quoting handles any embedded delimiter
+          Tables.table(s, d, "customer")
+            .write.option("header", "true").mode("overwrite").csv(dir)
+        case "roundtrip_json" =>
+          // explicit micros format: the default JSON timestamp pattern
+          // truncates to millis on the read side, silently losing the
+          // micros the warehouse timestamps carry
+          Tables.table(s, d, "orders")
+            .write.option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .mode("overwrite").json(dir)
         case "dsv2" =>
           Tables.table(s, d, "customer").repartition(3)
             .write.mode("overwrite").parquet(dir)
@@ -88,8 +101,9 @@ object ConnectorQueries {
     }
 
   private val stageKeys = Seq(
-    "roundtrip", "dsv2", "dsv2_dec", "dsv2_rtp", "dsv2_arr", "dsv2_struct",
-    "dsv2_map", "dsv2_part", "dsv2_agg")
+    "roundtrip", "roundtrip_csv", "roundtrip_json", "dsv2", "dsv2_dec",
+    "dsv2_rtp", "dsv2_arr", "dsv2_struct", "dsv2_map", "dsv2_part",
+    "dsv2_agg")
 
   /** Bucketed twins of orders/lineitem for `q_bucket_join`: both sides
     * CLUSTERED BY their orderkey into the same 8 buckets — the pre-paid
@@ -163,6 +177,34 @@ object ConnectorQueries {
     QueryDef("q_roundtrip_write",
       (s, d) => s.read.parquet(staged("roundtrip", s, d)).orderBy("s_suppkey"),
       Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+
+    // ------------------------------------- text-format round-trips
+    // the interchange formats a warehouse unload/load pipeline speaks
+    // besides parquet: write the table out, read it back with an
+    // EXPLICIT schema (inference is a correctness lottery — int vs
+    // long, string vs timestamp — so the contract is schema-first),
+    // and the oracle checks content identity against the original
+    // parquet. CSV: header + quoting, IEEE-exact doubles (shortest-
+    // round-trip serialization both ways). JSON: explicit micros
+    // timestampFormat on write AND read (the default pattern loses
+    // sub-millisecond precision on the read side). At 100 TB both
+    // stay embarrassingly parallel — per-partition files, no shuffle
+    // in either direction.
+    QueryDef("q_roundtrip_csv",
+      (s, d) => s.read
+        .schema(Tables.table(s, d, "customer").schema)
+        .option("header", "true")
+        .csv(staged("roundtrip_csv", s, d))
+        .orderBy("c_custkey"),
+      Some("SELECT * FROM customer ORDER BY c_custkey")),
+
+    QueryDef("q_roundtrip_json",
+      (s, d) => s.read
+        .schema(Tables.table(s, d, "orders").schema)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .json(staged("roundtrip_json", s, d))
+        .orderBy("o_orderkey"),
+      Some("SELECT * FROM orders ORDER BY o_orderkey")),
 
     // small-file compaction end-to-end: a 48-file pathological ingest
     // layout rewritten to ceil(total/256 KiB) files by Graft.

@@ -232,6 +232,52 @@ object Graph {
     base + steps
   }
 
+  /** The DuckDB twin of [[pageRankFrom]] on the trade graph with the
+    * q_graph_bfs seed set — [[duckPageRank]]'s CTE chain with the
+    * restart mass confined to the seeds. */
+  private def duckPpr(iters: Int): String = {
+    val base =
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), und AS (
+        |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+        |), deg AS (
+        |  SELECT src AS node, count(1) AS deg FROM und GROUP BY 1
+        |), seeds AS (
+        |  SELECT node, CAST(150000000000 AS BIGINT) AS restart FROM deg
+        |  WHERE node % 2 = 1 AND ((node - 1) // 2) % 7 = 1
+        |), r0 AS (
+        |  SELECT d.node,
+        |    CAST(CASE WHEN s.node IS NOT NULL THEN 1000000000000 ELSE 0 END
+        |      AS BIGINT) AS rank
+        |  FROM deg d LEFT JOIN seeds s ON d.node = s.node
+        |)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""", c$i AS (
+         |  SELECT u.dst AS node, sum(r.rank // d.deg) AS s
+         |  FROM und u
+         |  JOIN deg d ON u.src = d.node
+         |  JOIN r${i - 1} r ON u.src = r.node
+         |  GROUP BY 1
+         |), r$i AS (
+         |  SELECT d.node,
+         |    CAST(coalesce(s.restart, 0)
+         |      + (85 * coalesce(c$i.s, 0)) // 100 AS BIGINT) AS rank
+         |  FROM deg d
+         |  LEFT JOIN c$i ON d.node = c$i.node
+         |  LEFT JOIN seeds s ON d.node = s.node
+         |)""".stripMargin
+    }.mkString
+    base + steps +
+      s"""
+         |SELECT node AS node_id,
+         |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS node_type,
+         |  rank
+         |FROM r$iters ORDER BY node_id""".stripMargin
+  }
+
   /** Semi-synchronous label propagation (community detection) over a
     * symmetrized edge list: `iters` fixed rounds, each node adopting
     * the most frequent label among its neighbours with a DETERMINISTIC
@@ -510,6 +556,61 @@ object Graph {
     * lineage (the survivor set is referenced twice per round — an
     * unrolled chain doubles per round). The oracle key
     * `q_graph_kcore` replays these exact rounds as chained CTEs. */
+  /** Personalized PageRank ([[graft.Graft.personalizedPageRank]];
+    * TrustRank-style seed-biased importance): the restart mass lands
+    * ONLY on the seed set, so rank measures proximity-weighted
+    * influence relative to the seeds — the "expand from trusted
+    * documents, importance-weighted" curation primitive, where uniform
+    * [[pageRank]] measures global centrality. Same exact integer
+    * contract (micro-units, floor divisions, bit-reproducible at any
+    * partitioning), same fixed-round bounded plan, same size-adaptive
+    * broadcast/shuffle dispatch and per-round lineage cuts as
+    * [[pageRank]]; r0 = 10^12 on each seed and 0 elsewhere, each round
+    * adds 0.15·10^12 restart to seeds only. Non-seed sinks keep rank 0
+    * until mass reaches them, so the output is a full |V| vector (no
+    * sparse drop-out — deterministic row count). */
+  private[graft] def pageRankFrom(edges: DataFrame, seeds: DataFrame,
+      iters: Int, degCacheKey: Option[String] = None,
+      broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
+    require(iters >= 1 && iters <= 20,
+      s"pageRankFrom runs a fixed unrolled plan per iteration; $iters is " +
+        "outside the sane 1..20 range (each iteration adds two exchanges)")
+    val und = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    def buildDeg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    val deg = degCacheKey
+      .map(k => graft.CacheRegistry.getOrCheckpoint("graph_out_degrees", k, buildDeg))
+      .getOrElse(buildDeg)
+    def buildFused = und.join(deg, "src")
+    val fused = degCacheKey
+      .map(k => graft.CacheRegistry.getOrCheckpoint("graph_edges_deg", k, buildFused))
+      .getOrElse(buildFused)
+    val nV = deg.count()
+    val small = nV <= broadcastMaxNodes
+    def h(df: DataFrame) = if (small) broadcast(df) else df
+    // seed restart table: |S|-sized, checkpointed once, joined per round
+    val seedSet = seeds.select(col("node").cast("long").as("node"))
+      .distinct().withColumn("restart", lit(150000000000L))
+      .localCheckpoint(true)
+    var ranks = deg.select(col("src").as("node"))
+      .join(h(seedSet), Seq("node"), "left")
+      .select(col("node"),
+        when(col("restart").isNotNull, lit(1000000000000L)).otherwise(lit(0L))
+          .as("rank"))
+    for (i <- 1 to iters) {
+      ranks = fused
+        .join(h(ranks.withColumnRenamed("node", "src")), "src")
+        .select(col("dst").as("node"), expr("rank div deg").as("share"))
+        .unionAll(deg.select(col("src").as("node"), lit(0L).as("share")))
+        .groupBy("node").agg(sum("share").as("s"))
+        .join(h(seedSet), Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("restart"), lit(0L)) + expr("(85 * s) div 100"))
+            .as("rank"))
+      if (!small && i < iters) ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Multi-source bounded-hop BFS ([[graft.Graft.bfs]]): hop distance
     * from every reachable node to its NEAREST seed, exploring at most
     * `maxHops` rounds. Returns (node, dist) — one row per node reached
@@ -893,6 +994,26 @@ object Graph {
               |  JOIN deg da ON da.n = a JOIN deg db ON db.n = b
               |ORDER BY jaccard DESC, a, b
               |LIMIT 25""".stripMargin)),
+
+    // --------------------------------------- personalized PageRank
+    // seed-biased importance on the trade graph: restart mass lands
+    // only on the q_graph_bfs seed suppliers, so rank = proximity-
+    // weighted influence relative to the trusted set (TrustRank) —
+    // [[pageRankFrom]] documents the engine form (the exact-integer
+    // pageRank loop with a |S|-sized restart join per round). The
+    // oracle unrolls the same three rounds as chained CTEs with the
+    // identical floor divisions.
+    QueryDef("q_graph_ppr",
+      (s, d) => {
+        val edges = tradeGraph(s, d)
+        val seeds = edges.select(col("src").as("node")).distinct()
+          .filter(expr("node % 2 = 1 AND ((node - 1) div 2) % 7 = 1"))
+        pageRankFrom(edges, seeds, iters = 3, degCacheKey = Some(d))
+          .select(col("node").as("node_id"),
+            nodeType.as("node_type"), col("rank"))
+          .orderBy("node_id")
+      },
+      Some(duckPpr(3))),
 
     // ------------------------------------------------ bounded-hop BFS
     // multi-source breadth-first distances on the trade graph: every

@@ -1519,6 +1519,61 @@ object Temporal {
              |    + (monetary > m60)::INT + (monetary > m80)::INT)
              |    AS BIGINT) AS m_score
              |FROM r, q
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------- last-touch attribution
+    // marketing attribution: each purchase credits the user's most
+    // recent click, but only when that click falls inside a 7-day
+    // attribution window — outside it the purchase is reported
+    // unattributed (NULL click, the organic bucket). Engine form is
+    // the [[asofJoin]] union+window operator (ONE user_id shuffle, no
+    // range explosion) carrying the click's OWN timestamp as a value
+    // column, then a row-local window gate — correct because the as-of
+    // pick IS the only candidate: if the latest prior click is outside
+    // the window, every earlier one is too. Clicks dedup to (user, ts)
+    // grain with max-event_id (the purchasesDeduped discipline) so ties
+    // are deterministic; the lag is exact integer minutes. The DuckDB
+    // oracle runs its native ASOF LEFT JOIN plus the same gate: two
+    // engines, one attribution rule.
+    QueryDef("q_events_attribution",
+      (s, d) => {
+        val ev = Tables.table(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            col("ts"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts")
+          .agg(max("event_id").as("c_id"))
+          .withColumn("c_ts", col("ts"))
+        val gate = col("c_ts").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("c_ts")) <=
+            lit(7L * 24 * 3600 * 1000000)
+        asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts")
+          .select(col("p_id"), col("user_id"), col("value"),
+            when(gate, col("c_id")).as("click_id"),
+            when(gate,
+              expr("(unix_micros(ts) - unix_micros(c_ts)) div 60000000"))
+              .as("mins_since_click"))
+          .orderBy("p_id")
+      },
+      Some("""WITH purchases AS (
+             |  SELECT event_id AS p_id, user_id, ts, value
+             |  FROM events WHERE event_type = 'purchase'
+             |), clicks AS (
+             |  SELECT user_id, ts AS c_ts, max(event_id) AS c_id
+             |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+             |), joined AS (
+             |  SELECT p.p_id, p.user_id, p.value, c.c_id, c.c_ts,
+             |    epoch_us(p.ts) - epoch_us(c.c_ts) AS lag_us
+             |  FROM purchases p
+             |  ASOF LEFT JOIN clicks c
+             |    ON p.user_id = c.user_id AND p.ts >= c.c_ts
+             |)
+             |SELECT p_id, user_id, value,
+             |  CASE WHEN lag_us <= 604800000000 THEN c_id END AS click_id,
+             |  CAST(CASE WHEN lag_us <= 604800000000
+             |    THEN lag_us // 60000000 END AS BIGINT) AS mins_since_click
+             |FROM joined
+             |ORDER BY p_id""".stripMargin))
   )
 }

