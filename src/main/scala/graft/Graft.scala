@@ -691,12 +691,16 @@ object Graft {
     * — the seed-biased curation weighting next to [[pageRank]]'s
     * global centrality. Exact integer micro-units, bit-reproducible
     * at any partitioning; full |V| output vector (non-reached nodes
-    * rank 0). Same symmetrize-for-undirected contract as [[pageRank]].
-    * Oracle-checked as `q_graph_ppr`; sequential-replay + seed-mass
-    * properties in GraphSpec. */
+    * rank 0). Same symmetrize-for-undirected contract as [[pageRank]],
+    * and the same `converge = true` production mode (iterate to the
+    * exact integer fixed point, ≤ `maxIters`, loud past it).
+    * Oracle-checked as `q_graph_ppr`; sequential-replay, seed-mass,
+    * and converge≡fixed-round properties in GraphSpec. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
-      iters: Int = 3): DataFrame =
-    ops.Graph.pageRankFrom(edges, seeds, iters)
+      iters: Int = 3, converge: Boolean = false,
+      maxIters: Int = 50): DataFrame =
+    if (converge) ops.Graph.pageRankFromConverge(edges, seeds, maxIters)
+    else ops.Graph.pageRankFrom(edges, seeds, iters)
 
   /** Multi-source bounded-hop BFS: hop distance from every reachable
     * node to its nearest seed, exploring at most `maxHops` rounds —

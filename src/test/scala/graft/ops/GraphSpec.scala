@@ -321,6 +321,52 @@ class GraphSpec extends SparkSpec {
     assert(want(0L) > 0L && want.values.sum > 0L)
   }
 
+  test("personalized PageRank(converge): exact fixed point, loud exhaustion, loud 2-cycle") {
+    import spark.implicits._
+    def toMap(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // triangle with ALL nodes seeded: perfectly symmetric mass, so the
+    // exact fixed point (every rank = 10^12) lands in one round — this
+    // pins the converge mechanics without paying the ~170-round mixing
+    // a generic graph needs to reach the integer grain
+    val tri = symmetrize(Seq((0L, 1L), (1L, 2L), (0L, 2L))).toDF("src", "dst")
+    val all = Seq(0L, 1L, 2L).toDF("node")
+    val convDf = graft.Graft.personalizedPageRank(tri, all,
+      converge = true, maxIters = 5).localCheckpoint(true)
+    val conv = toMap(convDf)
+    assert(conv == Map(0L -> 1000000000000L, 1L -> 1000000000000L,
+      2L -> 1000000000000L))
+    // step identity: one more application of the same integer map
+    // changes nothing (equivalent to equality with every long-enough
+    // fixed-round run — the pageRank converge argument)
+    assert(toMap(Graph.pprStep(tri, all, convDf)) == conv,
+      "converged PPR vector is not a fixed point")
+    // loud exhaustion: a single-seed run cannot mix to the integer
+    // grain in 2 rounds — the converge mode must raise, not return a
+    // half-mixed vector
+    val e = intercept[RuntimeException] {
+      graft.Graft.personalizedPageRank(tri, Seq(0L).toDF("node"),
+        converge = true, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did not reach"), e.getMessage)
+  }
+
+  test("personalized PageRank(converge) detects an integer-grain 2-cycle and raises") {
+    import spark.implicits._
+    // this 5-node graph with seed {0} enters a period-2 oscillation at
+    // the integer grain ~round 42 (found by sequential search over the
+    // exact integer map; the floor map is not monotone) — converge
+    // mode must detect it AT ONSET and raise the documented error,
+    // not burn maxIters rounds or return an arbitrary phase
+    val edges = symmetrize(Seq((0L, 1L), (0L, 2L), (0L, 4L), (1L, 2L),
+      (1L, 4L), (2L, 3L), (2L, 4L))).toDF("src", "dst")
+    val e = intercept[RuntimeException] {
+      graft.Graft.personalizedPageRank(edges, Seq(0L).toDF("node"),
+        converge = true, maxIters = 100).collect()
+    }
+    assert(e.getMessage.contains("oscillates with period 2"), e.getMessage)
+  }
+
   test("bfs multi-source takes the NEAREST seed and is partitioning-invariant") {
     val rnd = new scala.util.Random(11)
     val edges = symmetrize(
