@@ -981,6 +981,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("FullOuter"), s"full-outer join missing:\n$p")
   }
 
+  test("q_events_sessionize runs lag, cumsum, and the session agg on ONE user shuffle") {
+    val p = plan("q_events_sessionize")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_#0-9L]+)"
+      .r.findAllMatchIn(p).map(_.group(1).takeWhile(_ != '#')).toList
+    assert(exchanges == List("user_id"),
+      s"expected exactly one user_id exchange, got $exchanges:\n$p")
+  }
+
+  test("q_timeseries_resample shares one (type, bar) shuffle across both windows and the agg") {
+    val p = plan("q_timeseries_resample")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly one exchange, got $n:\n$p")
+  }
+
+  test("q_similarity_range never shuffles the corpus — broadcast queries only") {
+    val p = plan("q_similarity_range")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"range search must be one broadcast corpus pass:\n$p")
+    assert(p.contains("BroadcastExchange"), s"query batch must broadcast:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and
