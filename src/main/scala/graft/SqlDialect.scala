@@ -1,0 +1,196 @@
+package graft
+
+/** Snowflake scalar-function dialect shim for the SQL front door — the
+  * round-13 verdict's last "missing" item. The reference's UX is
+  * query-string pass-through to the warehouse (dask_snowflake/
+  * core.py:143), so a user migrating real Snowflake SQL types
+  * Snowflake-isms; Spark 4.1 already speaks most of them natively
+  * (verified this round against the 4.1.2 registry: NVL, NVL2, IFNULL,
+  * DECODE, ZEROIFNULL, NULLIFZERO, TO_NUMBER/TRY_TO_NUMBER, 3-arg
+  * DATEADD/DATEDIFF, LISTAGG … WITHIN GROUP, SPLIT_PART, REGEXP_COUNT,
+  * REGEXP_SUBSTR, DAYNAME, MONTHNAME, STARTSWITH, CONTAINS, MEDIAN —
+  * all pass through untouched), and this shim rewrites the small
+  * remainder that Spark lacks, each with EXACTLY matching semantics:
+  *
+  *   - `IFF(c, t, f)`            → `if(c, t, f)`
+  *   - `SQUARE(x)`               → `power((x), 2)` (double, as Snowflake)
+  *   - `CHARINDEX(sub, s[, p])`  → `locate(sub, s[, p])` (same arg order,
+  *                                  same 1-based/0-absent contract)
+  *   - `TO_VARCHAR(x)`           → `CAST((x) AS STRING)` (1-arg form)
+  *   - `EDITDISTANCE(a, b)`      → `levenshtein(a, b)` (2-arg form)
+  *   - `DIV0(a, b)`              → `CASE WHEN (b) = 0 THEN 0 ELSE (a)/(b) END`
+  *   - `DIV0NULL(a, b)`          → as DIV0 with the `OR (b) IS NULL` arm
+  *   - `BITAND/BITOR/BITXOR`     → `&` / `|` / `^`
+  *   - `BITNOT(a)`               → `~(a)`
+  *   - `BITSHIFTLEFT/RIGHT`      → `shiftleft` / `shiftright`
+  *
+  * Forms whose Spark twin DIVERGES are rejected loudly, never mapped
+  * approximately: `TO_VARCHAR(x, format)` (Snowflake's format grammar ≠
+  * `date_format`/`format_number` — write those directly),
+  * `EDITDISTANCE(a, b, max)` (Snowflake clamps to max, Spark's
+  * 3-arg levenshtein returns -1 past the threshold), and `STRTOK`
+  * (its delimiter is a character SET, not a string — use `split_part`
+  * for single-delimiter tokenization). `INSERT(s, pos, len, r)` is
+  * deliberately not recognized: rewriting the `INSERT` token risks the
+  * DML keyword inside MERGE text; use `overlay` (Spark-native, same
+  * semantics).
+  *
+  * The rewriter is a quote/comment-aware single pass, not a regex:
+  * `'…'` literals (with `''` doubling), `"…"`/backtick identifiers and
+  * line/block comments pass through byte-for-byte; call detection
+  * requires an immediate `(` and no preceding `.` (so `alias.iff` is
+  * never touched); arguments are split at top-level commas only and
+  * rewritten recursively, so `IFF(DIV0(a,b) > 0, SQUARE(x), …)` nests.
+  * [[SqlText]] applies it at the leaf positions of its grammar — the
+  * pass-through statement, QUALIFY's head/predicate, ASOF's projection
+  * and tail, and each MERGE AND-gate AFTER clause splitting, so a
+  * DIV0-generated `CASE WHEN` can never confuse the WHEN-splitter.
+  * Oracle-checked as `q_sql_dialect_scalar` / `q_sql_dialect_bitwise` /
+  * `q_sql_dialect_passthrough`.
+  */
+object SqlDialect {
+
+  private val Names: Set[String] = Set(
+    "iff", "square", "charindex", "to_varchar", "editdistance",
+    "div0", "div0null", "bitand", "bitor", "bitxor", "bitnot",
+    "bitshiftleft", "bitshiftright", "strtok")
+
+  /** Rewrite every recognized Snowflake call site in `sql`; text not
+    * in the mapped set (including all the natively-supported functions
+    * above) passes through untouched. */
+  def rewrite(sql: String): String = {
+    val out = new StringBuilder
+    val n = sql.length
+    var i = 0
+    def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') { val j = pastString(sql, i); out.append(sql.substring(i, j)); i = j }
+      else if (c == '"' || c == '`') {
+        val j = pastDelim(sql, i, c); out.append(sql.substring(i, j)); i = j
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        val j = sql.indexOf('\n', i) match { case -1 => n; case k => k }
+        out.append(sql.substring(i, j)); i = j
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val j = sql.indexOf("*/", i) match { case -1 => n; case k => k + 2 }
+        out.append(sql.substring(i, j)); i = j
+      } else if ((c.isLetter || c == '_') &&
+          (i == 0 || !isIdentChar(sql.charAt(i - 1)))) {
+        var j = i
+        while (j < n && isIdentChar(sql.charAt(j))) j += 1
+        val word = sql.substring(i, j)
+        var k = j
+        while (k < n && sql.charAt(k).isWhitespace) k += 1
+        val qualified = out.reverseIterator.find(!_.isWhitespace).contains('.')
+        if (Names.contains(word.toLowerCase) && !qualified &&
+            k < n && sql.charAt(k) == '(') {
+          val close = matchParen(sql, k)
+          val args = splitTopLevel(sql.substring(k + 1, close))
+            .map(a => rewrite(a).trim)
+          out.append(emit(word, args, sql.substring(i, close + 1)))
+          i = close + 1
+        } else { out.append(word); i = j }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Index just past a `'…'` literal starting at `i` (`''` doubles). */
+  private def pastString(s: String, i: Int): Int = {
+    var j = i + 1
+    while (j < s.length) {
+      if (s.charAt(j) == '\'') {
+        if (j + 1 < s.length && s.charAt(j + 1) == '\'') j += 2 else return j + 1
+      } else j += 1
+    }
+    j
+  }
+
+  /** Index just past a `"…"`/backtick-delimited identifier. */
+  private def pastDelim(s: String, i: Int, d: Char): Int =
+    s.indexOf(d, i + 1) match { case -1 => s.length; case k => k + 1 }
+
+  /** Index of the `)` matching the `(` at `open`, skipping literals. */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0
+    var j = open
+    while (j < s.length) {
+      s.charAt(j) match {
+        case '\'' => j = pastString(s, j) - 1
+        case '"' => j = pastDelim(s, j, '"') - 1
+        case '`' => j = pastDelim(s, j, '`') - 1
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return j
+        case _ =>
+      }
+      j += 1
+    }
+    sys.error(s"unbalanced parentheses after position $open in: '$s'")
+  }
+
+  /** Split an argument list at top-level commas (quotes and nested
+    * parens respected); an all-whitespace list is zero arguments. */
+  private def splitTopLevel(argText: String): Seq[String] = {
+    if (argText.trim.isEmpty) return Nil
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var j = 0
+    while (j < argText.length) {
+      argText.charAt(j) match {
+        case '\'' => j = pastString(argText, j) - 1
+        case '"' => j = pastDelim(argText, j, '"') - 1
+        case '`' => j = pastDelim(argText, j, '`') - 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          parts += argText.substring(start, j); start = j + 1
+        case _ =>
+      }
+      j += 1
+    }
+    parts += argText.substring(start)
+    parts.toList
+  }
+
+  private def emit(name: String, args: Seq[String], call: String): String = {
+    def arity(want: Int): Unit = require(args.size == want,
+      s"${name.toUpperCase} takes $want argument(s), got ${args.size}: '$call'")
+    name.toLowerCase match {
+      case "iff" => arity(3); s"if(${args.mkString(", ")})"
+      case "square" => arity(1); s"power((${args.head}), 2)"
+      case "charindex" =>
+        require(args.size == 2 || args.size == 3,
+          s"CHARINDEX takes 2 or 3 arguments, got ${args.size}: '$call'")
+        s"locate(${args.mkString(", ")})"
+      case "to_varchar" =>
+        require(args.size == 1, "TO_VARCHAR with a format argument is not " +
+          s"supported (Snowflake's format grammar differs from Spark's — " +
+          s"use date_format/format_number directly): '$call'")
+        s"CAST((${args.head}) AS STRING)"
+      case "editdistance" =>
+        require(args.size == 2, "EDITDISTANCE with a max-distance argument " +
+          "is not supported (Snowflake clamps to max; Spark's 3-arg " +
+          s"levenshtein returns -1 past the threshold): '$call'")
+        s"levenshtein(${args.mkString(", ")})"
+      case "div0" =>
+        arity(2)
+        s"(CASE WHEN (${args(1)}) = 0 THEN 0 ELSE (${args(0)}) / (${args(1)}) END)"
+      case "div0null" =>
+        arity(2)
+        s"(CASE WHEN (${args(1)}) = 0 OR (${args(1)}) IS NULL " +
+          s"THEN 0 ELSE (${args(0)}) / (${args(1)}) END)"
+      case "bitand" => arity(2); s"((${args(0)}) & (${args(1)}))"
+      case "bitor" => arity(2); s"((${args(0)}) | (${args(1)}))"
+      case "bitxor" => arity(2); s"((${args(0)}) ^ (${args(1)}))"
+      case "bitnot" => arity(1); s"(~(${args.head}))"
+      case "bitshiftleft" => arity(2); s"shiftleft(${args(0)}, ${args(1)})"
+      case "bitshiftright" => arity(2); s"shiftright(${args(0)}, ${args(1)})"
+      case "strtok" => sys.error("STRTOK is not supported: its delimiter " +
+        "is a character SET (any-of), which no Spark builtin matches — " +
+        s"for a single-delimiter token use split_part: '$call'")
+    }
+  }
+}

@@ -15,7 +15,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * front door, not a second implementation, and the scale story (one
   * key-shuffle merge; union+window as-of with no range explosion) is
   * exactly the API one's. Everything else passes through to
-  * `spark.sql` verbatim.
+  * `spark.sql` — after [[SqlDialect]] rewrites the handful of
+  * Snowflake scalar-isms Spark 4.1 lacks (IFF, SQUARE, CHARINDEX,
+  * TO_VARCHAR, EDITDISTANCE, DIV0/DIV0NULL, the BIT* family) at every
+  * leaf position of this grammar: pass-through statements, QUALIFY,
+  * ASOF projections/tails, and MERGE AND-gates (post-split, so a
+  * DIV0-generated CASE WHEN never meets the WHEN-splitter).
   *
   * MERGE supports the CDC verb set: full (`SET *`) and partial
   * (`SET col = s.col, …`) updates, `DELETE`, MULTIPLE `WHEN MATCHED
@@ -230,9 +235,11 @@ object SqlText {
       val batch = spark.table(source)
       // AND-gates reference the user's aliases; the engine operators
       // fix theirs as c (target) / b (source)
+      // dialect-rewrite AFTER clause splitting, so a DIV0-generated
+      // CASE WHEN can never confuse the WHEN-splitter above
       def predCol(p: String): org.apache.spark.sql.Column =
         org.apache.spark.sql.functions.expr(
-          mapAliases(p, Seq(tAlias -> "c", sAlias -> "b")))
+          mapAliases(SqlDialect.rewrite(p), Seq(tAlias -> "c", sAlias -> "b")))
       def parseAssigns(assigns: String): Seq[(String, String)] =
         assigns.split(",").toSeq.map {
           case AssignRe(lhsAliasOrNull, tc, rhsAlias, sc) =>
@@ -325,14 +332,15 @@ object SqlText {
         Seq(lAlias, rAlias))
       // the analyzed plan holds the view's resolved child directly, so
       // the scratch view can drop as soon as analysis is done
-      val out = spark.sql(rewritten)
+      val out = spark.sql(SqlDialect.rewrite(rewritten))
       spark.catalog.dropTempView(view)
       out
 
     case QualifyRe(head, pred, orderOrNull) =>
-      spark.sql(s"SELECT * FROM ($head) __graft_qualify WHERE $pred" +
-        Option(orderOrNull).getOrElse(""))
+      spark.sql(SqlDialect.rewrite(
+        s"SELECT * FROM ($head) __graft_qualify WHERE $pred" +
+          Option(orderOrNull).getOrElse("")))
 
-    case other => spark.sql(other)
+    case other => spark.sql(SqlDialect.rewrite(other))
   }
 }

@@ -1879,6 +1879,135 @@ object Relational {
       },
       Some(qualifySql)),
 
+    // ------------------------------------- Snowflake scalar dialect
+    // the round-13 verdict's last "missing" item: Snowflake-isms a
+    // migrating user types through the pass-through front door.
+    // SqlDialect rewrites what Spark 4.1 lacks (IFF/SQUARE/CHARINDEX/
+    // TO_VARCHAR/EDITDISTANCE/DIV0 here); the oracle is the ANSI
+    // spelling of the SAME semantics. Floats ride explicit DOUBLE
+    // casts + round-6 on both engines (the chi2 determinism pattern).
+    // (l_orderkey, l_linenumber) is NOT unique in the fixture (830
+    // duplicate pairs at sf0.1 — caught by the 10× replica run, where
+    // Spark's parallel sort broke the ties differently), so the ORDER
+    // BY spans every output column: remaining ties are identical
+    // tuples, interchangeable under the hash compare.
+    QueryDef("q_sql_dialect_scalar",
+      (s, d) => {
+        Tables.register(s, d)
+        graft.SqlText.sql(s,
+          """SELECT l_orderkey, l_linenumber,
+            |  IFF(l_quantity > 25, 'big', 'small') AS size_tag,
+            |  SQUARE(CAST(l_quantity AS DOUBLE)) AS qty_sq,
+            |  CAST(CHARINDEX('R', l_returnflag) AS BIGINT) AS r_pos,
+            |  TO_VARCHAR(l_linenumber) AS ln_txt,
+            |  CAST(EDITDISTANCE(l_returnflag, l_linestatus) AS BIGINT)
+            |    AS flag_dist,
+            |  ROUND(DIV0(CAST(l_extendedprice AS DOUBLE),
+            |             CAST(l_quantity - 24 AS DOUBLE)), 6)
+            |    AS price_per_extra
+            |FROM lineitem WHERE l_orderkey < 1000
+            |ORDER BY l_orderkey, l_linenumber, size_tag, qty_sq, r_pos,
+            |  ln_txt, flag_dist, price_per_extra""".stripMargin)
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END
+             |    AS size_tag,
+             |  power(CAST(l_quantity AS DOUBLE), 2) AS qty_sq,
+             |  CAST(position('R' IN l_returnflag) AS BIGINT) AS r_pos,
+             |  CAST(l_linenumber AS VARCHAR) AS ln_txt,
+             |  CAST(levenshtein(l_returnflag, l_linestatus) AS BIGINT)
+             |    AS flag_dist,
+             |  ROUND(CASE WHEN CAST(l_quantity - 24 AS DOUBLE) = 0 THEN 0
+             |    ELSE CAST(l_extendedprice AS DOUBLE)
+             |         / CAST(l_quantity - 24 AS DOUBLE) END, 6)
+             |    AS price_per_extra
+             |FROM lineitem WHERE l_orderkey < 1000
+             |ORDER BY l_orderkey, l_linenumber, size_tag, qty_sq, r_pos,
+             |  ln_txt, flag_dist, price_per_extra""".stripMargin)),
+
+    // BIT* family → operator spellings; the nested call
+    // (BITSHIFTLEFT over BITAND) pins the rewriter's recursion.
+    QueryDef("q_sql_dialect_bitwise",
+      (s, d) => {
+        Tables.register(s, d)
+        graft.SqlText.sql(s,
+          """SELECT o_orderkey,
+            |  CAST(BITAND(o_orderkey, 255) AS BIGINT) AS b_and,
+            |  CAST(BITOR(o_orderkey, 4096) AS BIGINT) AS b_or,
+            |  CAST(BITXOR(o_orderkey, 85) AS BIGINT) AS b_xor,
+            |  CAST(BITNOT(o_orderkey) AS BIGINT) AS b_not,
+            |  CAST(BITSHIFTLEFT(BITAND(o_orderkey, 15), 3) AS BIGINT)
+            |    AS b_shl,
+            |  CAST(BITSHIFTRIGHT(o_orderkey, 2) AS BIGINT) AS b_shr
+            |FROM orders WHERE o_orderkey < 2000
+            |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(o_orderkey & 255 AS BIGINT) AS b_and,
+             |  CAST(o_orderkey | 4096 AS BIGINT) AS b_or,
+             |  CAST(xor(o_orderkey, 85) AS BIGINT) AS b_xor,
+             |  CAST(~o_orderkey AS BIGINT) AS b_not,
+             |  CAST((o_orderkey & 15) << 3 AS BIGINT) AS b_shl,
+             |  CAST(o_orderkey >> 2 AS BIGINT) AS b_shr
+             |FROM orders WHERE o_orderkey < 2000
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // the natively-supported Snowflake surface, verified end-to-end:
+    // NVL/DECODE/3-arg DATEADD+DATEDIFF/DAYNAME pass through the shim
+    // UNTOUCHED and still hash-match the ANSI oracle. (TPC-H dates are
+    // midnight timestamps, so boundary-crossing vs whole-day DATEDIFF
+    // semantics coincide by construction.)
+    QueryDef("q_sql_dialect_passthrough",
+      (s, d) => {
+        Tables.register(s, d)
+        graft.SqlText.sql(s,
+          """SELECT o_orderkey,
+            |  NVL(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+            |  CAST(DECODE(o_orderpriority, '1-URGENT', 1, '2-HIGH', 2, 9)
+            |    AS BIGINT) AS prio_rank,
+            |  DATEADD(DAY, 30, o_orderdate) AS due_date,
+            |  CAST(DATEDIFF(DAY, DATE'1995-01-01', o_orderdate) AS BIGINT)
+            |    AS d_since_95,
+            |  DAYNAME(o_orderdate) AS dow
+            |FROM orders WHERE o_orderkey < 1000
+            |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  coalesce(NULLIF(o_orderstatus, 'O'), 'open')
+             |    AS status_or_open,
+             |  CAST(CASE o_orderpriority WHEN '1-URGENT' THEN 1
+             |    WHEN '2-HIGH' THEN 2 ELSE 9 END AS BIGINT) AS prio_rank,
+             |  o_orderdate + INTERVAL 30 DAY AS due_date,
+             |  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+             |    AS BIGINT) AS d_since_95,
+             |  strftime(o_orderdate, '%a') AS dow
+             |FROM orders WHERE o_orderkey < 1000
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // LISTAGG … WITHIN GROUP — Snowflake's ordered string agg, native
+    // in Spark 4.1 (SPARK-42746); DuckDB spells it string_agg(… ORDER
+    // BY …). Keys CSV per priority over a bounded slice: deterministic
+    // because the within-group order is a unique key.
+    QueryDef("q_sql_dialect_listagg",
+      (s, d) => {
+        Tables.register(s, d)
+        graft.SqlText.sql(s,
+          """SELECT o_orderpriority,
+            |  LISTAGG(CAST(o_orderkey AS STRING), ',')
+            |    WITHIN GROUP (ORDER BY o_orderkey) AS keys_csv,
+            |  CAST(count(1) AS BIGINT) AS n
+            |FROM orders WHERE o_orderkey < 300
+            |GROUP BY o_orderpriority
+            |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority,
+             |  string_agg(CAST(o_orderkey AS VARCHAR), ','
+             |    ORDER BY o_orderkey) AS keys_csv,
+             |  CAST(count(1) AS BIGINT) AS n
+             |FROM orders WHERE o_orderkey < 300
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // --------------------------------------------- table checksum
     // the replication/migration validator: an ORDER-INDEPENDENT content
     // fingerprint per table slice — sum over rows of a portable row
