@@ -728,6 +728,23 @@ object Graft {
       idCol: String = "event_id"): DataFrame =
     ops.Temporal.sessionize(ev, gapUs, keyCol, tsCol, idCol)
 
+  /** SCD Type-2 dimension build: collapse a change log into versioned
+    * validity intervals — per `keyCol`, rows where the `attrCols`
+    * tuple differs from the key's previous row (null-safe struct
+    * compare) open a new version; emits `(keyCol, version, valid_from,
+    * valid_to, attrCols…)` with NULL `valid_to` on the current
+    * version. ONE keyCol shuffle; the lag/row_number/lead windows all
+    * share its partitioning and the (tsCol, idCol) total order —
+    * `idCol` must be unique within ties. Point-in-time lookups against
+    * the result are [[asofJoin]] backward on `valid_from` (SCD2
+    * intervals partition time, so as-of ≡ the BETWEEN interval join
+    * without the range explosion). Oracle-checked as `q_scd2_build` /
+    * `q_scd2_lookup`; change-replay + interval-partition invariants in
+    * TemporalSpec. */
+  def scd2(log: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      attrCols: Seq[String]): DataFrame =
+    ops.Temporal.scd2(log, keyCol, tsCol, idCol, attrCols)
+
   /** Exact k-core of an undirected graph, run to convergence: peel
     * degree-<k nodes until a round removes none (peeling is monotone,
     * so the stable survivor set IS the true k-core — every remaining

@@ -2195,6 +2195,33 @@ object Relational {
              |  (SELECT 1 FROM part WHERE p_partkey = l_partkey)
              |ORDER BY "check"""".stripMargin)),
 
+    // ------------------------------------------- k-anonymity audit
+    // training-data governance: list the quasi-identifier equivalence
+    // classes smaller than k — the re-identification risk report run
+    // before a release (each listed row = a QI combination whose
+    // members are distinguishable). QI = (nation, segment, account
+    // band); the band is floor(acctbal/1000) — a row-local exact
+    // double op (inputs are 2-decimal values; band edges are exact
+    // binary doubles), NOT a data-dependent quantile, so the class
+    // definition is scale-invariant. Shape: ONE map-side-combinable
+    // hash agg to the |QI-combinations|-bounded class table, then a
+    // row-local filter — the 100 TB cost is the one fact scan.
+    QueryDef("q_privacy_kanon",
+      (s, d) => t(s, d, "customer")
+        .groupBy(col("c_nationkey").cast(LongType).as("nation"),
+          col("c_mktsegment").as("segment"),
+          floor(col("c_acctbal") / 1000).cast(LongType).as("bal_band"))
+        .agg(count(lit(1)).as("class_size"))
+        .filter(col("class_size") < 5)
+        .orderBy("nation", "segment", "bal_band"),
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             |  c_mktsegment AS segment,
+             |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             |  CAST(count(1) AS BIGINT) AS class_size
+             |FROM customer
+             |GROUP BY 1, 2, 3 HAVING count(1) < 5
+             |ORDER BY nation, segment, bal_band""".stripMargin)),
+
     // DISTINCT on a column subset with a deterministic survivor
     QueryDef("q_distinct_subset",
       (s, d) => t(s, d, "orders")

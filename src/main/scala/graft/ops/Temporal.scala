@@ -17,6 +17,7 @@ import graft.warehouse.Tables
 object Temporal {
 
   private val D386 = DecimalType(38, 6)
+  private val D380 = DecimalType(38, 0)
 
   /** Exact sum of a double column that is reproducible across engines and
     * partition orders: decimal inside the agg, double on the way out. */
@@ -46,6 +47,37 @@ object Temporal {
           .otherwise(0L))
       .withColumn("session_seq", sum("__new_sess").over(w))
       .drop("__gap_us", "__new_sess")
+  }
+
+  /** SCD Type-2 dimension build ([[graft.Graft.scd2]]): collapse a
+    * change log into versioned validity intervals — per `keyCol`, rows
+    * where the `attrCols` tuple differs from the key's previous row
+    * (null-safe struct compare) open a new version; `valid_from` is the
+    * change row's `tsCol`, `valid_to` the next change's (NULL = current
+    * version). The warehouse dimension-history primitive: downstream
+    * point-in-time lookups join the version valid at a fact's
+    * timestamp. Shape: ONE keyCol hash shuffle carrying a lag (change
+    * detection), a row_number (version), and a lead (interval close) —
+    * all three windows share the partitioning and the (tsCol, idCol)
+    * total order, so at 100 TB this is one shuffle + partition-local
+    * sorts regardless of log size. Determinism: idCol must be unique
+    * within (keyCol, tsCol) ties. */
+  private[graft] def scd2(log: org.apache.spark.sql.DataFrame,
+      keyCol: String, tsCol: String, idCol: String,
+      attrCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(attrCols.nonEmpty, "scd2 needs at least one attribute column")
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, idCol)
+    val attrs = struct(attrCols.map(col): _*)
+    log
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      // first row: lag is NULL and <=> is false → a change by definition
+      .filter(!(attrs <=> col("__prev")))
+      .drop("__prev")
+      .withColumn("version", row_number().over(w).cast(LongType))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select((Seq(keyCol, "version", "valid_from", "valid_to") ++ attrCols)
+        .map(col): _*)
   }
 
   /** The right side of both as-of variants: one purchase per (user, ts) —
@@ -1423,6 +1455,143 @@ object Temporal {
              |    AS DOUBLE) AS volume
              |FROM ranked GROUP BY 1, 2
              |ORDER BY event_type, bar_start""".stripMargin)),
+
+    // ------------------------------------------- SCD2 dimension build
+    // the warehouse dimension-history primitive: collapse the event
+    // log into versioned (valid_from, valid_to] intervals per user,
+    // versioning the value-derived tier. ONE user shuffle, three
+    // windows on the same (ts, event_id) total order — see
+    // [[Temporal.scd2]]. Tier thresholds are exact double compares
+    // (identical literals both engines); tier is never NULL so the
+    // oracle's lag() <> change test matches the struct <=> compare.
+    QueryDef("q_scd2_build",
+      (s, d) => {
+        val ev = Tables.table(s, d, "events").withColumn("tier",
+          when(col("value") < 50, "low")
+            .when(col("value") < 200, "mid").otherwise("high"))
+        scd2(ev, "user_id", "ts", "event_id", Seq("tier"))
+          .orderBy("user_id", "version")
+      },
+      Some("""WITH tiers AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN value < 50 THEN 'low'
+             |      WHEN value < 200 THEN 'mid' ELSE 'high' END AS tier
+             |  FROM events
+             |), marked AS (
+             |  SELECT *, lag(tier) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tier
+             |  FROM tiers
+             |), changes AS (
+             |  SELECT user_id, ts, event_id, tier FROM marked
+             |  WHERE prev_tier IS NULL OR prev_tier <> tier
+             |)
+             |SELECT user_id,
+             |  CAST(row_number() OVER w AS BIGINT) AS version,
+             |  ts AS valid_from, lead(ts) OVER w AS valid_to, tier
+             |FROM changes
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, version""".stripMargin)),
+
+    // ------------------------------------- SCD2 point-in-time lookup
+    // each purchase fetches the tier version valid AT its timestamp.
+    // Spark-first shape: because SCD2 intervals partition time per key
+    // (non-overlapping, contiguous from the first change), "the version
+    // with valid_from ≤ ts AND (ts < valid_to OR open)" IS the as-of
+    // backward match on valid_from — so this reuses [[Graft.asofJoin]]'s
+    // union+window plan (no interval range join, no row explosion at
+    // 100 TB). The oracle states the textbook BETWEEN-join spelling;
+    // hash equality proves the reduction. (user_id, ts) is unique in
+    // every fixture incl. the 10× replica (checked), so the as-of tie
+    // case cannot arise.
+    QueryDef("q_scd2_lookup",
+      (s, d) => {
+        val ev = Tables.table(s, d, "events").withColumn("tier",
+          when(col("value") < 50, "low")
+            .when(col("value") < 200, "mid").otherwise("high"))
+        val versions = scd2(ev, "user_id", "ts", "event_id", Seq("tier"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        graft.Graft.asofJoin(purchases, versions, Seq("user_id"),
+            "ts", "valid_from")
+          .select("event_id", "user_id", "ts", "tier", "version")
+          .orderBy("event_id")
+      },
+      Some("""WITH tiers AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN value < 50 THEN 'low'
+             |      WHEN value < 200 THEN 'mid' ELSE 'high' END AS tier
+             |  FROM events
+             |), marked AS (
+             |  SELECT *, lag(tier) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tier
+             |  FROM tiers
+             |), versions AS (
+             |  SELECT user_id,
+             |    CAST(row_number() OVER w AS BIGINT) AS version,
+             |    ts AS valid_from, lead(ts) OVER w AS valid_to, tier
+             |  FROM (SELECT user_id, ts, event_id, tier FROM marked
+             |        WHERE prev_tier IS NULL OR prev_tier <> tier)
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |)
+             |SELECT e.event_id, e.user_id, e.ts, v.tier, v.version
+             |FROM tiers e JOIN versions v
+             |  ON e.user_id = v.user_id AND e.ts >= v.valid_from
+             |  AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+             |WHERE e.event_type = 'purchase'
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // --------------------------------------------------- EWMA (α = ½)
+    // exponentially weighted moving average of daily event value
+    // volume per event type, EXACT: the recursion y_t = ½y_{t-1} + ½x_t is
+    // algebraically unrolled as z_t = Σ x_i·2^(i-1) (z_0 = x_0), y_t =
+    // z_t ⌊div⌋ 2^t — with α = ½ every weight is a power of two, so in
+    // integer micro-units the whole smoother is DECIMAL(38,0)/HUGEINT
+    // arithmetic with NO float accumulation: both engines compute the
+    // identical integers in any summation order. Missing days decay
+    // exactly (z constant, divisor doubles ≡ x = 0 that day). Horizon
+    // bound: 2^t·x_micro caps DECIMAL(38,0) near t ≈ 90 at these
+    // volumes; the fixture era spans 30 days, and overflow is loud
+    // (NULL → hash mismatch), not silent drift. Shape: one (type, day)
+    // hash agg → broadcast era-origin scalar → one type shuffle
+    // carrying the running window.
+    QueryDef("q_timeseries_ewma",
+      (s, d) => {
+        val daily = Tables.table(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("abs_day"))
+          .agg(sum(round(col("value") * 1e6).cast(LongType)).as("x_micro"))
+        val day0 = daily.agg(min("abs_day").as("day0"))
+        val w = Window.partitionBy("event_type").orderBy("rel_day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.join(broadcast(day0))
+          .withColumn("rel_day", (col("abs_day") - col("day0")).cast(LongType))
+          .withColumn("z", sum(col("x_micro").cast(D380) *
+            expr("CAST(pow(2, rel_day) AS DECIMAL(38,0))")).over(w))
+          .withColumn("ewma_micro",
+            expr("CAST(z div CAST(pow(2, rel_day) AS DECIMAL(38,0)) AS BIGINT)"))
+          .select(col("event_type"), col("rel_day"), col("x_micro"),
+            col("ewma_micro"))
+          .orderBy("event_type", "rel_day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type,
+             |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS abs_day,
+             |    CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+             |      AS BIGINT) AS x_micro
+             |  FROM events GROUP BY 1, 2
+             |), rel AS (
+             |  SELECT event_type,
+             |    abs_day - (SELECT min(abs_day) FROM daily) AS rel_day,
+             |    x_micro
+             |  FROM daily
+             |)
+             |SELECT event_type, rel_day, x_micro,
+             |  CAST((sum(CAST(x_micro AS HUGEINT)
+             |          * CAST(pow(2, rel_day) AS HUGEINT)) OVER
+             |        (PARTITION BY event_type ORDER BY rel_day))
+             |      // CAST(pow(2, rel_day) AS HUGEINT) AS BIGINT)
+             |    AS ewma_micro
+             |FROM rel ORDER BY event_type, rel_day""".stripMargin)),
 
     // ------------------------------------------------ RFM segmentation
     // recency/frequency/monetary customer scoring over purchase events

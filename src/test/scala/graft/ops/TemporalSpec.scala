@@ -81,4 +81,67 @@ class TemporalSpec extends SparkSpec {
       assert(s.contains(1L) && s.contains(5L), s"missing extreme bucket: $s")
     }
   }
+
+  // ------------------------------------------------------------- scd2
+
+  /** (key, ts-as-long, id, attr) change log: user 1 runs a→a→b→b→a
+    * (two collapses, three versions); user 2 runs NULL→NULL→x (the
+    * null-safe compare: NULL→NULL is NOT a change, NULL→x is). */
+  private val scdRows = Seq(
+    (1L, 10L, 1L, Some("a")), (1L, 20L, 2L, Some("a")),
+    (1L, 30L, 3L, Some("b")), (1L, 40L, 4L, Some("b")),
+    (1L, 50L, 5L, Some("a")),
+    (2L, 10L, 6L, None), (2L, 20L, 7L, None), (2L, 30L, 8L, Some("x")))
+
+  private def scdBuild(parts: Int) = {
+    import spark.implicits._
+    val log = scdRows.toDF("k", "t", "id", "attr").repartition(parts)
+    Temporal.scd2(log, "k", "t", "id", Seq("attr"))
+      .orderBy("k", "version")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        Option(r.getString(4))))
+      .toSeq
+  }
+
+  private val scdWant = Seq(
+    (1L, 1L, 10L, Some(30L), Some("a")),
+    (1L, 2L, 30L, Some(50L), Some("b")),
+    (1L, 3L, 50L, None, Some("a")),
+    (2L, 1L, 10L, Some(30L), None),
+    (2L, 2L, 30L, None, Some("x")))
+
+  test("scd2 collapses runs, versions changes, and closes intervals") {
+    assert(scdBuild(1) == scdWant)
+  }
+
+  test("scd2 is partitioning-invariant and its intervals partition time") {
+    val vs = scdBuild(5)
+    assert(vs == scdWant)
+    // structural invariants: per key, exactly one open version (the
+    // last), each valid_to equals the next version's valid_from
+    vs.groupBy(_._1).foreach { case (_, kv) =>
+      assert(kv.count(_._4.isEmpty) == 1)
+      kv.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4.contains(b._3))
+        case _ =>
+      }
+    }
+  }
+
+  test("scd2 point-in-time lookup via asofJoin equals the interval join") {
+    import spark.implicits._
+    val log = scdRows.toDF("k", "t", "id", "attr")
+    val versions = Temporal.scd2(log, "k", "t", "id", Seq("attr"))
+    // facts at ts 15 (inside v1), 30 (exactly at a change → new
+    // version), 60 (open version)
+    val facts = Seq((100L, 1L, 15L), (101L, 1L, 30L), (102L, 1L, 60L))
+      .toDF("fact_id", "k", "t")
+    val got = graft.Graft.asofJoin(facts, versions, Seq("k"), "t",
+        "valid_from")
+      .select("fact_id", "attr", "version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((100L, "a", 1L), (101L, "b", 2L), (102L, "a", 3L)))
+  }
 }

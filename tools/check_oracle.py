@@ -22,10 +22,23 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reset_index(drop=True)
     return df
 
+def is_null_cell(x) -> bool:
+    # scalar nulls only: None, float NaN, pandas NaT (NULL timestamps —
+    # q_scd2_build's open-version valid_to was the first to emit them);
+    # arrays are never null-equal here
+    if x is None:
+        return True
+    if isinstance(x, (np.ndarray, list)):
+        return False
+    try:
+        return bool(pd.isna(x))
+    except (TypeError, ValueError):
+        return False
+
 def cells_equal(a, b) -> bool:
-    if a is None or (isinstance(a, float) and pd.isna(a)):
-        return b is None or (isinstance(b, float) and pd.isna(b))
-    if b is None or (isinstance(b, float) and pd.isna(b)):
+    if is_null_cell(a):
+        return is_null_cell(b)
+    if is_null_cell(b):
         return False
     if isinstance(a, (np.floating, float)) and isinstance(b, (np.floating, float)):
         return (a == b) or (np.isnan(a) and np.isnan(b))
