@@ -1002,6 +1002,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), s"query batch must broadcast:\n$p")
   }
 
+  test("q_scd2_build runs change detection, versioning, and interval close on ONE user shuffle") {
+    val p = plan("q_scd2_build")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_#0-9L]+)"
+      .r.findAllMatchIn(p).map(_.group(1).takeWhile(_ != '#')).toList
+    assert(exchanges == List("user_id"),
+      s"expected exactly one user_id exchange, got $exchanges:\n$p")
+  }
+
+  test("q_privacy_kanon is one map-side-combinable hash agg") {
+    val p = plan("q_privacy_kanon")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly one exchange, got $n:\n$p")
+    assert(p.contains("partial_count"), s"partial agg missing:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and
