@@ -715,6 +715,18 @@ object Graft {
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame =
     ops.Graph.bfs(edges, seeds, maxHops)
 
+  /** Bounded-round single-source shortest paths from a seed set over
+    * weighted edges `(src, dst, w)` — Bellman-Ford relaxation as
+    * joins: after round r, `dist` is the exact cheapest cost over
+    * paths of ≤ r edges (integer weights, no float accumulation).
+    * Each round joins the carried frame only with the STATIC edge
+    * list (one edge join + one min-agg, lineage-cut), so Catalyst
+    * size stats grow linearly, never square. Unreached nodes are
+    * absent, matching [[bfs]]. Oracle-checked as `q_graph_sssp`
+    * (unrolled CTE chain); hand-checked fixture in GraphSpec. */
+  def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int = 4): DataFrame =
+    ops.Graph.sssp(edges, seeds, rounds)
+
   /** Gap-based sessionization: appends `session_seq` — a 1-based
     * per-key session number that increments wherever the gap to the
     * key's previous row exceeds `gapUs` microseconds (default 30 min).

@@ -227,6 +227,22 @@ object Graph {
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     })
 
+  /** The weighted twin of [[tradeGraph]]: each (customer, supplier)
+    * edge carries the MIN line price in exact integer cents over the
+    * pair's trades — the "cheapest route" cost surface for [[sssp]].
+    * Registry-cached like every graph artifact. */
+  private def tradeGraphWeighted(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.getOrCheckpoint("graph_trade_edges_w", d, {
+      val e = Tables.table(s, d, "orders").select("o_orderkey", "o_custkey")
+        .join(Tables.table(s, d, "lineitem")
+            .select("l_orderkey", "l_suppkey", "l_extendedprice"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("w"))
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    })
+
   private def nodeType: Column =
     when(col("node") % 2 === 0, "customer").otherwise("supplier")
 
@@ -811,6 +827,35 @@ object Graph {
     visited
   }
 
+  /** Bounded-round single-source shortest paths (Bellman-Ford
+    * relaxation) from a seed set over weighted edges `(src, dst, w)`:
+    * after round r, `dist` holds the exact cheapest cost over paths of
+    * ≤ r edges (integer weights — no float accumulation). Each round
+    * is ONE edge join + ONE min-agg over the union with the carried
+    * frame, lineage-cut per round; the carried frame only ever joins
+    * the STATIC edge list, so Catalyst size stats grow linearly per
+    * round, never square (the converge-loop lesson). Unreached nodes
+    * are absent, matching [[bfs]]'s contract. */
+  private[graft] def sssp(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"sssp unrolls one relaxation per round; rounds=$rounds is outside " +
+        "the sane 1..16 range")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+    var dist = seeds.select(col("node").cast("long").as("node"))
+      .distinct().withColumn("dist", lit(0L)).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = e
+        .join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   private[graft] def kCorePeel(edges: DataFrame, k: Int,
       rounds: Int): DataFrame = {
     var nodes = degrees(edges).filter(col("dg") >= k).select("n")
@@ -1260,6 +1305,61 @@ object Graph {
              |    AS node_type,
              |  CAST(min(dist) AS BIGINT) AS dist
              |FROM lvl GROUP BY node
-             |ORDER BY node_id""".stripMargin))
+             |ORDER BY node_id""".stripMargin)),
+
+    // ------------------------------ weighted shortest paths (SSSP)
+    // BFS's cost-aware sibling: cheapest trade route (min total cents)
+    // from the same seed suppliers within 4 relaxation rounds —
+    // Bellman-Ford as joins, exact integer weights (min line cents per
+    // edge), so no float accumulation anywhere and the oracle's
+    // unrolled CTE chain is bit-exact. See [[sssp]] for the
+    // stats-linear loop shape.
+    QueryDef("q_graph_sssp",
+      (s, d) => {
+        val edges = tradeGraphWeighted(s, d)
+        val seeds = edges.select(col("src").as("node")).distinct()
+          .filter(expr("node % 2 = 1 AND ((node - 1) div 2) % 7 = 1"))
+        sssp(edges, seeds, rounds = 4)
+          .select(col("node").as("node_id"),
+            nodeType.as("node_type"), col("dist").as("cost_cents"))
+          .orderBy("node_id")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+             |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS w
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |  GROUP BY 1, 2
+             |), und AS (
+             |  SELECT src, dst, w FROM e0
+             |  UNION ALL SELECT dst, src, w FROM e0
+             |), d0 AS (
+             |  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+             |  FROM und WHERE src % 2 = 1 AND ((src - 1) // 2) % 7 = 1
+             |), d1 AS (
+             |  SELECT node, min(dist) AS dist FROM (
+             |    SELECT node, dist FROM d0
+             |    UNION ALL SELECT u.dst AS node, p.dist + u.w AS dist
+             |    FROM und u JOIN d0 p ON u.src = p.node) GROUP BY node
+             |), d2 AS (
+             |  SELECT node, min(dist) AS dist FROM (
+             |    SELECT node, dist FROM d1
+             |    UNION ALL SELECT u.dst AS node, p.dist + u.w AS dist
+             |    FROM und u JOIN d1 p ON u.src = p.node) GROUP BY node
+             |), d3 AS (
+             |  SELECT node, min(dist) AS dist FROM (
+             |    SELECT node, dist FROM d2
+             |    UNION ALL SELECT u.dst AS node, p.dist + u.w AS dist
+             |    FROM und u JOIN d2 p ON u.src = p.node) GROUP BY node
+             |), d4 AS (
+             |  SELECT node, min(dist) AS dist FROM (
+             |    SELECT node, dist FROM d3
+             |    UNION ALL SELECT u.dst AS node, p.dist + u.w AS dist
+             |    FROM und u JOIN d3 p ON u.src = p.node) GROUP BY node
+             |)
+             |SELECT node AS node_id,
+             |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             |    AS node_type,
+             |  CAST(dist AS BIGINT) AS cost_cents
+             |FROM d4 ORDER BY node_id""".stripMargin))
   )
 }

@@ -1593,6 +1593,91 @@ object Temporal {
              |    AS ewma_micro
              |FROM rel ORDER BY event_type, rel_day""".stripMargin)),
 
+    // ------------------------------------- concurrency sweep-line
+    // peak concurrent sessions per day — the capacity-planning report:
+    // sessions ([[sessionize]] intervals) become ±1 boundary points;
+    // concurrency at a point is the running sum in (pt, delta DESC)
+    // order. Scale-shaped as the classic two-level scan: the running
+    // sum is windowed WITHIN each day partition (arbitrarily parallel),
+    // then a |days|-bounded prefix over day totals adds each day's
+    // carried-over open sessions — the only global window runs on ≤
+    // one row per calendar day, never on the event stream. Determinism
+    // under ts ties: both engines' default RANGE frame collapses
+    // peers, so equal-(pt, delta) rows share one running value and the
+    // day max cannot depend on tie order; starts sort before ends at
+    // the same instant (delta DESC — inclusive interval semantics).
+    // Measured at boundary points: a day fully inside one session with
+    // no boundaries would report only its carry — absent at these
+    // fixtures (every day has points) and the honest semantics for a
+    // boundary-event sweep.
+    QueryDef("q_events_concurrency",
+      (s, d) => {
+        val sess = sessionize(Tables.table(s, d, "events")
+            .select("user_id", "ts", "event_id"))
+          .groupBy("user_id", "session_seq")
+          .agg(min("ts").as("s_start"), max("ts").as("s_end"))
+        val points = sess.select(col("s_start").as("pt"), lit(1L).as("delta"))
+          .unionAll(sess.select(col("s_end").as("pt"), lit(-1L).as("delta")))
+          .withColumn("day", expr("unix_micros(pt) div 86400000000"))
+        val wIn = Window.partitionBy("day")
+          .orderBy(col("pt"), col("delta").desc)
+        val daily = points
+          .withColumn("run_in_day", sum("delta").over(wIn))
+          .groupBy("day")
+          .agg(max("run_in_day").as("local_peak"),
+            sum("delta").as("day_total"), count(lit(1)).as("n_points"))
+        val wDays = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        daily
+          .withColumn("carry",
+            coalesce(sum("day_total").over(wDays), lit(0L)))
+          .select(timestamp_micros(col("day") * 86400000000L).as("day"),
+            (col("carry") + col("local_peak")).as("peak_concurrent"),
+            col("n_points"))
+          .orderBy("day")
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, ts, event_id,
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |  FROM events
+             |), flagged AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+             |      THEN 1 ELSE 0 END AS new_sess
+             |  FROM seq
+             |), sess AS (
+             |  SELECT user_id, ts,
+             |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS BIGINT) AS session_seq
+             |  FROM flagged
+             |), intervals AS (
+             |  SELECT user_id, session_seq,
+             |    min(ts) AS s_start, max(ts) AS s_end
+             |  FROM sess GROUP BY 1, 2
+             |), points AS (
+             |  SELECT s_start AS pt, 1 AS delta FROM intervals
+             |  UNION ALL SELECT s_end, -1 FROM intervals
+             |), pts AS (
+             |  SELECT pt, delta,
+             |    epoch_us(pt) // 86400000000 AS day
+             |  FROM points
+             |), runs AS (
+             |  SELECT day, delta, sum(delta) OVER (
+             |    PARTITION BY day ORDER BY pt, delta DESC) AS run_in_day
+             |  FROM pts
+             |), daily AS (
+             |  SELECT day, max(run_in_day) AS local_peak,
+             |    sum(delta) AS day_total, count(1) AS n_points
+             |  FROM runs GROUP BY day
+             |)
+             |SELECT make_timestamp(day * 86400000000) AS day,
+             |  CAST(coalesce(sum(day_total) OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    + local_peak AS BIGINT) AS peak_concurrent,
+             |  CAST(n_points AS BIGINT) AS n_points
+             |FROM daily ORDER BY 1""".stripMargin)),
+
     // ------------------------------------------------ RFM segmentation
     // recency/frequency/monetary customer scoring over purchase events
     // — the classic lifecycle-segmentation report, built scale-safe:

@@ -379,4 +379,42 @@ class GraphSpec extends SparkSpec {
     assert(runBfs(edges, seeds, 3, parts = 7) == want,
       "BFS distances must not depend on partitioning")
   }
+
+  /** Sequential Bellman-Ford replay of [[Graph.sssp]]'s contract:
+    * after r rounds, the cheapest cost over paths of ≤ r edges. */
+  private def bruteSssp(edges: Seq[(Long, Long, Long)], seeds: Set[Long],
+      rounds: Int): Map[Long, Long] = {
+    var dist: Map[Long, Long] = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val relaxed = edges.flatMap { case (s, t, w) =>
+        dist.get(s).map(d => t -> (d + w)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    dist
+  }
+
+  private def runSssp(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+      rounds: Int, parts: Int = 1): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.sssp(edges.toDF("src", "dst", "w").repartition(parts),
+        seeds.toDF("node"), rounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("sssp matches the Bellman-Ford replay and prefers cheap detours") {
+    // 0→1→2 costs 1+1=2, beating the direct 0→2 edge of cost 5; node
+    // 3 is reachable only via the expensive edge; 10–11 is unreachable
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (0L, 2L, 5L),
+      (2L, 3L, 7L), (10L, 11L, 1L))
+    val want = bruteSssp(edges, Set(0L), 4)
+    assert(want(2L) == 2L && want(3L) == 9L) // fixture sanity
+    assert(runSssp(edges, Seq(0L), 4) == want,
+      "distributed SSSP diverged from the Bellman-Ford replay")
+    assert(runSssp(edges, Seq(0L), 4, parts = 5) == want,
+      "SSSP costs must not depend on partitioning")
+    // one round only reaches 1-edge paths: the direct 0→2 edge wins
+    assert(runSssp(edges, Seq(0L), 1) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 5L))
+  }
 }
