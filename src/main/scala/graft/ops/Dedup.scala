@@ -304,6 +304,55 @@ object Dedup {
     * via [[graft.CacheRegistry]] across the three keys that build
     * candidates (minhash/ngram/levenshtein) and released by the mains — a
     * bare per-invocation persist() leaked one copy per key per run. */
+  /** Exact Jaccard-≥-t similarity self-join via the AllPairs/PPJoin
+    * prefix filter — COMPLETE (no probabilistic misses), never
+    * corpus². `tok` is a distinct (doc_id, token) frame. Per doc, the
+    * first n − ⌈t·n⌉ + 1 tokens under the global rarest-first total
+    * order (df, token) form its prefix; J(x, y) ≥ t forces the FIRST
+    * shared token (in that order) into BOTH prefixes (it has ≥
+    * ⌈t·n⌉ − 1 shared successors in each doc, so it sits within
+    * prefix reach of either side — the Bayardo/Chaudhuri argument),
+    * so the prefix-token self-join is a candidate superset built from
+    * each doc's RAREST tokens — hot tokens structurally never
+    * generate pairs. Verification counts the exact intersection on
+    * candidates only; union = na + nb − inter, no token arrays
+    * shipped. Emits (doc_a < doc_b, jaccard rounded 6). Rounding
+    * cannot flip the threshold: |i/u − t| is either 0 or ≥ 1/u², far
+    * above 5e-7 at any real doc size. */
+  private[graft] def prefixJaccardJoin(
+      tok: org.apache.spark.sql.DataFrame,
+      t: Double): org.apache.spark.sql.DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"Jaccard threshold out of (0,1]: $t")
+    val df = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "token")
+    val prefix = tok.join(df, "token")
+      .withColumn("rn", row_number().over(wDoc))
+      .join(sizes, "doc_id")
+      .filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
+      .select("doc_id", "token")
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("token"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("token")), "token")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val inter = cand
+      .join(tok.select(col("doc_id").as("doc_a"), col("token")), "doc_a")
+      .join(tok.select(col("doc_id").as("doc_b"),
+        col("token").as("token_b")), "doc_b")
+      .filter(col("token") === col("token_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast(DoubleType)
+          / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= t)
+  }
+
   private def sparkCandidates(s: org.apache.spark.sql.SparkSession, d: String) = {
     // the RAW bands are persisted FIRST: subSalt's count aggregate and its
     // join side then both read cached ids — persisting only the salted
@@ -1367,6 +1416,53 @@ object Dedup {
               |JOIN documents x ON x.doc_id = doc_a
               |JOIN documents y ON y.doc_id = doc_b
               |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // --------------------------------- prefix-filtered EXACT Jaccard
+    // the COMPLETE similarity self-join (PPJoin-family prefix filter):
+    // unlike the MinHash-LSH keys (probabilistic recall — a pair CAN
+    // miss every band), this finds EVERY pair with token-set Jaccard ≥
+    // 0.5, without the corpus² join. Per doc, sort its distinct
+    // space-tokens rarest-first (global df, ties by token text — a
+    // total order needing NO global rank assignment, so no driver-side
+    // vocabulary) and keep the first n − ⌈t·n⌉ + 1: if J(x,y) ≥ t the
+    // prefixes MUST share a token (pigeonhole on the ≥⌈t·n⌉ shared
+    // tokens), so the prefix-token self-join generates a candidate
+    // superset — and because prefixes hold each doc's RAREST tokens,
+    // hot tokens are structurally excluded from pair generation (the
+    // exact-completeness counterpart of the LSH hot-bucket cap).
+    // Verify = exact intersection count on candidates; union = na + nb
+    // − inter (no arrays shipped). The oracle is the brute any-shared-
+    // token join — hash equality proves completeness, not just
+    // precision. Sliced to doc_id % 10 (oracle feasibility: the brute
+    // twin IS corpus²-shaped; the Spark side is the scale path).
+    QueryDef("q_dedup_prefix",
+      (s, d) => {
+        val tok = Tables.table(s, d, "documents")
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("token"))
+        prefixJaccardJoin(tok, 0.5).orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH tok AS (
+             |  SELECT DISTINCT doc_id, token FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |    FROM documents WHERE doc_id % 10 = 0)
+             |), sizes AS (
+             |  SELECT doc_id, count(1) AS n FROM tok GROUP BY 1
+             |), pair AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    count(1) AS inter
+             |  FROM tok a JOIN tok b
+             |    ON a.token = b.token AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |)
+             |SELECT doc_a, doc_b,
+             |  round(inter::DOUBLE / (x.n + y.n - inter), 6) AS jaccard
+             |FROM pair
+             |JOIN sizes x ON x.doc_id = doc_a
+             |JOIN sizes y ON y.doc_id = doc_b
+             |WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.5
+             |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // ------------------------------------------------ SimHash
     // 16-bit frequency-weighted simhash; bucket size surfaces exact-ish

@@ -1678,6 +1678,61 @@ object Temporal {
              |  CAST(n_points AS BIGINT) AS n_points
              |FROM daily ORDER BY 1""".stripMargin)),
 
+    // --------------------------------------------- TWAP (time-weighted)
+    // time-weighted average value per (type, day) — the finance/ops
+    // metric where a value HOLDS until the next observation, so
+    // sparse-but-stable readings aren't drowned by bursts (the plain
+    // mean's failure mode). Each event's segment runs to the next
+    // same-day event of its type, the last to midnight; the span
+    // before the day's first event has no reading and is excluded.
+    // EXACT: duration µs × value micro-units ride DECIMAL(38,0)/
+    // HUGEINT; twap_micro = num div den — integer floor on both
+    // engines, no float accumulation. The lead() window and the final
+    // agg share ONE (event_type, day) partitioning.
+    QueryDef("q_timeseries_twap",
+      (s, d) => {
+        val ev = Tables.table(s, d, "events")
+          .select(col("event_type"), col("ts"), col("event_id"),
+            col("value"))
+          .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+        val w = Window.partitionBy("event_type", "day")
+          .orderBy("ts", "event_id")
+        ev
+          .withColumn("dur",
+            coalesce(lead(unix_micros(col("ts")), 1).over(w),
+              (col("day") + 1) * 86400000000L) - unix_micros(col("ts")))
+          .withColumn("vmicro", round(col("value") * 1e6).cast("long"))
+          .groupBy("event_type", "day")
+          .agg(sum(col("vmicro").cast(D380) * col("dur").cast(D380))
+              .as("num"),
+            sum(col("dur").cast(D380)).as("den"),
+            count(lit(1)).as("n_events"))
+          .select(col("event_type"),
+            timestamp_micros(col("day") * 86400000000L).as("day"),
+            expr("CAST(num div den AS BIGINT)").as("twap_micro"),
+            col("n_events"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, ts, event_id, value,
+             |    epoch_us(ts) // 86400000000 AS day
+             |  FROM events
+             |), seg AS (
+             |  SELECT event_type, day,
+             |    coalesce(lead(epoch_us(ts)) OVER (
+             |        PARTITION BY event_type, day ORDER BY ts, event_id),
+             |      (day + 1) * 86400000000) - epoch_us(ts) AS dur,
+             |    CAST(round(value * 1000000) AS BIGINT) AS vmicro
+             |  FROM ev
+             |)
+             |SELECT event_type,
+             |  make_timestamp(day * 86400000000) AS day,
+             |  CAST(sum(CAST(vmicro AS HUGEINT) * dur)
+             |    // sum(CAST(dur AS HUGEINT)) AS BIGINT) AS twap_micro,
+             |  CAST(count(1) AS BIGINT) AS n_events
+             |FROM seg GROUP BY event_type, day
+             |ORDER BY event_type, 2""".stripMargin)),
+
     // ------------------------------------------------ RFM segmentation
     // recency/frequency/monetary customer scoring over purchase events
     // — the classic lifecycle-segmentation report, built scale-safe:

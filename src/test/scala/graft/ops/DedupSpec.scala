@@ -392,4 +392,34 @@ class DedupSpec extends SparkSpec {
     // never zero
     assert(Dedup.partitionsFor(0L, 1L << 20, 32) == 1)
   }
+
+  test("prefix-filtered Jaccard join is COMPLETE vs brute force at several thresholds") {
+    import spark.implicits._
+    // deterministic synthetic corpus: 40 docs over a 25-token
+    // vocabulary with heavily skewed frequencies (token k appears in
+    // docs whose id ≡ 0 mod (k % 7 + 1)) — many shared hot tokens, a
+    // realistic worst case for candidate blowup and for misses
+    val docTokens: Seq[(Long, Seq[String])] = (0L until 40L).map { i =>
+      i -> (0 until 25).filter(k => i % (k % 7 + 1) == k % 3)
+        .map(k => s"t$k")
+    }
+    def bruteForce(t: Double): Set[(Long, Long, Double)] = (for {
+      (a, ta) <- docTokens; (b, tb) <- docTokens if a < b
+      inter = ta.toSet.intersect(tb.toSet).size
+      uni = ta.toSet.union(tb.toSet).size
+      if uni > 0
+      j = inter.toDouble / uni if j >= t
+    } yield (a, b,
+      BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)).toSet
+    val tok = docTokens.flatMap { case (id, ts) => ts.map(id -> _) }
+      .toDF("doc_id", "token")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.prefixJaccardJoin(tok, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == bruteForce(t),
+        s"prefix filter at t=$t diverged from brute force: " +
+          s"missing=${bruteForce(t) -- got}, extra=${got -- bruteForce(t)}")
+    }
+  }
 }
