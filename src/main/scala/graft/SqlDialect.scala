@@ -132,7 +132,7 @@ object SqlDialect {
 
   /** Split an argument list at top-level commas (quotes and nested
     * parens respected); an all-whitespace list is zero arguments. */
-  private def splitTopLevel(argText: String): Seq[String] = {
+  private[graft] def splitTopLevel(argText: String): Seq[String] = {
     if (argText.trim.isEmpty) return Nil
     val parts = scala.collection.mutable.ListBuffer.empty[String]
     var depth = 0

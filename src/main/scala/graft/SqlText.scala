@@ -3,10 +3,12 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Warehouse-SQL text front-end — the reference's query-string-first UX
-  * (`read_snowflake(query)`, dask_snowflake/core.py:143) for the three
+  * (`read_snowflake(query)`, dask_snowflake/core.py:143) for the DML
   * statements a warehouse user types that Spark SQL cannot run without
   * extra machinery: `MERGE INTO` (Spark parses it but needs a v2 table
-  * format to analyze), Snowflake-style `ASOF JOIN … MATCH_CONDITION`
+  * format to analyze), single-table `UPDATE … SET` / `DELETE FROM`
+  * (same v2-catalog gap; the result is the mutated relation),
+  * Snowflake-style `ASOF JOIN … MATCH_CONDITION`
   * (no Spark syntax at all), and the `QUALIFY` window-filter clause
   * (no QUALIFY token in Spark 4.1's parser). Each is recognized by a
   * restricted canonical grammar and REWRITTEN — MERGE/ASOF onto the
@@ -121,6 +123,23 @@ object SqlText {
   // analysis (unresolved column), never silently.
   private val QualifyRe =
     """(?is)^\s*(SELECT\s+.+?)\s+QUALIFY\s+(.+?)(\s+ORDER\s+BY\s+.+?)?\s*;?\s*$""".r
+
+  // UPDATE <t> SET col = <expr>[, …] [WHERE <pred>] — single-table
+  // (no FROM/USING join form); the result IS the updated relation.
+  // All RHS expressions evaluate against the ORIGINAL row (ANSI
+  // semantics: `SET a = b, b = a` swaps), because every assignment
+  // lands in ONE projection over the source columns. WHERE follows
+  // SQL's three-valued logic: rows where the predicate is NULL are
+  // NOT updated. RHS/pred go through [[SqlDialect]] and Spark's
+  // expression parser — anything unresolvable fails loudly at
+  // analysis. DELETE FROM <t> [WHERE <pred>]: removes rows where the
+  // predicate is TRUE (NULL keeps the row, ANSI); no WHERE empties
+  // the relation. Oracle-checked as `q_sql_update` / `q_sql_delete`.
+  private val UpdateRe =
+    """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+  private val DeleteRe =
+    """(?is)^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+  private val UpdateAssignRe = """(?s)^\s*(\w+)\s*=\s*(.+)$""".r
 
   private val EquiRe = """(?s)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
 
@@ -335,6 +354,44 @@ object SqlText {
       val out = spark.sql(SqlDialect.rewrite(rewritten))
       spark.catalog.dropTempView(view)
       out
+
+    case UpdateRe(target, assignsTxt, predOrNull) =>
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, when}
+      val t = spark.table(target)
+      val assigns = SqlDialect.splitTopLevel(assignsTxt).map {
+        case UpdateAssignRe(c, rhs) =>
+          require(t.columns.contains(c),
+            s"UPDATE SET targets unknown column '$c' of '$target'")
+          c -> expr(SqlDialect.rewrite(rhs.trim))
+        case other => sys.error(
+          s"only 'col = <expr>' assignments are supported in UPDATE SET, " +
+            s"got: '$other'")
+      }
+      require(assigns.map(_._1).distinct.size == assigns.size,
+        s"duplicate UPDATE SET target in: '$assignsTxt'")
+      val gate = Option(predOrNull)
+        .map(p => coalesce(expr(SqlDialect.rewrite(p)), lit(false)))
+        .getOrElse(lit(true))
+      val byName = assigns.toMap
+      // ONE projection over the source columns: every RHS sees the
+      // ORIGINAL row, so `SET a = b, b = a` swaps (ANSI)
+      t.select(t.columns.toSeq.map { c =>
+        byName.get(c) match {
+          case Some(rhs) => when(gate, rhs).otherwise(t(c)).as(c)
+          case None => t(c)
+        }
+      }: _*)
+
+    case DeleteRe(target, predOrNull) =>
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      val t = spark.table(target)
+      Option(predOrNull) match {
+        // DELETE removes rows where the predicate is TRUE; a NULL
+        // predicate keeps the row (ANSI three-valued logic)
+        case Some(p) => t.filter(
+          not(coalesce(expr(SqlDialect.rewrite(p)), lit(false))))
+        case None => t.limit(0)
+      }
 
     case QualifyRe(head, pred, orderOrNull) =>
       spark.sql(SqlDialect.rewrite(

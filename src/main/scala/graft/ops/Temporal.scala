@@ -444,6 +444,23 @@ object Temporal {
              |  CAST(json_extract(props, '$.k') AS BIGINT) AS k
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Snowflake LATERAL FLATTEN's relational shape: a JSON object
+    // column explodes to one (key, value) row per entry —
+    // schema-on-read without a fixed path list (q_scalar_json is the
+    // fixed-path sibling). Row-local explode, zero shuffle; DuckDB's
+    // json_each is the oracle twin.
+    QueryDef("q_json_flatten",
+      (s, d) => Tables.table(s, d, "events")
+        .select(col("event_id"),
+          explode(from_json(col("props"),
+            MapType(StringType, LongType))))
+        .orderBy("event_id", "key"),
+      Some("""SELECT event_id, k AS key,
+             |  CAST(json_extract(props, '$.' || k) AS BIGINT) AS value
+             |FROM (SELECT event_id, props,
+             |        unnest(json_keys(props)) AS k FROM events)
+             |ORDER BY event_id, key""".stripMargin)),
+
     // AS-OF join (Snowflake ASOF JOIN): for every click, the most recent
     // purchase by the same user at or before the click. No Spark built-in;
     // the scale-safe pattern is union + last(..., ignoreNulls) over a

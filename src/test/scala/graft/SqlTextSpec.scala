@@ -279,4 +279,66 @@ class SqlTextSpec extends SparkSpec {
     val out = SqlText.sql(spark, "SELECT 1 + 1 AS two")
     assert(out.collect()(0).getInt(0) == 2)
   }
+
+  private def stageUd(): Unit =
+    Seq((1L, 10L, 20L), (2L, 30L, 40L), (3L, 50L, 60L))
+      .toDF("k", "a", "b").createOrReplaceTempView("st_ud")
+
+  test("UPDATE evaluates every SET expression against the ORIGINAL row (swap)") {
+    stageUd()
+    val out = SqlText.sql(spark,
+      "UPDATE st_ud SET a = b, b = a WHERE k <= 2")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 20L, 10L), (2L, 40L, 30L),
+      (3L, 50L, 60L)))
+  }
+
+  test("UPDATE and DELETE treat a NULL predicate as not-matching (ANSI)") {
+    Seq((1L, Some(5L)), (2L, None)).toDF("k", "v")
+      .createOrReplaceTempView("st_un")
+    // row 2's v IS NULL → predicate NULL → not updated, not deleted
+    val up = SqlText.sql(spark, "UPDATE st_un SET k = k + 100 WHERE v < 10")
+      .collect().map(_.getLong(0)).sorted
+    assert(up.toSeq == Seq(2L, 101L))
+    val del = SqlText.sql(spark, "DELETE FROM st_un WHERE v < 10")
+      .collect().map(_.getLong(0))
+    assert(del.toSeq == Seq(2L))
+  }
+
+  test("DELETE without WHERE empties; UPDATE without WHERE hits every row") {
+    stageUd()
+    assert(SqlText.sql(spark, "DELETE FROM st_ud").count() == 0)
+    val all = SqlText.sql(spark, "UPDATE st_ud SET a = a + 1")
+      .orderBy("k").collect().map(_.getLong(1))
+    assert(all.toSeq == Seq(11L, 31L, 51L))
+  }
+
+  test("UPDATE rejects unknown columns, malformed and duplicate assignments") {
+    stageUd()
+    val e1 = intercept[IllegalArgumentException](
+      SqlText.sql(spark, "UPDATE st_ud SET nope = 1"))
+    assert(e1.getMessage.contains("unknown column"))
+    val e2 = intercept[RuntimeException](
+      SqlText.sql(spark, "UPDATE st_ud SET a + 1"))
+    assert(e2.getMessage.contains("assignments"))
+    val e3 = intercept[IllegalArgumentException](
+      SqlText.sql(spark, "UPDATE st_ud SET a = 1, a = 2"))
+    assert(e3.getMessage.contains("duplicate"))
+  }
+
+  test("dialect functions work inside UPDATE SET and DELETE WHERE") {
+    stageUd()
+    val up = SqlText.sql(spark,
+      "UPDATE st_ud SET a = IFF(b > 30, 0, a) WHERE BITAND(k, 1) = 1")
+      .orderBy("k").collect().map(_.getLong(1))
+    // k=1 (odd, b=20≤30 → a stays 10), k=2 (even, untouched),
+    // k=3 (odd, b=60>30 → 0)
+    assert(up.toSeq == Seq(10L, 30L, 0L))
+    val del = SqlText.sql(spark,
+      "DELETE FROM st_ud WHERE DIV0(b, a) >= 2")
+      .collect().map(_.getLong(0)).sorted
+    // b/a: 2.0, 1.33, 1.2 → only k=1 deleted
+    assert(del.toSeq == Seq(2L, 3L))
+  }
 }
