@@ -1879,6 +1879,98 @@ object Relational {
       },
       Some(qualifySql)),
 
+    // --------------------------------------------- feature scaling
+    // the pre-training normalization pass: per event type, z-score
+    // ((x − μ)/σ, population σ) and min-max ((x − min)/(max − min))
+    // of the value column. Determinism without decimal→double drift:
+    // moments accumulate as EXACT integer micro-unit sums
+    // (Σx, Σx² in DECIMAL(38,0) — 2^53-safe at any scale), and the
+    // float part is the IDENTICAL expression on both engines over
+    // those exact integers (÷, sqrt are IEEE correctly-rounded),
+    // rounded to 6. ONE stats agg broadcast back over the stream —
+    // row-local scaling, the only shuffle is the type-grain agg.
+    QueryDef("q_feature_scale",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .withColumn("xm", round(col("value") * 1e6).cast(LongType))
+        val stats = ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("xm").cast(D380)).as("s1"),
+          sum((col("xm") * col("xm")).cast(D380)).as("s2"),
+          min("xm").as("lo"), max("xm").as("hi"))
+        val mu = col("s1").cast(DoubleType) / col("n")
+        val sd = sqrt((col("s2").cast(DoubleType)
+          - col("s1").cast(DoubleType) * col("s1").cast(DoubleType)
+            / col("n")) / col("n"))
+        ev.join(broadcast(stats), "event_type")
+          .select(col("event_id"), col("event_type"),
+            round((col("xm") - mu) / sd, 6).as("zscore"),
+            round((col("xm") - col("lo")).cast(DoubleType)
+              / (col("hi") - col("lo")), 6).as("minmax"))
+          .orderBy("event_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+             |    sum(CAST(CAST(round(value * 1000000) AS BIGINT)
+             |      AS HUGEINT)) AS s1,
+             |    sum(CAST(CAST(round(value * 1000000) AS BIGINT)
+             |      AS HUGEINT) * CAST(round(value * 1000000) AS BIGINT))
+             |      AS s2,
+             |    min(CAST(round(value * 1000000) AS BIGINT)) AS lo,
+             |    max(CAST(round(value * 1000000) AS BIGINT)) AS hi
+             |  FROM events GROUP BY 1
+             |)
+             |SELECT event_id, e.event_type,
+             |  round((CAST(round(value * 1000000) AS BIGINT)
+             |      - CAST(s1 AS DOUBLE) / n)
+             |    / sqrt((CAST(s2 AS DOUBLE)
+             |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n),
+             |    6) AS zscore,
+             |  round(CAST(CAST(round(value * 1000000) AS BIGINT) - lo
+             |      AS DOUBLE) / (hi - lo), 6) AS minmax
+             |FROM events e JOIN m ON e.event_type = m.event_type
+             |ORDER BY event_id""".stripMargin)),
+
+    // ----------------------------------------- Benford digit audit
+    // fraud/fabrication screening: the lead-digit distribution of
+    // money amounts vs Benford's law, ALL-INTEGER — observed ppm is
+    // an exact integer div, the expected ppm are literal constants
+    // (⌊log10(1+1/d)·10^6⌉ precomputed, identical text both engines),
+    // so no transcendental evaluates at query time and the key is
+    // bit-deterministic at any scale. One digit-grain agg.
+    QueryDef("q_audit_benford",
+      (s, d) => {
+        val cents = round(col("o_totalprice") * 100).cast(LongType)
+        val digits = t(s, d, "orders")
+          .select(substring(cents.cast(StringType), 1, 1)
+            .cast(LongType).as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val expected = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+          66947L, 57992L, 51153L, 45757L)
+        val expCol = element_at(
+          array(expected.map(lit): _*), col("digit").cast("int"))
+        digits.join(broadcast(digits.agg(sum("n").as("total"))))
+          .select(col("digit"), col("n"),
+            expr("CAST((n * 1000000) div total AS BIGINT)").as("obs_ppm"),
+            expCol.as("expected_ppm"))
+          .withColumn("diff_ppm", col("obs_ppm") - col("expected_ppm"))
+          .orderBy("digit")
+      },
+      Some("""WITH digits AS (
+             |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+             |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             |    CAST(count(1) AS BIGINT) AS n
+             |  FROM orders GROUP BY 1
+             |), tot AS (SELECT sum(n) AS total FROM digits)
+             |SELECT digit, n,
+             |  CAST((n * 1000000) // total AS BIGINT) AS obs_ppm,
+             |  ([301030, 176091, 124939, 96910, 79181, 66947, 57992,
+             |    51153, 45757])[CAST(digit AS INT)] AS expected_ppm,
+             |  CAST((n * 1000000) // total AS BIGINT)
+             |    - ([301030, 176091, 124939, 96910, 79181, 66947, 57992,
+             |       51153, 45757])[CAST(digit AS INT)] AS diff_ppm
+             |FROM digits, tot ORDER BY digit""".stripMargin)),
+
     // --------------------------------------- UPDATE / DELETE verbs
     // the front door's remaining DML: single-table UPDATE and DELETE
     // rewrite onto one projection / one filter (SqlText) — row-local,
