@@ -135,6 +135,15 @@ object SqlText {
   // analysis. DELETE FROM <t> [WHERE <pred>]: removes rows where the
   // predicate is TRUE (NULL keeps the row, ANSI); no WHERE empties
   // the relation. Oracle-checked as `q_sql_update` / `q_sql_delete`.
+  // SELECT * EXCLUDE (cols) FROM <t> [tail] — Snowflake/DuckDB's
+  // projection-complement sugar (no Spark syntax): rewrites to the
+  // explicit column list from the table's schema. Canonical single
+  // bare-table form; the tail (WHERE/GROUP/ORDER/LIMIT) passes
+  // through. Unknown or all-columns EXCLUDE fails loudly.
+  private val ExcludeRe =
+    ("""(?is)^\s*SELECT\s+\*\s+EXCLUDE\s+\(?\s*([\w\s,]+?)\s*\)?""" +
+     """\s+FROM\s+(\w+)(\s+.*?)?\s*;?\s*$""").r
+
   private val UpdateRe =
     """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val DeleteRe =
@@ -354,6 +363,16 @@ object SqlText {
       val out = spark.sql(SqlDialect.rewrite(rewritten))
       spark.catalog.dropTempView(view)
       out
+
+    case ExcludeRe(colsTxt, target, tailOrNull) =>
+      val excluded = colsTxt.split(",").map(_.trim).filter(_.nonEmpty)
+      val t = spark.table(target)
+      excluded.foreach(c => require(t.columns.contains(c),
+        s"EXCLUDE names unknown column '$c' of '$target'"))
+      val kept = t.columns.filterNot(excluded.contains)
+      require(kept.nonEmpty, s"EXCLUDE removes every column of '$target'")
+      spark.sql(SqlDialect.rewrite(s"SELECT ${kept.mkString(", ")} " +
+        s"FROM $target${Option(tailOrNull).getOrElse("")}"))
 
     case UpdateRe(target, assignsTxt, predOrNull) =>
       import org.apache.spark.sql.functions.{coalesce, expr, lit, when}

@@ -50,6 +50,17 @@ object Relational {
       |QUALIFY rn <= 3
       |ORDER BY o_orderstatus, rn""".stripMargin
 
+  private val excludeSql =
+    """SELECT * EXCLUDE (o_custkey, o_totalprice) FROM orders
+      |WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin
+
+  private val groupByAllSql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(count(1) AS BIGINT) AS n,
+      |  CAST(min(o_orderkey) AS BIGINT) AS first_key
+      |FROM orders GROUP BY ALL
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
   /** Generic equi-width histogram ([[graft.Graft.histogram]];
     * `q_profile_histogram`): ONE hash-agg pass over the scan, output
     * bounded by the bin count whatever the input size, partial
@@ -1878,6 +1889,26 @@ object Relational {
         graft.SqlText.sql(s, qualifySql)
       },
       Some(qualifySql)),
+
+    // ----------------------------- EXCLUDE sugar / GROUP BY ALL
+    // two warehouse-SQL conveniences, each ONE string for BOTH
+    // engines (the qualifySql sharing pattern): EXCLUDE rewrites to
+    // the explicit projection complement in SqlText (DuckDB runs the
+    // same text natively); GROUP BY ALL is native in Spark 4.1 AND
+    // DuckDB — the key proves the pass-through works end-to-end.
+    QueryDef("q_sql_exclude",
+      (s, d) => {
+        Tables.register(s, d)
+        graft.SqlText.sql(s, excludeSql)
+      },
+      Some(excludeSql)),
+
+    QueryDef("q_sql_groupby_all",
+      (s, d) => {
+        Tables.register(s, d)
+        graft.SqlText.sql(s, groupByAllSql)
+      },
+      Some(groupByAllSql)),
 
     // --------------------------------------------- feature scaling
     // the pre-training normalization pass: per event type, z-score

@@ -622,6 +622,31 @@ object Text {
     // order-sensitive rolling polynomial hash over the token stream
     // (content fingerprint: same tokens in a different order → different
     // print). Left fold with identical integer arithmetic in both engines.
+    // Jaro-Winkler fuzzy scoring ([[graft.functions.JaroWinklerSim]] —
+    // the codegen'd expression; Spark has levenshtein but no Jaro
+    // family). Scored over the deterministic adjacent-id part-name
+    // pairing (|parts| rows, row-local — the bounded demo of a scorer
+    // that in production rides a blocked candidate list, never
+    // all-pairs); DuckDB's NATIVE jaro_winkler_similarity is the
+    // oracle, so the hash compare proves algorithm equality, not just
+    // self-consistency.
+    QueryDef("q_text_jaro",
+      (s, d) => {
+        graft.functions.JaroWinkler.register(s)
+        val p = Tables.table(s, d, "part")
+        p.select(col("p_partkey"), col("p_name").as("name_a"))
+          .join(p.select((col("p_partkey") - 1000).as("p_partkey"),
+            col("p_name").as("name_b")), "p_partkey")
+          .select(col("p_partkey"),
+            round(expr("jaro_winkler(name_a, name_b)"), 6).as("jw"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT a.p_partkey,
+             |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+             |    AS jw
+             |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1000
+             |ORDER BY a.p_partkey""".stripMargin)),
+
     QueryDef("q_text_fingerprint",
       (s, d) => Tables.table(s, d, "documents").select(
           col("doc_id"),
