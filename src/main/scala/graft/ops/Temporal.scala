@@ -1695,6 +1695,95 @@ object Temporal {
              |  CAST(n_points AS BIGINT) AS n_points
              |FROM daily ORDER BY 1""".stripMargin)),
 
+    // ---------------------------------------------- journey mining
+    // top session paths: each session's ordered event-type sequence
+    // becomes one '>'-joined path string; the report is the 10 most
+    // common journeys — the product-analytics "what do users actually
+    // do" query. Path build rides the SAME user shuffle as sessionize
+    // (collect_list over the full-session frame in (ts, event_id)
+    // order — deterministic because the order is total); then one
+    // path-grain agg + TakeOrdered top-10 (ties broken by path text,
+    // so the cut is stable at any parallelism).
+    QueryDef("q_events_paths",
+      (s, d) => {
+        val sess = sessionize(Tables.table(s, d, "events")
+          .select("user_id", "ts", "event_id", "event_type"))
+        val w = Window.partitionBy("user_id", "session_seq")
+          .orderBy("ts", "event_id")
+        sess
+          .withColumn("path", concat_ws(">",
+            collect_list("event_type").over(w.rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path")).limit(10)
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |  FROM events
+             |), flagged AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+             |      THEN 1 ELSE 0 END AS new_sess
+             |  FROM seq
+             |), sess AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    sum(new_sess) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS session_seq
+             |  FROM flagged
+             |), paths AS (
+             |  SELECT string_agg(event_type, '>' ORDER BY ts, event_id)
+             |    AS path
+             |  FROM sess GROUP BY user_id, session_seq
+             |)
+             |SELECT path, CAST(count(1) AS BIGINT) AS n_sessions
+             |FROM paths GROUP BY path
+             |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin)),
+
+    // ------------------------------------- inter-arrival percentiles
+    // latency profiling: p50/p90/p99 of the WHOLE-SECOND gap between a
+    // user's
+    // consecutive events of each type (integer seconds keep the
+    // interpolated quantile inside round-6's absorption range — at
+    // microsecond magnitude ~4e11 the two engines' interpolation ulp
+    // exceeds 1e-6) — per-(user, type) lag windows
+    // (user-grain partitions, never 5 fat per-type reducers), then the
+    // spillable histogram quantiles per type ([[graft.Graft
+    // .quantiles]] — no global sort, quantile_cont-exact).
+    QueryDef("q_events_interarrival",
+      (s, d) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy("ts", "event_id")
+        val gaps = Tables.table(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"))
+          .withColumn("gap_s",
+            expr("(unix_micros(ts) div 1000000)")
+              - lag(expr("(unix_micros(ts) div 1000000)"), 1).over(w))
+          .filter(col("gap_s").isNotNull)
+        graft.ops.Relational.histQuantiles(gaps, "gap_s",
+            Seq("event_type"),
+            Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type,
+             |    (epoch_us(ts) // 1000000)
+             |      - lag(epoch_us(ts) // 1000000) OVER (
+             |      PARTITION BY user_id, event_type
+             |      ORDER BY ts, event_id) AS gap_s
+             |  FROM events
+             |)
+             |SELECT event_type,
+             |  round(quantile_cont(gap_s, 0.5), 6) AS p50,
+             |  round(quantile_cont(gap_s, 0.9), 6) AS p90,
+             |  round(quantile_cont(gap_s, 0.99), 6) AS p99
+             |FROM g WHERE gap_s IS NOT NULL
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // --------------------------------------------- TWAP (time-weighted)
     // time-weighted average value per (type, day) — the finance/ops
     // metric where a value HOLDS until the next observation, so
