@@ -1017,6 +1017,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"partial agg missing:\n$p")
   }
 
+  test("q_timeseries_twap shares one (type, day) shuffle between lead and agg") {
+    val p = plan("q_timeseries_twap")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly one exchange, got $n:\n$p")
+  }
+
+  test("q_scd2_lookup reduces to the asof union+window — one user shuffle, no range join") {
+    val p = plan("q_scd2_lookup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"point-in-time lookup must not range-join:\n$p")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_#0-9L]+)"
+      .r.findAllMatchIn(p).map(_.group(1).takeWhile(_ != '#')).toList
+    assert(exchanges.distinct == List("user_id"),
+      s"expected only user_id exchanges, got $exchanges:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and
