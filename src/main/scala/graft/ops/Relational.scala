@@ -1962,6 +1962,66 @@ object Relational {
              |FROM events e JOIN m ON e.event_type = m.event_type
              |ORDER BY event_id""".stripMargin)),
 
+    // --------------------------------------- right-to-be-forgotten
+    // GDPR/CCPA delete propagation: a forget-list of customers
+    // cascades along the FK chain (customer → orders → lineitem), and
+    // the report is the per-table (kept, removed) audit a compliance
+    // run must produce. Shape: the forget-list and the affected
+    // orderkey set are key-only frames (broadcast-sized per deletion
+    // batch in production); each table pays ONE semi/anti scan — no
+    // row data moves, only keys. Deterministic forget-list (custkey %
+    // 97) stands in for the request queue.
+    QueryDef("q_privacy_forget",
+      (s, d) => {
+        val forget = t(s, d, "customer")
+          .filter(col("c_custkey") % 97 === 0).select("c_custkey")
+        val orders = t(s, d, "orders")
+        val li = t(s, d, "lineitem")
+        val custGone = t(s, d, "customer")
+          .join(forget, Seq("c_custkey"), "left_semi")
+        val ordGone = orders.join(
+          forget.withColumnRenamed("c_custkey", "o_custkey"),
+          Seq("o_custkey"), "left_semi")
+        val liGone = li.join(
+          ordGone.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_semi")
+        def audit(name: String, total: DataFrame, gone: DataFrame) = {
+          val t0 = total.agg(count(lit(1)).as("rows")).withColumn("g", lit(1))
+          val g0 = gone.agg(count(lit(1)).as("removed")).withColumn("g", lit(1))
+          t0.join(g0, "g").select(lit(name).as("table_name"),
+            (col("rows") - col("removed")).as("kept"), col("removed"))
+        }
+        audit("customer", t(s, d, "customer"), custGone)
+          .unionAll(audit("orders", orders, ordGone))
+          .unionAll(audit("lineitem", li, liGone))
+          .orderBy("table_name")
+      },
+      Some("""WITH forget AS (
+             |  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+             |), og AS (
+             |  SELECT o_orderkey FROM orders
+             |  WHERE o_custkey IN (SELECT c_custkey FROM forget)
+             |)
+             |SELECT 'customer' AS table_name,
+             |  CAST((SELECT count(1) FROM customer)
+             |    - (SELECT count(1) FROM forget) AS BIGINT) AS kept,
+             |  CAST((SELECT count(1) FROM forget) AS BIGINT) AS removed
+             |UNION ALL
+             |SELECT 'lineitem',
+             |  CAST((SELECT count(1) FROM lineitem)
+             |    - (SELECT count(1) FROM lineitem
+             |       WHERE l_orderkey IN (SELECT o_orderkey FROM og))
+             |    AS BIGINT),
+             |  CAST((SELECT count(1) FROM lineitem
+             |    WHERE l_orderkey IN (SELECT o_orderkey FROM og))
+             |    AS BIGINT)
+             |UNION ALL
+             |SELECT 'orders',
+             |  CAST((SELECT count(1) FROM orders)
+             |    - (SELECT count(1) FROM og) AS BIGINT),
+             |  CAST((SELECT count(1) FROM og) AS BIGINT)
+             |ORDER BY table_name""".stripMargin)),
+
     // ----------------------------------------- Benford digit audit
     // fraud/fabrication screening: the lead-digit distribution of
     // money amounts vs Benford's law, ALL-INTEGER — observed ppm is
