@@ -1433,12 +1433,12 @@ object Dedup {
     // Verify = exact intersection count on candidates; union = na + nb
     // − inter (no arrays shipped). The oracle is the brute any-shared-
     // token join — hash equality proves completeness, not just
-    // precision. Sliced to doc_id % 10 (oracle feasibility: the brute
+    // precision. Sliced to doc_id % 20 (oracle feasibility: the brute
     // twin IS corpus²-shaped; the Spark side is the scale path).
     QueryDef("q_dedup_prefix",
       (s, d) => {
         val tok = Tables.table(s, d, "documents")
-          .filter(col("doc_id") % 10 === 0)
+          .filter(col("doc_id") % 20 === 0)
           .select(col("doc_id"),
             explode(array_distinct(split(col("text"), " "))).as("token"))
         prefixJaccardJoin(tok, 0.5).orderBy("doc_a", "doc_b")
@@ -1446,7 +1446,7 @@ object Dedup {
       Some("""WITH tok AS (
              |  SELECT DISTINCT doc_id, token FROM (
              |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
-             |    FROM documents WHERE doc_id % 10 = 0)
+             |    FROM documents WHERE doc_id % 20 = 0)
              |), sizes AS (
              |  SELECT doc_id, count(1) AS n FROM tok GROUP BY 1
              |), pair AS (
