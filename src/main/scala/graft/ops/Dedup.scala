@@ -319,10 +319,14 @@ object Dedup {
     * shipped. Emits (doc_a < doc_b, jaccard rounded 6). Rounding
     * cannot flip the threshold: |i/u − t| is either 0 or ≥ 1/u², far
     * above 5e-7 at any real doc size. */
-  private[graft] def prefixJaccardJoin(
+  /** The candidate stage of [[prefixJaccardJoin]], exposed so the
+    * adversarial spec can assert the structural bound directly: a
+    * corpus-wide hot token (df = n) never enters any prefix as long
+    * as docs carry enough rarer tokens, so it generates ZERO pairs —
+    * the exact-completeness counterpart of the LSH hot-bucket cap. */
+  private[graft] def prefixCandidates(
       tok: org.apache.spark.sql.DataFrame,
       t: Double): org.apache.spark.sql.DataFrame = {
-    require(t > 0.0 && t <= 1.0, s"Jaccard threshold out of (0,1]: $t")
     val df = tok.groupBy("token").agg(count(lit(1)).as("df"))
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val wDoc = org.apache.spark.sql.expressions.Window
@@ -332,10 +336,18 @@ object Dedup {
       .join(sizes, "doc_id")
       .filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
       .select("doc_id", "token")
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("token"))
+    prefix.select(col("doc_id").as("doc_a"), col("token"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("token")), "token")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  private[graft] def prefixJaccardJoin(
+      tok: org.apache.spark.sql.DataFrame,
+      t: Double): org.apache.spark.sql.DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"Jaccard threshold out of (0,1]: $t")
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cand = prefixCandidates(tok, t)
     val inter = cand
       .join(tok.select(col("doc_id").as("doc_a"), col("token")), "doc_a")
       .join(tok.select(col("doc_id").as("doc_b"),

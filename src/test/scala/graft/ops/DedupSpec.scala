@@ -393,6 +393,32 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.partitionsFor(0L, 1L << 20, 32) == 1)
   }
 
+  test("hot corpus-wide tokens never generate prefix candidates") {
+    import spark.implicits._
+    // 400 docs, EVERY doc shares 3 stopwords; each doc also carries 5
+    // unique tokens. Naive any-shared-token candidates: 400·399/2 =
+    // 79,800 pairs. Rarest-first prefixes (n=8, t=0.5 → prefix 5)
+    // hold only the unique tokens (df=1 sorts before df=400), so the
+    // prefix join generates ZERO candidates — and zero true pairs
+    // exist (J = 3/13 < 0.5), so completeness holds trivially.
+    val tok = (0L until 400L).flatMap { i =>
+      Seq("the", "and", "of").map(i -> _) ++
+        (0 until 5).map(k => i -> s"u${i}_$k")
+    }.toDF("doc_id", "token")
+    assert(Dedup.prefixCandidates(tok, 0.5).count() == 0,
+      "hot-token pairs leaked into the candidate set")
+    assert(Dedup.prefixJaccardJoin(tok, 0.5).count() == 0)
+    // a planted near-dup pair IS still found through its rare tokens
+    val tok2 = tok.unionAll(Seq(
+      (1000L, "x1"), (1000L, "x2"), (1000L, "x3"), (1000L, "the"),
+      (1001L, "x1"), (1001L, "x2"), (1001L, "x3"), (1001L, "and"))
+      .toDF("doc_id", "token"))
+    val found = Dedup.prefixJaccardJoin(tok2, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(found.toSeq == Seq((1000L, 1001L)),
+      s"planted pair missing or extras present: ${found.toSeq}")
+  }
+
   test("prefix-filtered Jaccard join is COMPLETE vs brute force at several thresholds") {
     import spark.implicits._
     // deterministic synthetic corpus: 40 docs over a 25-token
