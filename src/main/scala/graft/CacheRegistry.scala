@@ -57,8 +57,11 @@ object CacheRegistry {
     * feed ITERATIVE loops (the graph family) this is the difference
     * between re-ANALYZING the artifact's full build tree every round and
     * analyzing a one-node scan — the build tree is paid once, here.
-    * No CacheManager entry is involved, so the registration race is
-    * benign (the loser's materialization is discarded and GC'd).
+    * No CacheManager entry is involved, so the registration race cannot
+    * corrupt the winner — but the loser HAS already materialized its
+    * checkpoint's executor storage blocks, so losing the insert eagerly
+    * unpersists them instead of leaving them to linger until GC (the
+    * same leak class releaseAll exists to close).
     *
     * CAVEAT (single-process / bench assumption): localCheckpoint blocks
     * are non-replicated and NON-RECOMPUTABLE — the lineage is cut, so on
@@ -82,7 +85,14 @@ object CacheRegistry {
           case lr: LogicalRDD => Some(lr.rdd)
           case _ => None
         }
-        entries.putIfAbsent(key, Entry(df, rdd)).map(_.df).getOrElse(df)
+        entries.putIfAbsent(key, Entry(df, rdd)) match {
+          case Some(winner) =>
+            // insert lost: this racer's checkpoint blocks are already on
+            // the executors — free them now rather than at GC
+            rdd.foreach(_.unpersist(blocking = false))
+            winner.df
+          case None => df
+        }
     }
   }
 

@@ -334,7 +334,15 @@ object Dedup {
     val prefix = tok.join(df, "token")
       .withColumn("rn", row_number().over(wDoc))
       .join(sizes, "doc_id")
-      .filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
+      // ⌈t·n⌉ guarded against upward FP error: for thresholds where t·n
+      // is mathematically an integer but the double product rounds UP
+      // (t=0.55, n=20 → 11.000000000000002), a bare ceil would shrink
+      // the prefix by one token and silently drop boundary pairs with
+      // J exactly = t. Subtracting 1e-9 (far above the product's ulp,
+      // far below the 1/n² gap to the next real threshold crossing)
+      // errs toward a LONGER prefix — a candidate superset, never a
+      // miss. Pinned by DedupSpec's t=0.55 boundary-pair fixture.
+      .filter(col("rn") <= col("n") - ceil(col("n") * t - lit(1e-9)) + 1)
       .select("doc_id", "token")
     prefix.select(col("doc_id").as("doc_a"), col("token"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("token")), "token")

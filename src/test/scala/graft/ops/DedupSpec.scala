@@ -419,6 +419,24 @@ class DedupSpec extends SparkSpec {
       s"planted pair missing or extras present: ${found.toSeq}")
   }
 
+  test("FP-boundary threshold keeps J-exactly-t pairs (t=0.55, n=20)") {
+    import spark.implicits._
+    // 20*0.55 = 11.000000000000002 in doubles: an unguarded ceil reads
+    // 12, shrinking doc A's prefix to 9 tokens — exactly its 9 unique
+    // (df=1, rarest-first) tokens — so the planted boundary pair with
+    // J EXACTLY 0.55 loses its only shared prefix token and vanishes.
+    // Doc A: 9 unique + 11 shared tokens (n=20); doc B: the same 11
+    // shared tokens (n=11). J = 11 / (20 + 11 - 11) = 0.55 exactly.
+    val shared = (0 until 11).map(k => f"s$k%02d")
+    val tok = (shared.map(1L -> _) ++
+      (0 until 9).map(k => 1L -> s"uniq_a_$k") ++
+      shared.map(2L -> _)).toDF("doc_id", "token")
+    val got = Dedup.prefixJaccardJoin(tok, 0.55).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 0.55)),
+      s"boundary pair at J = t dropped by FP-inflated ceil: $got")
+  }
+
   test("prefix-filtered Jaccard join is COMPLETE vs brute force at several thresholds") {
     import spark.implicits._
     // deterministic synthetic corpus: 40 docs over a 25-token
