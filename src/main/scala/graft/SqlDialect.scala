@@ -24,16 +24,38 @@ package graft
   *   - `BITNOT(a)`               → `~(a)`
   *   - `BITSHIFTLEFT/RIGHT`      → `shiftleft` / `shiftright`
   *
-  * Forms whose Spark twin DIVERGES are rejected loudly, never mapped
-  * approximately: `TO_VARCHAR(x, format)` (Snowflake's format grammar ≠
-  * `date_format`/`format_number` — write those directly),
-  * `EDITDISTANCE(a, b, max)` (Snowflake clamps to max, Spark's
-  * 3-arg levenshtein returns -1 past the threshold), and `STRTOK`
-  * (its delimiter is a character SET, not a string — use `split_part`
-  * for single-delimiter tokenization). `INSERT(s, pos, len, r)` is
-  * deliberately not recognized: rewriting the `INSERT` token risks the
-  * DML keyword inside MERGE text; use `overlay` (Spark-native, same
-  * semantics).
+  * Round 15 closes the three forms that previously loud-failed, each
+  * with an exact (or exactly-scoped) twin:
+  *
+  *   - `TO_VARCHAR(x, 'fmt')` with a LITERAL format: date formats built
+  *     from the unambiguous numeric tokens (YYYY YY MM DD HH24 HH12 HH
+  *     MI SS FF[1-9] AM PM + `-/:. ,` separators) translate token-wise
+  *     to a `date_format` pattern; numeric formats over `9 0 , . $`
+  *     translate char-wise (9 → #) to a `format_number` DecimalFormat
+  *     pattern. Exotic tokens (MON/DY — Snowflake upcases them, Spark
+  *     doesn't; `"…"` literal sections; TZ*) still loud-fail, as does a
+  *     non-literal format. One DOCUMENTED divergence on the mapped
+  *     numeric forms: Snowflake space-fills a 9-position that
+  *     DecimalFormat's # simply omits (underwidth values lose leading
+  *     spaces); formats made of 0s (zero-pad) are exact.
+  *   - `EDITDISTANCE(a, b, max)` → `CASE WHEN levenshtein(a, b, max) =
+  *     -1 THEN max ELSE … END`: Spark's 3-arg levenshtein returns -1
+  *     past the threshold where Snowflake clamps to max — the CASE is
+  *     an exact twin (d = max passes through both). `max` must be a
+  *     non-negative expression, as in Snowflake.
+  *   - `STRTOK(s[, delim[, part]])` with a LITERAL single-character
+  *     delimiter (for which Snowflake's character-SET semantics
+  *     coincide with single-delimiter splitting) →
+  *     `try_element_at(filter(split(s, rx), t -> t != ''), part)` —
+  *     exact including Snowflake's empty-token collapse (consecutive
+  *     delimiters yield no token) and NULL past the last token, which
+  *     `split_part`'s empty-string-on-miss contract would NOT match.
+  *     Multi-character or non-literal delimiters still loud-fail
+  *     (character-set semantics have no Spark builtin).
+  *
+  * `INSERT(s, pos, len, r)` remains deliberately unrecognized:
+  * rewriting the `INSERT` token risks the DML keyword inside MERGE
+  * text; use `overlay` (Spark-native, same semantics).
   *
   * The rewriter is a quote/comment-aware single pass, not a regex:
   * `'…'` literals (with `''` doubling), `"…"`/backtick identifiers and
@@ -166,15 +188,37 @@ object SqlDialect {
           s"CHARINDEX takes 2 or 3 arguments, got ${args.size}: '$call'")
         s"locate(${args.mkString(", ")})"
       case "to_varchar" =>
-        require(args.size == 1, "TO_VARCHAR with a format argument is not " +
-          s"supported (Snowflake's format grammar differs from Spark's — " +
-          s"use date_format/format_number directly): '$call'")
-        s"CAST((${args.head}) AS STRING)"
+        require(args.size == 1 || args.size == 2,
+          s"TO_VARCHAR takes 1 or 2 arguments, got ${args.size}: '$call'")
+        if (args.size == 1) s"CAST((${args.head}) AS STRING)"
+        else {
+          val fmt = stringLiteral(args(1)).getOrElse(sys.error(
+            "TO_VARCHAR's format must be a string literal " +
+              s"(a computed format cannot be translated at rewrite time): '$call'"))
+          numericFormat(fmt)
+            .map(p => s"format_number((${args.head}), '$p')")
+            .orElse(dateFormat(fmt)
+              .map(p => s"date_format((${args.head}), '$p')"))
+            .getOrElse(sys.error(
+              s"TO_VARCHAR format '$fmt' uses tokens outside the mapped set " +
+                "(dates: YYYY YY MM DD HH24 HH12 HH MI SS FF[1-9] AM PM " +
+                "with -/:. , separators; numbers: 9 0 , . $) — write " +
+                s"date_format/format_number directly: '$call'"))
+        }
       case "editdistance" =>
-        require(args.size == 2, "EDITDISTANCE with a max-distance argument " +
-          "is not supported (Snowflake clamps to max; Spark's 3-arg " +
-          s"levenshtein returns -1 past the threshold): '$call'")
-        s"levenshtein(${args.mkString(", ")})"
+        require(args.size == 2 || args.size == 3,
+          s"EDITDISTANCE takes 2 or 3 arguments, got ${args.size}: '$call'")
+        if (args.size == 2) s"levenshtein(${args.mkString(", ")})"
+        else {
+          // Snowflake clamps to max; Spark's 3-arg levenshtein returns -1
+          // past the threshold — the CASE maps -1 back to max, and a
+          // distance of exactly max passes through both identically.
+          // (Still benefits from Spark's early-exit: the full matrix is
+          // never computed past the threshold.)
+          val (a, b, m) = (args(0), args(1), args(2))
+          s"(CASE WHEN levenshtein(($a), ($b), ($m)) = -1 THEN ($m) " +
+            s"ELSE levenshtein(($a), ($b), ($m)) END)"
+        }
       case "div0" =>
         arity(2)
         s"(CASE WHEN (${args(1)}) = 0 THEN 0 ELSE (${args(0)}) / (${args(1)}) END)"
@@ -188,9 +232,88 @@ object SqlDialect {
       case "bitnot" => arity(1); s"(~(${args.head}))"
       case "bitshiftleft" => arity(2); s"shiftleft(${args(0)}, ${args(1)})"
       case "bitshiftright" => arity(2); s"shiftright(${args(0)}, ${args(1)})"
-      case "strtok" => sys.error("STRTOK is not supported: its delimiter " +
-        "is a character SET (any-of), which no Spark builtin matches — " +
-        s"for a single-delimiter token use split_part: '$call'")
+      case "strtok" =>
+        require(args.size >= 1 && args.size <= 3,
+          s"STRTOK takes 1 to 3 arguments, got ${args.size}: '$call'")
+        val delim =
+          if (args.size < 2) " "
+          else stringLiteral(args(1)).getOrElse(sys.error(
+            "STRTOK's delimiter must be a string literal (its character-" +
+              s"SET semantics cannot be checked at rewrite time otherwise): '$call'"))
+        require(delim.length == 1, "STRTOK with a multi-character " +
+          "delimiter is not supported: the delimiter is a character SET " +
+          "(any-of), which no Spark builtin matches — single-character " +
+          s"delimiters coincide with single-delimiter splitting: '$call'")
+        val part = if (args.size == 3) args(2) else "1"
+        // split on the (regex-escaped) delimiter, drop empty tokens
+        // (Snowflake collapses consecutive delimiters), NULL past the
+        // last token (try_element_at) — split_part would return '' for
+        // both cases, diverging from Snowflake.
+        s"try_element_at(filter(split((${args.head}), " +
+          s"'${regexEscape(delim.head)}', -1), __tk -> __tk != ''), ($part))"
     }
+  }
+
+  /** Decode `arg` as a single-quoted SQL string literal (with `''`
+    * doubling); None when it is any other expression. */
+  private[graft] def stringLiteral(arg: String): Option[String] = {
+    val t = arg.trim
+    if (t.length < 2 || t.charAt(0) != '\'' || pastString(t, 0) != t.length)
+      None
+    else Some(t.substring(1, t.length - 1).replace("''", "'"))
+  }
+
+  /** The delimiter character as a Java-regex atom INSIDE a Spark SQL
+    * single-quoted literal: regex specials get a backslash (doubled —
+    * the SQL string parser eats one level), `'` doubles per SQL. */
+  private[graft] def regexEscape(c: Char): String =
+    if ("\\.[]{}()*+-?^$|".contains(c)) s"\\\\$c"
+    else if (c == '\'') "''"
+    else c.toString
+
+  /** Snowflake numeric format over `9 0 , . $` → a DecimalFormat
+    * pattern for `format_number` (9 → #, rest verbatim; `$` must lead;
+    * one decimal point; at least one digit position). None = not a
+    * numeric format. */
+  private[graft] def numericFormat(fmt: String): Option[String] = {
+    if (fmt.isEmpty || !fmt.forall(c => "90,.$".contains(c))) return None
+    if (!fmt.exists(c => c == '9' || c == '0')) return None
+    if (fmt.count(_ == '.') > 1) return None
+    if (fmt.count(_ == '$') > 1 || (fmt.contains('$') && fmt.head != '$'))
+      return None
+    Some(fmt.map(c => if (c == '9') '#' else c))
+  }
+
+  /** Longest-match-first Snowflake date tokens → Spark datetime pattern
+    * letters. MON/DY are ABSENT on purpose: Snowflake upcases their
+    * output (JAN/MON), Spark's MMM/EEE does not — mapping them would be
+    * silently approximate. */
+  private val DateTokens: Seq[(String, String)] = Seq(
+    "YYYY" -> "yyyy", "YY" -> "yy", "MM" -> "MM", "DD" -> "dd",
+    "HH24" -> "HH", "HH12" -> "hh", "HH" -> "HH", "MI" -> "mm",
+    "SS" -> "ss", "FF9" -> "S" * 9, "FF8" -> "S" * 8, "FF7" -> "S" * 7,
+    "FF6" -> "S" * 6, "FF5" -> "S" * 5, "FF4" -> "S" * 4,
+    "FF3" -> "SSS", "FF2" -> "SS", "FF1" -> "S", "FF" -> "S" * 9,
+    "AM" -> "a", "PM" -> "a")
+
+  /** Snowflake date/time format (case-insensitive tokens, `-/:. ,`
+    * separators) → Spark `date_format` pattern; None when any span is
+    * not a mapped token (MON, DY, TZ-family, quoted sections → caller
+    * fails loudly). */
+  private[graft] def dateFormat(fmt: String): Option[String] = {
+    val up = fmt.toUpperCase(java.util.Locale.ROOT)
+    val out = new StringBuilder
+    var i = 0
+    var sawToken = false
+    while (i < up.length) {
+      val c = up.charAt(i)
+      if ("-/:. ,".contains(c)) { out.append(c); i += 1 }
+      else DateTokens.find { case (tok, _) => up.startsWith(tok, i) } match {
+        case Some((tok, spark)) =>
+          out.append(spark); i += tok.length; sawToken = true
+        case None => return None
+      }
+    }
+    if (sawToken) Some(out.toString) else None
   }
 }

@@ -2234,6 +2234,99 @@ object Relational {
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    // 2-arg TO_VARCHAR — the round-14 verdict's most-hit residual:
+    // literal date formats translate token-wise to date_format
+    // patterns, numeric formats (9 0 , . $) char-wise to DecimalFormat
+    // via format_number. Numeric probes ride integers / quarter-exact
+    // doubles so formatting is FP-exact on both engines; exotic tokens
+    // (MON/DY, "…" sections) still loud-fail — SqlDialectSpec pins that.
+    QueryDef("q_sql_dialect_to_varchar",
+      (s, d) => {
+        Tables.register(s, d)
+        graft.SqlText.sql(s,
+          """SELECT o_orderkey,
+            |  TO_VARCHAR(o_orderdate, 'YYYY-MM-DD') AS d_iso,
+            |  TO_VARCHAR(o_orderdate, 'DD/MM/YYYY HH24:MI:SS') AS d_euro,
+            |  TO_VARCHAR(o_orderdate, 'HH12:MI AM') AS d_ampm,
+            |  TO_VARCHAR(o_orderkey, '0000000') AS k_pad,
+            |  TO_VARCHAR(CAST(o_orderkey AS DOUBLE) * 1000 + 0.25,
+            |    '9,999,990.00') AS k_grouped,
+            |  TO_VARCHAR(CAST(o_orderkey AS DOUBLE) * 100, '$9,999,990.00')
+            |    AS k_dollars
+            |FROM orders WHERE o_orderkey < 1000
+            |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS d_iso,
+             |  strftime(o_orderdate, '%d/%m/%Y %H:%M:%S') AS d_euro,
+             |  strftime(o_orderdate, '%I:%M %p') AS d_ampm,
+             |  lpad(CAST(o_orderkey AS VARCHAR), 7, '0') AS k_pad,
+             |  format('{:,}', o_orderkey * 1000) || '.25' AS k_grouped,
+             |  '$' || format('{:,}', o_orderkey * 100) || '.00'
+             |    AS k_dollars
+             |FROM orders WHERE o_orderkey < 1000
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // 3-arg EDITDISTANCE — Snowflake clamps to max where Spark's 3-arg
+    // levenshtein returns -1: the shim's CASE wrapper is an exact twin
+    // (and keeps Spark's early-exit past the threshold — at corpus
+    // scale the O(len·max) band beats the full O(len²) matrix). The
+    // oracle spells the SAME clamp as LEAST over DuckDB's levenshtein.
+    QueryDef("q_sql_dialect_editdistance",
+      (s, d) => {
+        Tables.register(s, d)
+        graft.SqlText.sql(s,
+          """SELECT c_custkey,
+            |  CAST(EDITDISTANCE(c_mktsegment, 'MACHINERY', 3) AS BIGINT)
+            |    AS d_clamped,
+            |  CAST(EDITDISTANCE(c_mktsegment, 'HOUSEHOLD', 20) AS BIGINT)
+            |    AS d_free,
+            |  CAST(EDITDISTANCE(c_name, c_mktsegment) AS BIGINT) AS d_two
+            |FROM customer WHERE c_custkey < 500
+            |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey,
+             |  CAST(LEAST(levenshtein(c_mktsegment, 'MACHINERY'), 3)
+             |    AS BIGINT) AS d_clamped,
+             |  CAST(LEAST(levenshtein(c_mktsegment, 'HOUSEHOLD'), 20)
+             |    AS BIGINT) AS d_free,
+             |  CAST(levenshtein(c_name, c_mktsegment) AS BIGINT) AS d_two
+             |FROM customer WHERE c_custkey < 500
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // single-char STRTOK — split + empty-token filter + try_element_at:
+    // exact Snowflake semantics including consecutive-delimiter
+    // collapse (the constant 'a  b   c' probe: double/triple spaces
+    // yield NO empty tokens, so part 3 is 'c') and NULL past the last
+    // token (prio_third), where split_part would return '' for both.
+    // The '-' delimiter exercises the regex-escape path.
+    QueryDef("q_sql_dialect_strtok",
+      (s, d) => {
+        Tables.register(s, d)
+        graft.SqlText.sql(s,
+          """SELECT o_orderkey,
+            |  STRTOK(o_orderpriority, '-', 1) AS prio_rank,
+            |  STRTOK(o_orderpriority, '-', 2) AS prio_word,
+            |  STRTOK(o_orderpriority, '-', 3) AS prio_third,
+            |  STRTOK(o_orderpriority) AS prio_first_ws,
+            |  STRTOK('a  b   c', ' ', 3) AS collapse_probe
+            |FROM orders WHERE o_orderkey < 1000
+            |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  list_extract(list_filter(string_split(o_orderpriority, '-'),
+             |    t -> t <> ''), 1) AS prio_rank,
+             |  list_extract(list_filter(string_split(o_orderpriority, '-'),
+             |    t -> t <> ''), 2) AS prio_word,
+             |  list_extract(list_filter(string_split(o_orderpriority, '-'),
+             |    t -> t <> ''), 3) AS prio_third,
+             |  list_extract(list_filter(string_split(o_orderpriority, ' '),
+             |    t -> t <> ''), 1) AS prio_first_ws,
+             |  list_extract(list_filter(string_split('a  b   c', ' '),
+             |    t -> t <> ''), 3) AS collapse_probe
+             |FROM orders WHERE o_orderkey < 1000
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // --------------------------------------------- table checksum
     // the replication/migration validator: an ORDER-INDEPENDENT content
     // fingerprint per table slice — sum over rows of a portable row

@@ -68,18 +68,67 @@ class SqlDialectSpec extends SparkSpec {
   }
 
   test("divergent forms fail loudly with the offending call") {
-    val e1 = intercept[IllegalArgumentException](
-      SqlDialect.rewrite("TO_VARCHAR(d, 'YYYY-MM')"))
-    assert(e1.getMessage.contains("format"))
-    val e2 = intercept[IllegalArgumentException](
-      SqlDialect.rewrite("EDITDISTANCE(a, b, 3)"))
-    assert(e2.getMessage.contains("max-distance"))
-    val e3 = intercept[RuntimeException](
-      SqlDialect.rewrite("STRTOK(s, '.,', 2)"))
-    assert(e3.getMessage.contains("split_part"))
+    // residual exotics only — the frequent 2-arg TO_VARCHAR / 3-arg
+    // EDITDISTANCE / single-char STRTOK forms map exactly since round 15
+    val e1 = intercept[RuntimeException](
+      SqlDialect.rewrite("TO_VARCHAR(d, 'MON DD, YYYY')")) // MON upcases
+    assert(e1.getMessage.contains("tokens outside the mapped set"))
+    val e2 = intercept[RuntimeException](
+      SqlDialect.rewrite("TO_VARCHAR(d, fmt_col)")) // computed format
+    assert(e2.getMessage.contains("string literal"))
+    val e3 = intercept[IllegalArgumentException](
+      SqlDialect.rewrite("STRTOK(s, '.,', 2)")) // character-SET delim
+    assert(e3.getMessage.contains("character SET"))
     val e4 = intercept[IllegalArgumentException](
       SqlDialect.rewrite("IFF(a, b)"))
     assert(e4.getMessage.contains("3 argument"))
+  }
+
+  test("2-arg TO_VARCHAR maps literal date and numeric formats") {
+    assert(SqlDialect.rewrite("TO_VARCHAR(d, 'YYYY-MM-DD')") ==
+      "date_format((d), 'yyyy-MM-dd')")
+    assert(SqlDialect.rewrite("TO_VARCHAR(d, 'DD/MM/YYYY HH24:MI:SS')") ==
+      "date_format((d), 'dd/MM/yyyy HH:mm:ss')")
+    // case-insensitive tokens, 12-hour + meridiem, fractional seconds
+    assert(SqlDialect.rewrite("TO_VARCHAR(d, 'hh12:mi am')") ==
+      "date_format((d), 'hh:mm a')")
+    assert(SqlDialect.rewrite("TO_VARCHAR(d, 'SS.FF3')") ==
+      "date_format((d), 'ss.SSS')")
+    assert(SqlDialect.rewrite("TO_VARCHAR(x, '9,999,990.00')") ==
+      "format_number((x), '#,###,##0.00')")
+    assert(SqlDialect.rewrite("TO_VARCHAR(x, '0000')") ==
+      "format_number((x), '0000')")
+    assert(SqlDialect.rewrite("TO_VARCHAR(x, '$9,990.00')") ==
+      "format_number((x), '$#,##0.00')")
+    // '$' only leads; two decimal points are not a numeric format
+    intercept[RuntimeException](SqlDialect.rewrite("TO_VARCHAR(x, '9$9')"))
+    intercept[RuntimeException](SqlDialect.rewrite("TO_VARCHAR(x, '9.9.9')"))
+  }
+
+  test("3-arg EDITDISTANCE clamps to max via the -1 CASE") {
+    assert(SqlDialect.rewrite("EDITDISTANCE(a, b, 3)") ==
+      "(CASE WHEN levenshtein((a), (b), (3)) = -1 THEN (3) " +
+        "ELSE levenshtein((a), (b), (3)) END)")
+    // behavioral: clamp at max, exact at/below max (Spark end-to-end)
+    val r = spark.sql("SELECT " +
+      SqlDialect.rewrite("EDITDISTANCE('kitten', 'sitting', 2)") + " AS c, " +
+      SqlDialect.rewrite("EDITDISTANCE('kitten', 'sitting', 3)") + " AS e, " +
+      SqlDialect.rewrite("EDITDISTANCE('kitten', 'sitting', 9)") + " AS f")
+      .collect().head
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((2, 3, 3)))
+  }
+
+  test("single-char STRTOK collapses empties and NULLs past the end") {
+    val got = spark.sql("SELECT " +
+      SqlDialect.rewrite("STRTOK('a  b   c', ' ', 3)") + " AS c3, " +
+      SqlDialect.rewrite("STRTOK('a  b', ' ', 9)") + " AS miss, " +
+      SqlDialect.rewrite("STRTOK('x.y.z', '.', 2)") + " AS dot, " +
+      SqlDialect.rewrite("STRTOK('one two')") + " AS dflt")
+      .collect().head
+    assert(got.getString(0) == "c")
+    assert(got.isNullAt(1), "past-the-end must be NULL, not ''")
+    assert(got.getString(2) == "y", "regex-special delimiter must escape")
+    assert(got.getString(3) == "one")
   }
 
   test("rewritten SQL actually runs through the front door") {
