@@ -126,12 +126,24 @@ object Graft {
     * broadcast, both sides meet in a cell-keyed shuffle join on the
     * frozen IVF cells, and hot cells rebalance by a replicate-salt skew
     * split that provably never changes the pair set (`cellCap` bounds a
-    * join task's corpus rows, not recall). Oracle-checked as
-    * `q_similarity_knn_join`. */
+    * join task's corpus rows, not recall).
+    *
+    * The default quantizer is SCALE-ADAPTIVE (round 15): ⌈√corpus⌉
+    * cells picked as strided corpus vectors
+    * ([[ops.Vector.adaptiveCenters]]), making pair work n^1.5 by
+    * construction — a frozen cell count squares instead (measured
+    * 30.6× wall on 10× data). Pass `centroids` to pin a quantizer: a
+    * frozen set for replay ([[ops.IvfCentroids]] — the
+    * `q_similarity_knn_join` oracle twin), or a [[ops.Vector.fitCentroids]]
+    * Lloyd's refinement when cell balance matters more than fit cost.
+    * Oracle-checked as `q_similarity_knn_join_adaptive` (this default)
+    * and `q_similarity_knn_join` (frozen twin). */
   def knnJoin(spark: SparkSession, sfDir: String, nprobe: Int = 2,
-      k: Int = 3, cellCap: Int = 4096): DataFrame =
-    ops.Vector.knnJoin(spark, sfDir, ops.IvfCentroids.values, nprobe, k,
-      cellCap)
+      k: Int = 3, cellCap: Int = 4096,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame =
+    ops.Vector.knnJoin(spark, sfDir,
+      centroids.getOrElse(ops.Vector.adaptiveCenters(spark, sfDir)),
+      nprobe, k, cellCap)
 
   /** MERGE INTO semantics as a plain join (oracle key `q_upsert`):
     * merge `batch` (updates + inserts) into `corpus` by `keys` —

@@ -484,6 +484,104 @@ object Vector {
       .select("qid", "qv", "qn", "cid", "cv", "cn"), k)
   }
 
+  /** SCALE-ADAPTIVE IVF coarse quantizer — the production default for
+    * [[graft.Graft.knnJoin]] (round-14 verdict task 1): cells ∝ √corpus
+    * instead of a frozen constant, so corpus×corpus pair work is
+    * n²/k = n^1.5 by construction rather than the Σ|cell|² ≈ n²/16
+    * blowup the frozen quantizer measured at the 10× replica (30.6×
+    * wall on 10× data, BASELINE.md).
+    *
+    * The centers are the corpus's OWN vectors at `vec_id ≡ 0 (mod
+    * stride)`, stride = ⌈√n⌉, ordered by id — no training loop at all.
+    * Three properties make this the scale pick over a sample-fitted
+    * Lloyd's refinement ([[fitCentroids]], still available by passing
+    * explicit centroids):
+    *   1. k grows with the corpus PAST any bounded sample: at 10¹⁰
+    *      vectors, k = 10⁵ centers cannot come out of a 20k-row
+    *      training sample (Lloyd's caps k at sample size); a strided
+    *      data-point pick has no such ceiling, and randomly-chosen
+    *      data points are a standard IVF coarse-quantizer init.
+    *   2. Cost is one count() (columnless metadata-cheap scan) + one
+    *      ⌈n/stride⌉ ≈ √n-row collect (~50 MB at 10¹⁰×64d — the same
+    *      bounded-collect class as the IVF list heads any ANN index
+    *      ships to searchers), vs Lloyd's iterated driver passes.
+    *   3. It is ORACLE-REPLAYABLE: centers are data the oracle engine
+    *      also reads (float→double cast is exact on both), and the
+    *      cell INDEX is the center's id-rank — so the adaptive key's
+    *      DuckDB twin replays assignment bit-for-bit, which a
+    *      seeded-shuffle Lloyd's init cannot.
+    * Balance: random data points land ∝ local density, so an
+    * adversarially hot region still caps at [[knnJoin]]'s `cellCap`
+    * replicate-salt — the guard is unchanged.
+    *
+    * The id-modulus pick assumes ids are "generic" modulo stride (any
+    * dense or blockwise-dense id space qualifies; the replica's
+    * 10⁷-strided blocks yield ⌈n/stride⌉ ± a few centers). A corpus
+    * whose ids all share a residue class would starve the pick — the
+    * require fails loudly rather than degrading to one mega-cell. */
+  private[graft] def adaptiveCenters(
+      s: org.apache.spark.sql.SparkSession, d: String): Array[Array[Double]] = {
+    val base = vecs(s, d)
+    val n = base.count()
+    require(n > 0, "adaptive IVF fit over an empty corpus")
+    val stride = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val cents = base.filter(col("vec_id") % stride === 0)
+      .orderBy("vec_id").select("v")
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty,
+      s"no corpus ids divisible by stride $stride — the id space is " +
+        "degenerate modulo the stride; pass explicit centroids instead")
+    cents
+  }
+
+  /** DuckDB twin of the ADAPTIVE [[knnJoin]] key: the stride, the
+    * strided center pick (cell = id-rank among centers, matching the
+    * collected array's position) and the scoring all recompute from
+    * the corpus itself — no literals, so the same SQL is exact at
+    * every scale factor. */
+  private def duckKnnJoinAdaptive(nprobe: Int, k: Int): String =
+    s"""$duckVecs, st AS (
+       |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS stride FROM n
+       |), cents AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+       |    AS cell, v AS cv
+       |  FROM n, st WHERE vec_id % stride = 0
+       |), dists AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cell,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(n.v)),
+       |        i -> (n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i]))),
+       |      (s0, x) -> s0 + x) AS d
+       |  FROM n, cents c
+       |), cellranks AS (
+       |  SELECT vec_id, v, nrm, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rk
+       |  FROM dists
+       |), assigned AS (
+       |  SELECT vec_id, v, nrm, cell FROM cellranks WHERE rk = 1
+       |), probes AS (
+       |  SELECT vec_id AS qid, v AS qv, nrm AS qn, cell
+       |  FROM cellranks WHERE rk <= $nprobe
+       |), cand AS (
+       |  SELECT p.qid, p.qv, p.qn, a.vec_id AS cid, a.v AS cv, a.nrm AS cn
+       |  FROM probes p JOIN assigned a USING (cell)
+       |  WHERE a.vec_id <> p.qid
+       |), scored AS (
+       |  SELECT qid, cid,
+       |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(generate_series(1, len(qv)),
+       |          i -> qv[i] * cv[i])), (s0, x) -> s0 + x)
+       |      / (qn * cn), 6) AS cosine
+       |  FROM cand
+       |), ranked AS (
+       |  SELECT qid, cid, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, rank, cid, cosine FROM ranked
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   /** DuckDB twin of [[knnJoin]]: identical cell assignment and scoring
     * from the frozen centroid literals; the salt split is invisible in
     * the result by construction, so the oracle does not model it. */
@@ -854,6 +952,20 @@ object Vector {
     QueryDef("q_similarity_knn_join",
       (s, d) => knnJoin(s, d, IvfCentroids.values, nprobe = 2, k = 3),
       Some(duckKnnJoin(IvfCentroids.values, nprobe = 2, k = 3))),
+
+    // ------------------------------- scale-ADAPTIVE all-queries kNN join
+    // the production default ([[graft.Graft.knnJoin]] with no explicit
+    // centroids): cells ∝ √corpus via the strided data-point quantizer
+    // ([[adaptiveCenters]]), so pair work is n^1.5 by construction
+    // instead of the frozen key's n²/16 — the round-14 verdict's one
+    // scale-killer, closed. Same knnJoin machinery (one persisted
+    // ivf_cells pass, cellCap replicate-salting); the frozen-cell key
+    // above stays as the engine-exact fixed-quantizer twin. The oracle
+    // recomputes stride + centers FROM THE CORPUS, so one SQL string is
+    // exact at every scale factor.
+    QueryDef("q_similarity_knn_join_adaptive",
+      (s, d) => knnJoin(s, d, adaptiveCenters(s, d), nprobe = 2, k = 3),
+      Some(duckKnnJoinAdaptive(nprobe = 2, k = 3))),
 
     // ---------------------------------------- int8 scalar quantization
     // per-vector min/max scalar quantization to int8 codes — the standard

@@ -335,6 +335,36 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("adaptive quantizer: ~sqrt(n) strided data-point centers, facade default runs through it") {
+    val n = graft.warehouse.Tables.table(spark, sfDir, "embeddings").count()
+    val stride = math.ceil(math.sqrt(n.toDouble)).toLong
+    val cents = Vector.adaptiveCenters(spark, sfDir)
+    // sf0.001 ids are dense 0..n-1, so the count is exactly ceil(n/stride)
+    assert(cents.length == ((n + stride - 1) / stride).toInt,
+      s"expected ceil($n/$stride) centers, got ${cents.length}")
+    // each center IS a corpus vector: center i = the vector at id i*stride
+    val byId = graft.warehouse.Tables.table(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .filter(s"vec_id % $stride = 0").orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    assert(cents.zip(byId).forall { case (a, b) => a.sameElements(b) },
+      "centers must be the strided corpus vectors in id order")
+    // the facade's None-centroid default ≡ explicitly passing the fit
+    val dflt = graft.Graft.knnJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val explicit = Vector.knnJoin(spark, sfDir, cents, nprobe = 2, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(dflt == explicit, "facade default must run the adaptive fit")
+    // structural completeness: every query back, dense ranks, no self-pairs
+    val byQ = dflt.groupBy(_._1)
+    assert(byQ.size == n, s"expected all $n queries, got ${byQ.size}")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted == (1L to rs.length).toSeq)
+      assert(rs.forall(_._3 != q))
+    }
+  }
+
   test("range search matches a sequential brute-force replay exactly") {
     // replay the engine contract in driver Scala: float→double cast,
     // sequential left-fold dot products, cosine = dot/(|q||c|), HALF_UP
