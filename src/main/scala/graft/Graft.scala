@@ -917,29 +917,40 @@ object Graft {
     * (keys, time) ties. The oracle-checked `q_join_asof` runs through
     * this function.
     *
-    * `epochWidth` is the hot-key scale dial: the default (None) sorts
-    * each key inside one task — fine into the low millions of rows per
-    * key; `Some(w)` computes the IDENTICAL result as a two-level
-    * parallel scan over `floor(time/w)` epochs (in-epoch join + tiny
-    * per-epoch carry), spreading a hyperactive key over range/w tasks.
-    * Chunked mode needs integral time columns (unix_micros for
-    * timestamps). */
+    * `epochWidth` is the hot-key scale dial — and the default (None)
+    * now MEASURES instead of assuming: one summary-row-sized agg
+    * (count + time extent per key) picks the windowed arm below the
+    * hot-key gate (each key sorts in one task — the common case) and
+    * the IDENTICAL-result two-level epoch-chunked scan above it,
+    * spreading a hyperactive key over range/width tasks with an
+    * auto-chosen width. The same measured-volume dispatch as the graph
+    * family's broadcast gate and the dedup resolver's driver/BSP
+    * split: at 100 TB the code makes the call, not a human editing a
+    * width per corpus. `Some(w)` forces the chunked arm at that width
+    * (both arms need integral time columns for chunking —
+    * `unix_micros` for timestamps; non-integral times always take the
+    * windowed arm). SkewSpec pins the dispatch decision AND
+    * arm-equality on a boundary-straddling hot-key fixture. */
   def asofJoin(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
       epochWidth: Option[Long] = None,
       forward: Boolean = false): DataFrame =
-    if (forward)
-      // earliest right row with rightTime >= leftTime (the next-event /
-      // conversion shape) — exact time-reversal reuse of the backward
-      // join, numeric time columns required; oracle key
-      // `q_join_asof_forward` pins it against DuckDB's forward ASOF
-      ops.Temporal.asofJoinForward(left, right, keys, leftTime, rightTime,
-        epochWidth)
-    else epochWidth match {
+    epochWidth match {
       case Some(w) =>
-        ops.Temporal.asofJoinChunked(left, right, keys, leftTime, rightTime, w)
-      case None => ops.Temporal.asofJoin(left, right, keys, leftTime, rightTime)
+        if (forward)
+          // earliest right row with rightTime >= leftTime (the
+          // next-event / conversion shape) — exact time-reversal reuse
+          // of the backward join, numeric time columns required; oracle
+          // key `q_join_asof_forward` pins it against DuckDB
+          ops.Temporal.asofJoinForward(left, right, keys, leftTime,
+            rightTime, Some(w))
+        else
+          ops.Temporal.asofJoinChunked(left, right, keys, leftTime,
+            rightTime, w)
+      case None =>
+        ops.Temporal.asofJoinAuto(left, right, keys, leftTime, rightTime,
+          forward)
     }
 
   /** Exact interpolated quantiles (`quantile_cont` semantics) per

@@ -373,6 +373,59 @@ object Dedup {
       .filter(col("jaccard") >= t)
   }
 
+  /** The LINEAR-OUTPUT composition of [[prefixJaccardJoin]] with
+    * component resolution — the production mode for dup-heavy corpora,
+    * where the J≥t pair listing is Ω(#true pairs) (quadratic in clique
+    * size) but a curation run only needs the keep-list.
+    *
+    * The decisive scale move is the EXACT-COLLAPSE pre-pass, the
+    * standard exact-before-near-dup pipeline stage: Jaccard is a
+    * function of the DISTINCT token set alone, so docs with identical
+    * sets are (a) pairwise J=1 — always in one component for any
+    * t ≤ 1 — and (b) interchangeable with respect to every other doc.
+    * Collapsing each signature group to its min-doc_id representative
+    * BEFORE the quadratic candidate stage is therefore semantics-exact,
+    * and turns a corpus whose duplication grew pairs 100× back into its
+    * distinct-text core: the candidate/verify work is done on
+    * representatives only, and everything else (signature hash-agg,
+    * group-min, final fan-out join) is one linear pass. keep_id
+    * equality holds because each representative is already the min
+    * doc_id of its group, so min-over-reps ≡ min-over-docs per
+    * component. Groups of size ≥2 whose representative has no external
+    * edge are their own component (their members ARE touched by J=1
+    * pairs); size-1 groups with no edge drop out — exactly
+    * [[prefixJaccardJoin]]∘[[connectedComponents]]'s contract. DedupSpec
+    * pins composed ≡ direct on a mixed fixture; the oracle key
+    * `q_dedup_prefix_resolve` hash-checks it at four scales.
+    *
+    * `tok` must be DISTINCT (doc_id, token) rows, same as
+    * [[prefixJaccardJoin]]. */
+  private[graft] def prefixJaccardResolve(
+      tok: org.apache.spark.sql.DataFrame,
+      t: Double): org.apache.spark.sql.DataFrame = {
+    // signature = md5 over the sorted distinct token set; the space joiner
+    // cannot occur inside space-split tokens, so the encoding is
+    // collision-free
+    val sig = tok.groupBy("doc_id")
+      .agg(md5(concat_ws(" ",
+        array_sort(collect_set(col("token"))))).as("sig"))
+    val groups = sig.groupBy("sig")
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("grp_n"))
+    val repTok = tok.join(
+      groups.select(col("rep_id").as("doc_id")), Seq("doc_id"))
+    val edges = prefixJaccardJoin(repTok, t).select("doc_a", "doc_b")
+    val labels = connectedComponents(edges)._1
+      .withColumnRenamed("doc_id", "rep_id")
+    val repLabel = groups
+      .join(labels, Seq("rep_id"), "left")
+      .filter(col("keep_id").isNotNull || col("grp_n") >= 2)
+      .select(col("sig"),
+        coalesce(col("keep_id"), col("rep_id")).as("keep_id"))
+    sig.join(repLabel, Seq("sig"))
+      .select(col("doc_id"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("is_survivor"))
+  }
+
   private def sparkCandidates(s: org.apache.spark.sql.SparkSession, d: String) = {
     // the RAW bands are persisted FIRST: subSalt's count aggregate and its
     // join side then both read cached ids — persisting only the salted
@@ -972,6 +1025,32 @@ object Dedup {
        |  SELECT u.b, w.reach FROM walk w JOIN und u ON u.a = w.doc
        |)""".stripMargin
 
+  /** Unrolled HashMin + pointer-jumping rounds for the DuckDB side of
+    * component resolution over an `und(a, b)` undirected edge CTE seeded
+    * by `l0(doc, lab)` (lab = min of self and direct neighbors). Each
+    * round r takes, per doc, the min of its own label, its neighbors'
+    * labels, and its label's label (the pointer jump — label values are
+    * always endpoint doc ids, so the jump join is total). Linear in
+    * |edges| per round vs the recursive closure's Σ|comp|³ join; n
+    * jumped rounds converge for any component diameter ≤ 2^n, and an
+    * insufficient unroll CANNOT pass silently — the gate hash-compares
+    * against Spark's converged labels. Every round is MATERIALIZED:
+    * DuckDB inlines plain CTEs per reference, and 3 references per
+    * round would expand to 3^n copies of the whole upstream pipeline
+    * (measured: "too many open files" before round 1 finished). */
+  private def duckHashMinRounds(n: Int): String =
+    (1 to n).map { r =>
+      val p = s"l${r - 1}"
+      s"""l$r AS MATERIALIZED (
+         |  SELECT l.doc, least(min(l.lab), min(nl.lab), min(jl.lab)) AS lab
+         |  FROM $p l
+         |  JOIN und u ON u.a = l.doc
+         |  JOIN $p nl ON nl.doc = u.b
+         |  JOIN $p jl ON jl.doc = l.lab
+         |  GROUP BY l.doc
+         |)""".stripMargin
+    }.mkString(", ")
+
   /** Corpus-wide repeated-segment scrub (the CCNet/RefinedWeb line-dedup
     * layer, adapted to this corpus's newline-free documents): split every
     * document into consecutive `segTokens`-token segments, count identical
@@ -1483,6 +1562,67 @@ object Dedup {
              |JOIN sizes y ON y.doc_id = doc_b
              |WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.5
              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // --------------------------- prefix join composed with resolution
+    // the LINEAR-OUTPUT production mode of the exact similarity join:
+    // on a dup-heavy corpus the J≥t pair listing is Ω(#true pairs)
+    // (quadratic in clique size — the 10× replica's 10-cliques grew
+    // pairs exactly 100×), but what a curation run actually needs is
+    // the KEEP-LIST. prefixJaccardResolve composes the exact-collapse
+    // pre-pass (identical distinct-token sets → one representative;
+    // semantics-exact, see its scaladoc) with the complete
+    // prefix-filtered join over representatives and connected
+    // components (driver union-find below the measured size threshold,
+    // HashMin + pointer jumping above): the pair set exists only as an
+    // intermediate edge frame feeding the component propagation —
+    // never sorted, hashed, or written as output — and the result is
+    // one row per doc touched by ≥1 pair. Same slice as q_dedup_prefix
+    // (the brute oracle twin is corpus²-shaped). The
+    // oracle replays exact-Jaccard edges, then resolves components with
+    // the same HashMin + pointer-jumping scheme UNROLLED as a CTE chain
+    // (the q_graph_sssp precedent) instead of q_dedup_resolve's
+    // recursive-closure walk: the closure materializes Σ|comp|² rows
+    // through a Σ|comp|³ join at the replica's 8.7M-edge clique graph
+    // (measured: >25 min in DuckDB), while each HashMin round is one
+    // linear |edges| join. 8 jumped rounds converge for any diameter
+    // ≤ 2^8; sufficiency is not assumed — hash equality against
+    // Spark's CONVERGED labels at all four gate scales fails loudly if
+    // the unroll were ever too shallow.
+    QueryDef("q_dedup_prefix_resolve",
+      (s, d) => {
+        val tok = Tables.table(s, d, "documents")
+          .filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("token"))
+        prefixJaccardResolve(tok, 0.5).orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS MATERIALIZED (
+             |  SELECT DISTINCT doc_id, token FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |    FROM documents WHERE doc_id % 20 = 0)
+             |), sizes AS MATERIALIZED (
+             |  SELECT doc_id, count(1) AS n FROM tok GROUP BY 1
+             |), pair AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    count(1) AS inter
+             |  FROM tok a JOIN tok b
+             |    ON a.token = b.token AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), edges AS (
+             |  SELECT doc_a, doc_b FROM pair
+             |  JOIN sizes x ON x.doc_id = doc_a
+             |  JOIN sizes y ON y.doc_id = doc_b
+             |  WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.5
+             |), und AS MATERIALIZED (
+             |  SELECT doc_a AS a, doc_b AS b FROM edges
+             |  UNION ALL
+             |  SELECT doc_b, doc_a FROM edges
+             |), l0 AS MATERIALIZED (
+             |  SELECT a AS doc, min(least(a, b)) AS lab FROM und GROUP BY a
+             |), ${duckHashMinRounds(8)}
+             |SELECT doc AS doc_id, lab AS keep_id,
+             |  doc = lab AS is_survivor
+             |FROM l8 ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------ SimHash
     // 16-bit frequency-weighted simhash; bucket size surfaces exact-ish

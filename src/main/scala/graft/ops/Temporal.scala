@@ -302,6 +302,111 @@ object Temporal {
       .select(leftCols.map(col) ++ rightVals.map(c => col(s"__rv.$c").as(c)): _*)
   }
 
+  /** Hot-key gate for [[asofJoinAuto]]'s measured dispatch: above this
+    * many rows (left + right) on a single key, the windowed arm's
+    * one-task-per-key sort stops being the right plan and the exact
+    * two-level chunked scan takes over. Sized like the scaladoc's
+    * "low millions per key" tractability note, with headroom. */
+  private[graft] val AsofHotKeyMax: Long = 1L << 21
+
+  /** Per-epoch row target for an auto-chosen width: the hottest key
+    * spreads over ~maxRows/target epochs, each a comfortably
+    * single-task chunk. */
+  private val AsofEpochTargetRows: Long = 1L << 16
+
+  /** The MEASUREMENT behind [[asofJoinAuto]] — the same
+    * measured-volume dispatch pattern as [[Graph.hintNodeGrain]] and
+    * [[Dedup.connectedComponents]]: the code makes the hot-key call,
+    * not a human editing an `epochWidth` constant per corpus.
+    *
+    * One mergeable hash-agg over both sides (count + time extent per
+    * key, then a global max/min — the shuffle carries |keys| summary
+    * rows, not data) yields the hottest key's row volume and the time
+    * span. Returns `None` (stay windowed) when every key fits one
+    * window task or the time columns are not integral (the chunked arm
+    * cannot epoch non-numeric time); otherwise the epoch width that
+    * puts ~[[AsofEpochTargetRows]] rows of the hottest key in each
+    * epoch under a uniform-time assumption (non-uniform corpora still
+    * get EXACT results — the decomposition is correctness-independent
+    * of the width; width only steers parallelism). Exposed
+    * `private[graft]` so SkewSpec pins the dispatch decision itself,
+    * not just the (identical) results of the two arms. */
+  private[graft] def asofAutoWidth(
+      left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      hotKeyMax: Long = AsofHotKeyMax): Option[Long] = {
+    val integral = Seq(left.schema(leftTime).dataType,
+      right.schema(rightTime).dataType).forall {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+      case _ => false
+    }
+    if (!integral) return None
+    val both = left
+      .select(keys.map(col) :+ col(leftTime).cast(LongType).as("__t"): _*)
+      .unionByName(right
+        .select(keys.map(col) :+ col(rightTime).cast(LongType).as("__t"): _*))
+    val row = both.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("c"), min("__t").as("lo"), max("__t").as("hi"))
+      .agg(max("c").as("mx"), min("lo").as("lo"), max("hi").as("hi"))
+      .head()
+    if (row.isNullAt(0) || row.getLong(0) <= hotKeyMax || row.isNullAt(1)) None
+    else {
+      val (mx, lo, hi) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      val nEpochs = math.max(2L, mx / AsofEpochTargetRows)
+      // span/nEpochs, floored at 1 (degenerate: all times equal — one
+      // epoch, still exact, the carry level is simply empty)
+      Some(math.max(1L, (hi - lo + 1) / nEpochs))
+    }
+  }
+
+  /** The production default behind [[graft.Graft.asofJoin]] when no
+    * explicit `epochWidth` is given: measure, then dispatch — windowed
+    * arm below the hot-key gate (the common case; the measurement is
+    * one summary-row-sized agg), exact epoch-chunked arm above it.
+    * `forward` routes through the time-reversal wrapper so both
+    * directions share the dispatch. */
+  private[graft] def asofJoinAuto(
+      left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      forward: Boolean = false,
+      hotKeyMax: Long = AsofHotKeyMax): org.apache.spark.sql.DataFrame = {
+    val width = asofAutoWidth(left, right, keys, leftTime, rightTime, hotKeyMax)
+    if (forward) asofJoinForward(left, right, keys, leftTime, rightTime, width)
+    else width match {
+      case Some(w) => asofJoinChunked(left, right, keys, leftTime, rightTime, w)
+      case None => asofJoin(left, right, keys, leftTime, rightTime)
+    }
+  }
+
+  /** Shared DuckDB oracle for the two arbitrary-state sessionization
+    * keys (`q_stream_session_state` on flatMapGroupsWithState,
+    * `q_stream_session_tws` on transformWithState): gap-islands over
+    * (user, ts) with the running double sum replayed as an ORDERED
+    * left fold — both engines add left-to-right in (ts, event_id)
+    * order, so the doubles are bit-identical. */
+  private val sessionStateOracle: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              >= INTERVAL '30 minutes'
+      |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |), islands AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM flagged
+      |)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |  CAST(count(1) AS BIGINT) AS n_events,
+      |  round(list_reduce(
+      |    list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(value ORDER BY ts, event_id)),
+      |    (a, b) -> a + b), 6) AS sum_value
+      |FROM islands GROUP BY user_id, sess
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Shared DuckDB oracle for both as-of variants. */
   private val asofOracle =
     """WITH clicks AS (
@@ -1228,27 +1333,32 @@ object Temporal {
             col("n_events"), round(col("sum_value"), 6).as("sum_value"))
           .orderBy("user_id", "session_start")
       },
-      Some("""WITH flagged AS (
-             |  SELECT user_id, ts, event_id, value,
-             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-             |              >= INTERVAL '30 minutes'
-             |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-             |         THEN 1 ELSE 0 END AS new_session
-             |  FROM events
-             |), islands AS (
-             |  SELECT user_id, ts, event_id, value,
-             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
-             |  FROM flagged
-             |)
-             |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-             |  CAST(count(1) AS BIGINT) AS n_events,
-             |  round(list_reduce(
-             |    list_prepend(CAST(0.0 AS DOUBLE),
-             |      list(value ORDER BY ts, event_id)),
-             |    (a, b) -> a + b), 6) AS sum_value
-             |FROM islands GROUP BY user_id, sess
-             |ORDER BY user_id, session_start""".stripMargin)),
+      Some(sessionStateOracle)),
+
+    // the SAME state machine on the MODERN state API: transformWithState
+    // (Spark 4's successor to flatMapGroupsWithState — explicit state
+    // handles, composable variables, timer/TTL support) executes the
+    // identical µs-exact fold as a batch-mode StatefulProcessor. One
+    // oracle string pins both arms to the same answer; StreamingSpec
+    // additionally pins tws ≡ fMGWS row-for-row AND drives tws over
+    // MemoryStream micro-batches where the open session stitches across
+    // the batch boundary (the capability fMGWS's batch-contract twin
+    // does not exercise).
+    QueryDef("q_stream_session_tws",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.table(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+            col("event_id"), col("value"))
+          .as[(Long, Long, Long, Double)]
+        graft.streaming.Streams.sessionizeMicrosTws(ev).toDF()
+          .select(col("user_id"),
+            expr("timestamp_micros(start_us)").as("session_start"),
+            expr("timestamp_micros(end_us)").as("session_end"),
+            col("n_events"), round(col("sum_value"), 6).as("sum_value"))
+          .orderBy("user_id", "session_start")
+      },
+      Some(sessionStateOracle)),
 
     // watermark / late-data batch analogue: keep events within 1 day of the
     // observed max ts. The scalar max is broadcast — no single-partition

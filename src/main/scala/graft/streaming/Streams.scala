@@ -283,6 +283,91 @@ object Streams {
       }
   }
 
+  /** [[sessionizeMicros]]'s state machine on the MODERN state API
+    * (`transformWithState`, Spark 4 — the successor to
+    * (f)mapGroupsWithState with explicit state handles, composable
+    * state variables, timer/TTL support). Identical fold, identical
+    * µs-exact semantics; the one contract dial is `flushAtEnd`:
+    *
+    *  - `true` (batch mode / the oracle key): the trailing open
+    *    session flushes and state clears — each key's full event set
+    *    arrives in one invocation, so every session is closed.
+    *  - `false` (true streaming): the open session STAYS in the
+    *    [[ValueState]] across micro-batches and only gap-closed
+    *    sessions emit — a session spanning two micro-batches stitches
+    *    instead of splitting at the batch boundary (StreamingSpec pins
+    *    the stitch). Idle-timeout emission would add an event-time
+    *    timer here; the batch oracle doesn't need one.
+    */
+  class SessionAssembler(gapUs: Long, flushAtEnd: Boolean)
+      extends StatefulProcessor[Long, (Long, Long, Long, Double), USession] {
+    @transient private var open: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[SessionState]("open",
+        Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long, Long, Double)],
+        timerValues: TimerValues): Iterator[USession] = {
+      // same deterministic (µs, event_id) fold order as sessionizeMicros
+      val sorted = rows.toSeq.sortBy(e => (e._2, e._3))
+      val out = Seq.newBuilder[USession]
+      var cur: Option[SessionState] =
+        if (open.exists()) Some(open.get()) else None
+      sorted.foreach { case (_, t, _, v) =>
+        cur match {
+          case Some(s) if t - s.last < gapUs =>
+            cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + v))
+          case Some(s) =>
+            out += USession(key, s.start, s.last, s.n, s.sum)
+            cur = Some(SessionState(t, t, 1, v))
+          case None =>
+            cur = Some(SessionState(t, t, 1, v))
+        }
+      }
+      if (flushAtEnd) {
+        cur.foreach(s => out += USession(key, s.start, s.last, s.n, s.sum))
+        open.clear()
+      } else cur match {
+        case Some(s) => open.update(s)
+        case None => open.clear()
+      }
+      out.result().iterator
+    }
+  }
+
+  /** [[sessionizeMicros]] on `transformWithState` — the oracle key
+    * `q_stream_session_tws` runs this in BATCH mode (flushAtEnd) and
+    * must equal the flatMapGroupsWithState key row for row;
+    * StreamingSpec additionally drives it over MemoryStream
+    * micro-batches with `flushAtEnd = false`, where the open session
+    * stitches across batches instead of splitting. */
+  def sessionizeMicrosTws(events: Dataset[(Long, Long, Long, Double)],
+      gapUs: Long = 30L * 60 * 1000000L,
+      flushAtEnd: Boolean = true): Dataset[USession] = {
+    import events.sparkSession.implicits._
+    if (!events.isStreaming) ensureStateStoreCoordinator(events.sparkSession)
+    events.groupByKey(_._1)
+      .transformWithState(new SessionAssembler(gapUs, flushAtEnd),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Batch execution of `transformWithState` looks up the driver's
+    * StateStoreCoordinator RPC endpoint, but only streaming-query
+    * startup creates it — a cold session running the batch plan dies
+    * with RpcEndpointNotFoundException. Initialize the
+    * StreamingQueryManager's OWN lazy coordinator handle (JVM-public,
+    * Scala `private[sql]` — hence the one reflective call) so batch
+    * and later streaming queries share the one endpoint; idempotent,
+    * and creating it through the manager can never collide with the
+    * manager's own registration. */
+  private def ensureStateStoreCoordinator(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.streams.getClass.getMethod("stateStoreCoordinator")
+      .invoke(spark.streams)
+
   /** [[sessionizeMicros]] under the typed [[Event]]/[[Session]] surface
     * (timestamps in and out; µs-exact through the state machine). */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {

@@ -466,4 +466,46 @@ class DedupSpec extends SparkSpec {
           s"missing=${bruteForce(t) -- got}, extra=${got -- bruteForce(t)}")
     }
   }
+
+  test("prefix resolve with exact-collapse equals direct join+components on a mixed corpus") {
+    import spark.implicits._
+    // the composed operator's collapse legality in one fixture: identical
+    // token SETS under different doc_ids and orders/multiplicities
+    // (docs 0,7,13 — a 3-group whose rep has external near-dup edges;
+    // docs 20,21 — an identical pair whose rep has NO external edge and
+    // must still form its own component), near-dup distinct texts
+    // (8,9 vs 0's group at J≥0.5), a singleton with an edge (3-4) and a
+    // true singleton (99) that must be absent from the output
+    val docTokens: Seq[(Long, Seq[String])] = Seq(
+      0L -> Seq("a", "b", "c", "d"),
+      7L -> Seq("d", "c", "b", "a"),          // same set, reversed order
+      13L -> Seq("a", "a", "b", "c", "d"),    // same set, dup multiplicity
+      8L -> Seq("a", "b", "c", "e"),          // J=3/5=0.6 vs {a,b,c,d}
+      9L -> Seq("a", "b", "c", "d", "e"),     // J=4/5=0.8 vs {a,b,c,d}
+      20L -> Seq("x", "y", "z"),
+      21L -> Seq("z", "y", "x"),              // isolated identical pair
+      3L -> Seq("p", "q"),
+      4L -> Seq("p", "q", "r"),               // J=2/3≈0.67 with 3
+      99L -> Seq("solo", "tokens", "only"))
+    val tok = docTokens
+      .flatMap { case (id, ts) => ts.distinct.map(id -> _) }
+      .toDF("doc_id", "token")
+    val composed = Dedup.prefixJaccardResolve(tok, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val direct = {
+      val edges = Dedup.prefixJaccardJoin(tok, 0.5).select("doc_a", "doc_b")
+      Dedup.connectedComponents(edges)._1.collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(0) == r.getLong(1))).toSet
+    }
+    assert(composed == direct,
+      s"collapse changed the resolution: missing=${direct -- composed}, " +
+        s"extra=${composed -- direct}")
+    // structure pins: one component {0,7,8,9,13} kept by 0, the isolated
+    // identical pair {20,21} kept by 20, {3,4} kept by 3, 99 absent
+    assert(composed == Set(
+      (0L, 0L, true), (7L, 0L, false), (8L, 0L, false), (9L, 0L, false),
+      (13L, 0L, false), (20L, 20L, true), (21L, 20L, false),
+      (3L, 3L, true), (4L, 3L, false)))
+  }
 }

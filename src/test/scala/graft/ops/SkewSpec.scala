@@ -149,6 +149,51 @@ class SkewSpec extends SparkSpec {
       s"no join in the chunked as-of may shuffle the raw rows:\n$p")
   }
 
+  test("asofJoin auto-dispatch: the measured hot key routes to the chunked arm by itself") {
+    import spark.implicits._
+    // The measured dispatch (Temporal.asofAutoWidth) behind the facade's
+    // epochWidth=None default: below the gate → windowed (None), above
+    // it → an auto-chosen width — no human editing a constant per
+    // corpus. The fixture straddles epoch boundaries (matches at t%10=0
+    // can precede the left row's epoch), so arm equality exercises the
+    // carry level, not just in-epoch matches.
+    val n = 20000
+    val left = spark.range(n).select(lit(7L).as("k"), col("id").as("t"))
+    val right = spark.range(n / 10).select(
+      lit(7L).as("k"), (col("id") * 10).as("rt"),
+      (col("id") * 10).as("payload"))
+    // decision pin: under the gate stays windowed; over it picks a width
+    assert(graft.ops.Temporal.asofAutoWidth(
+      left, right, Seq("k"), "t", "rt").isEmpty,
+      "a 22k-row key is far below the production gate — must stay windowed")
+    val w = graft.ops.Temporal.asofAutoWidth(
+      left, right, Seq("k"), "t", "rt", hotKeyMax = 1000L)
+    assert(w.exists(_ >= 1L),
+      s"a key over the (lowered) gate must dispatch to a chunked width: $w")
+    // non-integral time columns can never chunk, whatever the volume
+    assert(graft.ops.Temporal.asofAutoWidth(
+      left.withColumn("t", col("t").cast("double")), right,
+      Seq("k"), "t", "rt", hotKeyMax = 1000L).isEmpty,
+      "non-integral time columns must always take the windowed arm")
+    // arm equality: the auto-chunked result is row-for-row the windowed one
+    val windowed = graft.ops.Temporal.asofJoin(
+      left, right, Seq("k"), "t", "rt").orderBy("t").collect()
+    val auto = graft.ops.Temporal.asofJoinAuto(
+      left, right, Seq("k"), "t", "rt", hotKeyMax = 1000L)
+      .orderBy("t").collect()
+    assert(auto.toSeq == windowed.toSeq,
+      "auto-dispatched chunked arm must equal the windowed arm row for row")
+    // forward direction shares the dispatch through the same entry
+    val fwdWindowed = graft.Graft.asofJoin(
+      left, right, Seq("k"), "t", "rt", forward = true)
+      .orderBy("t").collect()
+    val fwdAuto = graft.ops.Temporal.asofJoinAuto(
+      left, right, Seq("k"), "t", "rt", forward = true, hotKeyMax = 1000L)
+      .orderBy("t").collect()
+    assert(fwdAuto.toSeq == fwdWindowed.toSeq,
+      "forward auto-dispatch must equal the forward windowed arm")
+  }
+
   test("stream interval join: hot-user pairs are the answer; chunking spreads them exactly") {
     import spark.implicits._
     // ONE user owns every event: C clicks × P purchases all inside the

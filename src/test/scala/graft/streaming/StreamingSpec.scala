@@ -210,6 +210,65 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(2) == Session(2, ts(0), ts(0), 1, 4.0))
   }
 
+  test("transformWithState sessionizer equals flatMapGroupsWithState on the warehouse slice") {
+    import spark.implicits._
+    // the modern-API twin's batch contract, pinned on REAL data: both
+    // state machines fold the same (µs, event_id)-ordered events, so
+    // the session rows — double sums included — must be identical
+    val ev = graft.warehouse.Tables.table(spark, sfDir, "events")
+      .select(col("user_id"), expr("unix_micros(ts)").as("t_us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+    val legacy = Streams.sessionizeMicros(ev).collect().toSet
+    val modern = Streams.sessionizeMicrosTws(ev).collect().toSet
+    assert(modern == legacy,
+      s"tws diverged from fMGWS: missing=${legacy -- modern}, " +
+        s"extra=${modern -- legacy}")
+    assert(modern.nonEmpty)
+  }
+
+  test("transformWithState sessionizer stitches an open session across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // flushAtEnd=false is the TRUE-STREAMING contract the fMGWS twin
+    // cannot express: the open session lives in ValueState between
+    // micro-batches, so a session spanning the batch boundary stitches
+    // instead of splitting, and only gap-closed sessions ever emit.
+    // STREAMING tws needs the RocksDB store (multiple column families —
+    // same requirement as the spend-alert test; batch-mode tws runs on
+    // the default provider)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val q = Streams.sessionizeMicrosTws(mem.toDS(), flushAtEnd = false)
+      .toDF().writeStream
+      .format("memory").queryName("t_tws_sessions")
+      .outputMode("append").start()
+    val min = 60L * 1000000L
+    // batch 1: user 7 active at t=0..10min — stays OPEN (no emission)
+    mem.addData((7L, 0L, 1L, 1.0), (7L, 10 * min, 2L, 2.0))
+    q.processAllAvailable()
+    assert(spark.table("t_tws_sessions").count() == 0,
+      "an open session must not emit at a micro-batch boundary")
+    // batch 2: user 7 returns at t=25min (gap 15min < 30 → SAME session),
+    // then at t=90min (gap 65min → closes the stitched session)
+    mem.addData((7L, 25 * min, 3L, 4.0), (7L, 90 * min, 4L, 8.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_tws_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.toSeq == Seq((7L, 0L, 25 * min, 3L, 7.0)),
+      s"expected the stitched 3-event session, got ${rows.toSeq}")
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("file-source stream: readStream over the parquet warehouse (Trigger.AvailableNow)") {
     import org.apache.spark.sql.streaming.Trigger
     // stream the events table as if files were arriving; one AvailableNow

@@ -17,7 +17,14 @@ from the literal id offsets oracle fixtures use (the merge keys add
 region/nation are dimension-constant and copy as-is. Both engines read
 the same files, so every oracle comparison stays valid on the replica.
 
-Usage: python3 tools/make_scaled_warehouse.py <srcDir> <outDir> [R=10]
+Usage: python3 tools/make_scaled_warehouse.py <srcDir> <outDir> [R=10] [tables]
+
+The optional 4th arg is a comma-separated subset of tables to replicate
+(e.g. `lineitem,events,documents,embeddings` for the 100x big-table
+build); tables outside the subset copy through UNCHANGED at source
+scale. Cross-family joins between a replicated fact and an
+un-replicated parent are NOT referentially closed in that mode — use it
+only for the single-table-family scale curves it exists for.
 """
 import sys, os
 import duckdb
@@ -25,6 +32,7 @@ import duckdb
 src = sys.argv[1]
 out = sys.argv[2]
 R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+subset = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 os.makedirs(out, exist_ok=True)
 
 KEY = 10_000_000      # entity-id stride (custkey, suppkey, partkey, doc_id, vec_id, user_id)
@@ -47,6 +55,8 @@ con = duckdb.connect()
 for table, shifts in SHIFTS.items():
     p = f"{src}/{table}.parquet"
     cols = [c[0] for c in con.execute(f"DESCRIBE SELECT * FROM '{p}'").fetchall()]
+    if subset is not None and table not in subset:
+        shifts = None  # outside the subset: copy through at source scale
     if shifts is None:
         sql = f"SELECT * FROM '{p}'"
     else:
