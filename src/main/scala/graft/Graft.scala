@@ -156,23 +156,117 @@ object Graft {
     * PRECONDITIONS (required, not assumed): both frames share the
     * schema, and `batch` has at most one row per key — a multi-row
     * batch would fan out the join; dedupe upstream
-    * ([[ops.Dedup]]/`keepBest`) first. */
-  def upsert(corpus: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame = {
+    * ([[ops.Dedup]]/`keepBest`) first. With `failOnDuplicateMatches`
+    * the precondition is ENFORCED the way Snowflake's default
+    * `ERROR_ON_NONDETERMINISTIC_MERGE = true` does (round-14 ADVICE:
+    * the silent fan-out diverged from the warehouse, which fails
+    * loudly): a corpus row matched by 2+ batch rows raises at
+    * execution; duplicate batch keys that match NOTHING stay legal
+    * (Snowflake inserts both — that is deterministic). The guard is
+    * one `count` window over the batch keys that reuses the join's
+    * own partitioning — no extra shuffle — and a never-dropping
+    * assert filter above the join; see [[dupMatchGuard]]. */
+  def upsert(corpus: DataFrame, batch: DataFrame, keys: Seq[String],
+      failOnDuplicateMatches: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, when}
     require(keys.nonEmpty, "upsert needs at least one key column")
     require(corpus.columns.sameElements(batch.columns),
       s"schema mismatch: corpus ${corpus.columns.mkString(",")} vs " +
         s"batch ${batch.columns.mkString(",")}")
-    val c = corpus.alias("c")
-    val b = batch.alias("b")
-    val cond = keys.map(k => col(s"c.$k") <=> col(s"b.$k")).reduce(_ && _)
     // "the batch row was matched" must survive for ALL-NULL value rows,
     // so probe the first key column, not a value column
     val matched = col(s"b.${keys.head}").isNotNull
-    c.join(b, cond, "full_outer")
-      .select(corpus.columns.map { n =>
+    val joined = mergeJoin(corpus, batch, keys, failOnDuplicateMatches,
+      matched && col(s"c.${keys.head}").isNotNull)
+    joined.select(corpus.columns.map { n =>
         when(matched, col(s"b.$n")).otherwise(col(s"c.$n")).as(n)
       }.toIndexedSeq: _*)
+  }
+
+  /** The merge family's null-safe key join, with the optional
+    * nondeterministic-match guard fused in. `corpus`/`batch` arrive
+    * pre-staged (presence markers already attached where the caller
+    * needs them) and come back joined under aliases `c`/`b`.
+    *
+    * Unguarded: one full-outer `<=>` join — byte-identical plans to
+    * the pre-guard operators. Guarded: Catalyst would rewrite `<=>`
+    * into hash keys `(coalesce(k, typeDefault), isnull(k))` anyway, so
+    * the guard MATERIALIZES those surrogates as real columns on both
+    * sides, joins on their plain equality (exactly `<=>`: both-NULL
+    * agree on `(default, true)`, a genuine `default` key differs in
+    * the isnull flag), counts batch rows per key with one window
+    * partitioned by the SAME attributes, and asserts. Window and join
+    * then share one exchange + sort per side (EnsureRequirements sees
+    * identical attribute partitionings; PlanSpec pins ≤ 2 key
+    * shuffles) — the Snowflake-faithful loud-fail costs no extra
+    * shuffle at any scale. A key type outside [[guardDefault]] falls
+    * back to `<=>` + a plain-key window: still exact, one extra
+    * batch-side exchange. */
+  private def mergeJoin(corpus: DataFrame, batch: DataFrame,
+      keys: Seq[String], guard: Boolean, isMatched: Column): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, isnull, lit}
+    val defaults = keys.map(k => guardDefault(corpus.schema(k).dataType))
+    if (!guard) {
+      val cond = keys.map(k => col(s"c.$k") <=> col(s"b.$k")).reduce(_ && _)
+      corpus.alias("c").join(batch.alias("b"), cond, "full_outer")
+    } else if (defaults.forall(_.isDefined)) {
+      def aug(df: DataFrame): DataFrame =
+        keys.zip(defaults).zipWithIndex.foldLeft(df) {
+          case (d, ((k, dflt), i)) =>
+            d.withColumn(s"__gk${2 * i}", coalesce(col(k), dflt.get))
+              .withColumn(s"__gk${2 * i + 1}", isnull(col(k)))
+        }
+      val gk = keys.indices.flatMap(i => Seq(s"__gk${2 * i}", s"__gk${2 * i + 1}"))
+      val b = aug(batch).withColumn("__b_matches", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(gk.map(col): _*))).alias("b")
+      val c = aug(corpus).alias("c")
+      val cond = gk.map(n => col(s"c.$n") === col(s"b.$n")).reduce(_ && _)
+      dupGuardFilter(c.join(b, cond, "full_outer"), isMatched, keys)
+    } else {
+      val b = batch.withColumn("__b_matches", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*))).alias("b")
+      val cond = keys.map(k => col(s"c.$k") <=> col(s"b.$k")).reduce(_ && _)
+      dupGuardFilter(corpus.alias("c").join(b, cond, "full_outer"),
+        isMatched, keys)
+    }
+  }
+
+  /** The type default Spark's own null-safe-equality rewrite coalesces
+    * to — mirrored here so the guard's surrogate columns fold to the
+    * identical literals. None = type outside the mirrored set. */
+  private def guardDefault(
+      dt: org.apache.spark.sql.types.DataType): Option[Column] = {
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType => Some(lit(0).cast(dt))
+      case StringType => Some(lit(""))
+      case BooleanType => Some(lit(false))
+      case DateType | TimestampType | TimestampNTZType =>
+        Some(lit(0).cast(dt))
+      case _ => None
+    }
+  }
+
+  /** Post-join arm of the guard: a filter that NEVER drops a row —
+    * it either passes (assert NULL → coalesce true) or raises with
+    * the offending key, exactly Snowflake's "duplicate row detected
+    * during DML action". Expressed as a filter (not a projection) so
+    * column pruning cannot elide the assertion, and referencing both
+    * sides so it can never be pushed below the join. */
+  private def dupGuardFilter(joined: DataFrame, isMatched: Column,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{
+      assert_true, coalesce, col, concat, concat_ws, lit}
+    joined.filter(coalesce(assert_true(
+      !(isMatched && col("b.__b_matches") > 1),
+      concat(lit("nondeterministic MERGE: target key ("),
+        concat_ws(", ", keys.map(k => col(s"b.$k").cast("string")): _*),
+        lit(") is matched by "), col("b.__b_matches").cast("string"),
+        lit(" source rows — dedupe the source or drop the guard"))),
+      lit(true)))
   }
 
   /** Partial-update MERGE ([[upsert]] with an explicit `UPDATE SET`
@@ -187,10 +281,17 @@ object Graft {
     * only matched pairs satisfying it take the SET values — matched
     * rows failing it keep every corpus value. Reference the two sides
     * as aliases `c` (corpus) and `b` (batch), e.g.
-    * `expr("b.n_chars > c.n_chars")`. */
+    * `expr("b.n_chars > c.n_chars")`.
+    *
+    * `failOnDuplicateMatches` enforces the one-row-per-matched-key
+    * precondition like [[upsert]]'s — and like Snowflake, the gate
+    * does NOT exempt: a target row matched by 2+ source rows raises
+    * even when every pair fails the `AND` gate (the JOIN match is
+    * what is nondeterministic, not the branch outcome). */
   def upsertPartial(corpus: DataFrame, batch: DataFrame,
       keys: Seq[String], set: Seq[(String, String)],
-      matchedCond: Option[Column] = None): DataFrame = {
+      matchedCond: Option[Column] = None,
+      failOnDuplicateMatches: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, when}
     require(keys.nonEmpty, "upsertPartial needs at least one key column")
     require(corpus.columns.sameElements(batch.columns),
@@ -205,15 +306,12 @@ object Graft {
       require(batch.columns.contains(sc), s"unknown SET source column: $sc")
       require(!keys.contains(tc), s"SET may not assign a key column: $tc")
     }
-    val c = corpus.alias("c")
-    val b = batch.alias("b")
-    val cond = keys.map(k => col(s"c.$k") <=> col(s"b.$k")).reduce(_ && _)
     val inNew = col(s"b.${keys.head}").isNotNull
     val inOld = col(s"c.${keys.head}").isNotNull
     // the AND-pred gate rides inside the same single full-outer join —
     // a matched pair failing it falls through to the corpus values
     val gate = matchedCond.getOrElse(org.apache.spark.sql.functions.lit(true))
-    c.join(b, cond, "full_outer")
+    mergeJoin(corpus, batch, keys, failOnDuplicateMatches, inNew && inOld)
       .select(corpus.columns.map { n =>
         when(inNew && inOld && gate,
             if (setMap.contains(n)) col(s"b.${setMap(n)}") else col(s"c.$n"))
@@ -288,10 +386,16 @@ object Graft {
     * PRECONDITIONS: `batch` has at most one row per key (fan-out
     * otherwise — dedupe upstream); schemas must align whenever the
     * full-row insert arm is used. A branch AFTER an ungated branch is
-    * unreachable and rejected loudly. */
+    * unreachable and rejected loudly. `failOnDuplicateMatches`
+    * enforces the one-row-per-matched-key precondition with
+    * Snowflake's default `ERROR_ON_NONDETERMINISTIC_MERGE` semantics
+    * (see [[upsert]]): matched-by-2+ raises at execution, unmatched
+    * duplicates insert both. [[SqlText]]'s MERGE front door turns it
+    * ON, so migrated statements fail where the warehouse would. */
   def merge(corpus: DataFrame, batch: DataFrame, keys: Seq[String],
       matched: Seq[MergeBranch], insert: Boolean = false,
-      insertCols: Seq[(String, String)] = Nil): DataFrame = {
+      insertCols: Seq[(String, String)] = Nil,
+      failOnDuplicateMatches: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, when}
     require(keys.nonEmpty, "merge needs at least one key column")
     keys.foreach { k =>
@@ -336,12 +440,11 @@ object Graft {
     // presence markers, not key-NULL probes: a NULL-keyed row matching
     // null-safely would fool an isNotNull test (upsert's documented
     // edge) — a literal marker column cannot be NULL on a present side
-    val c = corpus.withColumn("__c_present", lit(true)).alias("c")
-    val b = batch.withColumn("__b_present", lit(true)).alias("b")
-    val cond = keys.map(k => col(s"c.$k") <=> col(s"b.$k")).reduce(_ && _)
-    val joined = c.join(b, cond, "full_outer")
     val isMatched = col("c.__c_present").isNotNull &&
       col("b.__b_present").isNotNull
+    val joined = mergeJoin(corpus.withColumn("__c_present", lit(true)),
+      batch.withColumn("__b_present", lit(true)),
+      keys, failOnDuplicateMatches, isMatched)
     val bOnly = col("c.__c_present").isNull
     // first-match-wins branch index: a `when` chain evaluates in order,
     // so the first satisfied gate claims the pair; -1 = no branch

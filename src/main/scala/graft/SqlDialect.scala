@@ -79,8 +79,18 @@ object SqlDialect {
 
   /** Rewrite every recognized Snowflake call site in `sql`; text not
     * in the mapped set (including all the natively-supported functions
-    * above) passes through untouched. */
-  def rewrite(sql: String): String = {
+    * above) passes through untouched.
+    *
+    * `isUserFn` declares names the CALLER has claimed — [[SqlText]]
+    * passes the session's temporary-function registry, so a user who
+    * `spark.udf.register`s a function sharing a mapped name (e.g. a
+    * session UDF named `iff` or `div0`) keeps THEIR function: the call
+    * passes through untouched and Spark's resolver binds the UDF,
+    * exactly as it would in a plain `spark.sql` (round-14 ADVICE —
+    * without the check the rewrite silently swapped which function
+    * executes). The default claims nothing, preserving the pure-text
+    * contract for direct callers. */
+  def rewrite(sql: String, isUserFn: String => Boolean = _ => false): String = {
     val out = new StringBuilder
     val n = sql.length
     var i = 0
@@ -105,13 +115,64 @@ object SqlDialect {
         while (k < n && sql.charAt(k).isWhitespace) k += 1
         val qualified = out.reverseIterator.find(!_.isWhitespace).contains('.')
         if (Names.contains(word.toLowerCase) && !qualified &&
-            k < n && sql.charAt(k) == '(') {
+            k < n && sql.charAt(k) == '(' && !isUserFn(word)) {
           val close = matchParen(sql, k)
           val args = splitTopLevel(sql.substring(k + 1, close))
-            .map(a => rewrite(a).trim)
+            .map(a => rewrite(a, isUserFn).trim)
           out.append(emit(word, args, sql.substring(i, close + 1)))
           i = close + 1
         } else { out.append(word); i = j }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Same-length copy of `sql` with the CONTENT of `'…'` string
+    * literals (with `''` doubling), `"…"`/backtick identifiers and
+    * line/block comments replaced by `#` — delimiters and newlines
+    * survive, so every byte offset maps 1:1 onto the original.
+    * [[SqlText]] runs its statement grammar (the MERGE WHEN-splitter,
+    * UPDATE/DELETE WHERE boundaries, QUALIFY detection, alias
+    * stripping) against the MASK and slices the original at the match
+    * offsets, so a literal containing ` WHERE ` / ` WHEN ` / `QUALIFY`
+    * or a `--` comment inside a statement can never split at the wrong
+    * token (round-14 ADVICE: the regex grammar was the one layer not
+    * quote-aware). `#` is neither a word character nor whitespace, so
+    * masked spans can neither fake a keyword nor extend one. */
+  private[graft] def maskLiterals(sql: String): String = {
+    val out = new StringBuilder(sql.length)
+    val n = sql.length
+    // copy the span's leading/trailing delimiter chars verbatim, mask
+    // the interior — by POSITION, so an unterminated span (no closer)
+    // masks to the end without inventing delimiter bytes and the
+    // same-length invariant holds for any input
+    def span(from: Int, until: Int, lead: Int, trail: Int): Unit = {
+      var j = from
+      while (j < until) {
+        val keep = j < from + lead || j >= until - trail
+        out.append(if (keep) sql.charAt(j)
+          else if (sql.charAt(j) == '\n') '\n' else '#')
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        val j = pastString(sql, i)
+        val closed = j > i + 1 && sql.charAt(j - 1) == '\''
+        span(i, j, 1, if (closed) 1 else 0); i = j
+      } else if (c == '"' || c == '`') {
+        val j = pastDelim(sql, i, c)
+        val closed = j > i + 1 && sql.charAt(j - 1) == c
+        span(i, j, 1, if (closed) 1 else 0); i = j
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        val j = sql.indexOf('\n', i) match { case -1 => n; case k => k }
+        span(i, j, 2, 0); i = j
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val j = sql.indexOf("*/", i) match { case -1 => n; case k => k + 2 }
+        val closed = j >= i + 4 && sql.startsWith("*/", j - 2)
+        span(i, j, 2, if (closed) 2 else 0); i = j
       } else { out.append(c); i += 1 }
     }
     out.toString

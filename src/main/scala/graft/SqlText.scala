@@ -44,6 +44,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * single-branch form. Multi-branch merges route through
   * [[Graft.merge]] and are uniformly null-safe, DELETE included.
   *
+  * NONDETERMINISTIC MERGE fails loudly (round-14 ADVICE): every
+  * update-capable MERGE route runs with `failOnDuplicateMatches` — a
+  * target row matched by 2+ source rows raises at execution with the
+  * offending key, matching Snowflake's default
+  * `ERROR_ON_NONDETERMINISTIC_MERGE = true` instead of silently
+  * fanning out; unmatched duplicate source keys still insert both
+  * (deterministic, as in Snowflake). ONE DOCUMENTED DIVERGENCE: the
+  * single-branch DELETE route is two anti joins — duplicate source
+  * keys cannot fan out or change the result there, so it stays
+  * guard-free where the warehouse's blanket setting would raise.
+  *
+  * The grammar is LITERAL-AWARE: statements are matched against a
+  * masked shadow ([[SqlDialect.maskLiterals]]) and sliced from the
+  * original at the match offsets, so a string literal or comment
+  * containing ` WHERE `, ` WHEN `, `QUALIFY`, an alias qualifier, or
+  * a comment-opening sequence can never split a statement at the
+  * wrong token. A session UDF registered under a mapped dialect name (e.g.
+  * `iff`) takes precedence over the [[SqlDialect]] rewrite — the
+  * user's function runs, as it would under plain `spark.sql`.
+  *
   * Restrictions are LOUD (`require`/analysis errors), never silent:
   * expression-RHS VALUES entries (only `s.col` references), a branch
   * after an ungated `WHEN MATCHED` (unreachable under
@@ -152,6 +172,82 @@ object SqlText {
 
   private val EquiRe = """(?s)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
 
+  /** A statement plus its literal-masked shadow
+    * ([[SqlDialect.maskLiterals]] — same length, `'…'`/`"…"`/backtick
+    * interiors and comment bodies turned to `#`). The grammar regexes
+    * match against `masked`, so a keyword INSIDE a string literal or
+    * comment (`SET note = 'approved WHERE audited'`, a gate comparing
+    * to `' THEN '`, a `-- comment` mid-statement) is invisible to the
+    * splitter; every captured group is sliced from `original` at the
+    * match offsets, so the executed text keeps its literals intact
+    * (round-14 ADVICE: this was the one layer not quote-aware). */
+  private final case class Stmt(original: String, masked: String) {
+    def slice(from: Int, until: Int): Stmt =
+      Stmt(original.substring(from, until), masked.substring(from, until))
+    def trimmed: Stmt = {
+      val from = masked.indexWhere(!_.isWhitespace)
+      if (from < 0) Stmt("", "")
+      else slice(from, masked.lastIndexWhere(!_.isWhitespace) + 1)
+    }
+  }
+
+  // fragment boundaries always fall OUTSIDE literal/comment spans (they
+  // are keyword positions found in the mask), so masking a fragment
+  // equals slicing the parent's mask — re-masking is sound and simpler
+  private def stmtOf(text: String) = Stmt(text, SqlDialect.maskLiterals(text))
+
+  /** Anchored-match extractor over the MASKED text, capturing from the
+    * ORIGINAL; absent groups surface as null, like plain `Regex`. */
+  private final class MRe(re: scala.util.matching.Regex) {
+    def unapplySeq(s: Stmt): Option[Seq[String]] = {
+      val m = re.pattern.matcher(s.masked)
+      if (!m.matches()) None
+      else Some((1 to m.groupCount()).map { g =>
+        if (m.start(g) < 0) null
+        else s.original.substring(m.start(g), m.end(g))
+      })
+    }
+  }
+
+  private val MergeHeadM = new MRe(MergeHeadRe)
+  private val AsofM = new MRe(AsofRe)
+  private val QualifyM = new MRe(QualifyRe)
+  private val ExcludeM = new MRe(ExcludeRe)
+  private val UpdateM = new MRe(UpdateRe)
+  private val DeleteM = new MRe(DeleteRe)
+  private val MatchedUpdateM = new MRe(MatchedUpdateRe)
+  private val MatchedDeleteM = new MRe(MatchedDeleteRe)
+  private val NotMatchedInsertM = new MRe(NotMatchedInsertRe)
+  private val NotMatchedInsertListM = new MRe(NotMatchedInsertListRe)
+
+  /** Split a fragment at each `boundary` match position in its MASK —
+    * a boundary keyword inside a literal never splits. The boundary
+    * text stays with the piece it starts (lookahead-style). */
+  private def splitParts(frag: Stmt,
+      boundary: scala.util.matching.Regex): Seq[Stmt] = {
+    val starts = boundary.findAllMatchIn(frag.masked).map(_.start).toList
+    val cuts = (0 :: starts).distinct :+ frag.masked.length
+    cuts.sliding(2).collect {
+      case List(a, b) if b > a => frag.slice(a, b)
+    }.toSeq
+  }
+
+  /** Replace each un-quoted `alias.` occurrence in `fragment` with
+    * `replacement` — occurrences inside string literals survive
+    * verbatim (found in the mask, spliced in the original). */
+  private def replaceAliasRefs(fragment: String, alias: String,
+      replacement: String): String = {
+    val masked = SqlDialect.maskLiterals(fragment)
+    val re = s"(?i)\\b${java.util.regex.Pattern.quote(alias)}\\.".r
+    val sb = new StringBuilder
+    var last = 0
+    re.findAllMatchIn(masked).foreach { m =>
+      sb.append(fragment.substring(last, m.start)).append(replacement)
+      last = m.end
+    }
+    sb.append(fragment.substring(last)).toString
+  }
+
   /** Parse an AND-conjunction of alias-qualified equi conditions into
     * (leftCol, rightCol) pairs, oriented so the first element belongs
     * to `leftAlias`. Anything non-equi is a loud error. */
@@ -170,22 +266,22 @@ object SqlText {
     }
 
   /** Strip `alias.` qualifiers from a SQL fragment — after the rewrite
-    * every column lives flat in one view, so the qualifiers must go. */
+    * every column lives flat in one view, so the qualifiers must go.
+    * Quote-aware: `alias.` inside a string literal survives. */
   private def stripAliases(fragment: String, aliases: Seq[String]): String =
-    aliases.foldLeft(fragment) { (f, a) =>
-      f.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(a)}\\.", "")
-    }
+    aliases.foldLeft(fragment)((f, a) => replaceAliasRefs(f, a, ""))
 
   /** Rewrite `userAlias.` qualifiers onto the engine operators' fixed
     * internal aliases (two-phase through placeholders, so a user alias
     * that collides with an engine alias — e.g. the target aliased `b` —
-    * can never be double-substituted). */
+    * can never be double-substituted). Quote-aware like
+    * [[stripAliases]]; the placeholder phase-2 replace is plain text
+    * (the phase-1 pass only plants placeholders outside literals). */
   private def mapAliases(fragment: String,
       renames: Seq[(String, String)]): String = {
     val tmp = renames.zipWithIndex.foldLeft(fragment) {
       case (f, ((ua, _), i)) =>
-        f.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(ua)}\\.",
-          s"__graft_alias_$i.")
+        replaceAliasRefs(f, ua, s"__graft_alias_$i.")
     }
     renames.zipWithIndex.foldLeft(tmp) { case (f, ((_, ea), i)) =>
       f.replace(s"__graft_alias_$i.", s"$ea.")
@@ -197,8 +293,22 @@ object SqlText {
     * (Spark frames are immutable — there is no in-place table to
     * mutate without a v2 catalog) the result IS the merged relation,
     * which the caller writes wherever the target lives. */
-  def sql(spark: SparkSession, text: String): DataFrame = text match {
-    case MergeHeadRe(target, tAliasOrNull, source, sAliasOrNull, cond,
+  def sql(spark: SparkSession, text: String): DataFrame = {
+    // a session UDF sharing a mapped dialect name keeps the USER's
+    // function (round-14 ADVICE): the dialect shim skips names present
+    // in the temporary-function registry, so the call passes through
+    // and Spark's resolver binds the UDF exactly as plain spark.sql
+    // would. Builtins don't trip this — isTemporaryFunction is
+    // registration-only. Resolved per statement, not cached, so a
+    // registration made between calls is honored.
+    val isUserFn: String => Boolean = name =>
+      try spark.sessionState.catalog.isTemporaryFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(
+          name.toLowerCase(java.util.Locale.ROOT)))
+      catch { case scala.util.control.NonFatal(_) => false }
+    def dialect(s: String): String = SqlDialect.rewrite(s, isUserFn)
+    stmtOf(text) match {
+    case MergeHeadM(target, tAliasOrNull, source, sAliasOrNull, cond,
         whenTail) =>
       val tAlias = Option(tAliasOrNull).getOrElse(target)
       val sAlias = Option(sAliasOrNull).getOrElse(source)
@@ -214,18 +324,18 @@ object SqlText {
       // (This split is why AND-gates may not contain CASE WHEN — the
       // boundary regex cannot tell a branch keyword from an expression
       // keyword; see the header restriction.)
-      val clauses = whenTail.split("""(?i)(?=\bWHEN\s)""").toSeq
-        .map(_.trim).filter(_.nonEmpty)
+      val clauses = splitParts(stmtOf(whenTail), """(?i)\bWHEN\s""".r)
+        .map(_.trimmed).filter(_.original.nonEmpty)
       // ordered matched branches — Snowflake evaluates them
       // first-match-wins, so statement order is semantics
       val matchedActs = scala.collection.mutable.ListBuffer.empty[MatchedAction]
       // None = no insert arm; Some(Nil) = INSERT *; Some(cols) = list
       var insertSpec: Option[Seq[(String, String)]] = None
       clauses.foreach {
-        case NotMatchedInsertRe() =>
+        case NotMatchedInsertM() =>
           require(insertSpec.isEmpty, "duplicate WHEN NOT MATCHED clause")
           insertSpec = Some(Nil)
-        case c @ NotMatchedInsertListRe(colsTxt, valsTxt) =>
+        case c @ NotMatchedInsertListM(colsTxt, valsTxt) =>
           require(insertSpec.isEmpty, "duplicate WHEN NOT MATCHED clause")
           val cols = colsTxt.split(",").toSeq.map(_.trim)
           require(cols.nonEmpty && cols.forall(_.matches("""\w+""")),
@@ -242,18 +352,18 @@ object SqlText {
           }
           require(cols.size == vals.size,
             s"INSERT column/value arity mismatch: ${cols.size} columns " +
-              s"vs ${vals.size} values in '$c'")
+              s"vs ${vals.size} values in '${c.original}'")
           insertSpec = Some(cols.zip(vals))
-        case c @ MatchedUpdateRe(predOrNull, set) =>
+        case MatchedUpdateM(predOrNull, set) =>
           require(insertSpec.isEmpty,
             "WHEN MATCHED must precede WHEN NOT MATCHED")
           matchedActs += MatchedUpdate(Option(predOrNull), set.trim)
-        case c @ MatchedDeleteRe(predOrNull) =>
+        case MatchedDeleteM(predOrNull) =>
           require(insertSpec.isEmpty,
             "WHEN MATCHED must precede WHEN NOT MATCHED")
           matchedActs += MatchedDelete(Option(predOrNull))
         case other => sys.error(
-          s"unsupported MERGE clause: '$other' (supported: WHEN MATCHED " +
+          s"unsupported MERGE clause: '${other.original}' (supported: WHEN MATCHED " +
             "[AND <pred>] THEN UPDATE SET <*|col = s.col, …> | DELETE, " +
             "repeatable first-match-wins; WHEN NOT MATCHED THEN INSERT " +
             "<*|(cols) VALUES (s.cols)>; note gates may not contain " +
@@ -267,7 +377,7 @@ object SqlText {
       // CASE WHEN can never confuse the WHEN-splitter above
       def predCol(p: String): org.apache.spark.sql.Column =
         org.apache.spark.sql.functions.expr(
-          mapAliases(SqlDialect.rewrite(p), Seq(tAlias -> "c", sAlias -> "b")))
+          mapAliases(dialect(p), Seq(tAlias -> "c", sAlias -> "b")))
       def parseAssigns(assigns: String): Seq[(String, String)] =
         assigns.split(",").toSeq.map {
           case AssignRe(lhsAliasOrNull, tc, rhsAlias, sc) =>
@@ -296,7 +406,8 @@ object SqlText {
       (matchedActs.toList, insertSpec) match {
         // bare MERGE (no clauses) stays the canonical full-row upsert
         case (Nil, None) =>
-          Graft.upsert(corpus, batch, keyCols)
+          Graft.upsert(corpus, batch, keyCols,
+            failOnDuplicateMatches = true)
         // insert-only merge: matched target rows unchanged, unmatched
         // batch rows append — one anti key join
         case (Nil, Some(Nil)) =>
@@ -309,14 +420,16 @@ object SqlText {
           corpus.unionAll(
             batch.alias("b").join(corpus.alias("c"), insCond, "left_anti"))
         case (List(MatchedUpdate(None, "*")), Some(Nil)) =>
-          Graft.upsert(corpus, batch, keyCols)
+          Graft.upsert(corpus, batch, keyCols,
+            failOnDuplicateMatches = true)
         case (List(MatchedUpdate(pred @ Some(_), "*")), Some(Nil)) =>
           // gated full-row update ≡ SET every non-key column, gated
           Graft.upsertPartial(corpus, batch, keyCols, fullSet,
-            pred.map(predCol))
+            pred.map(predCol), failOnDuplicateMatches = true)
         case (List(MatchedUpdate(pred, assigns)), Some(Nil)) =>
           Graft.upsertPartial(corpus, batch, keyCols,
-            parseAssigns(assigns), pred.map(predCol))
+            parseAssigns(assigns), pred.map(predCol),
+            failOnDuplicateMatches = true)
         case (List(MatchedDelete(pred)), ins @ (None | Some(Nil))) =>
           // NOTE: this single-branch route matches keys with ANSI ===
           // (NULL keys never match) — see the header's per-verb policy
@@ -326,10 +439,11 @@ object SqlText {
         // update-only merges — is the generalized one-shuffle form
         case (acts, ins) =>
           Graft.merge(corpus, batch, keyCols, acts.map(toBranch),
-            insert = ins.isDefined, insertCols = ins.getOrElse(Nil))
+            insert = ins.isDefined, insertCols = ins.getOrElse(Nil),
+            failOnDuplicateMatches = true)
       }
 
-    case AsofRe(proj, lt, lAliasOrNull, rt, rAliasOrNull,
+    case AsofM(proj, lt, lAliasOrNull, rt, rAliasOrNull,
         mcA, mcT, op, mcB, mcT2, cond, tailOrNull) =>
       val lAlias = Option(lAliasOrNull).getOrElse(lt)
       val rAlias = Option(rAliasOrNull).getOrElse(rt)
@@ -360,28 +474,28 @@ object SqlText {
         Seq(lAlias, rAlias))
       // the analyzed plan holds the view's resolved child directly, so
       // the scratch view can drop as soon as analysis is done
-      val out = spark.sql(SqlDialect.rewrite(rewritten))
+      val out = spark.sql(dialect(rewritten))
       spark.catalog.dropTempView(view)
       out
 
-    case ExcludeRe(colsTxt, target, tailOrNull) =>
+    case ExcludeM(colsTxt, target, tailOrNull) =>
       val excluded = colsTxt.split(",").map(_.trim).filter(_.nonEmpty)
       val t = spark.table(target)
       excluded.foreach(c => require(t.columns.contains(c),
         s"EXCLUDE names unknown column '$c' of '$target'"))
       val kept = t.columns.filterNot(excluded.contains)
       require(kept.nonEmpty, s"EXCLUDE removes every column of '$target'")
-      spark.sql(SqlDialect.rewrite(s"SELECT ${kept.mkString(", ")} " +
+      spark.sql(dialect(s"SELECT ${kept.mkString(", ")} " +
         s"FROM $target${Option(tailOrNull).getOrElse("")}"))
 
-    case UpdateRe(target, assignsTxt, predOrNull) =>
+    case UpdateM(target, assignsTxt, predOrNull) =>
       import org.apache.spark.sql.functions.{coalesce, expr, lit, when}
       val t = spark.table(target)
       val assigns = SqlDialect.splitTopLevel(assignsTxt).map {
         case UpdateAssignRe(c, rhs) =>
           require(t.columns.contains(c),
             s"UPDATE SET targets unknown column '$c' of '$target'")
-          c -> expr(SqlDialect.rewrite(rhs.trim))
+          c -> expr(dialect(rhs.trim))
         case other => sys.error(
           s"only 'col = <expr>' assignments are supported in UPDATE SET, " +
             s"got: '$other'")
@@ -389,7 +503,7 @@ object SqlText {
       require(assigns.map(_._1).distinct.size == assigns.size,
         s"duplicate UPDATE SET target in: '$assignsTxt'")
       val gate = Option(predOrNull)
-        .map(p => coalesce(expr(SqlDialect.rewrite(p)), lit(false)))
+        .map(p => coalesce(expr(dialect(p)), lit(false)))
         .getOrElse(lit(true))
       val byName = assigns.toMap
       // ONE projection over the source columns: every RHS sees the
@@ -401,22 +515,23 @@ object SqlText {
         }
       }: _*)
 
-    case DeleteRe(target, predOrNull) =>
+    case DeleteM(target, predOrNull) =>
       import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
       val t = spark.table(target)
       Option(predOrNull) match {
         // DELETE removes rows where the predicate is TRUE; a NULL
         // predicate keeps the row (ANSI three-valued logic)
         case Some(p) => t.filter(
-          not(coalesce(expr(SqlDialect.rewrite(p)), lit(false))))
+          not(coalesce(expr(dialect(p)), lit(false))))
         case None => t.limit(0)
       }
 
-    case QualifyRe(head, pred, orderOrNull) =>
-      spark.sql(SqlDialect.rewrite(
+    case QualifyM(head, pred, orderOrNull) =>
+      spark.sql(dialect(
         s"SELECT * FROM ($head) __graft_qualify WHERE $pred" +
           Option(orderOrNull).getOrElse("")))
 
-    case other => spark.sql(SqlDialect.rewrite(other))
+    case other => spark.sql(dialect(other.original))
+  }
   }
 }

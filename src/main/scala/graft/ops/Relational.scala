@@ -2105,6 +2105,92 @@ object Relational {
              |  AND o_totalprice < 150000, false)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // --------------------------- literal-aware DML grammar (SQL text)
+    // round-14 ADVICE closed: [[graft.SqlText]] matches its statement
+    // grammar against a literal-masked shadow and slices the original
+    // at the match offsets, so a string literal containing ` WHERE `
+    // (or a comment-opening `--`) can no longer split UPDATE at the
+    // wrong token. This key drives exactly the adversarial text — a
+    // SET RHS literal carrying both poison sequences plus a trailing
+    // real WHERE clause — through the front door; the oracle replays
+    // the ANSI semantics with the literal intact. Same single
+    // projection, no shuffle, as q_sql_update.
+    QueryDef("q_sql_update_literal",
+      (s, d) => {
+        Tables.register(s, d)
+        graft.SqlText.sql(s,
+          """UPDATE orders SET
+            |  o_orderpriority = 'bumped WHERE priority -- high',
+            |  o_totalprice = o_totalprice + 1
+            |WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+             |  CASE WHEN o_orderpriority = '1-URGENT'
+             |    THEN o_totalprice + 1 ELSE o_totalprice END
+             |    AS o_totalprice,
+             |  o_orderdate,
+             |  CASE WHEN o_orderpriority = '1-URGENT'
+             |    THEN 'bumped WHERE priority -- high'
+             |    ELSE o_orderpriority END AS o_orderpriority
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ----------------- literal-aware MERGE gates + first-match-wins
+    // the sibling key for MERGE: an AND-gate COMPARING AGAINST a
+    // literal that contains both ` WHEN ` and ` THEN ` — the exact
+    // text the clause splitter would previously have cut mid-gate —
+    // routed through the generalized [[graft.Graft.merge]] (gated
+    // DELETE before an ungated UPDATE, first-match-wins, plus the
+    // insert arm), which also carries the front door's
+    // nondeterministic-merge guard on a clean-keyed batch. One
+    // full-outer key shuffle; the guard's count window reuses the
+    // same key partitioning, so the plan stays single-shuffle.
+    QueryDef("q_sql_merge_gate_literal",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+        docs.createOrReplaceTempView("gatel_corpus")
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            lit("xx WHEN matched THEN deleted").as("lang"), col("n_chars"))
+          .unionAll(docs.filter(col("doc_id") % 10 === 1)
+            .select(col("doc_id"), col("lang"),
+              (col("n_chars") + 500L).as("n_chars")))
+          .unionAll(docs.filter(col("doc_id") % 7 === 3)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+              col("n_chars")))
+          .createOrReplaceTempView("gatel_batch")
+        graft.SqlText.sql(s,
+            """MERGE INTO gatel_corpus AS c USING gatel_batch AS b
+              |ON c.doc_id = b.doc_id
+              |WHEN MATCHED AND b.lang = 'xx WHEN matched THEN deleted'
+              |  THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET n_chars = b.n_chars
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, lang, n_chars FROM documents
+             |), batch AS (
+             |  SELECT doc_id, 'xx WHEN matched THEN deleted' AS lang,
+             |    n_chars FROM corpus WHERE doc_id % 10 = 0
+             |  UNION ALL
+             |  SELECT doc_id, lang, n_chars + 500 AS n_chars
+             |  FROM corpus WHERE doc_id % 10 = 1
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, lang, n_chars
+             |  FROM corpus WHERE doc_id % 7 = 3
+             |)
+             |SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+             |  CASE WHEN c.doc_id IS NULL THEN b.lang ELSE c.lang END
+             |    AS lang,
+             |  CASE WHEN c.doc_id IS NULL THEN b.n_chars
+             |       WHEN b.doc_id IS NOT NULL THEN b.n_chars
+             |       ELSE c.n_chars END AS n_chars
+             |FROM corpus c FULL OUTER JOIN batch b ON c.doc_id = b.doc_id
+             |WHERE NOT (b.doc_id IS NOT NULL AND c.doc_id IS NOT NULL
+             |  AND b.lang = 'xx WHEN matched THEN deleted')
+             |ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------- Snowflake scalar dialect
     // the round-13 verdict's last "missing" item: Snowflake-isms a
     // migrating user types through the pass-through front door.

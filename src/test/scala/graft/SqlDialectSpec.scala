@@ -163,4 +163,28 @@ class SqlDialectSpec extends SparkSpec {
     spark.catalog.dropTempView("sd_corpus")
     spark.catalog.dropTempView("sd_batch")
   }
+
+  test("maskLiterals: same length, keywords hidden, delimiters survive") {
+    def m(s: String) = SqlDialect.maskLiterals(s)
+    val cases = Seq(
+      "SELECT 'x WHERE y' AS a FROM t",
+      "UPDATE t SET a = 'it''s WHEN' WHERE k = 1",
+      "SELECT a -- WHERE hidden\nFROM t",
+      "SELECT /* WHEN * hidden */ a FROM t",
+      "SELECT \"odd col\" , `tick QUALIFY` FROM t",
+      "SELECT 'unterminated",      // unterminated literal
+      "SELECT a /* unterminated",  // unterminated comment
+      "SELECT '' AS empty, a FROM t")
+    cases.foreach { s =>
+      val masked = m(s)
+      assert(masked.length == s.length, s"length drift for: $s")
+      assert(!masked.toUpperCase.matches("(?s).*'[^']*WHERE[^']*'.*"),
+        s"literal keyword leaked: $masked")
+    }
+    assert(m("SELECT 'x WHERE y' FROM t") == "SELECT '#########' FROM t")
+    assert(m("a -- b WHERE c\nd") == "a --##########\nd")
+    assert(m("a /* WHEN */ b") == "a /*######*/ b")
+    // '' doubling masks as interior, both quotes of the pair included
+    assert(m("'it''s'") == "'#####'")
+  }
 }

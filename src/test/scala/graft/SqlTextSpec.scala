@@ -341,4 +341,138 @@ class SqlTextSpec extends SparkSpec {
     // b/a: 2.0, 1.33, 1.2 → only k=1 deleted
     assert(del.toSeq == Seq(2L, 3L))
   }
+
+  // ------------- literal/comment awareness (round-14 ADVICE): the
+  // statement grammar matches a masked shadow, so keywords inside
+  // string literals or comments can never split at the wrong token
+
+  test("UPDATE SET literal containing ' WHERE ' does not split the clause") {
+    stage()
+    val out = SqlText.sql(spark,
+      "UPDATE st_corpus SET tag = 'approved WHERE audited' WHERE k = 2")
+      .orderBy("k").collect().map(_.getString(1))
+    assert(out.toSeq == Seq("a", "approved WHERE audited", "c"))
+  }
+
+  test("DELETE predicate literal containing ' WHERE ' stays intact") {
+    stage()
+    val out = SqlText.sql(spark,
+      "DELETE FROM st_corpus WHERE tag = 'x WHERE y'")
+    assert(out.count() == 3) // no row carries the literal; nothing deleted
+  }
+
+  test("a -- comment inside an UPDATE statement does not derail the split") {
+    stage()
+    val out = SqlText.sql(spark,
+      """UPDATE st_corpus SET v = v + 1 -- bump WHERE audited
+        |WHERE k = 1""".stripMargin)
+      .orderBy("k").collect().map(_.getLong(2))
+    assert(out.toSeq == Seq(11L, 20L, 30L))
+  }
+
+  test("MERGE gate literals containing WHEN/THEN do not confuse the splitter") {
+    stage()
+    val out = SqlText.sql(spark,
+      """MERGE INTO st_corpus AS c USING st_batch AS b ON c.k = b.k
+        |WHEN MATCHED AND b.tag != ' WHEN x THEN y ' THEN UPDATE SET v = b.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2)))
+    // gate is true for the matched key 2 (its tag is "B") → v = 99
+    assert(out.toSeq == Seq((1L, 10L), (2L, 99L), (3L, 30L), (9L, 1L)))
+  }
+
+  test("a literal ' QUALIFY ' inside a plain SELECT is NOT the QUALIFY clause") {
+    stage()
+    val out = SqlText.sql(spark,
+      "SELECT tag || ' QUALIFY rn = 1' AS t FROM st_corpus WHERE k = 1")
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("a QUALIFY rn = 1"))
+  }
+
+  test("alias qualifiers inside ASOF projection literals survive stripping") {
+    Seq((1L, 10L, "x")).toDF("k", "t", "lv")
+      .createOrReplaceTempView("st_asl")
+    Seq((1L, 5L, 7L)).toDF("k", "t", "rv")
+      .createOrReplaceTempView("st_asr")
+    val out = SqlText.sql(spark,
+      """SELECT l.k, 'l.k is the key' AS note, r.rv
+        |FROM st_asl l ASOF JOIN st_asr r
+        |MATCH_CONDITION(l.t >= r.t) ON l.k = r.k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "l.k is the key", 7L)))
+  }
+
+  // ------------- nondeterministic-MERGE guard (round-14 ADVICE):
+  // Snowflake's default ERROR_ON_NONDETERMINISTIC_MERGE raises when a
+  // target row is matched by 2+ source rows; the silent fan-out is
+  // exactly what a migrating user must NOT inherit
+
+  test("MERGE raises loudly when a target key is matched by 2+ source rows") {
+    stage()
+    Seq((2L, "B1", 1L), (2L, "B2", 2L), (9L, "z", 1L))
+      .toDF("k", "tag", "v").createOrReplaceTempView("st_dup")
+    val e = intercept[Exception] {
+      SqlText.sql(spark,
+        """MERGE INTO st_corpus AS c USING st_dup AS b ON c.k = b.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("nondeterministic MERGE")))
+    // the generalized multi-branch route guards identically
+    val e2 = intercept[Exception] {
+      SqlText.sql(spark,
+        """MERGE INTO st_corpus AS c USING st_dup AS b ON c.k = b.k
+          |WHEN MATCHED AND b.v > 100 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = b.v""".stripMargin).count()
+    }
+    assert(msgs(e2).exists(m => m != null && m.contains("nondeterministic MERGE")))
+  }
+
+  test("duplicate source keys that match NOTHING insert both (deterministic)") {
+    stage()
+    Seq((9L, "z1", 1L), (9L, "z2", 2L))
+      .toDF("k", "tag", "v").createOrReplaceTempView("st_dup_unmatched")
+    val out = SqlText.sql(spark,
+      """MERGE INTO st_corpus AS c USING st_dup_unmatched AS b ON c.k = b.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(out.count() == 5) // 3 corpus rows + both unmatched inserts
+  }
+
+  test("the API default stays unguarded: Graft.upsert fans out without the flag") {
+    stage()
+    Seq((2L, "B1", 1L), (2L, "B2", 2L))
+      .toDF("k", "tag", "v").createOrReplaceTempView("st_dup2")
+    val corpus = spark.table("st_corpus")
+    val dup = spark.table("st_dup2")
+    // documented precondition violation → fan-out, no error (opt-in guard)
+    assert(Graft.upsert(corpus, dup, Seq("k")).count() == 4)
+    val e = intercept[Exception](
+      Graft.upsert(corpus, dup, Seq("k"),
+        failOnDuplicateMatches = true).count())
+    assert(e.getMessage != null || e.getCause != null) // raises, either layer
+  }
+
+  // ------------- session-UDF precedence over the dialect shim
+  // (round-14 ADVICE): a user-registered function sharing a mapped
+  // name must keep executing — the rewrite skips registered names
+
+  test("a session UDF named like a dialect function wins over the rewrite") {
+    try {
+      spark.udf.register("iff",
+        (c: Boolean, a: Int, b: Int) => if (c) a + 1000 else b)
+      val out = SqlText.sql(spark, "SELECT IFF(true, 1, 2) AS x")
+        .collect().map(_.getInt(0))
+      assert(out.toSeq == Seq(1001)) // the UDF, not Spark's if()
+    } finally {
+      spark.sessionState.catalog.dropTempFunction("iff",
+        ignoreIfNotExists = true)
+    }
+    // unregistered again → the dialect mapping resumes
+    val back = SqlText.sql(spark, "SELECT IFF(true, 1, 2) AS x")
+      .collect().map(_.getInt(0))
+    assert(back.toSeq == Seq(1))
+  }
 }

@@ -581,6 +581,18 @@ class PlanSpec extends SparkSpec {
       s"top-25 must be a bounded top-k, never a global sort:\n$p")
   }
 
+  test("guarded MERGE keeps one key shuffle per side: the dup-count window rides the join's partitioning") {
+    val p = plan("q_sql_merge_gate_literal")
+    assert(p.contains("FullOuter"),
+      s"the generalized merge must stay a single full-outer key join:\n$p")
+    assert(p.contains("Window"),
+      s"the nondeterministic-merge guard (count window) must be present:\n$p")
+    // corpus side + batch side — the guard's window partitions by the
+    // SAME keys the join shuffles on, so it must NOT add an exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"the dup-count window may not introduce a third key shuffle:\n$p")
+  }
+
   test("q_snapshot_diff is ONE full-outer join, no window, no extra shuffle") {
     val p = plan("q_snapshot_diff")
     assert(p.contains("FullOuter"),
