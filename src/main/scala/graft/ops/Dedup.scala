@@ -548,6 +548,52 @@ object Dedup {
       .select(col("doc_id"), col("keep_id"),
         (col("doc_id") === col("keep_id")).as("is_survivor"))
 
+  /** [[resolveClusters]] with the exact-collapse pre-pass — the
+    * prefix-resolve move (round 15) applied to the LSH family: group
+    * byte-identical texts (one linear md5 hash-agg), run the banded
+    * candidate join + component propagation over one REPRESENTATIVE
+    * per distinct text, then restore per-doc labels with one linear
+    * fan-out join. On a clone-heavy corpus (the 100× replica clones
+    * every doc 100×, so bucket pairs grow ×10⁴) the quadratic
+    * candidate stage collapses back to the distinct-text core —
+    * measured 218× wall for the uncollapsed resolve on 100× data vs
+    * ~linear here. NOTE a deliberate semantic refinement vs
+    * [[resolveClusters]]: identical-text docs are ALWAYS one cluster
+    * (they are J=1 pairs by definition), even where the hot-bucket
+    * sub-salt would have split a clone group across salt cells and
+    * disconnected them in the salted graph — the collapsed key's
+    * oracle replays collapse + rep-banding + fan-out, so the contract
+    * is explicit, and the salt discipline still caps the REP buckets.
+    * Output rows: every doc whose text occurs ≥ 2× or whose
+    * representative lands in ≥ 1 rep-level candidate pair. */
+  private[graft] def resolveClustersCollapsed(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    graft.CacheRegistry.getOrPersist("dedup_resolved_collapsed", d, {
+      val sig = Tables.table(s, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("dg"))
+      val reps = sig.groupBy("dg")
+        .agg(min("doc_id").as("rep"), count(lit(1)).as("gn"))
+      val docRep = sig.join(reps, "dg").select("doc_id", "rep", "gn")
+      // band only representatives — reuses the registry-cached raw
+      // bands (shared with every LSH key), then re-derives the salt
+      // over REP bucket sizes so the hot-bucket cap guards what
+      // actually joins
+      val raw = graft.CacheRegistry.getOrPersist("dedup_bands_raw", d,
+        sparkBands(s, d))
+      val repBands = raw.join(reps.select(col("rep").as("doc_id")), "doc_id")
+      val pairs = saltedPairJoin(
+        subSalt(repBands, Seq("band_idx", "band_val"), "doc_id", MaxBand),
+        Seq("band_idx", "band_val"))
+      val labels = connectedComponents(pairs)._1
+        .select(col("doc_id").as("rep"), col("keep_id"))
+      docRep.join(labels, Seq("rep"), "left")
+        .filter(col("gn") >= 2 || col("keep_id").isNotNull)
+        .select(col("doc_id"),
+          coalesce(col("keep_id"), col("rep")).as("keep_id"))
+        .select(col("doc_id"), col("keep_id"),
+          (col("doc_id") === col("keep_id")).as("is_survivor"))
+    })
+
   /** The END-TO-END curation pipeline as one call (backs
     * `q_pipeline_curate` and [[graft.Graft.curate]]): drop near-dup
     * non-survivors (guarded LSH candidates → connected components →
@@ -1338,6 +1384,72 @@ object Dedup {
               |SELECT doc AS doc_id, min(reach) AS keep_id,
               |  doc = min(reach) AS is_survivor
               |FROM walk GROUP BY doc ORDER BY doc_id""".stripMargin)),
+
+    // --------------------------------- collapsed cluster resolution
+    // [[resolveClustersCollapsed]]: the LINEAR resolve for clone-heavy
+    // corpora — exact-collapse byte-identical texts to one
+    // representative (J=1 pairs by definition), band + propagate over
+    // representatives only, fan labels back out. The 100× replica
+    // clones every doc 100×, exploding the uncollapsed candidate stage
+    // ×10⁴ (measured 218× wall on 100× data); the collapsed form's
+    // quadratic stage sees only the distinct-text core. The oracle
+    // replays collapse, REP-restricted banding (salt re-derived over
+    // rep bucket sizes), closure over the rep graph (distinct-text-
+    // sized, so the recursive walk stays feasible at every gate
+    // scale), and the same fan-out.
+    QueryDef("q_dedup_resolve_collapsed",
+      (s, d) => resolveClustersCollapsed(s, d).orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE docs_sig AS (
+              |  SELECT doc_id, md5(text) AS dg FROM documents
+              |), reps AS (
+              |  SELECT dg, min(doc_id) AS rep, count(1) AS gn
+              |  FROM docs_sig GROUP BY dg
+              |), doc_rep AS (
+              |  SELECT s.doc_id, r.rep, r.gn FROM docs_sig s
+              |  JOIN reps r USING (dg)
+              |), tk_t AS (
+              |  SELECT doc_id, string_split(text,' ') AS tk FROM documents
+              |  WHERE doc_id IN (SELECT rep FROM reps)
+              |), sh_t AS (
+              |  SELECT doc_id, $shinglesDuck AS sh FROM tk_t
+              |), hs_t AS (
+              |  SELECT doc_id, $hashesDuck AS hs FROM sh_t
+              |), mh_t AS (
+              |  SELECT doc_id, $minhashDuck AS mh FROM hs_t
+              |), bands_raw AS (
+              |  SELECT doc_id, band_idx,
+              |    mh[2*band_idx + 1] * $P + mh[2*band_idx + 2] AS band_val
+              |  FROM mh_t,
+              |    (SELECT unnest(generate_series(0, ${Bands - 1})) AS band_idx)
+              |), bsz AS (
+              |  SELECT band_idx, band_val, count(*) AS bn
+              |  FROM bands_raw GROUP BY band_idx, band_val
+              |), bands AS (
+              |  SELECT doc_id, band_idx, band_val,
+              |    ${Text.md5iDuck("CAST(doc_id AS VARCHAR)")}
+              |      % ((bn + ${MaxBand - 1}) // $MaxBand) AS salt
+              |  FROM bands_raw JOIN bsz USING (band_idx, band_val)
+              |), cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM bands a JOIN bands b USING (band_idx, band_val, salt)
+              |  WHERE a.doc_id < b.doc_id
+              |), und AS (
+              |  SELECT doc_a AS a, doc_b AS b FROM cand
+              |  UNION ALL
+              |  SELECT doc_b, doc_a FROM cand
+              |), walk(doc, reach) AS (
+              |  SELECT a, a FROM (SELECT DISTINCT a FROM und) s0
+              |  UNION
+              |  SELECT u.b, w.reach FROM walk w JOIN und u ON u.a = w.doc
+              |), labels AS (
+              |  SELECT doc AS rep, min(reach) AS keep FROM walk GROUP BY doc
+              |)
+              |SELECT d.doc_id,
+              |  coalesce(l.keep, d.rep) AS keep_id,
+              |  d.doc_id = coalesce(l.keep, d.rep) AS is_survivor
+              |FROM doc_rep d LEFT JOIN labels l ON l.rep = d.rep
+              |WHERE d.gn >= 2 OR l.rep IS NOT NULL
+              |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------ cluster statistics
     // the dedup REPORT: how big are the near-dup clusters? (cluster_size,

@@ -768,6 +768,186 @@ object Text {
              |    - ln(CAST((SELECT sum(cnt) FROM freq) AS DOUBLE)), 6) AS avg_logprob
              |FROM perdoc ORDER BY doc_id""".stripMargin)),
 
+    // --------------------------------------- DSIR importance resampling
+    // Data Selection with Importance Resampling (Xie et al., 2023 —
+    // arXiv:2302.03169): select raw-corpus docs whose token
+    // distribution looks like a TARGET domain, by per-doc importance
+    // log-weight logw = avg over tokens of [ln p_target(tok) −
+    // ln p_raw(tok)] (unigram estimate, add-1 smoothing on the target
+    // side so raw-only tokens stay finite), then hash-coin resampling
+    // with acceptance ∝ exp(β·logw): accept iff
+    // ln(u) < β·(logw − max(logw)) — the comparison stays in LOG
+    // domain (no exp underflow; exact at any corpus size) and every
+    // transcendental is rounded to 9 decimals on BOTH engines before
+    // the DECIMAL-exact Σ, the proven unigram-logprob determinism
+    // pattern. β (DSIR's temperature; 100 here) sharpens selection
+    // when target and raw distributions are close — the synthetic
+    // corpus's en slice differs from the mix by only ~0.05 nats/token,
+    // so β=1 would accept nearly everything; β·(logw − max) is one
+    // IEEE multiply of identical doubles, engine-exact. Target = the 'en' slice of
+    // the same corpus (any reference corpus slots in). Scale shape:
+    // two (doc,token) hash aggs, one token-keyed vocabulary join
+    // (broadcast here, token-shuffle at 100 TB vocabularies), one
+    // per-doc agg, two 1-row broadcasts — the corpus never sorts.
+    QueryDef("q_select_dsir",
+      (s, d) => {
+        val docs = Tables.table(s, d, "documents")
+        val term = docs.select(col("doc_id"), col("lang"),
+          explode(toks).as("token"))
+        val tf = term.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val rawFreq = tf.groupBy("token").agg(sum("tf").as("rcnt"))
+        val tgtFreq = term.filter(col("lang") === "en")
+          .groupBy("token").agg(count(lit(1)).as("tcnt"))
+        val scal = rawFreq.agg(sum("rcnt").as("rtot"),
+            count(lit(1)).as("v"))
+          .crossJoin(tgtFreq.agg(
+            coalesce(sum("tcnt"), lit(0L)).as("ttot")))
+        val perDoc = tf.join(broadcast(rawFreq), "token")
+          .join(broadcast(tgtFreq), Seq("token"), "left")
+          .groupBy("doc_id")
+          .agg(
+            sum(expr("CAST(tf AS DECIMAL(10,0)) * " +
+              "CAST(round(ln(coalesce(tcnt, 0) + 1), 9) AS DECIMAL(20,9))"))
+              .as("slpt"),
+            sum(expr("CAST(tf AS DECIMAL(10,0)) * " +
+              "CAST(round(ln(rcnt), 9) AS DECIMAL(20,9))")).as("slpr"),
+            sum("tf").as("n_tok"))
+        val scored = perDoc.join(broadcast(scal))
+          .select(col("doc_id"),
+            round((col("slpt") - col("slpr")).cast(DoubleType) / col("n_tok")
+              - log((col("ttot") + col("v")).cast(DoubleType))
+              + log(col("rtot").cast(DoubleType)), 6).as("dsir_logw"))
+        val mx = scored.agg(max("dsir_logw").as("maxw"))
+        scored.join(broadcast(mx))
+          .filter(expr("round(ln(((" + md5i("CAST(doc_id AS STRING)") +
+            " % 1000000) + 1) / 1000000.0), 9)") <
+            lit(100.0) * (col("dsir_logw") - col("maxw")))
+          .select("doc_id", "dsir_logw")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH term AS (
+              |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+              |  FROM documents
+              |), tf AS (
+              |  SELECT doc_id, token, count(1) AS tf FROM term GROUP BY 1, 2
+              |), raw_freq AS (
+              |  SELECT token, sum(tf) AS rcnt FROM tf GROUP BY 1
+              |), tgt_freq AS (
+              |  SELECT token, count(1) AS tcnt FROM term
+              |  WHERE lang = 'en' GROUP BY 1
+              |), scal AS (
+              |  SELECT (SELECT sum(rcnt) FROM raw_freq) AS rtot,
+              |         (SELECT count(1) FROM raw_freq) AS v,
+              |         (SELECT coalesce(sum(tcnt), 0) FROM tgt_freq) AS ttot
+              |), perdoc AS (
+              |  SELECT doc_id,
+              |    sum(CAST(tf AS DECIMAL(10,0))
+              |      * CAST(round(ln(coalesce(tcnt, 0) + 1), 9)
+              |          AS DECIMAL(20,9))) AS slpt,
+              |    sum(CAST(tf AS DECIMAL(10,0))
+              |      * CAST(round(ln(rcnt), 9) AS DECIMAL(20,9))) AS slpr,
+              |    sum(tf) AS n_tok
+              |  FROM tf JOIN raw_freq USING (token)
+              |    LEFT JOIN tgt_freq USING (token)
+              |  GROUP BY doc_id
+              |), scored AS (
+              |  SELECT doc_id,
+              |    round(CAST(slpt - slpr AS DOUBLE) / n_tok
+              |      - ln(CAST(ttot + v AS DOUBLE))
+              |      + ln(CAST(rtot AS DOUBLE)), 6) AS dsir_logw
+              |  FROM perdoc, scal
+              |), mx AS (SELECT max(dsir_logw) AS maxw FROM scored)
+              |SELECT doc_id, dsir_logw FROM scored, mx
+              |WHERE round(ln(((${md5iDuck("CAST(doc_id AS VARCHAR)")}
+              |    % 1000000) + 1) / 1000000.0), 9)
+              |  < 100.0 * (dsir_logw - maxw)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------- log-prob quality buckets
+    // CCNet-style (Wenzek et al., 2020) quality bucketing: split the
+    // corpus into head/middle/tail by per-doc unigram log-probability.
+    // CCNet cuts at corpus quantiles of a reference-LM perplexity; the
+    // engine twin cuts at FIXED OFFSETS from the corpus mean logprob —
+    // scale-invariant like the quantile cut (the mean tracks the
+    // corpus), but exactly comparable across engines: both cuts are
+    // DECIMAL-exact aggregates (no interpolation between floating
+    // ranks, so no last-ulp threshold drift class at any SF) and every
+    // per-doc score is the proven rounded-9/DECIMAL unigram shape.
+    // head = logp ≥ mean; the second cut is the mean of the
+    // BELOW-mean half (exact decimal Σ over rounded-6 scores —
+    // order-independent, engine-identical), so all three buckets
+    // populate on any non-degenerate corpus: middle = [cut2, mean),
+    // tail = below. One (doc,token) agg + vocabulary join + two 1-row
+    // broadcasts; no sort, no single-partition window.
+    QueryDef("q_text_logprob_buckets",
+      (s, d) => {
+        val docs = Tables.table(s, d, "documents")
+        val term = docs.select(col("doc_id"), explode(toks).as("token"))
+        val tf = term.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val freq = tf.groupBy("token").agg(sum("tf").as("cnt"))
+        val totals = freq.agg(sum("cnt").as("n_total"))
+        val perDoc = tf.join(broadcast(freq), "token")
+          .groupBy("doc_id")
+          .agg(
+            sum(expr("CAST(tf AS DECIMAL(10,0)) * " +
+              "CAST(round(ln(cnt), 9) AS DECIMAL(20,9))")).as("slp"),
+            sum("tf").as("n_tok"))
+        val scored = perDoc.join(broadcast(totals))
+          .select(col("doc_id"),
+            round(col("slp").cast(DoubleType) / col("n_tok")
+              - log(col("n_total").cast(DoubleType)), 6).as("logp"))
+        // corpus mean in the SAME exact-decimal space: Σslp/Σn_tok
+        val mean = perDoc.agg(
+            sum("slp").as("slp_all"), sum("n_tok").as("tok_all"))
+          .crossJoin(broadcast(totals))
+          .select(round(col("slp_all").cast(DoubleType) / col("tok_all")
+            - log(col("n_total").cast(DoubleType)), 6).as("mean_logp"))
+        val withMean = scored.join(broadcast(mean))
+        val cut2 = withMean.filter(col("logp") < col("mean_logp"))
+          .agg(round(sum(expr("CAST(logp AS DECIMAL(20,6))"))
+            .cast(DoubleType) / count(lit(1)), 6).as("low_logp"))
+        withMean.join(broadcast(cut2))
+          .select(col("doc_id"), col("logp"),
+            when(col("logp") >= col("mean_logp"), "head")
+              .when(col("logp") >= col("low_logp"), "middle")
+              .otherwise("tail").as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH term AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |  FROM documents
+             |), tf AS (
+             |  SELECT doc_id, token, count(1) AS tf FROM term GROUP BY 1, 2
+             |), freq AS (
+             |  SELECT token, sum(tf) AS cnt FROM tf GROUP BY 1
+             |), perdoc AS (
+             |  SELECT doc_id,
+             |    sum(CAST(tf AS DECIMAL(10,0))
+             |      * CAST(round(ln(cnt), 9) AS DECIMAL(20,9))) AS slp,
+             |    sum(tf) AS n_tok
+             |  FROM tf JOIN freq USING (token) GROUP BY doc_id
+             |), tot AS (SELECT sum(cnt) AS n_total FROM freq),
+             |scored AS (
+             |  SELECT doc_id,
+             |    round(CAST(slp AS DOUBLE) / n_tok
+             |      - ln(CAST(n_total AS DOUBLE)), 6) AS logp
+             |  FROM perdoc, tot
+             |), m AS (
+             |  SELECT round(CAST(sum(slp) AS DOUBLE) / sum(n_tok)
+             |    - ln(CAST((SELECT n_total FROM tot) AS DOUBLE)), 6)
+             |    AS mean_logp
+             |  FROM perdoc
+             |), c2 AS (
+             |  SELECT round(CAST(sum(CAST(logp AS DECIMAL(20,6))) AS DOUBLE)
+             |    / count(1), 6) AS low_logp
+             |  FROM scored, m WHERE logp < mean_logp
+             |)
+             |SELECT doc_id, logp,
+             |  CASE WHEN logp >= mean_logp THEN 'head'
+             |       WHEN logp >= low_logp THEN 'middle'
+             |       ELSE 'tail' END AS bucket
+             |FROM scored, m, c2 ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------------------- weighted sampling
     // importance sampling with per-ROW admission probability ∝ a weight
     // column (here n_chars — the "sample long documents more" curation
