@@ -524,7 +524,12 @@ object Vector {
     val base = vecs(s, d)
     val n = base.count()
     require(n > 0, "adaptive IVF fit over an empty corpus")
-    val stride = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    stridedCenters(base, math.max(1L,
+      math.ceil(math.sqrt(n.toDouble)).toLong))
+  }
+
+  private def stridedCenters(base: org.apache.spark.sql.DataFrame,
+      stride: Long): Array[Array[Double]] = {
     val cents = base.filter(col("vec_id") % stride === 0)
       .orderBy("vec_id").select("v")
       .collect().map(_.getSeq[Double](0).toArray)
@@ -540,8 +545,14 @@ object Vector {
     * the corpus itself — no literals, so the same SQL is exact at
     * every scale factor. */
   private def duckKnnJoinAdaptive(nprobe: Int, k: Int): String =
+    duckKnnJoinStrided(
+      "SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS stride FROM n",
+      nprobe, k)
+
+  private def duckKnnJoinStrided(stCte: String, nprobe: Int,
+      k: Int): String =
     s"""$duckVecs, st AS (
-       |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS stride FROM n
+       |  $stCte
        |), cents AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
        |    AS cell, v AS cv
@@ -966,6 +977,7 @@ object Vector {
     QueryDef("q_similarity_knn_join_adaptive",
       (s, d) => knnJoin(s, d, adaptiveCenters(s, d), nprobe = 2, k = 3),
       Some(duckKnnJoinAdaptive(nprobe = 2, k = 3))),
+
 
     // ---------------------------------------- int8 scalar quantization
     // per-vector min/max scalar quantization to int8 codes — the standard

@@ -44,10 +44,33 @@ object RecallProbe {
       }
       k -> rs.sum / rs.size
     }
-    val json = recalls.map { case (k, r) => s""""$k":${f"$r%.3f"}""" }
-      .mkString(s"""{"sf_dir":"$sfDir","recall":{""", ",", "}}")
+    // corpus×corpus kNN-join family: recall@3 against the SINGLE-CELL
+    // brute join (one zero center ⇒ every vector in cell 0 ⇒ every pair
+    // scored — the exact truth, feasible at probe scale). Same
+    // score-tolerant counting as above, for the same tie reason.
+    val bruteJoin = graft.ops.Vector.knnJoin(spark, sfDir,
+        Array(Array.fill(graft.ops.Vector.Dim)(0.0)), nprobe = 1, k = 3,
+        cellCap = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val floor3 = bruteJoin.view.mapValues(_.min).toMap
+    val joinKeys = Seq("q_similarity_knn_join",
+      "q_similarity_knn_join_adaptive")
+    val joinRecalls = joinKeys.map { k =>
+      val ann = hits(k)
+      val rs = bruteJoin.keys.toSeq.map { qid =>
+        val got = ann.getOrElse(qid, Seq.empty)
+          .count(_ >= floor3(qid) - 1e-9)
+        math.min(got, 3).toDouble / 3.0
+      }
+      k -> rs.sum / rs.size
+    }
+    def obj(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, r) => s""""$k":${f"$r%.3f"}""" }
+        .mkString("{", ",", "}")
     // JSON on stdout for the bench-narrative ritual; grep for "recall"
-    println(json)
+    println(s"""{"sf_dir":"$sfDir","recall":${obj(recalls)},""" +
+      s""""knn_join_recall_at3":${obj(joinRecalls)}}""")
     spark.stop()
   }
 }
