@@ -629,6 +629,24 @@ object Graft {
   def dedupKeepList(spark: SparkSession, sfDir: String): DataFrame =
     ops.Dedup.resolveClusters(spark, sfDir)
 
+  /** [[dedupKeepList]] with the exact-collapse pre-pass — the LINEAR
+    * form for clone-heavy corpora: byte-identical texts collapse to a
+    * min-id representative before the banded candidate join, components
+    * propagate over representatives only, and one fan-out join restores
+    * per-doc labels (identical-text docs are always one cluster). The
+    * 100× replica measures 85× wall on 100× data vs 218× uncollapsed
+    * (BASELINE.md). Oracle-checked as `q_dedup_resolve_collapsed`. */
+  def dedupKeepListCollapsed(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Dedup.resolveClustersCollapsed(spark, sfDir)
+
+  /** Simhash-family keep-list (exact-collapse + Hamming ≤ 3 VERIFIED
+    * edges over representative signatures + components + fan-out) —
+    * the linear-output sibling of the `q_dedup_simhash_hamming` pair
+    * listing, whose output grows with the pair count by definition.
+    * Oracle-checked as `q_dedup_simhash_resolve`. */
+  def simhashKeepList(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Dedup.simhashResolveCollapsed(spark, sfDir)
+
   /** Incremental dedup verdicts for the "new batch" slice of `documents`
     * against the standing corpus: (doc_id, exact_dup, n_bands_old,
     * verdict ∈ drop_exact|drop_near|keep). Both old-side probes are

@@ -594,6 +594,54 @@ object Dedup {
           (col("doc_id") === col("keep_id")).as("is_survivor"))
     })
 
+  /** Simhash near-dup RESOLUTION with the exact-collapse pre-pass —
+    * the linear-output production mode for the Hamming family
+    * (`q_dedup_simhash_hamming` lists scored pairs, which is Ω(#pairs):
+    * the 100× replica's clones share identical signatures, exploding
+    * its output ×10⁴ — measured 150× wall on 100× data). This
+    * composition collapses byte-identical texts to a min-id
+    * representative (identical text ⇒ identical simhash ⇒ Hamming 0,
+    * so collapse is semantics-exact), block-joins REPRESENTATIVE
+    * signatures, keeps only Hamming ≤ 3 VERIFIED edges (stronger than
+    * the LSH resolve's unverified candidates), propagates components,
+    * and fans labels back out — the pair listing never materializes as
+    * output. */
+  private[graft] def simhashResolveCollapsed(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    graft.CacheRegistry.getOrPersist("simhash_resolved_collapsed", d, {
+      val sig = Tables.table(s, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("dg"))
+      val reps = sig.groupBy("dg")
+        .agg(min("doc_id").as("rep"), count(lit(1)).as("gn"))
+      val docRep = sig.join(reps, "dg").select("doc_id", "rep", "gn")
+      val sigs = graft.CacheRegistry.getOrPersist("simhash64_sigs", d,
+        simhash64(s, d))
+      val repSigs = sigs.join(reps.select(col("rep").as("doc_id")), "doc_id")
+      val blocks = repSigs.select(col("doc_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("block_idx", "block_val")))
+      val a = repSigs.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+      val b = repSigs.select(col("doc_id").as("doc_b"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+      val edges = saltedPairJoin(
+          subSalt(blocks, Seq("block_idx", "block_val"), "doc_id", MaxBand),
+          Seq("block_idx", "block_val"))
+        .join(a, "doc_a").join(b, "doc_b")
+        .filter(expr(
+          """bit_count(a0 ^ c0) + bit_count(a1 ^ c1)
+            |  + bit_count(a2 ^ c2) + bit_count(a3 ^ c3)""".stripMargin) <= 3)
+        .select("doc_a", "doc_b")
+      val labels = connectedComponents(edges)._1
+        .select(col("doc_id").as("rep"), col("keep_id"))
+      docRep.join(labels, Seq("rep"), "left")
+        .filter(col("gn") >= 2 || col("keep_id").isNotNull)
+        .select(col("doc_id"),
+          coalesce(col("keep_id"), col("rep")).as("keep_id"))
+        .select(col("doc_id"), col("keep_id"),
+          (col("doc_id") === col("keep_id")).as("is_survivor"))
+    })
+
   /** The END-TO-END curation pipeline as one call (backs
     * `q_pipeline_curate` and [[graft.Graft.curate]]): drop near-dup
     * non-survivors (guarded LSH candidates → connected components →
@@ -1450,6 +1498,81 @@ object Dedup {
               |FROM doc_rep d LEFT JOIN labels l ON l.rep = d.rep
               |WHERE d.gn >= 2 OR l.rep IS NOT NULL
               |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------- collapsed simhash resolution
+    // [[simhashResolveCollapsed]]: the linear-output mode for the
+    // Hamming family — exact-collapse, block-join REPRESENTATIVE
+    // signatures, keep Hamming ≤ 3 VERIFIED edges, components,
+    // fan-out. The pair listing (150× wall on the 100× replica —
+    // clones share identical signatures, output ×10⁴) never
+    // materializes as output. Oracle replays collapse, rep-restricted
+    // block salting, the verified-edge graph, recursive reachability
+    // over the rep graph (distinct-text-sized), and the fan-out.
+    QueryDef("q_dedup_simhash_resolve",
+      (s, d) => simhashResolveCollapsed(s, d).orderBy("doc_id"),
+      Some {
+        val h2 = "CAST(('0x' || substr(md5(token), 9, 8)) AS BIGINT)"
+        val bitSums = simhash64BitSums("//").mkString(", ")
+        s"""WITH RECURSIVE docs_sig AS (
+           |  SELECT doc_id, md5(text) AS dg FROM documents
+           |), reps AS (
+           |  SELECT dg, min(doc_id) AS rep, count(1) AS gn
+           |  FROM docs_sig GROUP BY dg
+           |), doc_rep AS (
+           |  SELECT s.doc_id, r.rep, r.gn FROM docs_sig s
+           |  JOIN reps r USING (dg)
+           |), th AS (
+           |  SELECT doc_id, ${Text.md5iDuck("token")} AS h1, $h2 AS h2
+           |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token
+           |        FROM documents
+           |        WHERE doc_id IN (SELECT rep FROM reps))
+           |), bits AS (
+           |  SELECT doc_id, $bitSums FROM th GROUP BY doc_id
+           |), sigs AS (
+           |  SELECT doc_id, ${simhash64Blocks(0)} AS b0, ${simhash64Blocks(1)} AS b1,
+           |    ${simhash64Blocks(2)} AS b2, ${simhash64Blocks(3)} AS b3
+           |  FROM bits
+           |), blocks_raw AS (
+           |  SELECT doc_id, block_idx,
+           |    CASE block_idx WHEN 0 THEN b0 WHEN 1 THEN b1
+           |      WHEN 2 THEN b2 ELSE b3 END AS block_val
+           |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS block_idx)
+           |), bsz AS (
+           |  SELECT block_idx, block_val, count(*) AS bn
+           |  FROM blocks_raw GROUP BY block_idx, block_val
+           |), blocks AS (
+           |  SELECT doc_id, block_idx, block_val,
+           |    ${Text.md5iDuck("CAST(doc_id AS VARCHAR)")}
+           |      % ((bn + ${MaxBand - 1}) // $MaxBand) AS salt
+           |  FROM blocks_raw JOIN bsz USING (block_idx, block_val)
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM blocks a JOIN blocks b USING (block_idx, block_val, salt)
+           |  WHERE a.doc_id < b.doc_id
+           |), edges AS (
+           |  SELECT doc_a, doc_b FROM cand
+           |  JOIN sigs x ON x.doc_id = doc_a
+           |  JOIN sigs y ON y.doc_id = doc_b
+           |  WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+           |      + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3
+           |), und AS (
+           |  SELECT doc_a AS a, doc_b AS b FROM edges
+           |  UNION ALL
+           |  SELECT doc_b, doc_a FROM edges
+           |), walk(doc, reach) AS (
+           |  SELECT a, a FROM (SELECT DISTINCT a FROM und) s0
+           |  UNION
+           |  SELECT u.b, w.reach FROM walk w JOIN und u ON u.a = w.doc
+           |), labels AS (
+           |  SELECT doc AS rep, min(reach) AS keep FROM walk GROUP BY doc
+           |)
+           |SELECT d.doc_id,
+           |  coalesce(l.keep, d.rep) AS keep_id,
+           |  d.doc_id = coalesce(l.keep, d.rep) AS is_survivor
+           |FROM doc_rep d LEFT JOIN labels l ON l.rep = d.rep
+           |WHERE d.gn >= 2 OR l.rep IS NOT NULL
+           |ORDER BY doc_id""".stripMargin
+      }),
 
     // ------------------------------------------------ cluster statistics
     // the dedup REPORT: how big are the near-dup clusters? (cluster_size,
