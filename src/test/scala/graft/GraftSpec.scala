@@ -600,6 +600,18 @@ class GraftSpec extends SparkSpec {
     assert(out.toSeq == Seq(999L), s"only the spike should flag: ${out.toSeq}")
   }
 
+  test("the collapsed keep-list facades serve the oracle-keyed frames") {
+    val lsh = Graft.dedupKeepListCollapsed(spark, sfDir)
+    val sim = Graft.simhashKeepList(spark, sfDir)
+    Seq(lsh, sim).foreach { kl =>
+      assert(kl.columns.toSeq == Seq("doc_id", "keep_id", "is_survivor"))
+      // every cluster's survivor is its min doc_id — keep_id ≤ doc_id
+      assert(kl.filter(org.apache.spark.sql.functions.col("keep_id") >
+        org.apache.spark.sql.functions.col("doc_id")).count() == 0)
+      assert(kl.count() > 0)
+    }
+  }
+
   test("Graft.write round-trips through the session catalog (to_snowflake semantics)") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
