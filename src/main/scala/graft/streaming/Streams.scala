@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues,
+  ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY §2 streaming block). The reference
@@ -352,6 +353,93 @@ object Streams {
     events.groupByKey(_._1)
       .transformWithState(new SessionAssembler(gapUs, flushAtEnd),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** [[SessionAssembler]] plus the rung its scaladoc names: IDLE-TIMEOUT
+    * emission through an EVENT-TIME TIMER. `flushAtEnd = false` stitches
+    * open sessions across micro-batches but can only ever CLOSE a
+    * session when a later event for the same key arrives — a user who
+    * goes quiet holds state forever and their last session never emits.
+    * Here every open session re-arms one per-key timer at
+    * `last + gap` (old timers deleted first — one timer per key), and
+    * [[handleExpiredTimer]] emits + clears when the WATERMARK passes
+    * that instant: the stream itself proves no in-gap event can still
+    * arrive, which is exactly the correctness condition
+    * `sessionizeMicros`' batch fold gets for free from seeing all data.
+    * Timer granularity is ms (the timer API), event math stays µs — the
+    * expiry rounds UP so a timer can never fire a µs early. */
+  class SessionAssemblerTimed(gapUs: Long)
+      extends StatefulProcessor[
+        Long, (Long, Long, Long, Double, java.sql.Timestamp), USession] {
+    @transient private var open: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[SessionState]("open",
+        Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long, Long, Double, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[USession] = {
+      val sorted = rows.toSeq.sortBy(e => (e._2, e._3))
+      val out = Seq.newBuilder[USession]
+      var cur: Option[SessionState] =
+        if (open.exists()) Some(open.get()) else None
+      sorted.foreach { case (_, t, _, v, _) =>
+        cur match {
+          case Some(s) if t - s.last < gapUs =>
+            cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + v))
+          case Some(s) =>
+            out += USession(key, s.start, s.last, s.n, s.sum)
+            cur = Some(SessionState(t, t, 1, v))
+          case None =>
+            cur = Some(SessionState(t, t, 1, v))
+        }
+      }
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      cur match {
+        case Some(s) =>
+          open.update(s)
+          // µs → ms rounded UP: fire only once the watermark has passed
+          // the full µs-precise gap boundary
+          getHandle.registerTimer(
+            Math.floorDiv(s.last + gapUs - 1, 1000L) + 1)
+        case None => open.clear()
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[USession] = {
+      if (!open.exists()) Iterator.empty
+      else {
+        val s = open.get()
+        open.clear()
+        Iterator.single(USession(key, s.start, s.last, s.n, s.sum))
+      }
+    }
+  }
+
+  /** [[sessionizeMicrosTws]]'s idle-timeout sibling — true-streaming
+    * session emission driven by the WATERMARK, not by the next event:
+    * a session emits as soon as the watermark proves its gap closed.
+    * Requires event-time mode, so the µs column is lifted to a
+    * timestamp and watermarked with `delay`. StreamingSpec pins that an
+    * idle user's session emits via the timer with NO further event for
+    * that user. */
+  def sessionizeMicrosTwsTimed(events: Dataset[(Long, Long, Long, Double)],
+      gapUs: Long = 30L * 60 * 1000000L,
+      delay: String = "0 milliseconds"): Dataset[USession] = {
+    val sess = events.sparkSession
+    import sess.implicits._
+    if (!events.isStreaming) ensureStateStoreCoordinator(sess)
+    events.toDF("user_id", "t_us", "event_id", "value")
+      .withColumn("__ts", timestamp_micros(col("t_us")))
+      .withWatermark("__ts", delay)
+      .as[(Long, Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionAssemblerTimed(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Batch execution of `transformWithState` looks up the driver's

@@ -269,6 +269,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("timed tws sessionizer emits an idle session when the WATERMARK passes — no next event needed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the contract flushAtEnd=false cannot express: a user who goes
+    // QUIET still gets their session emitted, because the event-time
+    // timer fires when the watermark (advanced by OTHER keys' events)
+    // passes last + gap. RocksDB provider as in the sibling tws tests.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Long, Long, Double)]
+      val q = Streams.sessionizeMicrosTwsTimed(mem.toDS())
+        .toDF().writeStream
+        .format("memory").queryName("t_tws_timed")
+        .outputMode("append").start()
+      val min = 60L * 1000000L
+      // fixture sits at t = 1000min+ so no event can collide with the
+      // INITIAL watermark at epoch 0 (EventTime mode drops rows at or
+      // behind the watermark as late)
+      val base = 1000 * min
+      // batch 1: user 7 active for 10min, then silent forever
+      mem.addData((7L, base, 1L, 1.0), (7L, base + 10 * min, 2L, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("t_tws_timed").count() == 0,
+        "open session must not emit while the watermark is behind the gap")
+      // batch 2: ANOTHER user's event 120min later advances the
+      // watermark (applied from the NEXT batch on)
+      mem.addData((9L, base + 120 * min, 3L, 5.0))
+      q.processAllAvailable()
+      // batch 3: any further data triggers timer evaluation against the
+      // now-advanced watermark (base+120min > base+10min + 30min gap)
+      mem.addData((9L, base + 121 * min, 4L, 6.0))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("t_tws_timed").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))
+      assert(rows.toSeq == Seq((7L, base, base + 10 * min, 2L, 3.0)),
+        s"expected user 7's idle session via the event-time timer, got ${rows.toSeq}")
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("file-source stream: readStream over the parquet warehouse (Trigger.AvailableNow)") {
     import org.apache.spark.sql.streaming.Trigger
     // stream the events table as if files were arriving; one AvailableNow
