@@ -593,6 +593,28 @@ class PlanSpec extends SparkSpec {
       s"the dup-count window may not introduce a third key shuffle:\n$p")
   }
 
+  test("q_select_dsir broadcasts the vocabulary and never sorts the corpus early") {
+    val p = plan("q_select_dsir")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"the tf scan must prune to (doc_id, text):\n$p")
+    assert(p.contains("EqualTo(lang,en)"),
+      s"the target-slice filter must push into its own scan:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"raw/target frequency tables are vocab-sized — they must broadcast:\n$p")
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1,
+      s"only the final presentation orderBy may range-shuffle:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the tf aggregation must map-side combine:\n$p")
+  }
+
+  test("q_text_logprob_buckets derives both cuts from broadcast scalars, no global window") {
+    val p = plan("q_text_logprob_buckets")
+    assert(!p.contains("Window"),
+      s"bucket cuts are broadcast scalars, never a corpus-wide window:\n$p")
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(p).nonEmpty,
+      s"the mean/low cuts are 1-row broadcasts onto the scored frame:\n$p")
+  }
+
   test("q_snapshot_diff is ONE full-outer join, no window, no extra shuffle") {
     val p = plan("q_snapshot_diff")
     assert(p.contains("FullOuter"),
