@@ -205,6 +205,16 @@ object Graft {
   private def mergeJoin(corpus: DataFrame, batch: DataFrame,
       keys: Seq[String], guard: Boolean, isMatched: Column): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, count, isnull, lit}
+    if (guard) {
+      // the guard plants working columns; a user column sharing a name
+      // would be silently overwritten by withColumn and projected back
+      // out as data — reject loudly instead (round-15 review catch)
+      val reserved = (corpus.columns ++ batch.columns).filter(c =>
+        c.startsWith("__gk") || c == "__b_matches")
+      require(reserved.isEmpty,
+        s"failOnDuplicateMatches reserves column names __gk*/__b_matches; " +
+          s"rename: ${reserved.distinct.mkString(", ")}")
+    }
     val defaults = keys.map(k => guardDefault(corpus.schema(k).dataType))
     if (!guard) {
       val cond = keys.map(k => col(s"c.$k") <=> col(s"b.$k")).reduce(_ && _)
@@ -233,9 +243,15 @@ object Graft {
     }
   }
 
-  /** The type default Spark's own null-safe-equality rewrite coalesces
-    * to — mirrored here so the guard's surrogate columns fold to the
-    * identical literals. None = type outside the mirrored set. */
+  /** A legal constant of the key's type for the guard's surrogate
+    * coalesce. ANY constant works — the `(coalesce(k, d), isnull(k))`
+    * pair is a bijection onto the null-safe key class regardless of
+    * `d`, because the isnull flag separates a genuine `d` key from a
+    * NULL — so these only need to ANALYZE. Epoch temporals are proper
+    * literals (Spark rejects `CAST(0 AS DATE)` / `CAST(0 AS
+    * TIMESTAMP_NTZ)` at analysis — a round-15 review catch, pinned by
+    * GraftSpec's date-keyed guard test). None = fall back to the
+    * `<=>` join + plain-key window. */
   private def guardDefault(
       dt: org.apache.spark.sql.types.DataType): Option[Column] = {
     import org.apache.spark.sql.functions.lit
@@ -244,8 +260,10 @@ object Graft {
       case _: NumericType => Some(lit(0).cast(dt))
       case StringType => Some(lit(""))
       case BooleanType => Some(lit(false))
-      case DateType | TimestampType | TimestampNTZType =>
-        Some(lit(0).cast(dt))
+      case DateType => Some(lit(java.sql.Date.valueOf("1970-01-01")))
+      case TimestampType => Some(lit(java.time.Instant.EPOCH))
+      case TimestampNTZType =>
+        Some(lit(java.time.LocalDateTime.of(1970, 1, 1, 0, 0)))
       case _ => None
     }
   }

@@ -263,8 +263,9 @@ object SqlDialect {
             .getOrElse(sys.error(
               s"TO_VARCHAR format '$fmt' uses tokens outside the mapped set " +
                 "(dates: YYYY YY MM DD HH24 HH12 HH MI SS FF[1-9] AM PM " +
-                "with -/:. , separators; numbers: 9 0 , . $) — write " +
-                s"date_format/format_number directly: '$call'"))
+                "with -/:. , separators; numbers: 9 0 , . $ with 9s " +
+                "before 0s ahead of the point and 0s before 9s after " +
+                s"it) — write date_format/format_number directly: '$call'"))
         }
       case "editdistance" =>
         require(args.size == 2 || args.size == 3,
@@ -272,13 +273,12 @@ object SqlDialect {
         if (args.size == 2) s"levenshtein(${args.mkString(", ")})"
         else {
           // Snowflake clamps to max; Spark's 3-arg levenshtein returns -1
-          // past the threshold — the CASE maps -1 back to max, and a
-          // distance of exactly max passes through both identically.
-          // (Still benefits from Spark's early-exit: the full matrix is
-          // never computed past the threshold.)
+          // past the threshold — nullif(-1) + coalesce maps it back to
+          // max with ONE evaluation of the banded O(len·max) distance
+          // (the first cut's CASE evaluated it twice), and a distance of
+          // exactly max passes through both engines identically.
           val (a, b, m) = (args(0), args(1), args(2))
-          s"(CASE WHEN levenshtein(($a), ($b), ($m)) = -1 THEN ($m) " +
-            s"ELSE levenshtein(($a), ($b), ($m)) END)"
+          s"coalesce(nullif(levenshtein(($a), ($b), ($m)), -1), ($m))"
         }
       case "div0" =>
         arity(2)
@@ -306,12 +306,20 @@ object SqlDialect {
           "(any-of), which no Spark builtin matches — single-character " +
           s"delimiters coincide with single-delimiter splitting: '$call'")
         val part = if (args.size == 3) args(2) else "1"
+        // a non-positive part is an ERROR in Snowflake, while Spark's
+        // try_element_at(-1) would silently serve the LAST token —
+        // reject literal values at rewrite time, guard computed ones
+        // at execution (round-15 review catch)
+        part.trim.toLongOption.foreach(p => require(p >= 1,
+          s"STRTOK part must be >= 1 (Snowflake errors on $p): '$call'"))
+        val guarded = s"(CASE WHEN ($part) >= 1 THEN ($part) ELSE " +
+          s"CAST(raise_error('STRTOK part must be >= 1') AS INT) END)"
         // split on the (regex-escaped) delimiter, drop empty tokens
         // (Snowflake collapses consecutive delimiters), NULL past the
         // last token (try_element_at) — split_part would return '' for
         // both cases, diverging from Snowflake.
         s"try_element_at(filter(split((${args.head}), " +
-          s"'${regexEscape(delim.head)}', -1), __tk -> __tk != ''), ($part))"
+          s"'${regexEscape(delim.head)}', -1), __tk -> __tk != ''), $guarded)"
     }
   }
 
@@ -335,12 +343,29 @@ object SqlDialect {
   /** Snowflake numeric format over `9 0 , . $` → a DecimalFormat
     * pattern for `format_number` (9 → #, rest verbatim; `$` must lead;
     * one decimal point; at least one digit position). None = not a
-    * numeric format. */
+    * translatable numeric format — INCLUDING 9/0 orderings DecimalFormat
+    * rejects ('9' after '0' in the integer part, '0' after... the
+    * mirror in the fraction): mapping '9.90' to '#.#0' would die at
+    * execution with a raw 'Malformed pattern' carrying no pointer back
+    * to the TO_VARCHAR call, violating the loud-fail contract
+    * (round-15 review catch) — returning None routes it to the
+    * rewrite-time error instead. */
   private[graft] def numericFormat(fmt: String): Option[String] = {
     if (fmt.isEmpty || !fmt.forall(c => "90,.$".contains(c))) return None
     if (!fmt.exists(c => c == '9' || c == '0')) return None
     if (fmt.count(_ == '.') > 1) return None
     if (fmt.count(_ == '$') > 1 || (fmt.contains('$') && fmt.head != '$'))
+      return None
+    // DecimalFormat grammar: integer part is '#'s then '0's, fraction
+    // part is '0's then '#'s — i.e. no '9' after a '0' before the
+    // point, no '0' after a '9' past it (commas/$ transparent)
+    val (intPart, fracPart) = fmt.indexOf('.') match {
+      case -1 => (fmt, "")
+      case i => (fmt.substring(0, i), fmt.substring(i + 1))
+    }
+    val intDigits = intPart.filter(c => c == '9' || c == '0')
+    val fracDigits = fracPart.filter(c => c == '9' || c == '0')
+    if (!intDigits.matches("9*0*") || !fracDigits.matches("0*9*"))
       return None
     Some(fmt.map(c => if (c == '9') '#' else c))
   }

@@ -364,7 +364,18 @@ object Temporal {
     * arm below the hot-key gate (the common case; the measurement is
     * one summary-row-sized agg), exact epoch-chunked arm above it.
     * `forward` routes through the time-reversal wrapper so both
-    * directions share the dispatch. */
+    * directions share the dispatch.
+    *
+    * COST NOTE (deliberate trade): the measurement is an EAGER action
+    * at call time — it executes both inputs' upstream pipelines once
+    * before the as-of frame exists. The agg itself is summary-sized
+    * (|keys| rows shuffled, three columns scanned), but callers whose
+    * inputs are expensive unpersisted pipelines pay one extra upstream
+    * execution per call — persist/cache hot inputs, or pass an explicit
+    * `epochWidth` (`Some(w)` to force the chunked arm, or route via the
+    * plain window arm) to skip the measurement entirely. The width
+    * cannot ride inside the returned plan lazily because it SHAPES the
+    * plan (epoch keys join on it). */
   private[graft] def asofJoinAuto(
       left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
       keys: Seq[String], leftTime: String, rightTime: String,

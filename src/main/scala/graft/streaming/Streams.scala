@@ -32,6 +32,56 @@ object Streams {
 
   private case class SessionState(start: Long, last: Long, n: Long, sum: Double)
 
+  /** The cross-micro-batch session merge shared by both
+    * `transformWithState` assemblers: fold the batch's SORTED events
+    * into batch-local gap-sessions, then interval-coalesce the CARRIED
+    * open session into the start-sorted list (envelope min/max merge
+    * when within `gapUs`). Returns (closed sessions in start order,
+    * trailing open session).
+    *
+    * Why not the plain "t − last < gap" probe against carried state:
+    * under TimeMode.None nothing drops late rows, so a cross-batch
+    * out-of-order event older than the open session would REWIND
+    * `last` backward through the signed comparison and a later event
+    * could emit a session with start > end (round-15 review catch).
+    * Interval coalescing keeps every emission a well-formed envelope:
+    * a within-gap regression merges (start = min, last = max), and an
+    * event older than the gap horizon closes as its own session
+    * immediately — with no watermark it provably cannot stitch to
+    * anything still open. Events WITHIN one batch are exact (full
+    * fold); only the carried envelope is coalesced at interval
+    * granularity — bounded-lateness exactness is the watermarked
+    * [[SessionAssemblerTimed]]'s job. For in-order streams this
+    * reduces to the original fold bit-for-bit. */
+  private def coalesceSessions(
+      carried: Option[SessionState], events: Seq[(Long, Double)],
+      gapUs: Long): (Seq[SessionState], Option[SessionState]) = {
+    val batch = scala.collection.mutable.ListBuffer.empty[SessionState]
+    var cur: Option[SessionState] = None
+    events.foreach { case (t, v) =>
+      cur match {
+        case Some(s) if t - s.last < gapUs =>
+          cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + v))
+        case Some(s) =>
+          batch += s; cur = Some(SessionState(t, t, 1, v))
+        case None => cur = Some(SessionState(t, t, 1, v))
+      }
+    }
+    cur.foreach(batch += _)
+    val all = (carried.toList ++ batch.toList).sortBy(s => (s.start, s.last))
+    val out = scala.collection.mutable.ListBuffer.empty[SessionState]
+    all.foreach { s =>
+      out.lastOption match {
+        case Some(p) if s.start - p.last < gapUs =>
+          out(out.length - 1) = SessionState(
+            math.min(p.start, s.start), math.max(p.last, s.last),
+            p.n + s.n, p.sum + s.sum)
+        case _ => out += s
+      }
+    }
+    (out.toList.dropRight(1), out.lastOption)
+  }
+
   /** 1-hour tumbling counts with late-data bound. */
   def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
@@ -312,30 +362,23 @@ object Streams {
     override def handleInputRows(
         key: Long, rows: Iterator[(Long, Long, Long, Double)],
         timerValues: TimerValues): Iterator[USession] = {
-      // same deterministic (µs, event_id) fold order as sessionizeMicros
-      val sorted = rows.toSeq.sortBy(e => (e._2, e._3))
-      val out = Seq.newBuilder[USession]
-      var cur: Option[SessionState] =
-        if (open.exists()) Some(open.get()) else None
-      sorted.foreach { case (_, t, _, v) =>
-        cur match {
-          case Some(s) if t - s.last < gapUs =>
-            cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + v))
-          case Some(s) =>
-            out += USession(key, s.start, s.last, s.n, s.sum)
-            cur = Some(SessionState(t, t, 1, v))
-          case None =>
-            cur = Some(SessionState(t, t, 1, v))
-        }
-      }
+      // same deterministic (µs, event_id) fold order as sessionizeMicros;
+      // the carried open session merges by interval coalescing
+      // ([[coalesceSessions]] — rewind-safe under cross-batch disorder)
+      val sorted = rows.toSeq.sortBy(e => (e._2, e._3)).map(e => (e._2, e._4))
+      val carried = if (open.exists()) Some(open.get()) else None
+      val (closed, openNow) = coalesceSessions(carried, sorted, gapUs)
       if (flushAtEnd) {
-        cur.foreach(s => out += USession(key, s.start, s.last, s.n, s.sum))
         open.clear()
-      } else cur match {
-        case Some(s) => open.update(s)
-        case None => open.clear()
+        (closed ++ openNow)
+          .map(s => USession(key, s.start, s.last, s.n, s.sum)).iterator
+      } else {
+        openNow match {
+          case Some(s) => open.update(s)
+          case None => open.clear()
+        }
+        closed.map(s => USession(key, s.start, s.last, s.n, s.sum)).iterator
       }
-      out.result().iterator
     }
   }
 
@@ -381,23 +424,13 @@ object Streams {
     override def handleInputRows(
         key: Long, rows: Iterator[(Long, Long, Long, Double, java.sql.Timestamp)],
         timerValues: TimerValues): Iterator[USession] = {
-      val sorted = rows.toSeq.sortBy(e => (e._2, e._3))
-      val out = Seq.newBuilder[USession]
-      var cur: Option[SessionState] =
-        if (open.exists()) Some(open.get()) else None
-      sorted.foreach { case (_, t, _, v, _) =>
-        cur match {
-          case Some(s) if t - s.last < gapUs =>
-            cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + v))
-          case Some(s) =>
-            out += USession(key, s.start, s.last, s.n, s.sum)
-            cur = Some(SessionState(t, t, 1, v))
-          case None =>
-            cur = Some(SessionState(t, t, 1, v))
-        }
-      }
+      // allowed-late rows (inside the watermark delay) merge through the
+      // same rewind-safe interval coalesce as the un-timed assembler
+      val sorted = rows.toSeq.sortBy(e => (e._2, e._3)).map(e => (e._2, e._4))
+      val carried = if (open.exists()) Some(open.get()) else None
+      val (closed, openNow) = coalesceSessions(carried, sorted, gapUs)
       getHandle.listTimers().foreach(getHandle.deleteTimer)
-      cur match {
+      openNow match {
         case Some(s) =>
           open.update(s)
           // µs → ms rounded UP: fire only once the watermark has passed
@@ -406,7 +439,7 @@ object Streams {
             Math.floorDiv(s.last + gapUs - 1, 1000L) + 1)
         case None => open.clear()
       }
-      out.result().iterator
+      closed.map(s => USession(key, s.start, s.last, s.n, s.sum)).iterator
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,

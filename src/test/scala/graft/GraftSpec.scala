@@ -600,6 +600,30 @@ class GraftSpec extends SparkSpec {
     assert(out.toSeq == Seq(999L), s"only the spike should flag: ${out.toSeq}")
   }
 
+  test("the duplicate-match guard analyzes on DATE and TIMESTAMP keys") {
+    import spark.implicits._
+    // regression (round-15 review): the guard's surrogate coalesce used
+    // CAST(0 AS DATE)/CAST(0 AS TIMESTAMP_NTZ), which Spark rejects at
+    // analysis — epoch literals must be used instead
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    val corpus = Seq((d1, 1L), (d2, 2L)).toDF("day", "v")
+    val batch = Seq((d2, 20L)).toDF("day", "v")
+    val out = Graft.upsert(corpus, batch, Seq("day"),
+      failOnDuplicateMatches = true).orderBy("day").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 20L))
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val tc = Seq((t1, 1L)).toDF("ts", "v")
+    assert(Graft.upsert(tc, tc.limit(0), Seq("ts"),
+      failOnDuplicateMatches = true).count() == 1)
+    // reserved working names reject loudly instead of silently
+    // overwriting user data
+    val bad = corpus.withColumnRenamed("v", "__gk0")
+    val e = intercept[IllegalArgumentException](
+      Graft.upsert(bad, bad, Seq("day"), failOnDuplicateMatches = true))
+    assert(e.getMessage.contains("__gk"))
+  }
+
   test("the collapsed keep-list facades serve the oracle-keyed frames") {
     val lsh = Graft.dedupKeepListCollapsed(spark, sfDir)
     val sim = Graft.simhashKeepList(spark, sfDir)

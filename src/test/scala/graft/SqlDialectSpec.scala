@@ -103,12 +103,16 @@ class SqlDialectSpec extends SparkSpec {
     // '$' only leads; two decimal points are not a numeric format
     intercept[RuntimeException](SqlDialect.rewrite("TO_VARCHAR(x, '9$9')"))
     intercept[RuntimeException](SqlDialect.rewrite("TO_VARCHAR(x, '9.9.9')"))
+    // 9/0 orderings DecimalFormat rejects must fail AT REWRITE TIME,
+    // not as a raw Malformed-pattern error mid-execution: integer part
+    // needs 9s before 0s, fraction the mirror
+    intercept[RuntimeException](SqlDialect.rewrite("TO_VARCHAR(x, '099')"))
+    intercept[RuntimeException](SqlDialect.rewrite("TO_VARCHAR(x, '9.90')"))
   }
 
-  test("3-arg EDITDISTANCE clamps to max via the -1 CASE") {
+  test("3-arg EDITDISTANCE clamps to max via nullif, ONE evaluation") {
     assert(SqlDialect.rewrite("EDITDISTANCE(a, b, 3)") ==
-      "(CASE WHEN levenshtein((a), (b), (3)) = -1 THEN (3) " +
-        "ELSE levenshtein((a), (b), (3)) END)")
+      "coalesce(nullif(levenshtein((a), (b), (3)), -1), (3))")
     // behavioral: clamp at max, exact at/below max (Spark end-to-end)
     val r = spark.sql("SELECT " +
       SqlDialect.rewrite("EDITDISTANCE('kitten', 'sitting', 2)") + " AS c, " +
@@ -129,6 +133,17 @@ class SqlDialectSpec extends SparkSpec {
     assert(got.isNullAt(1), "past-the-end must be NULL, not ''")
     assert(got.getString(2) == "y", "regex-special delimiter must escape")
     assert(got.getString(3) == "one")
+    // Snowflake ERRORS on part <= 0; try_element_at(-1) would silently
+    // serve the LAST token — literal parts reject at rewrite time,
+    // computed parts raise at execution
+    val e = intercept[IllegalArgumentException](
+      SqlDialect.rewrite("STRTOK('a-b', '-', 0)"))
+    assert(e.getMessage.contains("part must be >= 1"))
+    val e2 = intercept[Exception](spark.sql("SELECT " +
+      SqlDialect.rewrite("STRTOK('a-b', '-', 1 - 2)")).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e2).exists(m => m != null && m.contains("part must be >= 1")))
   }
 
   test("rewritten SQL actually runs through the front door") {

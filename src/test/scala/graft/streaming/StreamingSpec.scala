@@ -269,6 +269,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("tws sessionizer survives cross-batch DISORDER without rewinding the open session") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // round-15 review: under TimeMode.None nothing drops late rows, so
+    // a cross-batch out-of-order event used to rewind the open
+    // session's `last` backward and a later event could emit
+    // start > end. The interval coalesce keeps every emission a
+    // well-formed envelope.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Long, Long, Double)]
+      val q = Streams.sessionizeMicrosTws(mem.toDS(), flushAtEnd = false)
+        .toDF().writeStream
+        .format("memory").queryName("t_tws_disorder")
+        .outputMode("append").start()
+      val min = 60L * 1000000L
+      // batch 1: open session at t=100min
+      mem.addData((7L, 100 * min, 1L, 1.0))
+      q.processAllAvailable()
+      // batch 2: a STALE event at t=10min — older than the open
+      // session's gap horizon → closes immediately as its own
+      // singleton; the open session must NOT rewind
+      mem.addData((7L, 10 * min, 2L, 2.0))
+      q.processAllAvailable()
+      val afterStale = spark.table("t_tws_disorder").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(afterStale.toSeq == Seq((10 * min, 10 * min, 1L)),
+        s"stale event must emit as its own envelope, got ${afterStale.toSeq}")
+      // batch 3: a within-gap REGRESSION at t=90min envelope-merges into
+      // the open [100,100] session (start = min), then t=200min closes it
+      mem.addData((7L, 90 * min, 3L, 4.0), (7L, 200 * min, 4L, 8.0))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("t_tws_disorder").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .sortBy(_._1)
+      assert(rows.toSeq == Seq(
+        (10 * min, 10 * min, 1L, 2.0),
+        (90 * min, 100 * min, 2L, 5.0)),
+        s"expected the merged [90,100] envelope to close, got ${rows.toSeq}")
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("timed tws sessionizer emits an idle session when the WATERMARK passes — no next event needed") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
