@@ -768,6 +768,42 @@ object Text {
              |    - ln(CAST((SELECT sum(cnt) FROM freq) AS DOUBLE)), 6) AS avg_logprob
              |FROM perdoc ORDER BY doc_id""".stripMargin)),
 
+    // --------------------------------- deterministic training shuffle
+    // the LAST step of every training-data pipeline: a SEEDED global
+    // shuffle of the curated corpus into training shards — each doc
+    // gets (shard, pos) from a pseudorandom permutation that is a pure
+    // function of (seed, doc_id), so re-running the pipeline (or
+    // re-materializing one lost shard) reproduces the exact order.
+    // Spark-first shape: NO global sort — the md5 keyed hash assigns
+    // the shard (uniform by construction), and position is a
+    // row_number window PER SHARD ordered by (hash, doc_id); shards
+    // sort independently in parallel, so the biggest task is
+    // corpus/nshards at any scale. Changing the seed string is a fresh
+    // epoch-order; both engines replay the identical permutation.
+    QueryDef("q_shuffle_shards",
+      (s, d) => {
+        val h = s"${md5i("'ep42:' || CAST(doc_id AS STRING)")} % 1000000000"
+        Tables.table(s, d, "documents").select("doc_id")
+          .withColumn("h", expr(h))
+          .withColumn("shard", (col("h") % 8).cast(LongType))
+          .withColumn("pos", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("shard").orderBy(col("h"), col("doc_id")))
+            .cast(LongType))
+          .select("doc_id", "shard", "pos")
+          .orderBy("shard", "pos")
+      },
+      Some(s"""WITH h_t AS (
+              |  SELECT doc_id,
+              |    ${md5iDuck("'ep42:' || CAST(doc_id AS VARCHAR)")}
+              |      % 1000000000 AS h
+              |  FROM documents
+              |)
+              |SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
+              |  CAST(row_number() OVER (PARTITION BY h % 8
+              |    ORDER BY h, doc_id) AS BIGINT) AS pos
+              |FROM h_t ORDER BY shard, pos""".stripMargin)),
+
     // --------------------------------------- DSIR importance resampling
     // Data Selection with Importance Resampling (Xie et al., 2023 —
     // arXiv:2302.03169): select raw-corpus docs whose token
