@@ -145,6 +145,29 @@ object Graft {
       centroids.getOrElse(ops.Vector.adaptiveCenters(spark, sfDir)),
       nprobe, k, cellCap)
 
+  /** [[knnJoin]] + NN-Descent refinement rounds (oracle key
+    * `q_similarity_knn_refine`): the recall knob that does NOT cost
+    * n² — each round symmetrizes the graph, caps adjacencies at `cap`
+    * (deterministic ρ-sampling), joins neighbor-of-neighbor candidates
+    * and re-ranks top-k, for n·cap²·dim extra work per round. Measured
+    * at sf0.1: recall@3 0.217 (IVF init) → 0.946 after four rounds
+    * over a workK=20 working graph. */
+  def knnGraphRefined(spark: SparkSession, sfDir: String,
+      rounds: Int = 4, k: Int = 3, workK: Int = 20,
+      cap: Int = 40): DataFrame =
+    ops.Vector.knnRefine(spark, sfDir, rounds, k, workK, cap)
+
+  /** Mutual-kNN embedding clusters (oracle key
+    * `q_embedding_cluster_mutual`): [[knnGraphRefined]]'s graph →
+    * edges kept only when BOTH endpoints rank each other top-k at
+    * cosine ≥ `tau` → connected components → (vec_id, cluster,
+    * cluster_size) for every vector, singletons labeling themselves.
+    * The SemDeDup-shaped "group embedding near-dups, then keep one
+    * per group" precursor. */
+  def embeddingClusters(spark: SparkSession, sfDir: String,
+      tau: Double = 0.4): DataFrame =
+    ops.Vector.mutualKnnClusters(spark, sfDir, tau)
+
   /** MERGE INTO semantics as a plain join (oracle key `q_upsert`):
     * merge `batch` (updates + inserts) into `corpus` by `keys` —
     * matched keys take the batch row, unmatched corpus rows survive,

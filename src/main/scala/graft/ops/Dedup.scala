@@ -1132,7 +1132,7 @@ object Dedup {
     * DuckDB inlines plain CTEs per reference, and 3 references per
     * round would expand to 3^n copies of the whole upstream pipeline
     * (measured: "too many open files" before round 1 finished). */
-  private def duckHashMinRounds(n: Int): String =
+  private[ops] def duckHashMinRounds(n: Int): String =
     (1 to n).map { r =>
       val p = s"l${r - 1}"
       s"""l$r AS MATERIALIZED (

@@ -692,6 +692,101 @@ object Text {
              |    AS stopword_ratio_e6
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---------------------------------------------- Gopher rule filter
+    // the published Gopher/MassiveText rule SET (Rae et al. 2021, A1.1)
+    // as one named gate, not loose signals: word count ∈ [50, 100k],
+    // mean word length ∈ [3, 10], symbol-to-word ratio ('#'/'...')
+    // ≤ 0.1, ≥80% of words alphabetic, ≥2 distinct stopwords. The
+    // stoplist is the quality family's shared one (q_text_quality_signals)
+    // rather than Gopher's written-English eight ("the be to of and that
+    // have with"): the synthetic fixture vocabulary contains exactly ONE
+    // of those eight, which would pin the rule false on every document —
+    // the rule's SHAPE (≥2 distinct function words present) is what the
+    // gate encodes, the list is corpus-specific. The two line-shape rules
+    // (bullet-start / ellipsis-end line fractions) don't apply to a
+    // single-line corpus and are deliberately out. Emits the measured
+    // signals, a per-rule bitmask (bit i = rule i passed) and the AND
+    // verdict — downstream selection reads `keep`, auditing reads the
+    // mask to see WHICH rule killed a document. Per-row map over one
+    // scan, zero shuffle; thresholds compare engine-identical doubles
+    // (integer counts divided as doubles), outputs floor-scaled like
+    // the rest of the quality family.
+    QueryDef("q_text_gopher_rules",
+      (s, d) => {
+        val nW = size(toks).cast(DoubleType)
+        // Σ word lengths = chars minus the nW-1 separators: one length()
+        // instead of a per-token lambda fold
+        val meanLen = (length(col("text")).cast(DoubleType) - (nW - 1)) / nW
+        val nHash = length(col("text")) -
+          length(regexp_replace(col("text"), "#", ""))
+        val nEll = (length(col("text")) -
+          length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+        val symRatio = (nHash + nEll).cast(DoubleType) / nW
+        val nAlpha = size(expr(
+          "filter(split(text, ' '), w -> w RLIKE '[a-zA-Z]')"))
+          .cast(DoubleType)
+        val alphaRatio = nAlpha / nW
+        val stopHits = size(array_intersect(
+          array_distinct(toks),
+          array(Seq("the", "a", "an", "and", "or", "of", "to", "in",
+            "is", "it").map(lit): _*))).cast(LongType)
+        val r1 = (nW >= 50) && (nW <= 100000)
+        val r2 = (meanLen >= 3) && (meanLen <= 10)
+        val r3 = symRatio <= 0.1
+        val r4 = alphaRatio >= 0.8
+        val r5 = stopHits >= 2
+        val mask = Seq(r1, r2, r3, r4, r5).zipWithIndex
+          .map { case (r, i) => when(r, lit(1L << i)).otherwise(lit(0L)) }
+          .reduce(_ + _)
+        Tables.table(s, d, "documents").select(
+            col("doc_id"),
+            nW.cast(LongType).as("n_words"),
+            floor(meanLen * 1e6).cast(LongType).as("mean_word_len_e6"),
+            floor(symRatio * 1e6).cast(LongType).as("symbol_ratio_e6"),
+            floor(alphaRatio * 1e6).cast(LongType).as("alpha_ratio_e6"),
+            stopHits.as("stop_hits"),
+            mask.as("rule_mask"),
+            (r1 && r2 && r3 && r4 && r5).cast(LongType).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id,
+             |    len(string_split(text, ' '))::DOUBLE AS n_words,
+             |    (length(text)::DOUBLE - (len(string_split(text, ' ')) - 1))
+             |      / len(string_split(text, ' ')) AS mean_len,
+             |    ((length(text) - length(replace(text, '#', '')))
+             |      + (length(text) - length(replace(text, '...', ''))) / 3
+             |     )::DOUBLE / len(string_split(text, ' ')) AS sym_ratio,
+             |    len(list_filter(string_split(text, ' '),
+             |        w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
+             |      / len(string_split(text, ' ')) AS alpha_ratio,
+             |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+             |      ['the','a','an','and','or','of','to','in','is','it'])) AS BIGINT)
+             |      AS stop_hits
+             |  FROM documents
+             |), r AS (
+             |  SELECT doc_id, n_words, mean_len, sym_ratio, alpha_ratio,
+             |    stop_hits,
+             |    CASE WHEN n_words >= 50 AND n_words <= 100000
+             |      THEN 1 ELSE 0 END AS r1,
+             |    CASE WHEN mean_len >= 3 AND mean_len <= 10
+             |      THEN 1 ELSE 0 END AS r2,
+             |    CASE WHEN sym_ratio <= 0.1 THEN 1 ELSE 0 END AS r3,
+             |    CASE WHEN alpha_ratio >= 0.8 THEN 1 ELSE 0 END AS r4,
+             |    CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS r5
+             |  FROM g
+             |)
+             |SELECT doc_id,
+             |  CAST(n_words AS BIGINT) AS n_words,
+             |  CAST(floor(mean_len * 1000000.0) AS BIGINT) AS mean_word_len_e6,
+             |  CAST(floor(sym_ratio * 1000000.0) AS BIGINT) AS symbol_ratio_e6,
+             |  CAST(floor(alpha_ratio * 1000000.0) AS BIGINT) AS alpha_ratio_e6,
+             |  stop_hits,
+             |  CAST(r1 + r2 * 2 + r3 * 4 + r4 * 8 + r5 * 16 AS BIGINT)
+             |    AS rule_mask,
+             |  CAST(r1 * r2 * r3 * r4 * r5 AS BIGINT) AS keep
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------------------ repetition ratio
     // the repeated-n-gram filter (the classic "repetition" quality gate:
     // boilerplate and looping generations show high duplicate-shingle

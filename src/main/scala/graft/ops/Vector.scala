@@ -539,6 +539,228 @@ object Vector {
     cents
   }
 
+  /** kNN-GRAPH REFINEMENT — NN-Descent over the adaptive IVF init
+    * ([[graft.Graft.knnGraphRefined]]; oracle key
+    * `q_similarity_knn_refine`). The adaptive join's published weak
+    * spot is RECALL, not cost: at k=√n cells and nprobe=2 the scanned
+    * fraction is 2/√n, and recall@3 tracks it (0.217 at sf0.1,
+    * BASELINE.md "recall is now a published number"). Raising nprobe
+    * buys recall back only at n² cost — the IVF trade is fundamental.
+    * NN-Descent (Dong, Moses & Li, WWW'11: "Efficient K-Nearest
+    * Neighbor Graph Construction for Generic Similarity Measures")
+    * escapes it with the neighbor-of-my-neighbor observation: if b is
+    * near a and c is near b, c is likely near a. Each round:
+    *   1. symmetrize the current graph (fwd ∪ reversed edges — the
+    *      paper's "reverse neighbors", carrying the pair's cosine,
+    *      which is symmetric, so the reversed edge needs no rescore);
+    *   2. cap each adjacency list at `cap` by (cosine DESC, cid) —
+    *      the paper's ρ-sampling made DETERMINISTIC so the oracle can
+    *      replay it (a hub vector that is reverse-neighbor of many
+    *      rows would otherwise make the join quadratic);
+    *   3. join the capped list with itself through the shared middle
+    *      vector (≤ cap² candidate pairs per row — LINEAR in n);
+    *   4. rescore candidates ∪ current edges, keep top-k per row.
+    * Work per round is n·cap²·dim — the init's n^1.5 assignment
+    * dominates asymptotically, so the recall lift is +linear cost.
+    * Convergence is fixed at `rounds` (not a delta test) so both
+    * engines unroll the SAME iteration count; each round's graph is
+    * registry-persisted (the fwd∪rev self-union would otherwise
+    * recompute the whole prior round twice per round, doubling work
+    * per level exactly like the converge loops the graph family
+    * checkpoints). Working width: the graph iterates at `workK`
+    * neighbors and only the final emit cuts to `k` — at k=3 the graph
+    * is too sparse to percolate on a near-uniform corpus (measured
+    * recall ceiling 0.30 at workK=3, 0.47 at workK=10); workK=20 with
+    * cap=40 and 4 rounds reaches recall@3 0.946 vs the init's 0.217
+    * (RecallProbe at sf0.1, BASELINE.md round-15 section). */
+  private[graft] def knnRefine(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      rounds: Int = 4, k: Int = 3, workK: Int = 20,
+      cap: Int = 40): org.apache.spark.sql.DataFrame = {
+    require(rounds >= 1 && workK >= k && cap >= workK,
+      s"need rounds >= 1, workK >= k, cap >= workK; " +
+        s"got rounds=$rounds k=$k workK=$workK cap=$cap")
+    val side = graft.CacheRegistry.getOrPersist("knn_refine_vecs", d,
+      vecs(s, d).select("vec_id", "v", "nrm"))
+    val q = side.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val c = side.select(col("vec_id").as("cid"), col("v").as("cv"),
+      col("nrm").as("cn"))
+    // getOrCheckpoint, not getOrPersist: each round reads the previous
+    // graph TWICE (fwd ∪ reversed), so a lazy persist leaves a logical
+    // plan that doubles per round — 4 rounds of windows+joins over a
+    // 2⁴-wide analyzed tree took minutes to PLAN (the converge-loop
+    // plan-growth class the graph family checkpoints away; measured
+    // here: 3 min → seconds at sf0.1). The checkpoint collapses each
+    // round to a LogicalRDD scan.
+    var g = graft.CacheRegistry.getOrCheckpoint(
+      s"knn_refine_${workK}_${cap}_r0", d,
+      knnJoin(s, d, adaptiveCenters(s, d), nprobe = 2, k = workK)
+        .select("qid", "cid", "cosine"))
+    for (r <- 1 to rounds) {
+      val e = g.union(g.select(col("cid").as("qid"), col("qid").as("cid"),
+          col("cosine"))).distinct()
+      val wCap = Window.partitionBy("qid")
+        .orderBy(col("cosine").desc, col("cid"))
+      val adj = e.withColumn("rk", row_number().over(wCap))
+        .filter(col("rk") <= cap).select("qid", "cid")
+      val non = adj.as("x").join(adj.as("y"), col("x.cid") === col("y.qid"))
+        .select(col("x.qid").as("qid"), col("y.cid").as("cid"))
+        .filter(col("qid") =!= col("cid"))
+      val cand = non.union(adj).distinct()
+      g = graft.CacheRegistry.getOrCheckpoint(
+        s"knn_refine_${workK}_${cap}_r$r", d,
+        topK(cand.join(q, "qid").join(c, "cid")
+          .select("qid", "qv", "qn", "cid", "cv", "cn"), workK)
+          .select("qid", "cid", "cosine"))
+    }
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    g.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "cosine")
+      .orderBy("qid", "rank")
+  }
+
+  /** DuckDB twin of [[knnRefine]]: the adaptive-join CTE chain as g0,
+    * then `rounds` UNROLLED NN-Descent rounds (symmetrize with the
+    * carried symmetric cosine, cap by (cosine DESC, cid), ⋈ through
+    * the middle vector, rescore, top-k) — the fixed iteration count is
+    * what makes the twin possible at all; a convergence test would
+    * fork the engines' round counts. */
+  private def duckKnnRefine(nprobe: Int, k: Int, rounds: Int,
+      workK: Int, cap: Int): String =
+    s"""${duckKnnRefineCtes(nprobe, rounds, workK, cap)}
+       |SELECT qid, rank, cid, cosine FROM (
+       |  SELECT qid, cid, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+       |  FROM g$rounds)
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** The refine chain up through `g<rounds>` (qid, cid, cosine at the
+    * working width) — shared by the refine key's final cut and the
+    * mutual-kNN clustering oracle so the two can never drift. */
+  private def duckKnnRefineCtes(nprobe: Int, rounds: Int,
+      workK: Int, cap: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""e$r AS (
+         |  SELECT DISTINCT qid, cid, cosine FROM (
+         |    SELECT qid, cid, cosine FROM g${r - 1}
+         |    UNION ALL
+         |    SELECT cid AS qid, qid AS cid, cosine FROM g${r - 1})
+         |), adj$r AS MATERIALIZED (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, cid) AS rk FROM e$r)
+         |  WHERE rk <= $cap
+         |), cand$r AS (
+         |  SELECT DISTINCT qid, cid FROM (
+         |    SELECT x.qid, y.cid FROM adj$r x JOIN adj$r y ON x.cid = y.qid
+         |    WHERE x.qid <> y.cid
+         |    UNION ALL SELECT qid, cid FROM adj$r)
+         |), sc$r AS (
+         |  -- list_dot_product, not the fold the other twins use: it is
+         |  -- DuckDB's sequential C++ loop over the same doubles — verified
+         |  -- bit-identical to the fold (and to Spark's dot_product codegen
+         |  -- fold) on every corpus pair, and ~100× faster, which is what
+         |  -- makes an unrolled 4-round n·cap² oracle feasible at the
+         |  -- replica. Any reassociation drift would fail the hash gate.
+         |  SELECT p.qid, p.cid,
+         |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6)
+         |      AS cosine
+         |  FROM cand$r p JOIN n q ON q.vec_id = p.qid
+         |    JOIN n c ON c.vec_id = p.cid
+         |), g$r AS MATERIALIZED (
+         |  SELECT qid, cid, cosine FROM (
+         |    SELECT qid, cid, cosine, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, cid) AS rk FROM sc$r)
+         |  WHERE rk <= $workK
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""${duckKnnJoinCtes(
+        "SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS stride FROM n",
+        nprobe)},
+       |g0 AS MATERIALIZED (
+       |  SELECT qid, cid, cosine FROM ranked WHERE rank <= $workK
+       |), $roundCtes""".stripMargin
+  }
+
+  /** Mutual-kNN embedding clusters ([[graft.Graft.embeddingClusters]];
+    * oracle key `q_embedding_cluster_mutual`) — the SemDeDup-shaped
+    * grouping step: an edge survives only when BOTH endpoints rank
+    * each other in their top-k at cosine ≥ `tau` (mutuality is the
+    * standard precision filter — a hub vector that merely APPEARS in
+    * many top-k lists cannot glue unrelated regions together), then
+    * connected components label each cluster by its min vec_id and
+    * every vector gets (cluster, cluster_size); singletons label
+    * themselves. Built entirely from [[knnRefine]]'s registry-cached
+    * graph (recall 0.946, so the mutual test operates on near-truth
+    * neighbor sets) + one self-join + [[Dedup.connectedComponents]]
+    * (driver union-find below the measured threshold, HashMin +
+    * pointer jumping above — the same size-adaptive dispatch as the
+    * dedup family). At the 10× replica the corpus contains exact
+    * clone groups by construction and the clusters recover them —
+    * the embedding-dedup "group then keep one" precursor. */
+  private[graft] def mutualKnnClusters(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      tau: Double = 0.4): org.apache.spark.sql.DataFrame = {
+    val g = knnRefine(s, d)
+      .filter(col("cosine") >= tau)
+      .select("qid", "cid")
+    val mutual = g.as("f").join(g.as("r"),
+        col("f.qid") === col("r.cid") && col("f.cid") === col("r.qid"))
+      .filter(col("f.qid") < col("f.cid"))
+      .select(col("f.qid").as("doc_a"), col("f.cid").as("doc_b"))
+    val labels = Dedup.connectedComponents(mutual)._1
+      .withColumnRenamed("doc_id", "vec_id")
+    val lab = vecs(s, d).select("vec_id")
+      .join(labels, Seq("vec_id"), "left")
+      .withColumn("cluster", coalesce(col("keep_id"), col("vec_id")))
+      .select("vec_id", "cluster")
+    val sizes = lab.groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, "cluster")
+      .select("vec_id", "cluster", "cluster_size")
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB twin of [[mutualKnnClusters]]: the refine chain, the
+    * thresholded mutual join, and the Dedup family's unrolled
+    * HashMin+jump rounds. 12 rounds, not the dedup keys' 8: an
+    * insufficient unroll cannot pass silently (the gate hash-compares
+    * against Spark's CONVERGED labels) and 6 rounds WERE measured
+    * insufficient at sf0.1 — the organic τ=0.4 mutual graph grows a
+    * long-chain giant component, unlike the replica's shallow clone
+    * cliques; 12 is measured converged at every gated scale. */
+  private def duckMutualClusters(nprobe: Int, rounds: Int, workK: Int,
+      cap: Int, tau: Double): String =
+    s"""${duckKnnRefineCtes(nprobe, rounds, workK, cap)},
+       |gt AS MATERIALIZED (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, cosine,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY cosine DESC, cid) AS rk
+       |    FROM g$rounds)
+       |  WHERE rk <= 3 AND cosine >= $tau
+       |), mut AS MATERIALIZED (
+       |  SELECT f.qid AS a, f.cid AS b
+       |  FROM gt f JOIN gt r ON f.qid = r.cid AND f.cid = r.qid
+       |  WHERE f.qid < f.cid
+       |), und AS MATERIALIZED (
+       |  SELECT a, b FROM mut UNION ALL SELECT b, a FROM mut
+       |), l0 AS MATERIALIZED (
+       |  SELECT a AS doc, min(least(a, b)) AS lab FROM und GROUP BY a
+       |), ${Dedup.duckHashMinRounds(12)}, lab AS (
+       |  SELECT n.vec_id, coalesce(l12.lab, n.vec_id) AS cluster
+       |  FROM n LEFT JOIN l12 ON l12.doc = n.vec_id
+       |), sz AS (
+       |  SELECT cluster, CAST(count(1) AS BIGINT) AS cluster_size
+       |  FROM lab GROUP BY cluster
+       |)
+       |SELECT l.vec_id, l.cluster, s.cluster_size
+       |FROM lab l JOIN sz s USING (cluster)
+       |ORDER BY vec_id""".stripMargin
+
   /** DuckDB twin of the ADAPTIVE [[knnJoin]] key: the stride, the
     * strided center pick (cell = id-rank among centers, matching the
     * collected array's position) and the scoring all recompute from
@@ -551,6 +773,14 @@ object Vector {
 
   private def duckKnnJoinStrided(stCte: String, nprobe: Int,
       k: Int): String =
+    s"""${duckKnnJoinCtes(stCte, nprobe)}
+       |SELECT qid, rank, cid, cosine FROM ranked
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** The strided-quantizer join chain up through `ranked` (qid, cid,
+    * cosine, rank) — shared by the adaptive key's final SELECT and the
+    * refine twin's g0 so the two oracles can never drift. */
+  private def duckKnnJoinCtes(stCte: String, nprobe: Int): String =
     s"""$duckVecs, st AS (
        |  $stCte
        |), cents AS (
@@ -589,9 +819,7 @@ object Vector {
        |    CAST(row_number() OVER (PARTITION BY qid
        |      ORDER BY cosine DESC, cid) AS BIGINT) AS rank
        |  FROM scored
-       |)
-       |SELECT qid, rank, cid, cosine FROM ranked
-       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+       |)""".stripMargin
 
   /** DuckDB twin of [[knnJoin]]: identical cell assignment and scoring
     * from the frozen centroid literals; the salt split is invisible in
@@ -977,6 +1205,32 @@ object Vector {
     QueryDef("q_similarity_knn_join_adaptive",
       (s, d) => knnJoin(s, d, adaptiveCenters(s, d), nprobe = 2, k = 3),
       Some(duckKnnJoinAdaptive(nprobe = 2, k = 3))),
+
+    // -------------------------------- NN-Descent kNN-graph refinement
+    // the recall answer to the adaptive key's published 0.217 recall@3:
+    // four neighbor-of-my-neighbor rounds over a workK=20 working graph
+    // lift recall@3 to 0.946 at sf0.1 (RecallProbe) for n·cap²·dim
+    // EXTRA work per round — linear, so the init's n^1.5 still
+    // dominates at scale. Adjacency capping is the paper's ρ-sampling
+    // made deterministic (cosine DESC, cid), which is what lets the
+    // DuckDB twin unroll the same four rounds bit-for-bit. See
+    // [[knnRefine]].
+    QueryDef("q_similarity_knn_refine",
+      (s, d) => knnRefine(s, d, rounds = 4, k = 3, workK = 20, cap = 40),
+      Some(duckKnnRefine(nprobe = 2, k = 3, rounds = 4, workK = 20,
+        cap = 40))),
+
+    // ------------------------------------ mutual-kNN embedding clusters
+    // the SemDeDup-shaped grouping: refine graph → mutual top-3 edges at
+    // cosine ≥ 0.4 (857 of 2000·3 directed edges survive at sf0.1 — the
+    // threshold discriminates) → connected components → every vector
+    // labeled (cluster = component min id, cluster_size); at the 10×
+    // replica the clone groups the warehouse builds by construction come
+    // back as clusters. See [[mutualKnnClusters]].
+    QueryDef("q_embedding_cluster_mutual",
+      (s, d) => mutualKnnClusters(s, d, tau = 0.4),
+      Some(duckMutualClusters(nprobe = 2, rounds = 4, workK = 20,
+        cap = 40, tau = 0.4))),
 
 
     // ---------------------------------------- int8 scalar quantization

@@ -314,4 +314,36 @@ class TextSpec extends SparkSpec {
       s"collocations diverged from the replay: ${got.size} vs ${want.size}")
     assert(want.nonEmpty)
   }
+
+  test("gopher rules: keep ≡ all-bits mask, signals replay sequentially, rules discriminate") {
+    val stop = Set("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    val rows = graft.SparkEntry.queries("q_text_gopher_rules")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    val docs = graft.warehouse.Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, nW, meanE6, symE6, alphaE6, hits, mask, keep) =>
+      // keep is exactly "every rule bit set"
+      assert((keep == 1L) == (mask == 31L),
+        s"doc $id: keep=$keep but mask=$mask")
+      // sequential replay of the measured signals
+      val ws = docs(id).split(" ", -1)
+      assert(nW == ws.length, s"doc $id word count")
+      assert(meanE6 ==
+        math.floor(ws.map(_.length).sum.toDouble / ws.length * 1e6).toLong)
+      assert(alphaE6 == math.floor(
+        ws.count(_.exists(_.isLetter)).toDouble / ws.length * 1e6).toLong)
+      assert(hits == ws.toSet.count(stop), s"doc $id stop hits")
+      assert(symE6 >= 0 && (mask & ~31L) == 0L)
+      // per-bit consistency with the emitted signals (r1/r4/r5 are
+      // exactly recomputable from the integer outputs)
+      assert(((mask & 1L) != 0) == (nW >= 50 && nW <= 100000))
+      assert(((mask & 16L) != 0) == (hits >= 2))
+    }
+    // the set discriminates on this corpus: both verdicts occur
+    assert(rows.exists(_._8 == 1L) && rows.exists(_._8 == 0L),
+      "fixture corpus should produce both keep verdicts")
+  }
 }

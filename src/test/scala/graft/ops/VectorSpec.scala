@@ -365,6 +365,73 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("NN-Descent refine: per-query top-k never degrades vs the IVF init, and strictly improves somewhere") {
+    // The monotonicity is by construction: the init at workK has the
+    // same top-3 prefix as the k=3 adaptive join, and every round's
+    // candidate set CONTAINS the current edges, so the per-qid top-3
+    // cosine sum is non-decreasing round over round. Pin it end-to-end
+    // (init → 4 rounds), plus the structural contract and the facade.
+    def top3sum(rs: Seq[(Long, Long, Long, Double)]): Map[Long, Double] =
+      rs.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val init = top3sum(rows("q_similarity_knn_join_adaptive").toSeq)
+    val refined = graft.Graft.knnGraphRefined(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val ref3 = top3sum(refined)
+    assert(ref3.keySet == init.keySet, "refine must cover every query")
+    // each of the 3 emitted cosines is rounded to 1e-6 → 3e-6 slack
+    init.foreach { case (q, s0) =>
+      assert(ref3(q) >= s0 - 3e-6,
+        s"refine DEGRADED query $q: $s0 -> ${ref3(q)}")
+    }
+    assert(init.count { case (q, s0) => ref3(q) > s0 + 1e-3 } > 0,
+      "refine improved no query at all — rounds are not doing anything")
+    // structural: dense ranks 1..k, no self-pairs, k=3 cut honored
+    refined.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted == (1L to rs.length).toSeq)
+      assert(rs.forall(_._3 != q))
+      assert(rs.length <= 3)
+    }
+    // parameter guard: emit width above the working width is an error
+    intercept[IllegalArgumentException] {
+      Vector.knnRefine(spark, sfDir, rounds = 1, k = 5, workK = 3, cap = 3)
+    }
+  }
+
+  test("mutual-kNN clusters: labels are component minima, sizes add up, edges are truly mutual") {
+    val rows = graft.Graft.embeddingClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = graft.warehouse.Tables.table(spark, sfDir, "embeddings").count()
+    assert(rows.length == n, "every vector must be labeled")
+    // cluster id IS the min member id; size column is the true group size
+    rows.groupBy(_._2).foreach { case (c, ms) =>
+      assert(ms.map(_._1).min == c, s"cluster $c not labeled by its min id")
+      assert(ms.forall(_._3 == ms.length), s"cluster $c size mismatch")
+    }
+    // driver replay of the mutual-edge definition from the refine graph
+    val g = graft.Graft.knnGraphRefined(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .filter(_._3 >= 0.4).map(t => (t._1, t._2)).toSet
+    val mutual = g.filter { case (a, b) => a < b && g.contains((b, a)) }
+    // reachability replay: union-find over the mutual edges
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mutual.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val got = rows.map(r => r._1 -> r._2).toMap
+    (0L until n).foreach { id =>
+      assert(got(id) == find(id), s"vector $id labeled ${got(id)}, replay says ${find(id)}")
+    }
+    // the fixture produces BOTH shapes: real clusters and singletons
+    assert(rows.exists(_._3 > 1L) && rows.exists(_._3 == 1L),
+      "expected a mix of clusters and singletons")
+  }
+
   test("range search matches a sequential brute-force replay exactly") {
     // replay the engine contract in driver Scala: float→double cast,
     // sequential left-fold dot products, cosine = dot/(|q||c|), HALF_UP
