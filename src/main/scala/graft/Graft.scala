@@ -157,6 +157,26 @@ object Graft {
       cap: Int = 40): DataFrame =
     ops.Vector.knnRefine(spark, sfDir, rounds, k, workK, cap)
 
+  /** Hierarchical (two-level) corpus×corpus kNN join (oracle key
+    * `q_similarity_knn_join_hier`): n^(2/3) fine cells routed through
+    * n^(1/3) coarse centers — assignment and pair scoring both
+    * Θ(n^(4/3)), below the flat quantizer's n^1.5. Lower recall at
+    * the same nprobe (scanned fraction shrinks with the cell count);
+    * compose with [[knnGraphRefinedHier]] to buy it back at linear
+    * cost. */
+  def knnJoinHier(spark: SparkSession, sfDir: String,
+      nprobe: Int = 2, k: Int = 3, cellCap: Int = 4096): DataFrame =
+    ops.Vector.knnJoinHier(spark, sfDir, nprobe, k, cellCap)
+
+  /** [[knnGraphRefined]] seeded by the hierarchical join (oracle key
+    * `q_similarity_knn_refine_hier`): the family's cheapest
+    * high-recall configuration — Θ(n^(4/3)) init + linear NN-Descent
+    * rounds. */
+  def knnGraphRefinedHier(spark: SparkSession, sfDir: String,
+      rounds: Int = 4, k: Int = 3, workK: Int = 20,
+      cap: Int = 40): DataFrame =
+    ops.Vector.knnRefineHier(spark, sfDir, rounds, k, workK, cap)
+
   /** Mutual-kNN embedding clusters (oracle key
     * `q_embedding_cluster_mutual`): [[knnGraphRefined]]'s graph →
     * edges kept only when BOTH endpoints rank each other top-k at

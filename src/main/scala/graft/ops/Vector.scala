@@ -446,20 +446,32 @@ object Vector {
       s: org.apache.spark.sql.SparkSession, d: String,
       cents: Array[Array[Double]], nprobe: Int = 2, k: Int = 3,
       cellCap: Int = 4096): org.apache.spark.sql.DataFrame = {
-    require(cellCap >= 1, s"cellCap must be >= 1, got $cellCap")
     graft.functions.IvfNearestCells.register(s, cents, nprobe)
-    // ONE `ivf_cells` pass over the corpus, registry-shared: the corpus
-    // side reads cell 1 of the ranked assignment, the query side explodes
-    // all `nprobe` of them — without the persist both sides re-ran the
-    // |corpus|×|centroids| distance evaluation independently. The cache
-    // key carries the assignment's free parameters (centroids, nprobe) so
-    // a facade call with different settings can never read a stale frame
-    // (value-hash is session-stable, which is all a session cache needs).
-    val assignKey =
+    // the cache key carries the assignment's free parameters (centroids,
+    // nprobe) so a facade call with different settings can never read a
+    // stale frame (value-hash is session-stable, which is all a session
+    // cache needs).
+    cellKnnJoin(s, d, "ivf_cells",
       s"knn_cell_assign_${nprobe}_${java.util.Arrays.deepHashCode(
-        cents.asInstanceOf[Array[AnyRef]])}"
+        cents.asInstanceOf[Array[AnyRef]])}", k, cellCap)
+  }
+
+  /** The cell-keyed join machinery shared by the flat ([[knnJoin]]) and
+    * hierarchical ([[knnJoinHier]]) quantizers: one registered
+    * `cellsFn(v)` ranking pass over the corpus (registry-persisted),
+    * corpus side takes cell 1, query side explodes all probes, hot
+    * cells replicate-salt at `cellCap`, shared [[topK]] tail. */
+  private def cellKnnJoin(
+      s: org.apache.spark.sql.SparkSession, d: String, cellsFn: String,
+      assignKey: String, k: Int,
+      cellCap: Int): org.apache.spark.sql.DataFrame = {
+    require(cellCap >= 1, s"cellCap must be >= 1, got $cellCap")
+    // ONE cell-ranking pass over the corpus, registry-shared: the corpus
+    // side reads cell 1 of the ranked assignment, the query side explodes
+    // all probed cells — without the persist both sides re-ran the
+    // |corpus|×|centers| distance evaluation independently.
     val base = graft.CacheRegistry.getOrPersist(assignKey, d,
-      vecs(s, d).withColumn("cells", expr("ivf_cells(v)")))
+      vecs(s, d).withColumn("cells", expr(s"$cellsFn(v)")))
     val corpus = base
       .withColumn("cell", expr("element_at(cells, 1)"))
       .select(col("vec_id").as("cid"), col("v").as("cv"),
@@ -539,6 +551,103 @@ object Vector {
     cents
   }
 
+  /** Smallest integer s with s^p ≥ n, computed by an INTEGER scan over
+    * a ±4 window around the floating estimate — the estimate only
+    * positions the window, the comparison is exact long arithmetic, so
+    * the result cannot drift between engines the way a bare
+    * `ceil(pow(n, 1/p))` can at a boundary (libm pow differs in the
+    * last ulp across implementations). The DuckDB twins replay the
+    * same window + integer filter. */
+  private[graft] def smallestRoot(n: Long, p: Int): Long = {
+    require(n >= 1 && (p == 2 || p == 3), s"smallestRoot($n, $p)")
+    var s = math.max(1L,
+      math.floor(math.pow(n.toDouble, 1.0 / p)).toLong - 3)
+    def pow(x: Long): Long = if (p == 2) x * x else x * x * x
+    while (pow(s) < n) s += 1
+    s
+  }
+
+  /** TWO-LEVEL IVF hierarchy fit ([[knnJoinHier]]): fine centers are
+    * the corpus's own vectors at stride s (smallest s with s³ ≥ n, so
+    * k_f ≈ n^(2/3) cells), coarse centers are every t-th FINE center
+    * (smallest t with t² ≥ k_f, so k_c ≈ √k_f = n^(1/3)), and each
+    * fine center is OWNED by its nearest coarse center (sequential
+    * (x−c)² fold, ties to the lower coarse position — the same
+    * arithmetic the expression and the oracle replay). A coarse
+    * center that ends up owning nothing (possible under exact
+    * duplicate vectors: the replica warehouses clone rows, two
+    * identical coarse centers tie every fine center toward the lower
+    * position) is DROPPED and the survivors re-indexed, preserving
+    * order — that is what lets [[graft.functions.HierIvfCells]]
+    * guarantee every probed group is non-empty instead of emitting
+    * cell-less corpus rows.
+    *
+    * Scale note: the driver arrays here are k_f ≈ n^(2/3) vectors —
+    * bigger than the flat quantizer's √n but the same bounded-collect
+    * class (an ANN index's list heads ship to every searcher); at
+    * 10¹⁰ vectors the fit itself would move to a join, the operator
+    * contract is unchanged. */
+  private[graft] def hierCenters(
+      s: org.apache.spark.sql.SparkSession, d: String):
+      (Array[Array[Double]], Array[Array[Double]], Array[Array[Int]]) = {
+    val base = vecs(s, d)
+    val n = base.count()
+    require(n > 0, "hierarchical IVF fit over an empty corpus")
+    val fine = stridedCenters(base, smallestRoot(n, 3))
+    val kf = fine.length
+    val step = smallestRoot(kf.toLong, 2).toInt
+    val coarsePos = (0 until kf by step).toArray
+    val coarseRaw = coarsePos.map(fine(_))
+    def sqDist(a: Array[Double], b: Array[Double]): Double = {
+      val m = math.min(a.length, b.length)
+      var acc = 0d
+      var j = 0
+      while (j < m) { val t = a(j) - b(j); acc += t * t; j += 1 }
+      acc
+    }
+    val owners = fine.map { fv =>
+      var best = 0
+      var bestD = sqDist(fv, coarseRaw(0))
+      var c = 1
+      while (c < coarseRaw.length) {
+        val dd = sqDist(fv, coarseRaw(c))
+        if (dd < bestD) { best = c; bestD = dd }
+        c += 1
+      }
+      best
+    }
+    val keep = coarseRaw.indices.filter(ci => owners.contains(ci))
+    val remap = keep.zipWithIndex.toMap
+    val coarse = keep.map(coarseRaw(_)).toArray
+    val owned = Array.fill(coarse.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    owners.zipWithIndex.foreach { case (o, fid) => owned(remap(o)) += fid }
+    (coarse, fine, owned.map(_.toArray))
+  }
+
+  /** Hierarchical corpus×corpus kNN join ([[graft.Graft.knnJoinHier]];
+    * oracle key `q_similarity_knn_join_hier`) — the sub-n^1.5 rung
+    * BASELINE.md's fixed-cell-size rejection note named: with k_f ≈
+    * n^(2/3) fine cells routed through n^(1/3) coarse centers,
+    * assignment costs n·2n^(1/3) and pair scoring n²/k_f — BOTH
+    * Θ(n^(4/3)), the balanced two-level optimum, vs the flat
+    * quantizer's Θ(n^1.5). The price is recall (scanned fraction
+    * nprobe/k_f shrinks as cells multiply — published per round by
+    * RecallProbe); [[knnRefineHier]] composes the NN-Descent rounds
+    * on top to buy it back at linear cost, keeping the total at
+    * n^(4/3). Same replicate-salt hot-cell machinery as [[knnJoin]]. */
+  private[graft] def knnJoinHier(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      nprobe: Int = 2, k: Int = 3,
+      cellCap: Int = 4096): org.apache.spark.sql.DataFrame = {
+    val (coarse, fine, owned) = hierCenters(s, d)
+    graft.functions.HierIvfCells.register(s, coarse, fine, owned,
+      nprobeCoarse = 2, nprobe = nprobe)
+    cellKnnJoin(s, d, "hier_cells",
+      s"knn_hier_assign_${nprobe}_${java.util.Arrays.deepHashCode(
+        fine.asInstanceOf[Array[AnyRef]])}", k, cellCap)
+  }
+
   /** kNN-GRAPH REFINEMENT — NN-Descent over the adaptive IVF init
     * ([[graft.Graft.knnGraphRefined]]; oracle key
     * `q_similarity_knn_refine`). The adaptive join's published weak
@@ -576,7 +685,30 @@ object Vector {
   private[graft] def knnRefine(
       s: org.apache.spark.sql.SparkSession, d: String,
       rounds: Int = 4, k: Int = 3, workK: Int = 20,
-      cap: Int = 40): org.apache.spark.sql.DataFrame = {
+      cap: Int = 40): org.apache.spark.sql.DataFrame =
+    knnRefineFrom(s, d, "adaptive",
+      () => knnJoin(s, d, adaptiveCenters(s, d), nprobe = 2, k = workK),
+      rounds, k, workK, cap)
+
+  /** [[knnRefine]] seeded by the HIERARCHICAL join instead of the flat
+    * adaptive one (oracle key `q_similarity_knn_refine_hier`): the
+    * n^(4/3) init's recall is the lowest of the family (scanned
+    * fraction 2/n^(2/3)), and the NN-Descent rounds are exactly the
+    * repair that does not change the asymptotics — the whole pipeline
+    * stays Θ(n^(4/3)) + linear rounds. */
+  private[graft] def knnRefineHier(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      rounds: Int = 4, k: Int = 3, workK: Int = 20,
+      cap: Int = 40): org.apache.spark.sql.DataFrame =
+    knnRefineFrom(s, d, "hier",
+      () => knnJoinHier(s, d, nprobe = 2, k = workK),
+      rounds, k, workK, cap)
+
+  private def knnRefineFrom(
+      s: org.apache.spark.sql.SparkSession, d: String, initTag: String,
+      init: () => org.apache.spark.sql.DataFrame,
+      rounds: Int, k: Int, workK: Int,
+      cap: Int): org.apache.spark.sql.DataFrame = {
     require(rounds >= 1 && workK >= k && cap >= workK,
       s"need rounds >= 1, workK >= k, cap >= workK; " +
         s"got rounds=$rounds k=$k workK=$workK cap=$cap")
@@ -594,9 +726,8 @@ object Vector {
     // here: 3 min → seconds at sf0.1). The checkpoint collapses each
     // round to a LogicalRDD scan.
     var g = graft.CacheRegistry.getOrCheckpoint(
-      s"knn_refine_${workK}_${cap}_r0", d,
-      knnJoin(s, d, adaptiveCenters(s, d), nprobe = 2, k = workK)
-        .select("qid", "cid", "cosine"))
+      s"knn_refine_${initTag}_${workK}_${cap}_r0", d,
+      init().select("qid", "cid", "cosine"))
     for (r <- 1 to rounds) {
       val e = g.union(g.select(col("cid").as("qid"), col("qid").as("cid"),
           col("cosine"))).distinct()
@@ -609,7 +740,7 @@ object Vector {
         .filter(col("qid") =!= col("cid"))
       val cand = non.union(adj).distinct()
       g = graft.CacheRegistry.getOrCheckpoint(
-        s"knn_refine_${workK}_${cap}_r$r", d,
+        s"knn_refine_${initTag}_${workK}_${cap}_r$r", d,
         topK(cand.join(q, "qid").join(c, "cid")
           .select("qid", "qv", "qn", "cid", "cv", "cn"), workK)
           .select("qid", "cid", "cosine"))
@@ -629,7 +760,9 @@ object Vector {
     * fork the engines' round counts. */
   private def duckKnnRefine(nprobe: Int, k: Int, rounds: Int,
       workK: Int, cap: Int): String =
-    s"""${duckKnnRefineCtes(nprobe, rounds, workK, cap)}
+    s"""${duckKnnRefineCtes(duckKnnJoinCtes(
+        "SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS stride FROM n",
+        nprobe), rounds, workK, cap)}
        |SELECT qid, rank, cid, cosine FROM (
        |  SELECT qid, cid, cosine,
        |    CAST(row_number() OVER (PARTITION BY qid
@@ -640,7 +773,7 @@ object Vector {
   /** The refine chain up through `g<rounds>` (qid, cid, cosine at the
     * working width) — shared by the refine key's final cut and the
     * mutual-kNN clustering oracle so the two can never drift. */
-  private def duckKnnRefineCtes(nprobe: Int, rounds: Int,
+  private def duckKnnRefineCtes(initCtes: String, rounds: Int,
       workK: Int, cap: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""e$r AS (
@@ -677,9 +810,7 @@ object Vector {
          |  WHERE rk <= $workK
          |)""".stripMargin
     }.mkString(", ")
-    s"""${duckKnnJoinCtes(
-        "SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS stride FROM n",
-        nprobe)},
+    s"""$initCtes,
        |g0 AS MATERIALIZED (
        |  SELECT qid, cid, cosine FROM ranked WHERE rank <= $workK
        |), $roundCtes""".stripMargin
@@ -734,7 +865,9 @@ object Vector {
     * cliques; 12 is measured converged at every gated scale. */
   private def duckMutualClusters(nprobe: Int, rounds: Int, workK: Int,
       cap: Int, tau: Double): String =
-    s"""${duckKnnRefineCtes(nprobe, rounds, workK, cap)},
+    s"""${duckKnnRefineCtes(duckKnnJoinCtes(
+        "SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS stride FROM n",
+        nprobe), rounds, workK, cap)},
        |gt AS MATERIALIZED (
        |  SELECT qid, cid FROM (
        |    SELECT qid, cid, cosine,
@@ -760,6 +893,123 @@ object Vector {
        |SELECT l.vec_id, l.cluster, s.cluster_size
        |FROM lab l JOIN sz s USING (cluster)
        |ORDER BY vec_id""".stripMargin
+
+  /** Sequential (X−Y)² distance fold between two list columns — the
+    * exact arithmetic [[graft.functions.HierIvfCells]] (and the flat
+    * chain) computes, as inline SQL. */
+  private def duckSqDist(x: String, y: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, len($x)),
+       |        i -> ($x[i] - $y[i]) * ($x[i] - $y[i]))),
+       |      (s0, z) -> s0 + z)""".stripMargin
+
+  /** DuckDB twin of the HIERARCHICAL quantizer chain ([[knnJoinHier]]),
+    * ending at `ranked` like [[duckKnnJoinCtes]] so the refine/cluster
+    * builders compose over either init. Every stage recomputes from
+    * the corpus: the fine stride is the smallest s with s³ ≥ n and the
+    * coarse step the smallest t with t² ≥ k_f, found by an INTEGER
+    * filter over a ±4 window around the pow() estimate (the estimate
+    * only positions the window — a bare ceil(pow()) could flip at a
+    * boundary between libm implementations); owners are argmin over
+    * the coarse set with ties to the lower position; zero-owned coarse
+    * centers drop and the survivors re-index — byte-for-byte the
+    * [[hierCenters]] contract. */
+  private def duckHierCtes(nprobe: Int): String =
+    s"""$duckVecs, cnt AS (
+       |  SELECT count(*) AS n_rows,
+       |    CAST(greatest(floor(pow(count(*), 1.0/3.0)) - 3, 1) AS BIGINT)
+       |      AS base
+       |  FROM n
+       |), stf AS (
+       |  SELECT min(base + t.o) AS stride
+       |  FROM cnt, unnest([0,1,2,3,4,5,6,7]) t(o)
+       |  WHERE (base + t.o) * (base + t.o) * (base + t.o) >= n_rows
+       |), fine AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+       |    AS fpos, v AS fv
+       |  FROM n, stf WHERE vec_id % stf.stride = 0
+       |), kf AS (
+       |  SELECT count(*) AS k_f,
+       |    CAST(greatest(floor(pow(count(*), 0.5)) - 3, 1) AS BIGINT)
+       |      AS cbase
+       |  FROM fine
+       |), stc AS (
+       |  SELECT min(cbase + t.o) AS cstep
+       |  FROM kf, unnest([0,1,2,3,4,5,6,7]) t(o)
+       |  WHERE (cbase + t.o) * (cbase + t.o) >= k_f
+       |), coarse0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY fpos) - 1 AS INT)
+       |    AS cpos0, fv AS cv
+       |  FROM fine, stc WHERE fpos % stc.cstep = 0
+       |), ownd AS MATERIALIZED (
+       |  SELECT fpos, cpos0 FROM (
+       |    SELECT f.fpos, c.cpos0,
+       |      row_number() OVER (PARTITION BY f.fpos
+       |        ORDER BY ${duckSqDist("f.fv", "c.cv")}, c.cpos0) AS rk
+       |    FROM fine f, coarse0 c)
+       |  WHERE rk = 1
+       |), coarse AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY cpos0) - 1 AS INT)
+       |    AS cpos, cpos0, cv
+       |  FROM coarse0 WHERE cpos0 IN (SELECT DISTINCT cpos0 FROM ownd)
+       |), owners AS MATERIALIZED (
+       |  SELECT o.fpos, c.cpos FROM ownd o JOIN coarse c USING (cpos0)
+       |), vc AS MATERIALIZED (
+       |  SELECT vec_id, cpos FROM (
+       |    SELECT nn.vec_id, c.cpos,
+       |      row_number() OVER (PARTITION BY nn.vec_id
+       |        ORDER BY ${duckSqDist("nn.v", "c.cv")}, c.cpos) AS crk
+       |    FROM n nn, coarse c)
+       |  WHERE crk <= 2
+       |), fcand AS MATERIALIZED (
+       |  SELECT vec_id, fpos, frk FROM (
+       |    SELECT vv.vec_id, ow.fpos,
+       |      row_number() OVER (PARTITION BY vv.vec_id
+       |        ORDER BY ${duckSqDist("nv.v", "f.fv")}, ow.fpos) AS frk
+       |    FROM vc vv JOIN owners ow USING (cpos)
+       |      JOIN fine f ON f.fpos = ow.fpos
+       |      JOIN n nv ON nv.vec_id = vv.vec_id)
+       |), assigned AS MATERIALIZED (
+       |  SELECT nn.vec_id, nn.v, nn.nrm, fc.fpos AS cell
+       |  FROM fcand fc JOIN n nn ON nn.vec_id = fc.vec_id
+       |  WHERE fc.frk = 1
+       |), probes AS (
+       |  SELECT nn.vec_id AS qid, nn.v AS qv, nn.nrm AS qn,
+       |    fc.fpos AS cell
+       |  FROM fcand fc JOIN n nn ON nn.vec_id = fc.vec_id
+       |  WHERE fc.frk <= $nprobe
+       |), cand AS (
+       |  SELECT p.qid, p.qv, p.qn, a.vec_id AS cid, a.v AS cv, a.nrm AS cn
+       |  FROM probes p JOIN assigned a USING (cell)
+       |  WHERE a.vec_id <> p.qid
+       |), scored AS (
+       |  SELECT qid, cid,
+       |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(generate_series(1, len(qv)),
+       |          i -> qv[i] * cv[i])), (s0, x) -> s0 + x)
+       |      / (qn * cn), 6) AS cosine
+       |  FROM cand
+       |), ranked AS (
+       |  SELECT qid, cid, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+       |  FROM scored
+       |)""".stripMargin
+
+  private def duckKnnJoinHier(nprobe: Int, k: Int): String =
+    s"""${duckHierCtes(nprobe)}
+       |SELECT qid, rank, cid, cosine FROM ranked
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  private def duckKnnRefineHier(nprobe: Int, k: Int, rounds: Int,
+      workK: Int, cap: Int): String =
+    s"""${duckKnnRefineCtes(duckHierCtes(nprobe), rounds, workK, cap)}
+       |SELECT qid, rank, cid, cosine FROM (
+       |  SELECT qid, cid, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+       |  FROM g$rounds)
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
   /** DuckDB twin of the ADAPTIVE [[knnJoin]] key: the stride, the
     * strided center pick (cell = id-rank among centers, matching the
@@ -1218,6 +1468,28 @@ object Vector {
     QueryDef("q_similarity_knn_refine",
       (s, d) => knnRefine(s, d, rounds = 4, k = 3, workK = 20, cap = 40),
       Some(duckKnnRefine(nprobe = 2, k = 3, rounds = 4, workK = 20,
+        cap = 40))),
+
+    // -------------------------------- HIERARCHICAL (two-level) kNN join
+    // the sub-n^1.5 rung the fixed-cell-size rejection note recorded:
+    // n^(2/3) fine cells routed through n^(1/3) coarse centers make
+    // assignment AND pair scoring both Θ(n^(4/3)) — the balanced
+    // two-level optimum. Recall at nprobe=2 drops with the scanned
+    // fraction (published by RecallProbe); the refine twin below buys
+    // it back at linear cost. See [[knnJoinHier]]/[[hierCenters]].
+    QueryDef("q_similarity_knn_join_hier",
+      (s, d) => knnJoinHier(s, d, nprobe = 2, k = 3),
+      Some(duckKnnJoinHier(nprobe = 2, k = 3))),
+
+    // ------------------------- NN-Descent refine over the n^(4/3) init
+    // the flagship composition: hierarchical init + 4 NN-Descent rounds
+    // = a high-recall kNN graph in Θ(n^(4/3)) total — the family's
+    // cheapest high-recall configuration at scale. Same rounds/working
+    // width as q_similarity_knn_refine, only the init differs.
+    QueryDef("q_similarity_knn_refine_hier",
+      (s, d) => knnRefineHier(s, d, rounds = 4, k = 3, workK = 20,
+        cap = 40),
+      Some(duckKnnRefineHier(nprobe = 2, k = 3, rounds = 4, workK = 20,
         cap = 40))),
 
     // ------------------------------------ mutual-kNN embedding clusters

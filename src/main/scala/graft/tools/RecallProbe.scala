@@ -55,7 +55,8 @@ object RecallProbe {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     val floor3 = bruteJoin.view.mapValues(_.min).toMap
     val joinKeys = Seq("q_similarity_knn_join",
-      "q_similarity_knn_join_adaptive", "q_similarity_knn_refine")
+      "q_similarity_knn_join_adaptive", "q_similarity_knn_refine",
+      "q_similarity_knn_join_hier", "q_similarity_knn_refine_hier")
     val joinRecalls = joinKeys.map { k =>
       val ann = hits(k)
       val rs = bruteJoin.keys.toSeq.map { qid =>

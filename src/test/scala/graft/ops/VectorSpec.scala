@@ -398,6 +398,51 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("two-level hierarchy: integer-exact strides, every coarse group owned, refine-over-hier never degrades") {
+    // smallestRoot is the integer contract both engines replay: the
+    // float estimate only positions the window
+    assert(Vector.smallestRoot(2000, 3) == 13L)   // 12³=1728 < 2000 ≤ 13³
+    assert(Vector.smallestRoot(1, 3) == 1L)
+    assert(Vector.smallestRoot(27, 3) == 3L)      // exact cube boundary
+    assert(Vector.smallestRoot(28, 3) == 4L)
+    assert(Vector.smallestRoot(154, 2) == 13L)    // 12²=144 < 154 ≤ 13²
+    val n = graft.warehouse.Tables.table(spark, sfDir, "embeddings").count()
+    val (coarse, fine, owned) = Vector.hierCenters(spark, sfDir)
+    // fine centers are the corpus vectors at the cube-root stride
+    val strideF = Vector.smallestRoot(n, 3)
+    assert(fine.length == graft.warehouse.Tables
+      .table(spark, sfDir, "embeddings")
+      .filter(s"vec_id % $strideF = 0").count().toInt)
+    // the HierIvfCells non-empty-group invariant holds by construction
+    assert(owned.length == coarse.length)
+    assert(owned.forall(_.nonEmpty), "a zero-owned coarse group survived")
+    assert(owned.flatten.sorted.toSeq == fine.indices.toSeq,
+      "every fine center owned exactly once")
+    // structural contract of the hier join + facade equality
+    val hier = graft.Graft.knnJoinHier(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byQ = hier.groupBy(_._1)
+    assert(byQ.size == n, s"expected all $n queries, got ${byQ.size}")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq)
+      assert(rs.forall(_._3 != q))
+    }
+    // refine over the hier init: same monotonicity as over the adaptive
+    // one — candidate sets contain current edges, so per-query top-3
+    // cosine sums never drop
+    def top3sum(rs: Seq[(Long, Long, Long, Double)]): Map[Long, Double] =
+      rs.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val init = top3sum(hier.toSeq)
+    val ref = top3sum(graft.Graft.knnGraphRefinedHier(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq)
+    assert(ref.keySet == init.keySet)
+    init.foreach { case (q, s0) =>
+      assert(ref(q) >= s0 - 3e-6, s"hier refine DEGRADED query $q")
+    }
+  }
+
   test("mutual-kNN clusters: labels are component minima, sizes add up, edges are truly mutual") {
     val rows = graft.Graft.embeddingClusters(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
