@@ -824,9 +824,11 @@ object Vector {
     * many top-k lists cannot glue unrelated regions together), then
     * connected components label each cluster by its min vec_id and
     * every vector gets (cluster, cluster_size); singletons label
-    * themselves. Built entirely from [[knnRefine]]'s registry-cached
-    * graph (recall 0.946, so the mutual test operates on near-truth
-    * neighbor sets) + one self-join + [[Dedup.connectedComponents]]
+    * themselves. Built entirely from [[knnRefineHier]]'s
+    * registry-cached graph (recall 0.935 at Θ(n^(4/3)) + linear
+    * rounds — the family's cheapest high-recall graph, so the mutual
+    * test operates on near-truth neighbor sets at the lowest measured
+    * exponent: the whole clustering pipeline inherits n^(4/3)) + one self-join + [[Dedup.connectedComponents]]
     * (driver union-find below the measured threshold, HashMin +
     * pointer jumping above — the same size-adaptive dispatch as the
     * dedup family). At the 10× replica the corpus contains exact
@@ -835,7 +837,7 @@ object Vector {
   private[graft] def mutualKnnClusters(
       s: org.apache.spark.sql.SparkSession, d: String,
       tau: Double = 0.4): org.apache.spark.sql.DataFrame = {
-    val g = knnRefine(s, d)
+    val g = knnRefineHier(s, d)
       .filter(col("cosine") >= tau)
       .select("qid", "cid")
     val mutual = g.as("f").join(g.as("r"),
@@ -865,9 +867,7 @@ object Vector {
     * cliques; 12 is measured converged at every gated scale. */
   private def duckMutualClusters(nprobe: Int, rounds: Int, workK: Int,
       cap: Int, tau: Double): String =
-    s"""${duckKnnRefineCtes(duckKnnJoinCtes(
-        "SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS stride FROM n",
-        nprobe), rounds, workK, cap)},
+    s"""${duckKnnRefineCtes(duckHierCtes(nprobe), rounds, workK, cap)},
        |gt AS MATERIALIZED (
        |  SELECT qid, cid FROM (
        |    SELECT qid, cid, cosine,

@@ -454,7 +454,7 @@ class VectorSpec extends SparkSpec {
       assert(ms.forall(_._3 == ms.length), s"cluster $c size mismatch")
     }
     // driver replay of the mutual-edge definition from the refine graph
-    val g = graft.Graft.knnGraphRefined(spark, sfDir).collect()
+    val g = graft.Graft.knnGraphRefinedHier(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
       .filter(_._3 >= 0.4).map(t => (t._1, t._2)).toSet
     val mutual = g.filter { case (a, b) => a < b && g.contains((b, a)) }
