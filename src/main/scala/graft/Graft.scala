@@ -193,6 +193,15 @@ object Graft {
       tau: Double = 0.4): DataFrame =
     ops.Vector.mutualKnnClusters(spark, sfDir, tau)
 
+  /** SemDeDup end-to-end over the documents table (oracle key
+    * `q_select_semdedup`): embedded documents keep only their
+    * [[embeddingClusters]] cluster's min-id member, documents without
+    * an embedding pass through, and the result is the per-source
+    * curation audit (docs / embedded / dropped / kept / kept chars). */
+  def semanticDedup(spark: SparkSession, sfDir: String,
+      tau: Double = 0.4): DataFrame =
+    ops.Vector.semanticDedup(spark, sfDir, tau)
+
   /** MERGE INTO semantics as a plain join (oracle key `q_upsert`):
     * merge `batch` (updates + inserts) into `corpus` by `keys` —
     * matched keys take the batch row, unmatched corpus rows survive,

@@ -867,6 +867,16 @@ object Vector {
     * cliques; 12 is measured converged at every gated scale. */
   private def duckMutualClusters(nprobe: Int, rounds: Int, workK: Int,
       cap: Int, tau: Double): String =
+    s"""${duckMutualClustersCtes(nprobe, rounds, workK, cap, tau)}
+       |SELECT l.vec_id, l.cluster, s.cluster_size
+       |FROM lab l JOIN sz s USING (cluster)
+       |ORDER BY vec_id""".stripMargin
+
+  /** [[duckMutualClusters]]'s chain up through `lab`(vec_id, cluster)
+    * and `sz`(cluster, cluster_size) — shared with the semantic-dedup
+    * twin so the two oracles can never drift. */
+  private def duckMutualClustersCtes(nprobe: Int, rounds: Int,
+      workK: Int, cap: Int, tau: Double): String =
     s"""${duckKnnRefineCtes(duckHierCtes(nprobe), rounds, workK, cap)},
        |gt AS MATERIALIZED (
        |  SELECT qid, cid FROM (
@@ -889,10 +899,7 @@ object Vector {
        |), sz AS (
        |  SELECT cluster, CAST(count(1) AS BIGINT) AS cluster_size
        |  FROM lab GROUP BY cluster
-       |)
-       |SELECT l.vec_id, l.cluster, s.cluster_size
-       |FROM lab l JOIN sz s USING (cluster)
-       |ORDER BY vec_id""".stripMargin
+       |)""".stripMargin
 
   /** Sequential (X−Y)² distance fold between two list columns — the
     * exact arithmetic [[graft.functions.HierIvfCells]] (and the flat
@@ -1010,6 +1017,58 @@ object Vector {
        |      ORDER BY cosine DESC, cid) AS BIGINT) AS rank
        |  FROM g$rounds)
        |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** Semantic dedup over DOCUMENTS ([[graft.Graft.semanticDedup]];
+    * oracle key `q_select_semdedup`) — the SemDeDup pipeline run end
+    * to end on the corpus a training job actually reads: documents
+    * join their embedding's mutual-kNN cluster ([[mutualKnnClusters]],
+    * Θ(n^(4/3)) via the hier-seeded refine graph), each cluster keeps
+    * ONLY its min-id member, documents WITHOUT an embedding pass
+    * through untouched (no semantic signal — dropping them would be a
+    * coverage bug, the standard pipeline runs exact/minhash dedup on
+    * those), and the output is the per-source curation audit
+    * (docs / embedded / dropped / kept / kept chars) a mixture
+    * re-weighting step consumes. One broadcast-sized join against the
+    * cluster labels + one hash agg on top of the graph build — the
+    * pipeline's exponent is the graph's. */
+  private[graft] def semanticDedup(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      tau: Double = 0.4): org.apache.spark.sql.DataFrame = {
+    val clusters = mutualKnnClusters(s, d, tau)
+      .withColumnRenamed("vec_id", "doc_id")
+    val labeled = Tables.table(s, d, "documents")
+      .select("doc_id", "source", "text")
+      .join(clusters, Seq("doc_id"), "left")
+    val kept = coalesce(col("cluster") === col("doc_id"), lit(true))
+    labeled.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        count(col("cluster")).as("n_embedded"),
+        sum(when(kept, 0L).otherwise(1L)).as("n_dropped"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(kept, length(col("text")).cast(LongType)).otherwise(0L))
+          .as("kept_chars"))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of [[semanticDedup]]: the cluster chain + the doc
+    * join and per-source audit. */
+  private def duckSemanticDedup(nprobe: Int, rounds: Int, workK: Int,
+      cap: Int, tau: Double): String =
+    s"""${duckMutualClustersCtes(nprobe, rounds, workK, cap, tau)},
+       |docs AS (
+       |  SELECT d.doc_id, d.source, d.text, l.cluster
+       |  FROM documents d LEFT JOIN lab l ON l.vec_id = d.doc_id
+       |)
+       |SELECT source,
+       |  CAST(count(1) AS BIGINT) AS n_docs,
+       |  CAST(count(cluster) AS BIGINT) AS n_embedded,
+       |  CAST(sum(CASE WHEN cluster IS NOT NULL AND cluster <> doc_id
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  CAST(sum(CASE WHEN cluster IS NULL OR cluster = doc_id
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN cluster IS NULL OR cluster = doc_id
+       |    THEN length(text) ELSE 0 END) AS BIGINT) AS kept_chars
+       |FROM docs GROUP BY source ORDER BY source""".stripMargin
 
   /** DuckDB twin of the ADAPTIVE [[knnJoin]] key: the stride, the
     * strided center pick (cell = id-rank among centers, matching the
@@ -1502,6 +1561,18 @@ object Vector {
     QueryDef("q_embedding_cluster_mutual",
       (s, d) => mutualKnnClusters(s, d, tau = 0.4),
       Some(duckMutualClusters(nprobe = 2, rounds = 4, workK = 20,
+        cap = 40, tau = 0.4))),
+
+    // ------------------------------------- SemDeDup over the documents
+    // the end-to-end semantic-dedup pipeline on the table a training
+    // job reads: embedded docs keep only their cluster's min-id member,
+    // un-embedded docs pass through (no semantic signal — the standard
+    // pipeline exact/minhash-dedups those), output is the per-source
+    // curation audit a mixture re-weighting step consumes. One
+    // label-sized join + one hash agg on top of the n^(4/3) graph.
+    QueryDef("q_select_semdedup",
+      (s, d) => semanticDedup(s, d, tau = 0.4),
+      Some(duckSemanticDedup(nprobe = 2, rounds = 4, workK = 20,
         cap = 40, tau = 0.4))),
 
 

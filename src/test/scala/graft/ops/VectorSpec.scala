@@ -477,6 +477,31 @@ class VectorSpec extends SparkSpec {
       "expected a mix of clusters and singletons")
   }
 
+  test("semantic dedup audit replays exactly from the cluster labels and the documents table") {
+    val clus = graft.Graft.embeddingClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.warehouse.Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = docs.groupBy(_._2).map { case (src, rows) =>
+      val embedded = rows.filter(r => clus.contains(r._1))
+      val dropped = embedded.count(r => clus(r._1) != r._1)
+      val keptRows = rows.filter(r => clus.get(r._1).forall(_ == r._1))
+      (src, (rows.length.toLong, embedded.length.toLong, dropped.toLong,
+        keptRows.length.toLong, keptRows.map(_._3.length.toLong).sum))
+    }
+    val got = graft.Graft.semanticDedup(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, "audit diverged from the driver replay")
+    // the pipeline actually dropped something AND passed something through
+    assert(got.values.map(_._3).sum > 0, "no semantic duplicates dropped")
+    // at sf0.001 every doc has an embedding (both tables are 500 rows);
+    // the pass-through arm is exercised at sf0.1 (5000 docs / 2000 vecs)
+    // and by the gate — here just pin the replay's arithmetic covers it
+    assert(got.values.map(_._1).sum >= got.values.map(_._2).sum)
+  }
+
   test("range search matches a sequential brute-force replay exactly") {
     // replay the engine contract in driver Scala: float→double cast,
     // sequential left-fold dot products, cosine = dot/(|q||c|), HALF_UP
