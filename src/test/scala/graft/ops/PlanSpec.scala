@@ -1067,6 +1067,34 @@ class PlanSpec extends SparkSpec {
       s"expected only user_id exchanges, got $exchanges:\n$p")
   }
 
+  test("q_text_gopher_rules is a pure per-row map: pruned 2-column scan, no hash shuffle") {
+    val p = plan("q_text_gopher_rules")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"gopher gate must scan exactly (doc_id, text):\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a per-row rule gate must not shuffle (output range sort only):\n$p")
+    assert(!p.contains("Window"), s"no corpus window in a row-local gate:\n$p")
+  }
+
+  test("q_similarity_knn_join_hier meets in a hash join on the cell — never nested-loop") {
+    val p = plan("q_similarity_knn_join_hier")
+    // the two-level assignment is either visible as the codegen'd
+    // hier_cells call or already collapsed into the registry's cached
+    // relation, depending on suite ordering — both are the designed shape
+    assert(p.contains("hier_cells") || p.contains("InMemoryTableScan"),
+      s"assignment must run through the codegen expression (or its cache):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"corpus×corpus candidates must meet on the cell key, not a loop join:\n$p")
+  }
+
+  test("q_select_semdedup audits with a map-side partial agg, never a corpus loop join") {
+    val p = plan("q_select_semdedup")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-source audit must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"label join must be keyed:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // codegen stage ids only appear in the AQE *final* plan — execute first
     // (collect() on THIS df — count() would spawn a separate execution and
