@@ -137,12 +137,13 @@ object Graft {
     * `q_similarity_knn_join` oracle twin), or a [[ops.Vector.fitCentroids]]
     * Lloyd's refinement when cell balance matters more than fit cost.
     * Oracle-checked as `q_similarity_knn_join_adaptive` (this default)
-    * and `q_similarity_knn_join` (frozen twin). */
-  /** NOTE on the quantizer ladder: this flat adaptive default is
-    * Θ(n^1.5) (measured 282.7 s at the 100× replica); [[knnJoinHier]]
-    * is the Θ(n^(4/3)) rung (9.2 s same data) at lower same-nprobe
-    * recall, and [[knnGraphRefinedHier]] is the recommended
-    * high-recall configuration at scale. */
+    * and `q_similarity_knn_join` (frozen twin).
+    *
+    * Quantizer ladder: this flat adaptive default is Θ(n^1.5)
+    * (measured 282.7 s at the 100× replica); [[knnJoinHier]] is the
+    * Θ(n^(4/3)) rung (9.2 s same data) at lower same-nprobe recall,
+    * and [[knnGraphRefinedHier]] is the recommended high-recall
+    * configuration at scale. */
   def knnJoin(spark: SparkSession, sfDir: String, nprobe: Int = 2,
       k: Int = 3, cellCap: Int = 4096,
       centroids: Option[Array[Array[Double]]] = None): DataFrame =

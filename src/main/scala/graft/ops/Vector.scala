@@ -616,7 +616,8 @@ object Vector {
       }
       best
     }
-    val keep = coarseRaw.indices.filter(ci => owners.contains(ci))
+    val ownerSet = owners.toSet
+    val keep = coarseRaw.indices.filter(ownerSet)
     val remap = keep.zipWithIndex.toMap
     val coarse = keep.map(coarseRaw(_)).toArray
     val owned = Array.fill(coarse.length)(
@@ -641,8 +642,12 @@ object Vector {
       nprobe: Int = 2, k: Int = 3,
       cellCap: Int = 4096): org.apache.spark.sql.DataFrame = {
     val (coarse, fine, owned) = hierCenters(s, d)
+    // a degenerate hierarchy (constant/duplicated strided centers) can
+    // survive cleanup with ONE coarse group; the twin's `crk <= 2`
+    // naturally degrades to the single group, so clamp rather than trip
+    // the expression's range require — the engines stay in lockstep
     graft.functions.HierIvfCells.register(s, coarse, fine, owned,
-      nprobeCoarse = 2, nprobe = nprobe)
+      nprobeCoarse = math.min(2, coarse.length), nprobe = nprobe)
     cellKnnJoin(s, d, "hier_cells",
       s"knn_hier_assign_${nprobe}_${java.util.Arrays.deepHashCode(
         fine.asInstanceOf[Array[AnyRef]])}", k, cellCap)
@@ -837,6 +842,21 @@ object Vector {
   private[graft] def mutualKnnClusters(
       s: org.apache.spark.sql.SparkSession, d: String,
       tau: Double = 0.4): org.apache.spark.sql.DataFrame = {
+    val lab = mutualLabels(s, d, tau)
+    val sizes = lab.groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, "cluster")
+      .select("vec_id", "cluster", "cluster_size")
+      .orderBy("vec_id")
+  }
+
+  /** The label frame (vec_id, cluster) alone — [[semanticDedup]]
+    * consumes THIS, not [[mutualKnnClusters]], so the audit path never
+    * pays the cluster-size aggregation + size join + global vec_id
+    * sort it would immediately discard. */
+  private def mutualLabels(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      tau: Double): org.apache.spark.sql.DataFrame = {
     val g = knnRefineHier(s, d)
       .filter(col("cosine") >= tau)
       .select("qid", "cid")
@@ -846,15 +866,10 @@ object Vector {
       .select(col("f.qid").as("doc_a"), col("f.cid").as("doc_b"))
     val labels = Dedup.connectedComponents(mutual)._1
       .withColumnRenamed("doc_id", "vec_id")
-    val lab = vecs(s, d).select("vec_id")
+    vecs(s, d).select("vec_id")
       .join(labels, Seq("vec_id"), "left")
       .withColumn("cluster", coalesce(col("keep_id"), col("vec_id")))
       .select("vec_id", "cluster")
-    val sizes = lab.groupBy("cluster")
-      .agg(count(lit(1)).as("cluster_size"))
-    lab.join(sizes, "cluster")
-      .select("vec_id", "cluster", "cluster_size")
-      .orderBy("vec_id")
   }
 
   /** DuckDB twin of [[mutualKnnClusters]]: the refine chain, the
@@ -1034,7 +1049,7 @@ object Vector {
   private[graft] def semanticDedup(
       s: org.apache.spark.sql.SparkSession, d: String,
       tau: Double = 0.4): org.apache.spark.sql.DataFrame = {
-    val clusters = mutualKnnClusters(s, d, tau)
+    val clusters = mutualLabels(s, d, tau)
       .withColumnRenamed("vec_id", "doc_id")
     val labeled = Tables.table(s, d, "documents")
       .select("doc_id", "source", "text")
