@@ -11,6 +11,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // r15 verdict task 2: checkpoint-unpersist emits one "MapPartitionsRDD
+    // ... locally checkpointed" WARN per released RDD; hundreds of them
+    // flooded the driver's captured stdout tail and cost the round its
+    // parsed bench record (BENCH_r15.json parsed:null). The JSON line is
+    // the contract — rdd-lifecycle chatter is not — so that one logger
+    // drops to ERROR while everything else stays at WARN.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // JIT/codegen warmup + one-time view registration (SURVEY §6: register
     // temp views once per session; schemas are static). Without this the
     // ~5s first-job JIT cost lands on whichever query happens to run first.
@@ -51,6 +59,13 @@ object Bench {
     // timing inside an rc=0 run — but after an OOM or other fatal JVM error
     // every remaining timing (and the zero exit code) would be a lie, so
     // fatal errors propagate and fail the run with a nonzero rc.
+    // Per key: `queries` stays min-over-all-iterations (the driver
+    // contract, steady state on a warm registry); `cold` is ALWAYS the
+    // first iteration, which for registry-backed keys (knn refine et al.)
+    // is the real one-shot cost — r15 verdict task 3: min-of-2 reported
+    // 0.17 s for a key whose cold cost is 16.3 s, and nothing in the
+    // artifact said so. Both numbers now ride every bench line.
+    val colds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = selected.map { case (name, fn) =>
       var best = Double.MaxValue
       var i = 0
@@ -61,7 +76,10 @@ object Bench {
             errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (!errors.contains(name)) best = math.min(best, dt)
+        if (!errors.contains(name)) {
+          if (i == 0) colds(name) = dt
+          best = math.min(best, dt)
+        }
         i += 1
       }
       name -> (if (errors.contains(name)) 0.0 else best)
@@ -88,7 +106,9 @@ object Bench {
     // both lost the leading total to truncation); the full line is also
     // written to target/bench_last.json as a capture-proof copy
     val unknownJson = unknown.toSeq.sorted.map(jstr).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","iters":$iters,"queries":$qs,"errors":$errJson,"n_errors":${errors.size},"unknown_keys":$unknownJson,"value":$total}"""
+    val coldJson = colds.map { case (k, v) => jstr(k) + ":" + v.toString }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","iters":$iters,"cold":$coldJson,"queries":$qs,"errors":$errJson,"n_errors":${errors.size},"unknown_keys":$unknownJson,"value":$total}"""
     println(line)
     try {
       val out = java.nio.file.Paths.get("target", "bench_last.json")

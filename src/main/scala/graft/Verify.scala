@@ -72,6 +72,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same rdd-lifecycle silencing as Bench.main: checkpoint-unpersist WARN
+    // spam must never flood a driver-captured stdout tail (r15 task 2)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter: SPARK_GRAFT_KEYS="q_a,q_b" restricts the dump
     // to those keys (the driver never sets it, so its runs stay complete).
