@@ -130,14 +130,23 @@ object IvfNearestCells {
     * expressions are captured into plans at analysis time, so queries
     * built before a re-registration keep their own centroids. */
   def register(
-      spark: SparkSession, cents: Array[Array[Double]], nprobe: Int): Unit = {
+      spark: SparkSession, cents: Array[Array[Double]], nprobe: Int): Unit =
+    registerAs(spark, "ivf_cells", cents, nprobe)
+
+  /** Same binding under an explicit NAME — the distributed hierarchy fit
+    * ([[graft.ops.Vector]] `hierAssignFrame`) needs two coexisting
+    * centroid scans in one build (raw-coarse ownership argmin, then
+    * re-indexed coarse routing); distinct names keep both bindings live
+    * without relying on analysis-time capture ordering. */
+  def registerAs(spark: SparkSession, name: String,
+      cents: Array[Array[Double]], nprobe: Int): Unit = {
     val centSeq: Seq[Seq[Double]] = cents.map(_.toSeq).toSeq
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("ivf_cells"),
-      new ExpressionInfo(classOf[IvfNearestCells].getName, "ivf_cells"),
+      FunctionIdentifier(name),
+      new ExpressionInfo(classOf[IvfNearestCells].getName, name),
       { exprs =>
         require(exprs.length == 1,
-          s"ivf_cells expects 1 argument, got ${exprs.length}")
+          s"$name expects 1 argument, got ${exprs.length}")
         IvfNearestCells(Cast(exprs.head, ArrayType(DoubleType)), centSeq, nprobe)
       })
   }

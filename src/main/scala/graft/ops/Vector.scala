@@ -451,9 +451,10 @@ object Vector {
     // nprobe) so a facade call with different settings can never read a
     // stale frame (value-hash is session-stable, which is all a session
     // cache needs).
-    cellKnnJoin(s, d, "ivf_cells",
+    cellKnnJoin(s, d,
       s"knn_cell_assign_${nprobe}_${java.util.Arrays.deepHashCode(
-        cents.asInstanceOf[Array[AnyRef]])}", k, cellCap)
+        cents.asInstanceOf[Array[AnyRef]])}", k, cellCap)(
+      vecs(s, d).withColumn("cells", expr("ivf_cells(v)")))
   }
 
   /** The cell-keyed join machinery shared by the flat ([[knnJoin]]) and
@@ -462,16 +463,17 @@ object Vector {
     * corpus side takes cell 1, query side explodes all probes, hot
     * cells replicate-salt at `cellCap`, shared [[topK]] tail. */
   private def cellKnnJoin(
-      s: org.apache.spark.sql.SparkSession, d: String, cellsFn: String,
-      assignKey: String, k: Int,
-      cellCap: Int): org.apache.spark.sql.DataFrame = {
+      s: org.apache.spark.sql.SparkSession, d: String,
+      assignKey: String, k: Int, cellCap: Int)(
+      assign: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     require(cellCap >= 1, s"cellCap must be >= 1, got $cellCap")
     // ONE cell-ranking pass over the corpus, registry-shared: the corpus
     // side reads cell 1 of the ranked assignment, the query side explodes
     // all probed cells — without the persist both sides re-ran the
-    // |corpus|×|centers| distance evaluation independently.
-    val base = graft.CacheRegistry.getOrPersist(assignKey, d,
-      vecs(s, d).withColumn("cells", expr(s"$cellsFn(v)")))
+    // |corpus|×|centers| distance evaluation independently. `assign` is
+    // by-name: expression-based for the flat quantizer, join-based for
+    // the above-threshold hierarchical fit — both yield vecs + `cells`.
+    val base = graft.CacheRegistry.getOrPersist(assignKey, d, assign)
     val corpus = base
       .withColumn("cell", expr("element_at(cells, 1)"))
       .select(col("vec_id").as("cid"), col("v").as("cv"),
@@ -583,15 +585,17 @@ object Vector {
     * cell-less corpus rows.
     *
     * Scale note: the driver arrays here are k_f ≈ n^(2/3) vectors —
-    * bigger than the flat quantizer's √n but the same bounded-collect
-    * class (an ANN index's list heads ship to every searcher); at
-    * 10¹⁰ vectors the fit itself would move to a join, the operator
-    * contract is unchanged. */
+    * affordable only below [[HierFitDriverMaxFine]]; past it
+    * [[knnJoinHier]] dispatches to [[hierAssignFrame]], where the fit
+    * runs as joins and driver state drops to the O(n^(1/3)) coarse
+    * matrix. This array arm stays the below-threshold default because
+    * the expression assignment is map-only whole-stage codegen. */
   private[graft] def hierCenters(
-      s: org.apache.spark.sql.SparkSession, d: String):
+      s: org.apache.spark.sql.SparkSession, d: String,
+      nKnown: Option[Long] = None):
       (Array[Array[Double]], Array[Array[Double]], Array[Array[Int]]) = {
     val base = vecs(s, d)
-    val n = base.count()
+    val n = nKnown.getOrElse(base.count())
     require(n > 0, "hierarchical IVF fit over an empty corpus")
     val fine = stridedCenters(base, smallestRoot(n, 3))
     val kf = fine.length
@@ -637,20 +641,166 @@ object Vector {
     * RecallProbe); [[knnRefineHier]] composes the NN-Descent rounds
     * on top to buy it back at linear cost, keeping the total at
     * n^(4/3). Same replicate-salt hot-cell machinery as [[knnJoin]]. */
+  /** Fine-center count beyond which the hierarchical fit runs as
+    * DATAFRAMES instead of driver arrays (r15 verdict task 1). Below it
+    * (every gated scale incl. the 100× replica: k_f = 15.9k at n = 2M),
+    * the array fit + [[graft.functions.HierIvfCells]] expression wins —
+    * zero joins, whole-stage-codegen assignment. Above it — the 100 TB
+    * design point is 10¹⁰⁺ vectors ⇒ k_f = n^(2/3) ≈ 4.6M+ centers,
+    * 2–10 GB if collected — [[hierAssignFrame]] takes over and
+    * driver-held fit state drops to the O(n^(1/3)) coarse matrix (a few
+    * MB at ANY scale). 2²⁰ fine centers ≈ 512 MB of driver arrays is
+    * the same measured-volume cutoff class as
+    * [[Dedup.connectedComponents]]'s `driverMax`. */
+  private[graft] val HierFitDriverMaxFine: Long = 1L << 20
+
+  /** Driver-collected row count of the LAST hierarchy fit (coarse
+    * centers + survivor ids for the frame path; fine-center count for
+    * the array path) — what the VectorSpec driver-state pin reads. */
+  @volatile private[graft] var lastHierFitDriverRows: Long = -1L
+
   private[graft] def knnJoinHier(
       s: org.apache.spark.sql.SparkSession, d: String,
-      nprobe: Int = 2, k: Int = 3,
-      cellCap: Int = 4096): org.apache.spark.sql.DataFrame = {
-    val (coarse, fine, owned) = hierCenters(s, d)
-    // a degenerate hierarchy (constant/duplicated strided centers) can
-    // survive cleanup with ONE coarse group; the twin's `crk <= 2`
-    // naturally degrades to the single group, so clamp rather than trip
-    // the expression's range require — the engines stay in lockstep
-    graft.functions.HierIvfCells.register(s, coarse, fine, owned,
-      nprobeCoarse = math.min(2, coarse.length), nprobe = nprobe)
-    cellKnnJoin(s, d, "hier_cells",
-      s"knn_hier_assign_${nprobe}_${java.util.Arrays.deepHashCode(
-        fine.asInstanceOf[Array[AnyRef]])}", k, cellCap)
+      nprobe: Int = 2, k: Int = 3, cellCap: Int = 4096,
+      fitDriverMaxFine: Long = HierFitDriverMaxFine): org.apache.spark.sql.DataFrame = {
+    val n = vecs(s, d).count()
+    require(n > 0, "hierarchical IVF fit over an empty corpus")
+    val strideF = smallestRoot(n, 3)
+    // dispatch on the fit's driver footprint BEFORE building it: k_f is
+    // within ±(id-gap noise) of n/stride for any dense or blockwise-
+    // dense id space (the adaptiveCenters genericity assumption), and
+    // the cutoff only sizes a resource decision — both arms produce
+    // bit-identical assignments (VectorSpec pins equality), so a
+    // borderline estimate can never change results, only which engine
+    // path computes them.
+    val kfEst = n / math.max(1L, strideF)
+    // the arm rides the cache key: outputs are pinned bit-identical, but
+    // a forced-arm call (spec, explicit fitDriverMaxFine) must never be
+    // served the OTHER arm's cached frame and silently test nothing
+    val arm = if (kfEst <= fitDriverMaxFine) "arr" else "frame"
+    val assignKey = s"knn_hier_assign_${nprobe}_${n}_${strideF}_$arm"
+    if (kfEst <= fitDriverMaxFine) {
+      val (coarse, fine, owned) = hierCenters(s, d, Some(n))
+      lastHierFitDriverRows = fine.length.toLong
+      // a degenerate hierarchy (constant/duplicated strided centers) can
+      // survive cleanup with ONE coarse group; the twin's `crk <= 2`
+      // naturally degrades to the single group, so clamp rather than trip
+      // the expression's range require — the engines stay in lockstep
+      graft.functions.HierIvfCells.register(s, coarse, fine, owned,
+        nprobeCoarse = math.min(2, coarse.length), nprobe = nprobe)
+      cellKnnJoin(s, d, assignKey, k, cellCap)(
+        vecs(s, d).withColumn("cells", expr("hier_cells(v)")))
+    } else {
+      cellKnnJoin(s, d, assignKey, k, cellCap)(
+        hierAssignFrame(s, d, n, strideF, nprobe))
+    }
+  }
+
+  /** DISTRIBUTED two-level assignment — the above-threshold arm of
+    * [[knnJoinHier]] (r15 verdict task 1: the array fit's k_f ≈ n^(2/3)
+    * fine centers are 2–10 GB of driver state at 10¹⁰⁺ vectors). Same
+    * contract as [[graft.functions.HierIvfCells]], re-expressed so the
+    * only driver-held fit state is O(n^(1/3)):
+    *
+    *   1. FINE CENTERS STAY A FRAME: corpus rows at the cube-root
+    *      stride, globally ranked by vec_id via range-repartition +
+    *      per-partition offsets (localCheckpoint freezes the partition
+    *      ids so the offset pass and the rank pass read one layout) —
+    *      never a single-partition window, never a collect.
+    *   2. Coarse RAW = every step-th fine center — k_c ≈ n^(1/3) rows,
+    *      the ONE collect (a few MB at any scale; the bounded-collect
+    *      class of IVF list heads).
+    *   3. OWNERSHIP = argmin join: fine frame × broadcast coarse matrix
+    *      through a 1-probe [[graft.functions.IvfNearestCells]] scan —
+    *      the same sequential (x−c)² fold, ties to the lower coarse
+    *      position. Zero-owned coarse centers drop; survivors (≤ k_c
+    *      ints, second bounded collect) re-index order-preserving —
+    *      byte-for-byte the [[hierCenters]] cleanup.
+    *   4. ASSIGNMENT = route + meet: phase 1 ranks each corpus row's
+    *      `min(2, k_c)` nearest coarse groups (codegen scan over the
+    *      re-indexed coarse matrix — the small object every executor
+    *      CAN hold), phase 2 meets the owned fine centers in a
+    *      coarse-group-keyed shuffle join (avg group = k_f/k_c =
+    *      n^(1/3) fine rows ⇒ candidate volume n·2n^(1/3) = Θ(n^(4/3)),
+    *      the same work the expression does per row, now bandwidth
+    *      instead of driver memory), and a per-row window keeps the
+    *      `nprobe` nearest fine cells by (dist asc, fine position asc).
+    *
+    * The distance is `aggregate(zip_with(v, fv, (x,y)→(x−y)²), 0D, +)` —
+    * the identical element-order left fold, so both arms emit
+    * bit-identical `cells` arrays and the DuckDB twin needs no second
+    * variant (VectorSpec pins arm equality on the fixture). */
+  private[graft] def hierAssignFrame(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      n: Long, strideF: Long, nprobe: Int): org.apache.spark.sql.DataFrame = {
+    val base = vecs(s, d)
+    val parts = math.max(1, s.sparkContext.defaultParallelism)
+    // global fine rank without a global sort bottleneck: range layout is
+    // frozen by the checkpoint (range boundaries come from a sample —
+    // two independent evaluations could split differently; one frozen
+    // layout serves both the offset scan and the rank scan)
+    val ranged = graft.CacheRegistry.getOrCheckpoint(
+      s"hier_fit_fine_ranged_$strideF", d,
+      base.filter(col("vec_id") % strideF === 0)
+        .select("vec_id", "v")
+        .repartitionByRange(parts, col("vec_id"))
+        .withColumn("pid", spark_partition_id()))
+    val offs = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum("cnt").over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("pid", "off")
+    val fine = ranged.join(broadcast(offs), "pid")
+      .withColumn("fine_pos", (col("off") + row_number().over(
+        Window.partitionBy("pid").orderBy("vec_id")) - 1).cast(IntegerType))
+      .select(col("fine_pos"), col("v").as("fv"))
+    val kf = ranged.count()
+    require(kf > 0,
+      s"no corpus ids divisible by stride $strideF — the id space is " +
+        "degenerate modulo the stride; pass explicit centroids instead")
+    val step = smallestRoot(kf, 2)
+    // THE driver budget: k_c ≈ n^(1/3) coarse rows + ≤ k_c survivor ids
+    val coarseRaw: Array[Array[Double]] = fine
+      .filter(col("fine_pos") % step === 0)
+      .orderBy("fine_pos").select("fv")
+      .collect().map(_.getSeq[Double](0).toArray)
+    graft.functions.IvfNearestCells.registerAs(s, "hier_fit_own",
+      coarseRaw, 1)
+    val owned0 = graft.CacheRegistry.getOrPersist(
+      s"hier_fit_owned_$strideF", d,
+      fine.withColumn("cpos0",
+        expr("element_at(hier_fit_own(fv), 1)")))
+    val survivors = owned0.select("cpos0").distinct()
+      .collect().map(_.getInt(0)).sorted
+    lastHierFitDriverRows = coarseRaw.length.toLong + survivors.length
+    val coarse = survivors.map(coarseRaw(_))
+    val remapDf = s.createDataFrame(
+      s.sparkContext.parallelize(
+        survivors.zipWithIndex.map { case (c0, i) => org.apache.spark.sql.Row(c0, i) }.toSeq, 1),
+      StructType(Seq(StructField("cpos0", IntegerType, nullable = false),
+        StructField("cgrp", IntegerType, nullable = false))))
+    val fineOwned = owned0.join(broadcast(remapDf), "cpos0")
+      .select("cgrp", "fine_pos", "fv")
+    // phase 1: codegen coarse routing — the matrix every executor can
+    // hold at any corpus size
+    graft.functions.IvfNearestCells.registerAs(s, "hier_fit_route",
+      coarse, math.min(2, coarse.length))
+    val probed = base
+      .withColumn("cgrp", explode(expr("hier_fit_route(v)")))
+    // phase 2: meet the probed groups' fine centers; rank per row
+    val cand = probed.join(fineOwned, "cgrp")
+      .withColumn("dist", expr(
+        "aggregate(zip_with(v, fv, (x, y) -> (x - y) * (x - y)), " +
+          "0D, (acc, z) -> acc + z)"))
+    val wRank = Window.partitionBy("vec_id")
+      .orderBy(col("dist").asc, col("fine_pos").asc)
+    val cells = cand.withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= nprobe)
+      .groupBy("vec_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("rk"), col("fine_pos")))),
+        _.getField("fine_pos")).as("cells"))
+    base.join(cells, "vec_id")
   }
 
   /** kNN-GRAPH REFINEMENT — NN-Descent over the adaptive IVF init
@@ -743,7 +893,14 @@ object Vector {
       val non = adj.as("x").join(adj.as("y"), col("x.cid") === col("y.qid"))
         .select(col("x.qid").as("qid"), col("y.cid").as("cid"))
         .filter(col("qid") =!= col("cid"))
-      val cand = non.union(adj).distinct()
+      // the UNCAPPED current graph g rides along explicitly: adj alone is
+      // the cap-truncated SYMMETRIZED list, and a hub row with > cap
+      // higher-cosine reverse edges would evict its own forward edges
+      // from adj — rescoring non ∪ adj only could then DROP a current
+      // top-k edge and degrade that query in a round (r15 advice). With
+      // g in the candidate set the per-qid top-k cosine sum is
+      // non-decreasing by construction, unconditionally.
+      val cand = non.union(adj).union(g.select("qid", "cid")).distinct()
       g = graft.CacheRegistry.getOrCheckpoint(
         s"knn_refine_${initTag}_${workK}_${cap}_r$r", d,
         topK(cand.join(q, "qid").join(c, "cid")
@@ -792,10 +949,13 @@ object Vector {
          |      ORDER BY cosine DESC, cid) AS rk FROM e$r)
          |  WHERE rk <= $cap
          |), cand$r AS (
+         |  -- non ∪ adj ∪ g: the uncapped current graph is in the rescore
+         |  -- set explicitly (same hub-eviction reasoning as the Spark side)
          |  SELECT DISTINCT qid, cid FROM (
          |    SELECT x.qid, y.cid FROM adj$r x JOIN adj$r y ON x.cid = y.qid
          |    WHERE x.qid <> y.cid
-         |    UNION ALL SELECT qid, cid FROM adj$r)
+         |    UNION ALL SELECT qid, cid FROM adj$r
+         |    UNION ALL SELECT qid, cid FROM g${r - 1})
          |), sc$r AS (
          |  -- list_dot_product, not the fold the other twins use: it is
          |  -- DuckDB's sequential C++ loop over the same doubles — verified
@@ -908,8 +1068,19 @@ object Vector {
        |  SELECT a, b FROM mut UNION ALL SELECT b, a FROM mut
        |), l0 AS MATERIALIZED (
        |  SELECT a AS doc, min(least(a, b)) AS lab FROM und GROUP BY a
-       |), ${Dedup.duckHashMinRounds(12)}, lab AS (
-       |  SELECT n.vec_id, coalesce(l12.lab, n.vec_id) AS cluster
+       |), ${Dedup.duckHashMinRounds(12)}, conv AS (
+       |  -- twin-side convergence assertion (r15 advice): the 12-round
+       |  -- unroll is only valid while the mutual graph's diameter fits
+       |  -- it. An insufficient unroll must REPORT ITSELF (error()) at
+       |  -- twin build time, not surface as a bare hash mismatch.
+       |  SELECT count(*) AS n_drift FROM (
+       |    SELECT doc, lab FROM l12 EXCEPT SELECT doc, lab FROM l11)
+       |), lab AS (
+       |  SELECT n.vec_id,
+       |    CASE WHEN (SELECT n_drift FROM conv) > 0
+       |      THEN error('mutual-cluster HashMin unroll (12 rounds) did ' ||
+       |        'not converge: l12 <> l11 - raise the twin unroll')
+       |      ELSE coalesce(l12.lab, n.vec_id) END AS cluster
        |  FROM n LEFT JOIN l12 ON l12.doc = n.vec_id
        |), sz AS (
        |  SELECT cluster, CAST(count(1) AS BIGINT) AS cluster_size
@@ -943,7 +1114,13 @@ object Vector {
        |      AS base
        |  FROM n
        |), stf AS (
-       |  SELECT min(base + t.o) AS stride
+       |  -- NULL here means the pow() estimate undershot by >7 — the twin
+       |  -- must ERROR, not silently fork from smallestRoot's unbounded
+       |  -- upward scan (r15 advice); the window bound is shared prose
+       |  -- with smallestRoot's ±4 positioning + slack
+       |  SELECT coalesce(min(base + t.o), error(
+       |    'hier twin stride window exhausted: pow() undershot cbrt by >7'))
+       |    AS stride
        |  FROM cnt, unnest([0,1,2,3,4,5,6,7]) t(o)
        |  WHERE (base + t.o) * (base + t.o) * (base + t.o) >= n_rows
        |), fine AS MATERIALIZED (
@@ -956,7 +1133,9 @@ object Vector {
        |      AS cbase
        |  FROM fine
        |), stc AS (
-       |  SELECT min(cbase + t.o) AS cstep
+       |  SELECT coalesce(min(cbase + t.o), error(
+       |    'hier twin step window exhausted: pow() undershot sqrt by >7'))
+       |    AS cstep
        |  FROM kf, unnest([0,1,2,3,4,5,6,7]) t(o)
        |  WHERE (cbase + t.o) * (cbase + t.o) >= k_f
        |), coarse0 AS MATERIALIZED (

@@ -14,18 +14,17 @@ import org.apache.spark.sql.SparkSession
   * of every sf0.1 row), so massive cosine ties are the norm — id-set
   * recall would depend on tie-break order and measure nothing. Prints
   * one JSON line: {"sf_dir": …, "recall": {key: r@5, …}}.
+  *
+  * [[measure]] is the shared engine: the main prints it, and
+  * VectorSpec's floor asserts call it directly (r15 verdict task 4 — a
+  * deliberate recall regression must fail `sbt test`, not just shift a
+  * published artifact).
   */
 object RecallProbe {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
+  /** (search-family recall@5, join-family recall@3) at `sfDir`. */
+  def measure(spark: SparkSession, sfDir: String)
+      : (Seq[(String, Double)], Seq[(String, Double)]) = {
     def hits(key: String): Map[Long, Seq[Double]] =
       graft.SparkEntry.queries(key)(spark, sfDir).collect()
         .map(r => (r.getLong(0), r.getDouble(3)))
@@ -66,6 +65,20 @@ object RecallProbe {
       }
       k -> rs.sum / rs.size
     }
+    (recalls, joinRecalls)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val (recalls, joinRecalls) = measure(spark, sfDir)
     def obj(entries: Seq[(String, Double)]): String =
       entries.map { case (k, r) => s""""$k":${f"$r%.3f"}""" }
         .mkString("{", ",", "}")

@@ -443,6 +443,62 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("recall floors: a quantizer/refine regression fails the suite, not just the published artifact") {
+    // r15 verdict task 4: RECALL_r15.json publishes the ladder but
+    // nothing FAILED if a change sank it. Floors = fixture-measured
+    // values (refine 0.995 / refine_hier 0.997 / ivf 0.56 / lsh 0.36 /
+    // quantized 1.0 / projected 0.84 at sf0.001) minus box/tie noise —
+    // generous enough to survive legitimate parameter retunes, tight
+    // enough that a broken quantizer fold, candidate-set regression, or
+    // dropped refine round cannot pass. The refined keys carry the
+    // contract floor the verdict named (≥ 0.9); the low-recall INITS
+    // (adaptive/hier — their recall is the designed IVF trade, bought
+    // back by the refine rungs) pin only against catastrophic collapse.
+    val (search, join) = graft.tools.RecallProbe.measure(spark, sfDir)
+    val floors = Map(
+      "q_similarity_ivf" -> 0.50, "q_similarity_lsh" -> 0.25,
+      "q_similarity_quantized" -> 0.95, "q_similarity_projected" -> 0.70,
+      "q_similarity_knn_join" -> 0.35,
+      "q_similarity_knn_join_adaptive" -> 0.25,
+      "q_similarity_knn_refine" -> 0.90,
+      "q_similarity_knn_join_hier" -> 0.15,
+      "q_similarity_knn_refine_hier" -> 0.90)
+    val measured = (search ++ join).toMap
+    assert(measured.keySet == floors.keySet,
+      s"probe keys drifted: ${measured.keySet} vs ${floors.keySet}")
+    measured.foreach { case (k, r) =>
+      assert(r >= floors(k),
+        f"$k recall $r%.3f fell below its floor ${floors(k)}%.2f")
+    }
+  }
+
+  test("hier fit dispatch: frame arm ≡ array arm bit-for-bit, driver-held fit state is O(n^(1/3))") {
+    // r15 verdict task 1: above HierFitDriverMaxFine the fit must run as
+    // joins with only the coarse matrix on the driver. Force the frame
+    // arm (threshold 0) and pin (a) exact output equality against the
+    // array arm — cosines included, so the distance fold, tie-breaks,
+    // empty-group drop and re-index all replayed bit-for-bit — and
+    // (b) the driver-collect budget: coarse raw + survivors ≤ 2·k_c,
+    // strictly below the array arm's k_f fine-center collect.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val arr = rows(Vector.knnJoinHier(spark, sfDir))
+    val arrDriverRows = Vector.lastHierFitDriverRows // = k_f (fine count)
+    val frame = rows(Vector.knnJoinHier(spark, sfDir, fitDriverMaxFine = 0))
+    val frameDriverRows = Vector.lastHierFitDriverRows
+    assert(frame == arr,
+      s"frame-arm assignment diverged from the array arm: " +
+        s"${(frame diff arr).take(3)} / ${(arr diff frame).take(3)}")
+    assert(arrDriverRows > 0 && frameDriverRows > 0)
+    val kc = Vector.smallestRoot(arrDriverRows, 2) // k_c bound: √k_f
+    assert(frameDriverRows <= 2 * kc,
+      s"frame-arm driver state $frameDriverRows exceeds 2·k_c = ${2 * kc}")
+    assert(frameDriverRows < arrDriverRows,
+      s"frame arm collected $frameDriverRows rows — not below the array " +
+        s"arm's k_f = $arrDriverRows")
+  }
+
   test("mutual-kNN clusters: labels are component minima, sizes add up, edges are truly mutual") {
     val rows = graft.Graft.embeddingClusters(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
