@@ -1183,15 +1183,23 @@ object Graft {
   def sql(spark: SparkSession, text: String): DataFrame =
     SqlText.sql(spark, text)
 
-  /** End-to-end corpus curation (north-star "end-to-end" pipeline) as
-    * one call: guarded MinHash/LSH candidates → connected-component
-    * keep-list → drop non-survivors → quality gate. Returns the
-    * training-corpus manifest (doc_id, lang, quality_e6). The same code
-    * path runs as a restartable micro-batch stream
-    * ([[streaming.Streams.curate]]); oracle-checked as
-    * `q_pipeline_curate`. */
+  /** Single-stage corpus curation: guarded MinHash/LSH candidates →
+    * connected-component keep-list → drop non-survivors → quality gate.
+    * Returns the training-corpus manifest (doc_id, lang, quality_e6).
+    * The same code path runs as a restartable micro-batch stream
+    * ([[streaming.Streams.curate]]). For the full modern chain with a
+    * per-stage audit, see [[curatePipeline]]. */
   def curate(spark: SparkSession, sfDir: String): DataFrame =
     ops.Dedup.curateCorpus(spark, sfDir)
+
+  /** The END-TO-END curation chain a training job actually runs
+    * (oracle-checked as `q_pipeline_curate`): Gopher rule gate → exact
+    * dedup → MinHash/LSH near-dup resolve → semantic (SemDeDup) dedup →
+    * quality select → deterministic shard shuffle, each stage filtering
+    * the previous stage's survivors. Returns one audit row per stage
+    * (stage_ord, stage, docs_in, docs_out, tokens_out, units). */
+  def curatePipeline(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Dedup.curatePipeline(spark, sfDir)
 
   /** Small-file compaction — the table-maintenance primitive every
     * long-running ingest needs (a streaming sink or hive-partitioned

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -657,6 +658,101 @@ object Dedup {
     graft.streaming.Streams.curate(Tables.table(s, d, "documents"), dupDrops)
   }
 
+  /** The MODERN end-to-end curation chain (r15 verdict task 6) — the
+    * manifest a training job actually wants, composed from the library's
+    * own keyed operators, each stage filtering the previous stage's
+    * survivors:
+    *
+    *   0 corpus        → raw `documents`
+    *   1 gopher_gate   → Rae et al.'s five-rule gate
+    *     ([[Text.gopherSignals]], fixture stoplist — the keyed gate's)
+    *   2 exact_dedup   → min doc_id per byte-identical text (md5 group)
+    *   3 minhash_dedup → min SURVIVING doc_id per LSH component
+    *     ([[resolveClusters]] labels; sequential semantics: if a
+    *     cluster's global survivor died upstream, the next-smallest
+    *     living member survives — labels compose, keep-flags don't)
+    *   4 semantic_dedup→ min surviving doc_id per mutual-kNN cluster
+    *     ([[Vector.semanticLabels]]; docs without embeddings pass)
+    *   5 quality_select→ [[qualityE6]] ≥ 480000
+    *   6 shard_shuffle → the seeded deterministic shard assignment
+    *     (`q_shuffle_shards`' md5 permutation — the chain ENDS in the
+    *     training layout, not just a keep-list)
+    *
+    * Output = one AUDIT row per stage: (stage_ord, stage, docs_in,
+    * docs_out, tokens_out, units), where `units` is the stage's own
+    * cardinality — multi-member text groups (2), multi-member LSH
+    * clusters among inputs (3), embedded inputs (4), the surviving
+    * quality watermark (5), distinct shards (6). docs_in is the lag of
+    * docs_out, so every row re-checks the full upstream composition.
+    *
+    * Scale shape: the expensive artifacts (LSH component labels, the
+    * semantic label chain) are registry-persisted and label-sized; the
+    * per-stage doc frames are one documents-scan each plus cluster-
+    * keyed joins whose small sides broadcast. The audit output is
+    * 7 rows. At 100 TB each stage's manifest would be checkpointed to
+    * the lake rather than recomputed per audit agg — the composition
+    * and join shapes are unchanged. */
+  private[graft] def curatePipeline(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.table(s, d, "documents")
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast(LongType).as("n_words"),
+        qualityE6.as("quality_e6"),
+        md5(col("text")).as("dg"))
+    val s1 = docs.filter(Text.gopherKeep(Text.GopherStopsFixture))
+    val m2 = s1.groupBy("dg")
+      .agg(min("doc_id").as("kmin2"), count(lit(1)).as("gn"))
+    val s2 = s1.join(m2, "dg").filter(col("doc_id") === col("kmin2"))
+      .drop("kmin2", "gn")
+    val l3 = s2.join(
+      resolveClusters(s, d).select("doc_id", "keep_id"),
+      Seq("doc_id"), "left")
+    val m3 = l3.filter(col("keep_id").isNotNull).groupBy("keep_id")
+      .agg(min("doc_id").as("kmin3"), count(lit(1)).as("cn"))
+    val s3 = l3.join(m3, Seq("keep_id"), "left")
+      .filter(col("keep_id").isNull || col("doc_id") === col("kmin3"))
+      .drop("keep_id", "kmin3", "cn")
+    val l4 = s3.join(Vector.semanticLabels(s, d), Seq("doc_id"), "left")
+    val m4 = l4.filter(col("cluster").isNotNull).groupBy("cluster")
+      .agg(min("doc_id").as("kmin4"))
+    val s4 = l4.join(m4, Seq("cluster"), "left")
+      .filter(col("cluster").isNull || col("doc_id") === col("kmin4"))
+      .drop("cluster", "kmin4")
+    val s5 = s4.filter(col("quality_e6") >= 480000L)
+    val sh = s5.withColumn("shard",
+      expr(s"(${Text.md5i("'ep42:' || CAST(doc_id AS STRING)")} " +
+        "% 1000000000) % 8"))
+
+    def row(ord: Long, name: String, df: org.apache.spark.sql.DataFrame,
+        units: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.agg(count(lit(1)).as("docs_out"),
+          coalesce(sum("n_words"), lit(0L)).as("tokens_out"))
+        .crossJoin(units)
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+          col("docs_out"), col("tokens_out"), col("units"))
+    val zero = s.range(1).select(lit(0L).as("units"))
+    val aud = Seq(
+      row(0L, "corpus", docs, zero),
+      row(1L, "gopher_gate", s1, zero),
+      row(2L, "exact_dedup", s2,
+        m2.filter(col("gn") >= 2).agg(count(lit(1)).as("units"))),
+      row(3L, "minhash_dedup", s3,
+        m3.filter(col("cn") >= 2).agg(count(lit(1)).as("units"))),
+      row(4L, "semantic_dedup", s4,
+        l4.filter(col("cluster").isNotNull).agg(count(lit(1)).as("units"))),
+      row(5L, "quality_select", s5,
+        s5.agg(coalesce(min("quality_e6"), lit(0L)).as("units"))),
+      row(6L, "shard_shuffle", sh,
+        sh.agg(count_distinct(col("shard")).as("units")))
+    ).reduce(_ unionByName _)
+    val w = Window.orderBy("stage_ord")
+    aud.withColumn("docs_in",
+        coalesce(lag("docs_out", 1).over(w), col("docs_out")))
+      .select("stage_ord", "stage", "docs_in", "docs_out",
+        "tokens_out", "units")
+      .orderBy("stage_ord")
+  }
+
   /** BSP parallelism derived from MEASURED row volume: one task per
     * `rowsPerTask` rows, capped at `maxParts`. At sf0.1 the candidate
     * graph is tens of rows → 1 partition (each round is a single task,
@@ -1109,14 +1205,14 @@ object Dedup {
   /** Recursive-CTE prefix shared by the resolve/curate oracles: the bands
     * CTEs + candidate pairs + undirected reachability walk. */
   private def duckWalkCte: String =
-    s"""${duckBandsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")}, $duckCandCte, und AS (
+    s"""${duckBandsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")}, $duckCandCte, wund AS (
        |  SELECT doc_a AS a, doc_b AS b FROM cand
        |  UNION ALL
        |  SELECT doc_b, doc_a FROM cand
        |), walk(doc, reach) AS (
-       |  SELECT a, a FROM (SELECT DISTINCT a FROM und) s0
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM wund) s0
        |  UNION
-       |  SELECT u.b, w.reach FROM walk w JOIN und u ON u.a = w.doc
+       |  SELECT u.b, w.reach FROM walk w JOIN wund u ON u.a = w.doc
        |)""".stripMargin
 
   /** Unrolled HashMin + pointer-jumping rounds for the DuckDB side of
@@ -1595,19 +1691,32 @@ object Dedup {
               |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)),
 
     // ------------------------------------------------ corpus curation
-    // the END-TO-END training-data gate, composed from the library's own
-    // pieces: drop near-dup non-survivors (HashMin keep-list above), then
-    // gate on the quality score — what remains IS the training corpus
-    // manifest. One corpus scan for the quality side; the drop list is
-    // cluster-sized and anti-joins broadcast.
+    // the END-TO-END training-data manifest, refreshed to the modern
+    // chain (r15 verdict task 6): gopher gate → exact dedup → minhash
+    // dedup → semantic dedup → quality select → deterministic shard
+    // shuffle, one audit row per stage. The twin splices the LSH walk
+    // fragment AND the full semantic label chain next to per-stage
+    // mirror CTEs — every docs_in/docs_out/tokens_out/units cell
+    // re-checks the whole upstream composition in both engines.
     QueryDef("q_pipeline_curate",
-      (s, d) => curateCorpus(s, d).orderBy("doc_id"),
-      Some(s"""$duckWalkCte, drops AS (
-              |  SELECT doc FROM (
-              |    SELECT doc, min(reach) AS keep FROM walk GROUP BY doc
-              |  ) WHERE doc <> keep
-              |), scored AS (
-              |  SELECT doc_id, lang,
+      (s, d) => curatePipeline(s, d),
+      Some(s"""$duckWalkCte, ${graft.ops.Vector.duckSemanticLabCtes
+                .stripPrefix("WITH ")},
+              |pg AS (
+              |  SELECT doc_id, text, md5(text) AS dg,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+              |    len(string_split(text, ' '))::DOUBLE AS nw,
+              |    (length(text)::DOUBLE - (len(string_split(text, ' ')) - 1))
+              |      / len(string_split(text, ' ')) AS mean_len,
+              |    ((length(text) - length(replace(text, '#', '')))
+              |      + (length(text) - length(replace(text, '...', ''))) / 3
+              |     )::DOUBLE / len(string_split(text, ' ')) AS sym_ratio,
+              |    len(list_filter(string_split(text, ' '),
+              |        w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
+              |      / len(string_split(text, ' ')) AS alpha_ratio,
+              |    len(list_intersect(list_distinct(string_split(text, ' ')),
+              |      ['the','a','an','and','or','of','to','in','is','it']))
+              |      AS stop_hits,
               |    CAST(floor((len(list_distinct(string_split(text,' ')))::DOUBLE
               |        / len(string_split(text,' ')) * 0.3
               |      + least(len(string_split(text,' ')) / 100.0, 1.0) * 0.4
@@ -1615,11 +1724,83 @@ object Dedup {
               |          / len(string_split(text,' '))::DOUBLE / 10.0, 1.0) * 0.3)
               |      * 1000000.0) AS BIGINT) AS quality_e6
               |  FROM documents
+              |), ps1 AS (
+              |  SELECT * FROM pg
+              |  WHERE nw >= 50 AND nw <= 100000
+              |    AND mean_len >= 3 AND mean_len <= 10
+              |    AND sym_ratio <= 0.1 AND alpha_ratio >= 0.8
+              |    AND stop_hits >= 2
+              |), pm2 AS (
+              |  SELECT dg, min(doc_id) AS kmin2, count(1) AS gn
+              |  FROM ps1 GROUP BY dg
+              |), ps2 AS (
+              |  SELECT s.* FROM ps1 s JOIN pm2 m ON s.dg = m.dg
+              |  WHERE s.doc_id = m.kmin2
+              |), pcomp AS (
+              |  SELECT doc, min(reach) AS keep FROM walk GROUP BY doc
+              |), pl3 AS (
+              |  SELECT s.*, c.keep FROM ps2 s
+              |  LEFT JOIN pcomp c ON c.doc = s.doc_id
+              |), pm3 AS (
+              |  SELECT keep, min(doc_id) AS kmin3, count(1) AS cn
+              |  FROM pl3 WHERE keep IS NOT NULL GROUP BY keep
+              |), ps3 AS (
+              |  SELECT l.* FROM pl3 l LEFT JOIN pm3 m ON l.keep = m.keep
+              |  WHERE l.keep IS NULL OR l.doc_id = m.kmin3
+              |), pl4 AS (
+              |  SELECT s.*, lb.cluster FROM ps3 s
+              |  LEFT JOIN lab lb ON lb.vec_id = s.doc_id
+              |), pm4 AS (
+              |  SELECT cluster, min(doc_id) AS kmin4
+              |  FROM pl4 WHERE cluster IS NOT NULL GROUP BY cluster
+              |), ps4 AS (
+              |  SELECT l.* FROM pl4 l LEFT JOIN pm4 m ON l.cluster = m.cluster
+              |  WHERE l.cluster IS NULL OR l.doc_id = m.kmin4
+              |), ps5 AS (
+              |  SELECT * FROM ps4 WHERE quality_e6 >= 480000
+              |), psh AS (
+              |  SELECT doc_id, n_words,
+              |    (${graft.ops.Text.md5iDuck(
+                     "'ep42:' || CAST(doc_id AS VARCHAR)")}
+              |      % 1000000000) % 8 AS shard
+              |  FROM ps5
+              |), aud AS (
+              |  SELECT 0 AS o, 'corpus' AS stage,
+              |    (SELECT CAST(count(1) AS BIGINT) FROM pg) AS docs_out,
+              |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM pg)
+              |      AS tokens_out,
+              |    CAST(0 AS BIGINT) AS units
+              |  UNION ALL SELECT 1, 'gopher_gate',
+              |    (SELECT CAST(count(1) AS BIGINT) FROM ps1),
+              |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM ps1),
+              |    CAST(0 AS BIGINT)
+              |  UNION ALL SELECT 2, 'exact_dedup',
+              |    (SELECT CAST(count(1) AS BIGINT) FROM ps2),
+              |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM ps2),
+              |    (SELECT CAST(count(1) AS BIGINT) FROM pm2 WHERE gn >= 2)
+              |  UNION ALL SELECT 3, 'minhash_dedup',
+              |    (SELECT CAST(count(1) AS BIGINT) FROM ps3),
+              |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM ps3),
+              |    (SELECT CAST(count(1) AS BIGINT) FROM pm3 WHERE cn >= 2)
+              |  UNION ALL SELECT 4, 'semantic_dedup',
+              |    (SELECT CAST(count(1) AS BIGINT) FROM ps4),
+              |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM ps4),
+              |    (SELECT CAST(count(1) AS BIGINT) FROM pl4
+              |     WHERE cluster IS NOT NULL)
+              |  UNION ALL SELECT 5, 'quality_select',
+              |    (SELECT CAST(count(1) AS BIGINT) FROM ps5),
+              |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM ps5),
+              |    (SELECT CAST(coalesce(min(quality_e6), 0) AS BIGINT) FROM ps5)
+              |  UNION ALL SELECT 6, 'shard_shuffle',
+              |    (SELECT CAST(count(1) AS BIGINT) FROM psh),
+              |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM psh),
+              |    (SELECT CAST(count(DISTINCT shard) AS BIGINT) FROM psh)
               |)
-              |SELECT doc_id, lang, quality_e6 FROM scored
-              |WHERE doc_id NOT IN (SELECT doc FROM drops)
-              |  AND quality_e6 >= 480000
-              |ORDER BY doc_id""".stripMargin)),
+              |SELECT CAST(o AS BIGINT) AS stage_ord, stage,
+              |  CAST(coalesce(lag(docs_out) OVER (ORDER BY o), docs_out)
+              |    AS BIGINT) AS docs_in,
+              |  docs_out, tokens_out, units
+              |FROM aud ORDER BY stage_ord""".stripMargin)),
 
     // ------------------------------------------------ decontamination
     // benchmark-leak check for a training corpus: flag every train doc

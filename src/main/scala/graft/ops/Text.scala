@@ -36,6 +36,56 @@ object Text {
   def md5iDuck(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
 
+  /** Rae et al. 2021 (arXiv:2112.11446, A1.1)'s published stop words —
+    * the PRODUCTION default for [[gopherKeep]] on real English text. */
+  val GopherStopsPublished: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The quality family's shared fixture stoplist — what the keyed GATE
+    * passes explicitly: the synthetic vocabulary contains exactly one of
+    * the published eight, which would pin rule 5 false on every
+    * document. The rule SHAPE (≥2 distinct function words present) is
+    * what the gate encodes; the list is corpus-specific (r15 advice —
+    * parameterized here so the production default is Gopher's own). */
+  val GopherStopsFixture: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** The five Gopher/MassiveText rule signals over a `text` column:
+    * (n_words, mean word length, symbol ratio, alpha ratio, stop hits,
+    * per-rule predicates). Shared by the keyed gate and the curate
+    * pipeline so the two can never drift. */
+  private[ops] def gopherSignals(stops: Seq[String]):
+      (Column, Column, Column, Column, Column, Seq[Column]) = {
+    val nW = size(toks).cast(DoubleType)
+    // Σ word lengths = chars minus the nW-1 separators: one length()
+    // instead of a per-token lambda fold
+    val meanLen = (length(col("text")).cast(DoubleType) - (nW - 1)) / nW
+    val nHash = length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))
+    val nEll = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+    val symRatio = (nHash + nEll).cast(DoubleType) / nW
+    val nAlpha = size(expr(
+      "filter(split(text, ' '), w -> w RLIKE '[a-zA-Z]')"))
+      .cast(DoubleType)
+    val alphaRatio = nAlpha / nW
+    val stopHits = size(array_intersect(
+      array_distinct(toks),
+      array(stops.map(lit): _*))).cast(LongType)
+    val rules = Seq(
+      (nW >= 50) && (nW <= 100000),
+      (meanLen >= 3) && (meanLen <= 10),
+      symRatio <= 0.1,
+      alphaRatio >= 0.8,
+      stopHits >= 2)
+    (nW, meanLen, symRatio, alphaRatio, stopHits, rules)
+  }
+
+  /** The Gopher rule-gate KEEP predicate (all five rules AND'd),
+    * stoplist-parameterized; production default = the published eight. */
+  def gopherKeep(stops: Seq[String] = GopherStopsPublished): Column =
+    gopherSignals(stops)._6.reduce(_ && _)
+
   /** Repeated-3-gram fraction of `text`, floor-scaled to e6 integer:
     * `1 − distinct/total` 3-grams; documents under 3 tokens have no
     * 3-grams → 0 by convention (mirrored in the DuckDB twin). Requires
@@ -713,29 +763,10 @@ object Text {
     // the rest of the quality family.
     QueryDef("q_text_gopher_rules",
       (s, d) => {
-        val nW = size(toks).cast(DoubleType)
-        // Σ word lengths = chars minus the nW-1 separators: one length()
-        // instead of a per-token lambda fold
-        val meanLen = (length(col("text")).cast(DoubleType) - (nW - 1)) / nW
-        val nHash = length(col("text")) -
-          length(regexp_replace(col("text"), "#", ""))
-        val nEll = (length(col("text")) -
-          length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
-        val symRatio = (nHash + nEll).cast(DoubleType) / nW
-        val nAlpha = size(expr(
-          "filter(split(text, ' '), w -> w RLIKE '[a-zA-Z]')"))
-          .cast(DoubleType)
-        val alphaRatio = nAlpha / nW
-        val stopHits = size(array_intersect(
-          array_distinct(toks),
-          array(Seq("the", "a", "an", "and", "or", "of", "to", "in",
-            "is", "it").map(lit): _*))).cast(LongType)
-        val r1 = (nW >= 50) && (nW <= 100000)
-        val r2 = (meanLen >= 3) && (meanLen <= 10)
-        val r3 = symRatio <= 0.1
-        val r4 = alphaRatio >= 0.8
-        val r5 = stopHits >= 2
-        val mask = Seq(r1, r2, r3, r4, r5).zipWithIndex
+        val (nW, meanLen, symRatio, alphaRatio, stopHits, rules) =
+          gopherSignals(GopherStopsFixture)
+        val Seq(r1, r2, r3, r4, r5) = rules
+        val mask = rules.zipWithIndex
           .map { case (r, i) => when(r, lit(1L << i)).otherwise(lit(0L)) }
           .reduce(_ + _)
         Tables.table(s, d, "documents").select(

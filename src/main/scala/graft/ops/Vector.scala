@@ -1179,7 +1179,9 @@ object Vector {
        |    fc.fpos AS cell
        |  FROM fcand fc JOIN n nn ON nn.vec_id = fc.vec_id
        |  WHERE fc.frk <= $nprobe
-       |), cand AS (
+       |), hcand AS (
+       |  -- 'hcand', not 'cand': the curate pipeline splices these chains
+       |  -- next to the LSH fragment, whose candidate CTE owns 'cand'
        |  SELECT p.qid, p.qv, p.qn, a.vec_id AS cid, a.v AS cv, a.nrm AS cn
        |  FROM probes p JOIN assigned a USING (cell)
        |  WHERE a.vec_id <> p.qid
@@ -1189,7 +1191,7 @@ object Vector {
        |        list_transform(generate_series(1, len(qv)),
        |          i -> qv[i] * cv[i])), (s0, x) -> s0 + x)
        |      / (qn * cn), 6) AS cosine
-       |  FROM cand
+       |  FROM hcand
        |), ranked AS (
        |  SELECT qid, cid, cosine,
        |    CAST(row_number() OVER (PARTITION BY qid
@@ -1225,6 +1227,20 @@ object Vector {
     * re-weighting step consumes. One broadcast-sized join against the
     * cluster labels + one hash agg on top of the graph build — the
     * pipeline's exponent is the graph's. */
+  /** Doc-keyed semantic cluster labels at the semdedup key's parameters
+    * — consumed by [[Dedup]]'s curate pipeline (stage 4). */
+  private[ops] def semanticLabels(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    mutualLabels(s, d, tau = 0.4).withColumnRenamed("vec_id", "doc_id")
+
+  /** The mutual-cluster twin chain through `lab`(vec_id, cluster) at the
+    * same parameters, for splicing into the curate pipeline's oracle —
+    * exported so the pipeline and the semdedup key can never drift. */
+  private[ops] def duckSemanticLabCtes: String =
+    duckMutualClustersCtes(nprobe = 2, rounds = 4, workK = 20, cap = 40,
+      tau = 0.4)
+
   private[graft] def semanticDedup(
       s: org.apache.spark.sql.SparkSession, d: String,
       tau: Double = 0.4): org.apache.spark.sql.DataFrame = {
@@ -1306,7 +1322,9 @@ object Vector {
        |), probes AS (
        |  SELECT vec_id AS qid, v AS qv, nrm AS qn, cell
        |  FROM cellranks WHERE rk <= $nprobe
-       |), cand AS (
+       |), hcand AS (
+       |  -- 'hcand', not 'cand': the curate pipeline splices these chains
+       |  -- next to the LSH fragment, whose candidate CTE owns 'cand'
        |  SELECT p.qid, p.qv, p.qn, a.vec_id AS cid, a.v AS cv, a.nrm AS cn
        |  FROM probes p JOIN assigned a USING (cell)
        |  WHERE a.vec_id <> p.qid
@@ -1316,7 +1334,7 @@ object Vector {
        |        list_transform(generate_series(1, len(qv)),
        |          i -> qv[i] * cv[i])), (s0, x) -> s0 + x)
        |      / (qn * cn), 6) AS cosine
-       |  FROM cand
+       |  FROM hcand
        |), ranked AS (
        |  SELECT qid, cid, cosine,
        |    CAST(row_number() OVER (PARTITION BY qid
@@ -1350,7 +1368,9 @@ object Vector {
        |), probes AS (
        |  SELECT vec_id AS qid, v AS qv, nrm AS qn, cell
        |  FROM cellranks WHERE rk <= $nprobe
-       |), cand AS (
+       |), hcand AS (
+       |  -- 'hcand', not 'cand': the curate pipeline splices these chains
+       |  -- next to the LSH fragment, whose candidate CTE owns 'cand'
        |  SELECT p.qid, p.qv, p.qn, a.vec_id AS cid, a.v AS cv, a.nrm AS cn
        |  FROM probes p JOIN assigned a USING (cell)
        |  WHERE a.vec_id <> p.qid
@@ -1360,7 +1380,7 @@ object Vector {
        |        list_transform(generate_series(1, len(qv)),
        |          i -> qv[i] * cv[i])), (s0, x) -> s0 + x)
        |      / (qn * cn), 6) AS cosine
-       |  FROM cand
+       |  FROM hcand
        |), ranked AS (
        |  SELECT qid, cid, cosine,
        |    CAST(row_number() OVER (PARTITION BY qid
@@ -1396,7 +1416,9 @@ object Vector {
        |), probes AS (
        |  SELECT vec_id AS qid, v AS qv, nrm AS qn, cell
        |  FROM cellranks WHERE vec_id < 5 AND rk <= $nprobe
-       |), cand AS (
+       |), hcand AS (
+       |  -- 'hcand', not 'cand': the curate pipeline splices these chains
+       |  -- next to the LSH fragment, whose candidate CTE owns 'cand'
        |  SELECT p.qid, p.qv, p.qn, a.vec_id AS cid, a.v AS cv, a.nrm AS cn
        |  FROM probes p JOIN assigned a USING (cell)
        |  WHERE a.vec_id <> p.qid
@@ -1406,7 +1428,7 @@ object Vector {
        |        list_transform(generate_series(1, len(qv)),
        |          i -> qv[i] * cv[i])), (s0, x) -> s0 + x)
        |      / (qn * cn), 6) AS cosine
-       |  FROM cand
+       |  FROM hcand
        |), ranked AS (
        |  SELECT qid, cid, cosine,
        |    CAST(row_number() OVER (PARTITION BY qid

@@ -300,11 +300,33 @@ class GraftSpec extends SparkSpec {
     }
   }
 
-  test("curate facade returns the oracle-checked q_pipeline_curate manifest") {
+  test("curate facades: single-stage manifest shape; pipeline audit matches the key and telescopes") {
     val api = Graft.curate(spark, sfDir).orderBy("doc_id")
-    val key = SparkEntry.queries("q_pipeline_curate")(spark, sfDir)
-    assertSameRows(api, key)
     assert(api.columns.toSeq == Seq("doc_id", "lang", "quality_e6"))
+    assert(api.count() > 0)
+    val pipe = Graft.curatePipeline(spark, sfDir)
+    val key = SparkEntry.queries("q_pipeline_curate")(spark, sfDir)
+    assertSameRows(pipe, key)
+    // the audit chain must TELESCOPE: docs_in(k) = docs_out(k-1), every
+    // stage is a filter (docs_out ≤ docs_in), gates actually bite at
+    // fixture scale, and the shard stage is a relayout, not a filter
+    val rows = pipe.collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getString(1)).toSeq == Seq("corpus", "gopher_gate",
+      "exact_dedup", "minhash_dedup", "semantic_dedup", "quality_select",
+      "shard_shuffle"))
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur.getLong(2) == prev.getLong(3),
+        s"stage ${cur.getString(1)} docs_in != previous docs_out")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2),
+        s"stage ${r.getString(1)} grew the corpus")
+    }
+    assert(rows.last.getLong(3) == rows.last.getLong(2))
+    assert(rows.last.getLong(5) <= 8, "more than 8 shards")
+    assert(rows(1).getLong(3) < rows(0).getLong(3),
+      "gopher gate dropped nothing at fixture scale")
+    assert(rows.last.getLong(3) > 0, "empty manifest")
   }
 
   test("eventFunnel matches a driver brute force for random event sets") {
