@@ -294,6 +294,68 @@ object Text {
           "AS BIGINT)"))
       .otherwise(col("w_s")))
 
+  /** Vocabulary row count under which DSIR's token-keyed frequency
+    * frames broadcast; above it they meet the (doc,token) frame in a
+    * token-keyed shuffle join. ~4M tokens × ~24 B/row ≈ 100 MB is the
+    * classic executor-broadcast ceiling; a 100 TB web corpus's raw
+    * vocabulary (hundreds of millions of distinct tokens with typos and
+    * code) is far past it. */
+  private[graft] val DsirBroadcastMaxVocab: Long = 1L << 22
+
+  /** DSIR importance resampling with the vocabulary-join dispatch
+    * MEASURED (r15 verdict task 7) — the same measured-volume pattern
+    * as [[Graph.hintNodeGrain]] / [[Temporal.asofAutoWidth]]: the
+    * frequency frames localCheckpoint once (they feed both the scalar
+    * totals and the per-doc join, so the checkpoint also stops a
+    * double aggregation), ONE |vocab| count makes the call, and both
+    * arms are pinned identical by TextSpec. Semantics unchanged from
+    * the keyed contract (see the QueryDef note). */
+  private[graft] def dsirSelect(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      broadcastMaxVocab: Long = DsirBroadcastMaxVocab): DataFrame = {
+    val docs = Tables.table(s, d, "documents")
+    val term = docs.select(col("doc_id"), col("lang"),
+      explode(toks).as("token"))
+    val tf = term.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val rawFreq = tf.groupBy("token").agg(sum("tf").as("rcnt"))
+      .localCheckpoint(true)
+    val tgtFreq = term.filter(col("lang") === "en")
+      .groupBy("token").agg(count(lit(1)).as("tcnt"))
+      .localCheckpoint(true)
+    // the measured dispatch: |vocab| is a metadata-cheap count over the
+    // checkpointed blocks; one decision governs both vocab-grain sides
+    // (target vocabulary ⊆ raw vocabulary)
+    val nVocab = rawFreq.count()
+    def vocabGrain(df: DataFrame): DataFrame =
+      if (nVocab <= broadcastMaxVocab) broadcast(df) else df
+    val scal = rawFreq.agg(sum("rcnt").as("rtot"),
+        count(lit(1)).as("v"))
+      .crossJoin(tgtFreq.agg(
+        coalesce(sum("tcnt"), lit(0L)).as("ttot")))
+    val perDoc = tf.join(vocabGrain(rawFreq), "token")
+      .join(vocabGrain(tgtFreq), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(
+        sum(expr("CAST(tf AS DECIMAL(10,0)) * " +
+          "CAST(round(ln(coalesce(tcnt, 0) + 1), 9) AS DECIMAL(20,9))"))
+          .as("slpt"),
+        sum(expr("CAST(tf AS DECIMAL(10,0)) * " +
+          "CAST(round(ln(rcnt), 9) AS DECIMAL(20,9))")).as("slpr"),
+        sum("tf").as("n_tok"))
+    val scored = perDoc.join(broadcast(scal))
+      .select(col("doc_id"),
+        round((col("slpt") - col("slpr")).cast(DoubleType) / col("n_tok")
+          - log((col("ttot") + col("v")).cast(DoubleType))
+          + log(col("rtot").cast(DoubleType)), 6).as("dsir_logw"))
+    val mx = scored.agg(max("dsir_logw").as("maxw"))
+    scored.join(broadcast(mx))
+      .filter(expr("round(ln(((" + md5i("CAST(doc_id AS STRING)") +
+        " % 1000000) + 1) / 1000000.0), 9)") <
+        lit(100.0) * (col("dsir_logw") - col("maxw")))
+      .select("doc_id", "dsir_logw")
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------ token counting
@@ -948,45 +1010,11 @@ object Text {
     // so β=1 would accept nearly everything; β·(logw − max) is one
     // IEEE multiply of identical doubles, engine-exact. Target = the 'en' slice of
     // the same corpus (any reference corpus slots in). Scale shape:
-    // two (doc,token) hash aggs, one token-keyed vocabulary join
-    // (broadcast here, token-shuffle at 100 TB vocabularies), one
-    // per-doc agg, two 1-row broadcasts — the corpus never sorts.
+    // two (doc,token) hash aggs, one token-keyed vocabulary join whose
+    // broadcast-vs-shuffle arm is MEASURED per run ([[dsirSelect]]),
+    // one per-doc agg, two 1-row broadcasts — the corpus never sorts.
     QueryDef("q_select_dsir",
-      (s, d) => {
-        val docs = Tables.table(s, d, "documents")
-        val term = docs.select(col("doc_id"), col("lang"),
-          explode(toks).as("token"))
-        val tf = term.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val rawFreq = tf.groupBy("token").agg(sum("tf").as("rcnt"))
-        val tgtFreq = term.filter(col("lang") === "en")
-          .groupBy("token").agg(count(lit(1)).as("tcnt"))
-        val scal = rawFreq.agg(sum("rcnt").as("rtot"),
-            count(lit(1)).as("v"))
-          .crossJoin(tgtFreq.agg(
-            coalesce(sum("tcnt"), lit(0L)).as("ttot")))
-        val perDoc = tf.join(broadcast(rawFreq), "token")
-          .join(broadcast(tgtFreq), Seq("token"), "left")
-          .groupBy("doc_id")
-          .agg(
-            sum(expr("CAST(tf AS DECIMAL(10,0)) * " +
-              "CAST(round(ln(coalesce(tcnt, 0) + 1), 9) AS DECIMAL(20,9))"))
-              .as("slpt"),
-            sum(expr("CAST(tf AS DECIMAL(10,0)) * " +
-              "CAST(round(ln(rcnt), 9) AS DECIMAL(20,9))")).as("slpr"),
-            sum("tf").as("n_tok"))
-        val scored = perDoc.join(broadcast(scal))
-          .select(col("doc_id"),
-            round((col("slpt") - col("slpr")).cast(DoubleType) / col("n_tok")
-              - log((col("ttot") + col("v")).cast(DoubleType))
-              + log(col("rtot").cast(DoubleType)), 6).as("dsir_logw"))
-        val mx = scored.agg(max("dsir_logw").as("maxw"))
-        scored.join(broadcast(mx))
-          .filter(expr("round(ln(((" + md5i("CAST(doc_id AS STRING)") +
-            " % 1000000) + 1) / 1000000.0), 9)") <
-            lit(100.0) * (col("dsir_logw") - col("maxw")))
-          .select("doc_id", "dsir_logw")
-          .orderBy("doc_id")
-      },
+      (s, d) => dsirSelect(s, d),
       Some(s"""WITH term AS (
               |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
               |  FROM documents

@@ -350,4 +350,23 @@ class TextSpec extends SparkSpec {
     assert(rows.exists(_._8 == 1L) && rows.exists(_._8 == 0L),
       "fixture corpus should produce both keep verdicts")
   }
+
+  test("DSIR vocab dispatch: broadcast and shuffle arms are row-identical; the code makes the call") {
+    // r15 verdict task 7: the 'broadcast here, token-shuffle at 100 TB
+    // vocabularies' note is now a measured dispatch — pin that forcing
+    // the shuffle arm (threshold 0) changes nothing but the join
+    // strategy, so the |vocab| count is free to steer purely on size.
+    val bc = Text.dsirSelect(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val sh = Text.dsirSelect(spark, sfDir, broadcastMaxVocab = 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(bc.nonEmpty, "DSIR accepted nothing at fixture scale")
+    assert(bc == sh, "broadcast and shuffle vocabulary arms diverged")
+    // the fixture vocabulary is far below the ceiling: the default call
+    // must take the broadcast arm (decision = size threshold, nothing
+    // else), and the keyed query must BE the default call
+    val key = graft.SparkEntry.queries("q_select_dsir")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(key == bc, "q_select_dsir drifted from dsirSelect's default arm")
+  }
 }
