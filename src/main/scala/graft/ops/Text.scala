@@ -305,11 +305,13 @@ object Text {
   /** DSIR importance resampling with the vocabulary-join dispatch
     * MEASURED (r15 verdict task 7) — the same measured-volume pattern
     * as [[Graph.hintNodeGrain]] / [[Temporal.asofAutoWidth]]: the
-    * frequency frames localCheckpoint once (they feed both the scalar
-    * totals and the per-doc join, so the checkpoint also stops a
-    * double aggregation), ONE |vocab| count makes the call, and both
-    * arms are pinned identical by TextSpec. Semantics unchanged from
-    * the keyed contract (see the QueryDef note). */
+    * frequency frames registry-persist once (they feed both the scalar
+    * totals and the per-doc join, so the persist also stops a double
+    * aggregation — persist, not checkpoint, so PlanSpec can still see
+    * the pruned/pushed vocab scans in the lineage), ONE |vocab| count
+    * makes the call, and both arms are pinned identical by TextSpec.
+    * Semantics unchanged from the keyed contract (see the QueryDef
+    * note). */
   private[graft] def dsirSelect(
       s: org.apache.spark.sql.SparkSession, d: String,
       broadcastMaxVocab: Long = DsirBroadcastMaxVocab): DataFrame = {
@@ -317,14 +319,14 @@ object Text {
     val term = docs.select(col("doc_id"), col("lang"),
       explode(toks).as("token"))
     val tf = term.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val rawFreq = tf.groupBy("token").agg(sum("tf").as("rcnt"))
-      .localCheckpoint(true)
-    val tgtFreq = term.filter(col("lang") === "en")
-      .groupBy("token").agg(count(lit(1)).as("tcnt"))
-      .localCheckpoint(true)
-    // the measured dispatch: |vocab| is a metadata-cheap count over the
-    // checkpointed blocks; one decision governs both vocab-grain sides
-    // (target vocabulary ⊆ raw vocabulary)
+    val rawFreq = graft.CacheRegistry.getOrPersist("dsir_rawfreq", d,
+      tf.groupBy("token").agg(sum("tf").as("rcnt")))
+    val tgtFreq = graft.CacheRegistry.getOrPersist("dsir_tgtfreq", d,
+      term.filter(col("lang") === "en")
+        .groupBy("token").agg(count(lit(1)).as("tcnt")))
+    // the measured dispatch: |vocab| is one count over the persisted
+    // frame; one decision governs both vocab-grain sides (target
+    // vocabulary ⊆ raw vocabulary)
     val nVocab = rawFreq.count()
     def vocabGrain(df: DataFrame): DataFrame =
       if (nVocab <= broadcastMaxVocab) broadcast(df) else df
