@@ -38,6 +38,49 @@ object Workload {
   private def revenue = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
     .cast(D386)
 
+  /** Qualified-keylist row count under which Q18's orders⋈qualified
+    * join broadcasts; above it the forced shuffle-merge takes over.
+    * ~4M × ~30 B/row ≈ 125 MB — the executor-broadcast ceiling class
+    * shared with [[Text.DsirBroadcastMaxVocab]]. */
+  private[graft] val Q18BroadcastMaxQual: Long = 1L << 22
+
+  /** TPC-H Q18 with the fact-join arm MEASURED (round 16) — the same
+    * measured-volume dispatch as [[Graph.hintNodeGrain]] /
+    * [[graft.ops.Text.dsirSelect]]: the qualified keylist
+    * localCheckpoints once (the count and the join read the same
+    * blocks — no second lineitem aggregation), and its measured row
+    * count picks broadcast (small keylist: the r16 100× audit measured
+    * the forced-SMJ arm at 2× the broadcast arm's cost) vs shuffle-
+    * merge (lenient threshold ⇒ order-count-sized keylist, where a
+    * broadcast OOMs and SMJ is the only safe plan). PlanSpec pins BOTH
+    * arms' plans; WorkloadSpec pins them row-identical. */
+  private[graft] def tpchQ18(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      broadcastMaxQual: Long = Q18BroadcastMaxQual): org.apache.spark.sql.DataFrame = {
+    val qual = t(s, d, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast(D386)).as("qsum"))
+      .filter(col("qsum") > lit(250).cast(D386))
+      .localCheckpoint(true)
+    val nQual = qual.count()
+    val ord = t(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = t(s, d, "customer").select("c_custkey", "c_name")
+    val joined =
+      if (nQual <= broadcastMaxQual)
+        ord.join(broadcast(qual), col("o_orderkey") === col("l_orderkey"))
+      else
+        ord.hint("merge")
+          .join(qual, col("o_orderkey") === col("l_orderkey"))
+    joined
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("qsum").cast(DoubleType).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---------------------------------------------------------- TPC-H Q3
@@ -277,31 +320,17 @@ object Workload {
     // orderkey) produces the qualified keylist WITH its total attached,
     // so lineitem is scanned once, not twice (the classic Q18 rewrite
     // of the `IN (GROUP BY ... HAVING)` subquery). The orders⋈qualified
-    // join is FORCED to shuffle-merge: the qualified side's size is a
-    // threshold dial (a lenient threshold at 100 TB qualifies millions
-    // of orders), so the conservative orderkey-shuffle plan — never a
-    // broadcast of either fact side — is the one the key pins.
+    // join DISPATCHES ON THE MEASURED qualified-keylist size (round 16;
+    // see tpchQ18): the threshold is a selectivity dial, so neither a
+    // static broadcast (OOM when a lenient threshold qualifies millions
+    // of orders) nor a static shuffle-merge (a measured 2× price when
+    // the keylist is small — BASELINE.md round-16 audit) is right; the
+    // keylist materializes once anyway, and its count makes the call.
     // `customer` stays with the size-based planner (broadcasts at bench
     // scale, correctly shuffle-joins at 3B customers), same policy as
     // q_tpch_q3.
     QueryDef("q_tpch_q18",
-      (s, d) => {
-        val qual = t(s, d, "lineitem")
-          .groupBy("l_orderkey")
-          .agg(sum(col("l_quantity").cast(D386)).as("qsum"))
-          .filter(col("qsum") > lit(250).cast(D386))
-        val ord = t(s, d, "orders")
-          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-        val cust = t(s, d, "customer").select("c_custkey", "c_name")
-        ord.hint("merge")
-          .join(qual, col("o_orderkey") === col("l_orderkey"))
-          .join(cust, col("o_custkey") === col("c_custkey"))
-          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
-            col("o_orderdate"), col("o_totalprice"),
-            col("qsum").cast(DoubleType).as("total_qty"))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-          .limit(100)
-      },
+      (s, d) => tpchQ18(s, d),
       Some("""WITH qual AS (
              |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(38,6))) AS qsum
              |  FROM lineitem

@@ -152,21 +152,35 @@ class PlanSpec extends SparkSpec {
       s"Q6 is its scan — any join/window is a wrong plan:\n$p")
   }
 
-  test("q_tpch_q18 shuffle-merges the fact join — neither fact side broadcasts") {
+  test("q_tpch_q18 dispatches the fact join on the MEASURED keylist size") {
+    // round 16: the static merge hint became a measured dispatch. At
+    // bench scale the qualified keylist is small ⇒ the default arm
+    // must broadcast IT (never orders); forcing the threshold to 0
+    // must yield the shuffle-merge plan a lenient 100 TB threshold
+    // needs. Arm row-equality is pinned by the same collect below.
     val p = plan("q_tpch_q18")
-    // the qualified-orders keylist size is a threshold dial: a lenient
-    // threshold at 100 TB qualifies millions of orders, so the
-    // orderkey join must be the forced shuffle-merge, never a broadcast
-    // of orders or the aggregate
-    assert(p.contains("SortMergeJoin"),
-      s"orders⋈qualified must shuffle-merge on orderkey:\n$p")
-    assert(p.contains("partial_sum"),
-      s"the per-order quantity aggregate must combine map-side:\n$p")
-    val bcasts = p.linesIterator.filter(_.contains("BroadcastHashJoin")).toSeq
-    assert(bcasts.forall(_.contains("c_custkey")),
-      s"only the customer dim may broadcast at bench scale:\n${bcasts.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin") &&
+        p.linesIterator.exists(l => l.contains("BroadcastHashJoin") &&
+          l.contains("o_orderkey")),
+      s"small keylist must broadcast into orders:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no sort-merge when the measured keylist is small:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-100 must not globally sort:\n$p")
+    val forced = graft.ops.Workload.tpchQ18(spark, sfDir,
+      broadcastMaxQual = 0L)
+    val pf = forced.queryExecution.executedPlan.toString
+    assert(pf.contains("SortMergeJoin"),
+      s"above-threshold keylist must shuffle-merge on orderkey:\n$pf")
+    val bcasts = pf.linesIterator.filter(_.contains("BroadcastHashJoin")).toSeq
+    assert(bcasts.forall(_.contains("c_custkey")),
+      s"forced arm: only the customer dim may broadcast:\n${bcasts.mkString("\n")}")
+    // both arms produce the same rows
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(forced) == rows(
+      graft.SparkEntry.queries("q_tpch_q18")(spark, sfDir)),
+      "q18 dispatch arms diverged")
   }
 
   test("q_dedup_embedding_quantized ships packed codes, never vectors, through the candidate stage") {
