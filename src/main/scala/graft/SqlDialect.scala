@@ -30,11 +30,16 @@ package graft
   *   - `TO_VARCHAR(x, 'fmt')` with a LITERAL format: date formats built
   *     from the unambiguous numeric tokens (YYYY YY MM DD HH24 HH12 HH
   *     MI SS FF[1-9] AM PM + `-/:. ,` separators) translate token-wise
-  *     to a `date_format` pattern; numeric formats over `9 0 , . $`
-  *     translate char-wise (9 → #) to a `format_number` DecimalFormat
-  *     pattern. Exotic tokens (MON/DY — Snowflake upcases them, Spark
-  *     doesn't; `"…"` literal sections; TZ*) still loud-fail, as does a
-  *     non-literal format. One DOCUMENTED divergence on the mapped
+  *     to a `date_format` pattern; the NAME tokens MON/DY (round 16)
+  *     translate with Snowflake's case-of-the-keyword output contract
+  *     (`MON`→JAN, `Mon`→Jan, `mon`→jan; likewise DY) — a capitalized
+  *     token folds into the plain pattern (Spark's MMM/EEE emit
+  *     capitalized), upper/lower tokens emit as their own
+  *     `upper(date_format(..))`/`lower(..)` segment inside a `concat`;
+  *     numeric formats over `9 0 , . $` translate char-wise (9 → #) to
+  *     a `format_number` DecimalFormat pattern. Remaining exotics
+  *     (`"…"` literal sections; TZ*; full MMMM/DAY names) still
+  *     loud-fail, as does a non-literal format. One DOCUMENTED divergence on the mapped
   *     numeric forms: Snowflake space-fills a 9-position that
   *     DecimalFormat's # simply omits (underwidth values lose leading
   *     spaces); formats made of 0s (zero-pad) are exact.
@@ -43,15 +48,16 @@ package graft
   *     past the threshold where Snowflake clamps to max — the CASE is
   *     an exact twin (d = max passes through both). `max` must be a
   *     non-negative expression, as in Snowflake.
-  *   - `STRTOK(s[, delim[, part]])` with a LITERAL single-character
-  *     delimiter (for which Snowflake's character-SET semantics
-  *     coincide with single-delimiter splitting) →
-  *     `try_element_at(filter(split(s, rx), t -> t != ''), part)` —
-  *     exact including Snowflake's empty-token collapse (consecutive
-  *     delimiters yield no token) and NULL past the last token, which
-  *     `split_part`'s empty-string-on-miss contract would NOT match.
-  *     Multi-character or non-literal delimiters still loud-fail
-  *     (character-set semantics have no Spark builtin).
+  *   - `STRTOK(s[, delim[, part]])` with a LITERAL delimiter →
+  *     `try_element_at(filter(split(s, rx), t -> t != ''), part)`,
+  *     where rx is the escaped character for a 1-char delimiter and an
+  *     escaped `[class]` for Snowflake's multi-character character-SET
+  *     (any-of) form (round 16) — exact including Snowflake's
+  *     empty-token collapse (consecutive delimiters yield no token)
+  *     and NULL past the last token, which `split_part`'s
+  *     empty-string-on-miss contract would NOT match. Non-literal and
+  *     EMPTY delimiters still loud-fail (the empty delimiter is
+  *     whole-string-as-token, its own semantics).
   *
   * `INSERT(s, pos, len, r)` remains deliberately unrecognized:
   * rewriting the `INSERT` token risks the DML keyword inside MERGE
@@ -258,13 +264,19 @@ object SqlDialect {
               s"(a computed format cannot be translated at rewrite time): '$call'"))
           numericFormat(fmt)
             .map(p => s"format_number((${args.head}), '$p')")
-            .orElse(dateFormat(fmt)
-              .map(p => s"date_format((${args.head}), '$p')"))
+            .orElse(dateFormatPieces(fmt).map { pieces =>
+              val segs = pieces.map {
+                case (p, None) => s"date_format((${args.head}), '$p')"
+                case (p, Some(w)) => s"$w(date_format((${args.head}), '$p'))"
+              }
+              if (segs.size == 1) segs.head
+              else segs.mkString("concat(", ", ", ")")
+            })
             .getOrElse(sys.error(
               s"TO_VARCHAR format '$fmt' uses tokens outside the mapped set " +
                 "(dates: YYYY YY MM DD HH24 HH12 HH MI SS FF[1-9] AM PM " +
-                "with -/:. , separators; numbers: 9 0 , . $ with 9s " +
-                "before 0s ahead of the point and 0s before 9s after " +
+                "MON DY with -/:. , separators; numbers: 9 0 , . $ with " +
+                "9s before 0s ahead of the point and 0s before 9s after " +
                 s"it) — write date_format/format_number directly: '$call'"))
         }
       case "editdistance" =>
@@ -301,10 +313,14 @@ object SqlDialect {
           else stringLiteral(args(1)).getOrElse(sys.error(
             "STRTOK's delimiter must be a string literal (its character-" +
               s"SET semantics cannot be checked at rewrite time otherwise): '$call'"))
-        require(delim.length == 1, "STRTOK with a multi-character " +
-          "delimiter is not supported: the delimiter is a character SET " +
-          "(any-of), which no Spark builtin matches — single-character " +
-          s"delimiters coincide with single-delimiter splitting: '$call'")
+        // Snowflake's delimiter is a character SET (any-of). One char
+        // coincides with plain splitting; two or more become a regex
+        // character class with every member escaped (round 16 — closes
+        // the last STRTOK loud-fail). The empty delimiter (whole string
+        // as the single token) stays a loud-fail: it is its own
+        // semantics, not a split.
+        require(delim.nonEmpty, "STRTOK with an EMPTY delimiter is not " +
+          s"supported (whole-string token semantics): '$call'")
         val part = if (args.size == 3) args(2) else "1"
         // a non-positive part is an ERROR in Snowflake, while Spark's
         // try_element_at(-1) would silently serve the LAST token —
@@ -314,12 +330,16 @@ object SqlDialect {
           s"STRTOK part must be >= 1 (Snowflake errors on $p): '$call'"))
         val guarded = s"(CASE WHEN ($part) >= 1 THEN ($part) ELSE " +
           s"CAST(raise_error('STRTOK part must be >= 1') AS INT) END)"
-        // split on the (regex-escaped) delimiter, drop empty tokens
-        // (Snowflake collapses consecutive delimiters), NULL past the
-        // last token (try_element_at) — split_part would return '' for
-        // both cases, diverging from Snowflake.
+        // split on the (regex-escaped) delimiter — a [class] for sets —
+        // drop empty tokens (Snowflake collapses consecutive
+        // delimiters), NULL past the last token (try_element_at) —
+        // split_part would return '' for both cases, diverging from
+        // Snowflake.
+        val pattern =
+          if (delim.length == 1) regexEscape(delim.head)
+          else s"[${delim.map(regexEscape).mkString}]"
         s"try_element_at(filter(split((${args.head}), " +
-          s"'${regexEscape(delim.head)}', -1), __tk -> __tk != ''), $guarded)"
+          s"'$pattern', -1), __tk -> __tk != ''), $guarded)"
     }
   }
 
@@ -371,9 +391,10 @@ object SqlDialect {
   }
 
   /** Longest-match-first Snowflake date tokens → Spark datetime pattern
-    * letters. MON/DY are ABSENT on purpose: Snowflake upcases their
-    * output (JAN/MON), Spark's MMM/EEE does not — mapping them would be
-    * silently approximate. */
+    * letters. MON/DY live in [[dateFormatPieces]], not here: their
+    * output case follows the KEYWORD's case in Snowflake, so they
+    * translate as case-wrapped segments rather than bare pattern
+    * letters. */
   private val DateTokens: Seq[(String, String)] = Seq(
     "YYYY" -> "yyyy", "YY" -> "yy", "MM" -> "MM", "DD" -> "dd",
     "HH24" -> "HH", "HH12" -> "hh", "HH" -> "HH", "MI" -> "mm",
@@ -382,24 +403,57 @@ object SqlDialect {
     "FF3" -> "SSS", "FF2" -> "SS", "FF1" -> "S", "FF" -> "S" * 9,
     "AM" -> "a", "PM" -> "a")
 
-  /** Snowflake date/time format (case-insensitive tokens, `-/:. ,`
-    * separators) → Spark `date_format` pattern; None when any span is
-    * not a mapped token (MON, DY, TZ-family, quoted sections → caller
+  /** Snowflake date/time format (numeric tokens case-insensitive,
+    * `-/:. ,` separators) → Spark `date_format` pattern, as long as no
+    * case-wrapped NAME token is present; None otherwise. Kept as the
+    * single-plain-piece view of [[dateFormatPieces]]. */
+  private[graft] def dateFormat(fmt: String): Option[String] =
+    dateFormatPieces(fmt).collect { case Seq((p, None)) => p }
+
+  /** Snowflake date/time format → ordered segments of Spark pattern
+    * text: `(pattern, None)` = plain `date_format` segment;
+    * `(pattern, Some("upper"|"lower"))` = a MON/DY segment whose output
+    * case Snowflake derives from the KEYWORD's case (`MON`→JAN,
+    * `Mon`→Jan — capitalized folds into the plain segment because
+    * Spark's MMM/EEE already emit capitalized — `mon`→jan).
+    * Consecutive plain spans merge, so a format with no case-wrapped
+    * token always yields exactly one plain piece (the pre-round-16
+    * emission, byte-identical). None when any span is not a mapped
+    * token (TZ-family, full MMMM/DAY names, quoted sections → caller
     * fails loudly). */
-  private[graft] def dateFormat(fmt: String): Option[String] = {
+  private[graft] def dateFormatPieces(
+      fmt: String): Option[Seq[(String, Option[String])]] = {
     val up = fmt.toUpperCase(java.util.Locale.ROOT)
-    val out = new StringBuilder
+    val pieces = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Option[String])]
+    def addPlain(s: String): Unit =
+      if (pieces.nonEmpty && pieces.last._2.isEmpty)
+        pieces(pieces.size - 1) = (pieces.last._1 + s, None)
+      else pieces += ((s, None))
     var i = 0
     var sawToken = false
     while (i < up.length) {
       val c = up.charAt(i)
-      if ("-/:. ,".contains(c)) { out.append(c); i += 1 }
+      if ("-/:. ,".contains(c)) { addPlain(c.toString); i += 1 }
+      else if (up.startsWith("MON", i) || up.startsWith("DY", i)) {
+        val (len, spark) =
+          if (up.startsWith("MON", i)) (3, "MMM") else (2, "EEE")
+        val raw = fmt.substring(i, i + len)
+        // Snowflake's case contract: all-upper keyword → upper output,
+        // leading-upper → capitalized (= Spark's native output),
+        // otherwise lower
+        if (raw.forall(_.isUpper)) pieces += ((spark, Some("upper")))
+        else if (raw.charAt(0).isUpper) addPlain(spark)
+        else pieces += ((spark, Some("lower")))
+        sawToken = true
+        i += len
+      }
       else DateTokens.find { case (tok, _) => up.startsWith(tok, i) } match {
         case Some((tok, spark)) =>
-          out.append(spark); i += tok.length; sawToken = true
+          addPlain(spark); i += tok.length; sawToken = true
         case None => return None
       }
     }
-    if (sawToken) Some(out.toString) else None
+    if (sawToken) Some(pieces.toSeq) else None
   }
 }

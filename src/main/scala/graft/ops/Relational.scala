@@ -2338,7 +2338,10 @@ object Relational {
             |  TO_VARCHAR(CAST(o_orderkey AS DOUBLE) * 1000 + 0.25,
             |    '9,999,990.00') AS k_grouped,
             |  TO_VARCHAR(CAST(o_orderkey AS DOUBLE) * 100, '$9,999,990.00')
-            |    AS k_dollars
+            |    AS k_dollars,
+            |  TO_VARCHAR(o_orderdate, 'MON DD, YYYY') AS d_mon_upper,
+            |  TO_VARCHAR(o_orderdate, 'Dy Mon DD') AS d_name_cap,
+            |  TO_VARCHAR(o_orderdate, 'dy') AS d_dy_lower
             |FROM orders WHERE o_orderkey < 1000
             |ORDER BY o_orderkey""".stripMargin)
       },
@@ -2349,7 +2352,11 @@ object Relational {
              |  lpad(CAST(o_orderkey AS VARCHAR), 7, '0') AS k_pad,
              |  format('{:,}', o_orderkey * 1000) || '.25' AS k_grouped,
              |  '$' || format('{:,}', o_orderkey * 100) || '.00'
-             |    AS k_dollars
+             |    AS k_dollars,
+             |  upper(strftime(o_orderdate, '%b'))
+             |    || strftime(o_orderdate, ' %d, %Y') AS d_mon_upper,
+             |  strftime(o_orderdate, '%a %b %d') AS d_name_cap,
+             |  lower(strftime(o_orderdate, '%a')) AS d_dy_lower
              |FROM orders WHERE o_orderkey < 1000
              |ORDER BY o_orderkey""".stripMargin)),
 
@@ -2395,7 +2402,9 @@ object Relational {
             |  STRTOK(o_orderpriority, '-', 2) AS prio_word,
             |  STRTOK(o_orderpriority, '-', 3) AS prio_third,
             |  STRTOK(o_orderpriority) AS prio_first_ws,
-            |  STRTOK('a  b   c', ' ', 3) AS collapse_probe
+            |  STRTOK('a  b   c', ' ', 3) AS collapse_probe,
+            |  STRTOK(o_orderpriority, '-E', 2) AS set_probe,
+            |  STRTOK('a.b,c-d', '.,-', 3) AS set_literal
             |FROM orders WHERE o_orderkey < 1000
             |ORDER BY o_orderkey""".stripMargin)
       },
@@ -2409,7 +2418,13 @@ object Relational {
              |  list_extract(list_filter(string_split(o_orderpriority, ' '),
              |    t -> t <> ''), 1) AS prio_first_ws,
              |  list_extract(list_filter(string_split('a  b   c', ' '),
-             |    t -> t <> ''), 3) AS collapse_probe
+             |    t -> t <> ''), 3) AS collapse_probe,
+             |  list_extract(list_filter(
+             |    string_split_regex(o_orderpriority, '[\-E]'),
+             |    t -> t <> ''), 2) AS set_probe,
+             |  list_extract(list_filter(
+             |    string_split_regex('a.b,c-d', '[\.,\-]'),
+             |    t -> t <> ''), 3) AS set_literal
              |FROM orders WHERE o_orderkey < 1000
              |ORDER BY o_orderkey""".stripMargin)),
 

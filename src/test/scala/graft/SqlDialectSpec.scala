@@ -69,16 +69,17 @@ class SqlDialectSpec extends SparkSpec {
 
   test("divergent forms fail loudly with the offending call") {
     // residual exotics only — the frequent 2-arg TO_VARCHAR / 3-arg
-    // EDITDISTANCE / single-char STRTOK forms map exactly since round 15
+    // EDITDISTANCE / STRTOK forms (incl. MON/DY and character sets,
+    // round 16) map exactly
     val e1 = intercept[RuntimeException](
-      SqlDialect.rewrite("TO_VARCHAR(d, 'MON DD, YYYY')")) // MON upcases
+      SqlDialect.rewrite("TO_VARCHAR(d, 'MONTH DD, YYYY')")) // full name
     assert(e1.getMessage.contains("tokens outside the mapped set"))
     val e2 = intercept[RuntimeException](
       SqlDialect.rewrite("TO_VARCHAR(d, fmt_col)")) // computed format
     assert(e2.getMessage.contains("string literal"))
     val e3 = intercept[IllegalArgumentException](
-      SqlDialect.rewrite("STRTOK(s, '.,', 2)")) // character-SET delim
-    assert(e3.getMessage.contains("character SET"))
+      SqlDialect.rewrite("STRTOK(s, '', 2)")) // whole-string-as-token form
+    assert(e3.getMessage.contains("EMPTY delimiter"))
     val e4 = intercept[IllegalArgumentException](
       SqlDialect.rewrite("IFF(a, b)"))
     assert(e4.getMessage.contains("3 argument"))
@@ -100,6 +101,25 @@ class SqlDialectSpec extends SparkSpec {
       "format_number((x), '0000')")
     assert(SqlDialect.rewrite("TO_VARCHAR(x, '$9,990.00')") ==
       "format_number((x), '$#,##0.00')")
+    // MON/DY (round 16): output case follows the keyword's case —
+    // capitalized folds into the plain pattern (no concat), upper/lower
+    // emit their own wrapped segment
+    assert(SqlDialect.rewrite("TO_VARCHAR(d, 'Mon DD, YYYY')") ==
+      "date_format((d), 'MMM dd, yyyy')")
+    assert(SqlDialect.rewrite("TO_VARCHAR(d, 'MON DD')") ==
+      "concat(upper(date_format((d), 'MMM')), date_format((d), ' dd'))")
+    assert(SqlDialect.rewrite("TO_VARCHAR(d, 'dy')") ==
+      "lower(date_format((d), 'EEE'))")
+    // behavioral: the wrapped segments really produce Snowflake's case
+    val mon = spark.sql("SELECT " +
+      SqlDialect.rewrite("TO_VARCHAR(DATE'1996-01-02', 'MON DD, YYYY')") +
+      " AS u, " +
+      SqlDialect.rewrite("TO_VARCHAR(DATE'1996-01-02', 'Mon')") + " AS c, " +
+      SqlDialect.rewrite("TO_VARCHAR(DATE'1996-01-02', 'dy')") + " AS l")
+      .collect().head
+    assert(mon.getString(0) == "JAN 02, 1996")
+    assert(mon.getString(1) == "Jan")
+    assert(mon.getString(2) == "tue")
     // '$' only leads; two decimal points are not a numeric format
     intercept[RuntimeException](SqlDialect.rewrite("TO_VARCHAR(x, '9$9')"))
     intercept[RuntimeException](SqlDialect.rewrite("TO_VARCHAR(x, '9.9.9')"))
@@ -133,6 +153,22 @@ class SqlDialectSpec extends SparkSpec {
     assert(got.isNullAt(1), "past-the-end must be NULL, not ''")
     assert(got.getString(2) == "y", "regex-special delimiter must escape")
     assert(got.getString(3) == "one")
+    // character-SET form (round 16): any-of splitting, empty-token
+    // collapse across MIXED consecutive delimiters, regex metas in the
+    // class escaped, NULL past the end — Snowflake's documented
+    // STRTOK('a.b,c', '.,', k) behavior
+    val set = spark.sql("SELECT " +
+      SqlDialect.rewrite("STRTOK('a.b,c', '.,', 2)") + " AS s2, " +
+      SqlDialect.rewrite("STRTOK('x-.y', '.-', 2)") + " AS mixed, " +
+      SqlDialect.rewrite("STRTOK('p1]q2[r3', '[]', 3)") + " AS bracket, " +
+      SqlDialect.rewrite("STRTOK('a.b,c', '.,', 4)") + " AS miss")
+      .collect().head
+    assert(set.getString(0) == "b")
+    assert(set.getString(1) == "y",
+      "mixed consecutive set delimiters must collapse to no token")
+    assert(set.getString(2) == "r3",
+      "regex metas inside the class must escape")
+    assert(set.isNullAt(3), "set form past-the-end must be NULL")
     // Snowflake ERRORS on part <= 0; try_element_at(-1) would silently
     // serve the LAST token — literal parts reject at rewrite time,
     // computed parts raise at execution
