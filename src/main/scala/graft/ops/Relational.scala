@@ -115,8 +115,6 @@ object Relational {
   private[graft] def histQuantiles(df: DataFrame, valueCol: String,
       groupCols: Seq[String], ps: Seq[(Double, String)],
       totalAs: Option[String] = None, buckets: Int = 1024): DataFrame = {
-    require(buckets >= 1, s"buckets must be >= 1: $buckets")
-    val gc = groupCols.map(col)
     // the value-grain histogram is read THREE times (rank totals, the
     // bucket pass, the level-2 scan) — materialize + cut it once so the
     // corpus pass runs once, not three times (disk-backed partitions,
@@ -126,17 +124,50 @@ object Relational {
       .groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
       .localCheckpoint(true)
+    histQuantilesFromHist(hist, valueCol, groupCols, ps, totalAs, buckets)
+  }
+
+  /** Transport a GROUP-COUNT-BOUNDED frame to the driver and back as a
+    * LocalRelation: values are collected once (bit-identical — nothing is
+    * recomputed) and every downstream broadcast of the frame builds from
+    * an in-memory scan instead of re-running the producing pipeline as
+    * its own serialized query-stage chain. Only for frames the caller
+    * already treats as broadcast-safe (histQuantiles outputs: one row
+    * per group / per (group, probe)); the collect is the same volume
+    * the broadcast would pin on the driver anyway. */
+  private def localized(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
+  /** [[histQuantiles]] starting from an ALREADY-COUNTED value-grain
+    * histogram `(groupCols…, valueCol, __cnt)` — the entry point for
+    * callers that can DERIVE one histogram from another instead of
+    * rescanning the fact (r16 optimization round: `ordersMadByStatus`
+    * maps the value histogram through `|x − med|` and re-aggregates, so
+    * the MAD's second quantile pass never touches the orders table).
+    * `hist` must already be materialized (it is read three times). */
+  private[graft] def histQuantilesFromHist(hist: DataFrame, valueCol: String,
+      groupCols: Seq[String], ps: Seq[(Double, String)],
+      totalAs: Option[String] = None, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val gc = groupCols.map(col)
     val ranks0 = hist.groupBy(gc: _*).agg(sum(col("__cnt")).as("__tot"),
       min(col(valueCol)).as("__glo"), max(col(valueCol)).as("__ghi"))
-    val ranks = ps.zipWithIndex.foldLeft(ranks0) { case (r, ((p, _), i)) =>
-      val h = (col("__tot") - 1).cast(DoubleType) * lit(p)
-      r.withColumn(s"__rlo$i", floor(h).cast(LongType) + 1)
-        // clamp: at d = 0 on the last rank, hi would fall past the end;
-        // with rhi = rlo the interpolation degenerates to lo exactly
-        .withColumn(s"__rhi$i",
-          least(floor(h).cast(LongType) + 2, col("__tot")))
-        .withColumn(s"__frac$i", h - floor(h))
-    }
+    // group-count-sized, but consumed by TWO broadcast joins — without
+    // the localize each broadcast BUILD re-runs this full-histogram
+    // aggregation as its own serialized query-stage chain (r16
+    // optimization round: measured ~0.5 s per rebuild per consumer at
+    // sf0.1, the dominant cost of every histQuantiles call)
+    val ranks = localized(
+      ps.zipWithIndex.foldLeft(ranks0) { case (r, ((p, _), i)) =>
+        val h = (col("__tot") - 1).cast(DoubleType) * lit(p)
+        r.withColumn(s"__rlo$i", floor(h).cast(LongType) + 1)
+          // clamp: at d = 0 on the last rank, hi would fall past the
+          // end; with rhi = rlo the interpolation degenerates to lo
+          .withColumn(s"__rhi$i",
+            least(floor(h).cast(LongType) + 2, col("__tot")))
+          .withColumn(s"__frac$i", h - floor(h))
+      })
     // group-key joins are NULL-SAFE (<=> per column): groupBy treats a
     // NULL key as a real group, so the rank attach must too — a plain
     // equi-join would silently drop every NULL-keyed group
@@ -171,8 +202,11 @@ object Relational {
     val neededCond = ps.indices.map { i =>
       inBucket(col(s"__rlo$i")) || inBucket(col(s"__rhi$i"))
     }.reduce(_ || _)
-    val needed = boff.filter(neededCond)
-      .select((gc :+ col("__b") :+ col("__base")): _*)
+    // ≤ 2·|ps| rows per group, but its broadcast build would otherwise
+    // re-run the bucket aggregation + running-sum window pipeline —
+    // localize so the level-2 scan's broadcast builds from memory
+    val needed = localized(boff.filter(neededCond)
+      .select((gc :+ col("__b") :+ col("__base")): _*))
     // level-2 scan: only the rank-bearing buckets, partitioned per
     // (group, bucket) — ≤ 2·|ps| buckets per group ever sort; the
     // group-key part of the join is null-safe like bJoin
@@ -218,15 +252,30 @@ object Relational {
     * (session, sf dir), not one per key. */
   private def ordersMadByStatus(s: SparkSession, d: String): DataFrame =
     graft.CacheRegistry.getOrPersist("orders_mad_by_status", d, {
-      val med = histQuantiles(
-          t(s, d, "orders").select("o_orderstatus", "o_totalprice"),
+      // ONE orders scan for both quantile passes (r16 optimization
+      // round; was two): the deviation histogram is the value histogram
+      // mapped through |x − med| — identical multiset of per-row dev
+      // values, because every row of a (status, price) histogram cell
+      // maps to the same dev — so the MAD pass re-aggregates the
+      // |distinct|-bounded histogram instead of rescanning the fact.
+      val hist0 = t(s, d, "orders")
+        .filter(col("o_totalprice").isNotNull)
+        .groupBy(col("o_orderstatus"), col("o_totalprice"))
+        .agg(count(lit(1)).as("__cnt"))
+        .localCheckpoint(true)
+      // 3 rows, read by THREE consumers (dev mapping + two final joins)
+      // — localize so each broadcast reads the result, not the pipeline
+      val med = localized(histQuantilesFromHist(hist0,
           "o_totalprice", Seq("o_orderstatus"), Seq(0.5 -> "med"))
-        .withColumnRenamed("o_orderstatus", "ms")
-      val dev = t(s, d, "orders").join(broadcast(med),
+        .withColumnRenamed("o_orderstatus", "ms"))
+      val devHist = hist0.join(broadcast(med),
           col("o_orderstatus") === col("ms"))
-        .select(col("o_orderstatus"),
+        .groupBy(col("o_orderstatus"),
           round(abs(col("o_totalprice") - col("med")), 6).as("dev"))
-      histQuantiles(dev, "dev", Seq("o_orderstatus"), Seq(0.5 -> "mad"))
+        .agg(sum(col("__cnt")).as("__cnt"))
+        .localCheckpoint(true)
+      histQuantilesFromHist(devHist, "dev", Seq("o_orderstatus"),
+          Seq(0.5 -> "mad"))
         .join(med, col("o_orderstatus") === col("ms"))
         .select(col("o_orderstatus"), col("med"), col("mad"))
     })

@@ -859,6 +859,16 @@ object Vector {
       () => knnJoinHier(s, d, nprobe = 2, k = workK),
       rounds, k, workK, cap)
 
+  /** Corpus size at or below which the NN-Descent RESCORE joins ship the
+    * vector table as a broadcast instead of shuffling the n·cap²
+    * candidate stream through vector-keyed exchanges. 2¹⁸ rows × 64
+    * doubles ≈ 140 MB framed — the [[graft.ops.Graph.BroadcastMaxNodes]]
+    * volume class. Above it the joins fall back to shuffles, with the
+    * pair stream crossing the wire carrying a vector payload exactly
+    * ONCE (the measured-dispatch pattern of `asofAutoWidth` /
+    * `hintNodeGrain` / the DSIR vocabulary join). */
+  private[graft] val RefineBroadcastMaxVecs: Long = 1L << 18
+
   private def knnRefineFrom(
       s: org.apache.spark.sql.SparkSession, d: String, initTag: String,
       init: () => org.apache.spark.sql.DataFrame,
@@ -873,6 +883,22 @@ object Vector {
       col("nrm").as("qn"))
     val c = side.select(col("vec_id").as("cid"), col("v").as("cv"),
       col("nrm").as("cn"))
+    // measured dispatch for the rescore: the count is one metadata agg
+    // over the persisted side table, paid once per (session, corpus).
+    // Below the threshold the rescore is a REGISTERED codegen expression
+    // over the collected corpus ([[graft.functions.PairCosine]]) — the
+    // vector table is loop-invariant, so shipping it once per executor
+    // beats rebuilding a broadcast hash relation (2 jobs) every round;
+    // the driver/executor volume is the SAME bytes the broadcast arm
+    // would pin. Above the threshold the rescore stays shuffle joins.
+    val smallCorpus = side.count() <= RefineBroadcastMaxVecs
+    if (smallCorpus) {
+      val rows = side.select("vec_id", "v", "nrm").collect()
+      graft.functions.PairCosine.register(s,
+        rows.map(_.getLong(0)),
+        rows.map(_.getSeq[Double](1).toArray),
+        rows.map(_.getDouble(2)))
+    }
     // getOrCheckpoint, not getOrPersist: each round reads the previous
     // graph TWICE (fwd ∪ reversed), so a lazy persist leaves a logical
     // plan that doubles per round — 4 rounds of windows+joins over a
@@ -883,13 +909,31 @@ object Vector {
     var g = graft.CacheRegistry.getOrCheckpoint(
       s"knn_refine_${initTag}_${workK}_${cap}_r0", d,
       init().select("qid", "cid", "cosine"))
+    // ONE window spec serves dedupe, cap and the per-round top-workK:
+    // every qid-keyed step below reuses the same hash(qid) exchange.
+    val wCap = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("cid"))
     for (r <- 1 to rounds) {
       val e = g.union(g.select(col("cid").as("qid"), col("qid").as("cid"),
-          col("cosine"))).distinct()
-      val wCap = Window.partitionBy("qid")
-        .orderBy(col("cosine").desc, col("cid"))
-      val adj = e.withColumn("rk", row_number().over(wCap))
-        .filter(col("rk") <= cap).select("qid", "cid")
+        col("cosine")))
+      // dedupe + cap in ONE exchange instead of distinct + window (the
+      // r16 optimization round; was 2 shuffles): a duplicated (qid, cid)
+      // pair always carries the SAME cosine (the fold is symmetric and
+      // deterministic), so duplicates are ADJACENT under
+      // (cosine DESC, cid) and a lag() test drops every copy after the
+      // first; the row_number cap rides the same sort with no new
+      // exchange (filter preserves partitioning and order).
+      // adj is read THREE times (self-join x side, y side, candidate
+      // union); without the persist each consumer re-runs the union +
+      // window pipeline as its own AQE stage chain — measured ~0.7 s of
+      // single-task stage per re-read per round at sf0.1.
+      s.sparkContext.setJobDescription(s"knn_refine[$initTag] r$r adj")
+      val adj = graft.CacheRegistry.getOrCheckpoint(
+        s"knn_refine_adj_${initTag}_${workK}_${cap}_r$r", d,
+        e.withColumn("__dup", lag("cid", 1).over(wCap) === col("cid"))
+          .filter(!coalesce(col("__dup"), lit(false)))
+          .withColumn("rk", row_number().over(wCap))
+          .filter(col("rk") <= cap).select("qid", "cid"))
       val non = adj.as("x").join(adj.as("y"), col("x.cid") === col("y.qid"))
         .select(col("x.qid").as("qid"), col("y.cid").as("cid"))
         .filter(col("qid") =!= col("cid"))
@@ -900,13 +944,42 @@ object Vector {
       // top-k edge and degrade that query in a round (r15 advice). With
       // g in the candidate set the per-qid top-k cosine sum is
       // non-decreasing by construction, unconditionally.
-      val cand = non.union(adj).union(g.select("qid", "cid")).distinct()
+      //
+      // The candidate stream — the round's BIG frame, n·cap² pairs —
+      // is repartitioned by qid exactly once; hash(qid) clusters
+      // (qid, cid) too, so the dedupe aggregation, the qid-side rescore
+      // join and the top-workK window all reuse this one exchange
+      // instead of adding their own (guide §2.4: shared exchanges).
+      // Small corpora broadcast both vector sides (zero pair-stream
+      // shuffles after this one); big corpora shuffle-join, with the
+      // vectors dropped BEFORE the ranking window so the only exchange
+      // that ever carries a vector payload is the cid-side attach
+      // (§2.3: project before the exchange).
+      val cand = non.union(adj).union(g.select("qid", "cid"))
+        .repartition(col("qid"))
+        .dropDuplicates("qid", "cid")
+      // pair_cosine(qid, cid) ≡ round-free dot_product(qv, cv)/(qn·cn)
+      // on the joined frame (same sequential fold, same precomputed
+      // norms); Spark's own round(…, 6) stays on top in both arms, so
+      // the emitted cosine is bit-identical whichever arm runs.
+      val scored =
+        if (smallCorpus)
+          cand.withColumn("cosine",
+            round(expr("pair_cosine(qid, cid)"), 6))
+        else
+          cand.join(q, "qid").join(c, "cid")
+            .withColumn("cosine",
+              round(expr("dot_product(qv, cv)") / (col("qn") * col("cn")), 6))
+            .select("qid", "cid", "cosine")
+            .repartition(col("qid"))
+      s.sparkContext.setJobDescription(s"knn_refine[$initTag] r$r rescore")
       g = graft.CacheRegistry.getOrCheckpoint(
         s"knn_refine_${initTag}_${workK}_${cap}_r$r", d,
-        topK(cand.join(q, "qid").join(c, "cid")
-          .select("qid", "qv", "qn", "cid", "cv", "cn"), workK)
+        scored.withColumn("rk", row_number().over(wCap))
+          .filter(col("rk") <= workK)
           .select("qid", "cid", "cosine"))
     }
+    s.sparkContext.setJobDescription(null)
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
     g.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
