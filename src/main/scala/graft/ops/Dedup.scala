@@ -355,11 +355,16 @@ object Dedup {
       tok: org.apache.spark.sql.DataFrame,
       t: Double): org.apache.spark.sql.DataFrame = {
     require(t > 0.0 && t <= 1.0, s"Jaccard threshold out of (0,1]: $t")
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cand = prefixCandidates(tok, t)
+    // the token frame feeds FIVE consumers (df, sizes, the prefix
+    // window, and both verification joins); without the cut each one
+    // re-runs the caller's scan+split+explode pipeline (r16
+    // optimization round: the documents explode executed ~7× per call)
+    val tokC = tok.localCheckpoint(true)
+    val sizes = tokC.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cand = prefixCandidates(tokC, t)
     val inter = cand
-      .join(tok.select(col("doc_id").as("doc_a"), col("token")), "doc_a")
-      .join(tok.select(col("doc_id").as("doc_b"),
+      .join(tokC.select(col("doc_id").as("doc_a"), col("token")), "doc_a")
+      .join(tokC.select(col("doc_id").as("doc_b"),
         col("token").as("token_b")), "doc_b")
       .filter(col("token") === col("token_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
@@ -404,15 +409,20 @@ object Dedup {
   private[graft] def prefixJaccardResolve(
       tok: org.apache.spark.sql.DataFrame,
       t: Double): org.apache.spark.sql.DataFrame = {
+    // materialized once: the signature agg AND the representative-token
+    // slice both read it (the join then cuts its own copy for its five
+    // consumers)
+    val tokC = tok.localCheckpoint(true)
     // signature = md5 over the sorted distinct token set; the space joiner
     // cannot occur inside space-split tokens, so the encoding is
-    // collision-free
-    val sig = tok.groupBy("doc_id")
+    // collision-free. Read twice (groups, final fan-out) — materialized.
+    val sig = tokC.groupBy("doc_id")
       .agg(md5(concat_ws(" ",
         array_sort(collect_set(col("token"))))).as("sig"))
+      .localCheckpoint(true)
     val groups = sig.groupBy("sig")
       .agg(min("doc_id").as("rep_id"), count(lit(1)).as("grp_n"))
-    val repTok = tok.join(
+    val repTok = tokC.join(
       groups.select(col("rep_id").as("doc_id")), Seq("doc_id"))
     val edges = prefixJaccardJoin(repTok, t).select("doc_a", "doc_b")
     val labels = connectedComponents(edges)._1
@@ -694,57 +704,92 @@ object Dedup {
     * and join shapes are unchanged. */
   private[graft] def curatePipeline(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val docs = Tables.table(s, d, "documents")
+    // ONE documents pass with per-stage SURVIVAL FLAGS (r16 optimization
+    // round; the audit previously aggregated each stage FRAME
+    // independently, re-executing the shared upstream chain — md5,
+    // gopher signals, quality score, dedup joins — up to seven times:
+    // 149 jobs / 27.8 s of task time at sf0.1 for a 7-row answer).
+    // Stage-k survival is a boolean column over the single chain:
+    //   st1 gopher gate; st2 = st1 ∧ min-doc-of-text-group (a window
+    //   over dg — one shuffle where groupBy+join-back was two);
+    //   st3/st4 = keep the min SURVIVING doc per LSH / semantic cluster
+    //   (cluster-sized aggregates over the flagged frame, joined back —
+    //   the same shapes the stage frames used, now over one chain);
+    //   st5 quality. Every audit cell is then ONE global aggregation of
+    //   flag-conditioned counts/sums — identical arithmetic to the
+    //   per-stage aggs, because count(when(stK, 1)) over the chain IS
+    //   count(*) over stage k's frame. Text is projected away as soon
+    //   as the flags that need it are computed (§2.3: the dedup joins
+    //   and the final agg never carry document bytes).
+    val docs0 = Tables.table(s, d, "documents")
       .select(col("doc_id"), col("text"),
         size(split(col("text"), " ")).cast(LongType).as("n_words"),
         qualityE6.as("quality_e6"),
         md5(col("text")).as("dg"))
-    val s1 = docs.filter(Text.gopherKeep(Text.GopherStopsFixture))
-    val m2 = s1.groupBy("dg")
-      .agg(min("doc_id").as("kmin2"), count(lit(1)).as("gn"))
-    val s2 = s1.join(m2, "dg").filter(col("doc_id") === col("kmin2"))
-      .drop("kmin2", "gn")
-    val l3 = s2.join(
+      .withColumn("st1", Text.gopherKeep(Text.GopherStopsFixture))
+      .select("doc_id", "dg", "n_words", "quality_e6", "st1")
+    val wDg = Window.partitionBy("dg")
+    val f2 = docs0
+      .withColumn("kmin2", min(when(col("st1"), col("doc_id"))).over(wDg))
+      .withColumn("gn", count(when(col("st1"), lit(1))).over(wDg))
+      .withColumn("st2", col("st1") && col("doc_id") === col("kmin2"))
+    val l3 = f2.join(
       resolveClusters(s, d).select("doc_id", "keep_id"),
       Seq("doc_id"), "left")
-    val m3 = l3.filter(col("keep_id").isNotNull).groupBy("keep_id")
+    val m3 = l3.filter(col("st2") && col("keep_id").isNotNull)
+      .groupBy("keep_id")
       .agg(min("doc_id").as("kmin3"), count(lit(1)).as("cn"))
-    val s3 = l3.join(m3, Seq("keep_id"), "left")
-      .filter(col("keep_id").isNull || col("doc_id") === col("kmin3"))
-      .drop("keep_id", "kmin3", "cn")
-    val l4 = s3.join(Vector.semanticLabels(s, d), Seq("doc_id"), "left")
-    val m4 = l4.filter(col("cluster").isNotNull).groupBy("cluster")
-      .agg(min("doc_id").as("kmin4"))
-    val s4 = l4.join(m4, Seq("cluster"), "left")
-      .filter(col("cluster").isNull || col("doc_id") === col("kmin4"))
-      .drop("cluster", "kmin4")
-    val s5 = s4.filter(col("quality_e6") >= 480000L)
-    val sh = s5.withColumn("shard",
-      expr(s"(${Text.md5i("'ep42:' || CAST(doc_id AS STRING)")} " +
-        "% 1000000000) % 8"))
-
-    def row(ord: Long, name: String, df: org.apache.spark.sql.DataFrame,
-        units: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      df.agg(count(lit(1)).as("docs_out"),
-          coalesce(sum("n_words"), lit(0L)).as("tokens_out"))
-        .crossJoin(units)
-        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
-          col("docs_out"), col("tokens_out"), col("units"))
-    val zero = s.range(1).select(lit(0L).as("units"))
-    val aud = Seq(
-      row(0L, "corpus", docs, zero),
-      row(1L, "gopher_gate", s1, zero),
-      row(2L, "exact_dedup", s2,
-        m2.filter(col("gn") >= 2).agg(count(lit(1)).as("units"))),
-      row(3L, "minhash_dedup", s3,
-        m3.filter(col("cn") >= 2).agg(count(lit(1)).as("units"))),
-      row(4L, "semantic_dedup", s4,
-        l4.filter(col("cluster").isNotNull).agg(count(lit(1)).as("units"))),
-      row(5L, "quality_select", s5,
-        s5.agg(coalesce(min("quality_e6"), lit(0L)).as("units"))),
-      row(6L, "shard_shuffle", sh,
-        sh.agg(count_distinct(col("shard")).as("units")))
-    ).reduce(_ unionByName _)
+    val f3 = l3.join(m3, Seq("keep_id"), "left")
+      .withColumn("st3", col("st2") &&
+        (col("keep_id").isNull || col("doc_id") === col("kmin3")))
+    val l4 = f3.join(Vector.semanticLabels(s, d), Seq("doc_id"), "left")
+    val m4 = l4.filter(col("st3") && col("cluster").isNotNull)
+      .groupBy("cluster").agg(min("doc_id").as("kmin4"))
+    val full = l4.join(m4, Seq("cluster"), "left")
+      .withColumn("st4", col("st3") &&
+        (col("cluster").isNull || col("doc_id") === col("kmin4")))
+      .withColumn("st5", col("st4") && col("quality_e6") >= 480000L)
+      .withColumn("shard", when(col("st5"),
+        expr(s"(${Text.md5i("'ep42:' || CAST(doc_id AS STRING)")} " +
+          "% 1000000000) % 8")))
+    def cnt(flag: org.apache.spark.sql.Column) = count(when(flag, lit(1)))
+    def toks(flag: org.apache.spark.sql.Column) =
+      coalesce(sum(when(flag, col("n_words"))), lit(0L))
+    val a = full.agg(
+      count(lit(1)).as("c0"), coalesce(sum("n_words"), lit(0L)).as("t0"),
+      cnt(col("st1")).as("c1"), toks(col("st1")).as("t1"),
+      cnt(col("st2")).as("c2"), toks(col("st2")).as("t2"),
+      cnt(col("st3")).as("c3"), toks(col("st3")).as("t3"),
+      cnt(col("st4")).as("c4"), toks(col("st4")).as("t4"),
+      cnt(col("st5")).as("c5"), toks(col("st5")).as("t5"),
+      // units, same definitions as the per-stage frames': multi-member
+      // text groups among gopher survivors; multi-member LSH clusters
+      // among exact-dedup survivors (cn non-null ⇒ keep_id non-null);
+      // embedded minhash survivors; the surviving quality watermark;
+      // distinct shards
+      countDistinct(when(col("st1") && col("gn") >= 2, col("dg")))
+        .as("u2"),
+      countDistinct(when(col("st2") && col("cn") >= 2, col("keep_id")))
+        .as("u3"),
+      cnt(col("st3") && col("cluster").isNotNull).as("u4"),
+      coalesce(min(when(col("st5"), col("quality_e6"))), lit(0L)).as("u5"),
+      countDistinct(when(col("st5"), col("shard"))).as("u6"))
+    val aud = a.selectExpr(
+      """inline(array(
+        |  named_struct('stage_ord', 0L, 'stage', 'corpus',
+        |    'docs_out', c0, 'tokens_out', t0, 'units', 0L),
+        |  named_struct('stage_ord', 1L, 'stage', 'gopher_gate',
+        |    'docs_out', c1, 'tokens_out', t1, 'units', 0L),
+        |  named_struct('stage_ord', 2L, 'stage', 'exact_dedup',
+        |    'docs_out', c2, 'tokens_out', t2, 'units', u2),
+        |  named_struct('stage_ord', 3L, 'stage', 'minhash_dedup',
+        |    'docs_out', c3, 'tokens_out', t3, 'units', u3),
+        |  named_struct('stage_ord', 4L, 'stage', 'semantic_dedup',
+        |    'docs_out', c4, 'tokens_out', t4, 'units', u4),
+        |  named_struct('stage_ord', 5L, 'stage', 'quality_select',
+        |    'docs_out', c5, 'tokens_out', t5, 'units', u5),
+        |  named_struct('stage_ord', 6L, 'stage', 'shard_shuffle',
+        |    'docs_out', c5, 'tokens_out', t5, 'units', u6)))""".stripMargin)
     val w = Window.orderBy("stage_ord")
     aud.withColumn("docs_in",
         coalesce(lag("docs_out", 1).over(w), col("docs_out")))
