@@ -103,8 +103,13 @@ object PairCosineTable {
   }
 }
 
+/** The table rides a SparkContext BROADCAST, not a plan reference object:
+  * `addReferenceObj` serializes the object into EVERY stage's task binary
+  * (measured at the 100× replica: 107 MiB task binary re-broadcast per
+  * stage, seconds of pure serialization per round); a broadcast ships the
+  * bytes once per executor and the task closure carries only the handle. */
 case class PairCosine(left: Expression, right: Expression,
-    @transient table: PairCosineTable)
+    bc: org.apache.spark.broadcast.Broadcast[PairCosineTable])
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
@@ -112,14 +117,18 @@ case class PairCosine(left: Expression, right: Expression,
   override def prettyName: String = "pair_cosine"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    PairCosineTable.cosine(table, a.asInstanceOf[Long], b.asInstanceOf[Long])
+    PairCosineTable.cosine(bc.value, a.asInstanceOf[Long], b.asInstanceOf[Long])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (q, c) => {
-      val tRef = ctx.addReferenceObj("pairCosTable", table,
-        classOf[PairCosineTable].getName)
-      s"${ev.value} = graft.functions.PairCosineTable.cosine($tRef, $q, $c);"
-    })
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[PairCosineTable].getName
+    val bcRef = ctx.addReferenceObj("pairCosBc", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    // resolve the broadcast once per operator instance, not per row
+    val tbl = ctx.addMutableState(cls, "pairCosTbl",
+      v => s"$v = ($cls) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, (q, c) =>
+      s"${ev.value} = graft.functions.PairCosineTable.cosine($tbl, $q, $c);")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PairCosine =
@@ -130,17 +139,18 @@ object PairCosine {
 
   /** Register `pair_cosine` bound to THIS corpus snapshot. Expressions are
     * captured into plans at analysis time, so queries built before a
-    * re-registration keep the table they were built with. */
+    * re-registration keep the broadcast they were built with. */
   def register(spark: SparkSession, ids: Array[Long],
       vecs: Array[Array[Double]], nrms: Array[Double]): Unit = {
-    val table = PairCosineTable.build(ids, vecs, nrms)
+    val bc = spark.sparkContext.broadcast(
+      PairCosineTable.build(ids, vecs, nrms))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("pair_cosine"),
       new ExpressionInfo(classOf[PairCosine].getName, "pair_cosine"),
       { exprs =>
         require(exprs.length == 2,
           s"pair_cosine expects 2 arguments, got ${exprs.length}")
-        PairCosine(Cast(exprs(0), LongType), Cast(exprs(1), LongType), table)
+        PairCosine(Cast(exprs(0), LongType), Cast(exprs(1), LongType), bc)
       })
   }
 }

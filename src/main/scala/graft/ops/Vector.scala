@@ -840,10 +840,11 @@ object Vector {
   private[graft] def knnRefine(
       s: org.apache.spark.sql.SparkSession, d: String,
       rounds: Int = 4, k: Int = 3, workK: Int = 20,
-      cap: Int = 40): org.apache.spark.sql.DataFrame =
+      cap: Int = 40,
+      bcastMaxVecs: Long = RefineBroadcastMaxVecs): org.apache.spark.sql.DataFrame =
     knnRefineFrom(s, d, "adaptive",
       () => knnJoin(s, d, adaptiveCenters(s, d), nprobe = 2, k = workK),
-      rounds, k, workK, cap)
+      rounds, k, workK, cap, bcastMaxVecs)
 
   /** [[knnRefine]] seeded by the HIERARCHICAL join instead of the flat
     * adaptive one (oracle key `q_similarity_knn_refine_hier`): the
@@ -873,7 +874,8 @@ object Vector {
       s: org.apache.spark.sql.SparkSession, d: String, initTag: String,
       init: () => org.apache.spark.sql.DataFrame,
       rounds: Int, k: Int, workK: Int,
-      cap: Int): org.apache.spark.sql.DataFrame = {
+      cap: Int,
+      bcastMaxVecs: Long = RefineBroadcastMaxVecs): org.apache.spark.sql.DataFrame = {
     require(rounds >= 1 && workK >= k && cap >= workK,
       s"need rounds >= 1, workK >= k, cap >= workK; " +
         s"got rounds=$rounds k=$k workK=$workK cap=$cap")
@@ -891,7 +893,11 @@ object Vector {
     // beats rebuilding a broadcast hash relation (2 jobs) every round;
     // the driver/executor volume is the SAME bytes the broadcast arm
     // would pin. Above the threshold the rescore stays shuffle joins.
-    val smallCorpus = side.count() <= RefineBroadcastMaxVecs
+    val smallCorpus = side.count() <= bcastMaxVecs
+    // the arm rides every round's cache key (the knnJoinHier precedent):
+    // a forced-arm call (the VectorSpec arm-equality pin) must never be
+    // served the OTHER arm's cached rounds and silently test nothing
+    val arm = if (smallCorpus) "expr" else "join"
     if (smallCorpus) {
       val rows = side.select("vec_id", "v", "nrm").collect()
       graft.functions.PairCosine.register(s,
@@ -929,7 +935,7 @@ object Vector {
       // single-task stage per re-read per round at sf0.1.
       s.sparkContext.setJobDescription(s"knn_refine[$initTag] r$r adj")
       val adj = graft.CacheRegistry.getOrCheckpoint(
-        s"knn_refine_adj_${initTag}_${workK}_${cap}_r$r", d,
+        s"knn_refine_adj_${initTag}_${workK}_${cap}_${arm}_r$r", d,
         e.withColumn("__dup", lag("cid", 1).over(wCap) === col("cid"))
           .filter(!coalesce(col("__dup"), lit(false)))
           .withColumn("rk", row_number().over(wCap))
@@ -974,7 +980,7 @@ object Vector {
             .repartition(col("qid"))
       s.sparkContext.setJobDescription(s"knn_refine[$initTag] r$r rescore")
       g = graft.CacheRegistry.getOrCheckpoint(
-        s"knn_refine_${initTag}_${workK}_${cap}_r$r", d,
+        s"knn_refine_${initTag}_${workK}_${cap}_${arm}_r$r", d,
         scored.withColumn("rk", row_number().over(wCap))
           .filter(col("rk") <= workK)
           .select("qid", "cid", "cosine"))

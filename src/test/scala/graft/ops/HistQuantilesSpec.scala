@@ -131,4 +131,27 @@ class HistQuantilesSpec extends SparkSpec {
       Seq(0.5 -> "med")).collect()
     assert(grouped.isEmpty)
   }
+
+  test("histQuantilesFromHist over a pre-counted histogram equals " +
+      "histQuantiles over the raw rows (the derived-histogram entry " +
+      "point q_agg_mad's single-scan MAD rides)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 1500).map { _ =>
+      (s"g${rnd.nextInt(3)}", math.floor(rnd.nextDouble() * 40) / 3.0)
+    }
+    val df = rows.toDF("g", "v")
+    val named = ps.zipWithIndex.map { case (p, i) => p -> s"q$i" }
+    val hist = df.filter(col("v").isNotNull)
+      .groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(true)
+    def render(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("g").collect()
+        .map(r => (r.getString(0),
+          (1 to ps.length).map(i => r.getDouble(i)).toSeq)).toSeq
+    assert(
+      render(Relational.histQuantilesFromHist(hist, "v", Seq("g"), named))
+        == render(Relational.histQuantiles(df, "v", Seq("g"), named)),
+      "pre-counted-histogram path diverged from the raw-row path")
+  }
 }

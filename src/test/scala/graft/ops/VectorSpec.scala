@@ -398,6 +398,25 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("NN-Descent rescore arms are bit-identical: pair_cosine " +
+      "expression (small-corpus) vs shuffle joins (above-threshold)") {
+    // r16 optimization round: the rescore dispatches on measured corpus
+    // size — pair_cosine(qid, cid) against the broadcast table below
+    // RefineBroadcastMaxVecs, dot_product/(qn·cn) shuffle joins above.
+    // Forcing bcastMaxVecs = 0 exercises the join arm on the fixture;
+    // both arms must emit the SAME rows (the arm rides the registry
+    // cache key, so the second call cannot be served the first arm's
+    // cached rounds).
+    def run(maxVecs: Long) =
+      Vector.knnRefine(spark, sfDir, rounds = 2, k = 3, workK = 5,
+          cap = 10, bcastMaxVecs = maxVecs)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    assert(run(Long.MaxValue) == run(0L),
+      "expression-rescore and join-rescore arms diverged")
+  }
+
   test("two-level hierarchy: integer-exact strides, every coarse group owned, refine-over-hier never degrades") {
     // smallestRoot is the integer contract both engines replay: the
     // float estimate only positions the window
