@@ -453,7 +453,8 @@ object Vector {
     // cache needs).
     cellKnnJoin(s, d,
       s"knn_cell_assign_${nprobe}_${java.util.Arrays.deepHashCode(
-        cents.asInstanceOf[Array[AnyRef]])}", k, cellCap)(
+        cents.asInstanceOf[Array[AnyRef]])}", k, cellCap,
+      nCells = cents.length.toLong)(
       vecs(s, d).withColumn("cells", expr("ivf_cells(v)")))
   }
 
@@ -464,7 +465,7 @@ object Vector {
     * cells replicate-salt at `cellCap`, shared [[topK]] tail. */
   private def cellKnnJoin(
       s: org.apache.spark.sql.SparkSession, d: String,
-      assignKey: String, k: Int, cellCap: Int)(
+      assignKey: String, k: Int, cellCap: Int, nCells: Long)(
       assign: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     require(cellCap >= 1, s"cellCap must be >= 1, got $cellCap")
     // ONE cell-ranking pass over the corpus, registry-shared: the corpus
@@ -493,7 +494,30 @@ object Vector {
         col("nrm").as("qn"), col("cell"))
       .join(cellSizes, "cell")
       .withColumn("salt", explode(sequence(lit(0), col("nsalt") - 1)))
-    topK(queries.join(corpusSalted, Seq("cell", "salt"))
+    // the scoring join EXPLODES: its inputs are n-row sides (tens of MB)
+    // but its output is the Σ queries×members pair stream, 2-4 orders of
+    // magnitude bigger — AQE's coalescing sees only the INPUT bytes and
+    // serialized the whole scoring stage onto 1-2 tasks (measured at the
+    // 10× replica: 13 s in 2 tasks, r16 optimization round). The cure
+    // DISPATCHES on the quantizer's cell count (known to every caller,
+    // no extra job): with many cells (the adaptive √n / hierarchical
+    // n^(2/3) quantizers — the scale designs) an explicit repartition to
+    // the session's shuffle parallelism spreads the exploding join
+    // (conf-driven, so it scales with the deployment); with FEW cells
+    // (the frozen-16-cell key) the same repartition is the §2.5
+    // too-few-distinct-keys trap — it collides the handful of
+    // (cell, salt) keys into a fraction of the partitions AND strips
+    // AQE's runtime skew-split, measured 41 → 252 s at the 10× replica —
+    // so the fat-cell case keeps the planner's layout and its skew
+    // handling. 4× parallelism is the spread floor: below it the forced
+    // hash cannot beat AQE's split, above it collisions average out.
+    val parts = s.sessionState.conf.numShufflePartitions
+    val spread = nCells >= 4L * parts
+    val qSide =
+      if (spread) queries.repartition(parts, col("cell"), col("salt"))
+      else queries
+    topK(qSide
+      .join(corpusSalted, Seq("cell", "salt"))
       .filter(col("cid") =!= col("qid"))
       .select("qid", "qv", "qn", "cid", "cv", "cn"), k)
   }
@@ -688,10 +712,10 @@ object Vector {
       // the expression's range require — the engines stay in lockstep
       graft.functions.HierIvfCells.register(s, coarse, fine, owned,
         nprobeCoarse = math.min(2, coarse.length), nprobe = nprobe)
-      cellKnnJoin(s, d, assignKey, k, cellCap)(
+      cellKnnJoin(s, d, assignKey, k, cellCap, nCells = fine.length.toLong)(
         vecs(s, d).withColumn("cells", expr("hier_cells(v)")))
     } else {
-      cellKnnJoin(s, d, assignKey, k, cellCap)(
+      cellKnnJoin(s, d, assignKey, k, cellCap, nCells = kfEst)(
         hierAssignFrame(s, d, n, strideF, nprobe))
     }
   }
