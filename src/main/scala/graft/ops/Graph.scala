@@ -372,7 +372,14 @@ object Graph {
     for (_ <- 1 to iters) {
       val lab = (if (small) broadcast(labels) else labels)
         .select(col("node").as("__n"), col("label"))
+      // ONE exchange per round (r17 round, guide §2.4): hash(src) set
+      // explicitly on the join output satisfies BOTH aggregations —
+      // clustering by src co-locates every (src, label) group, and the
+      // argmax's node key is the same src through the alias — where the
+      // planner's default ran hash(src, label) for the counts and a
+      // second hash(node) exchange for the argmax.
       val counts = und.join(lab, und("dst") === col("__n"))
+        .repartition(und("src"))
         .groupBy(und("src").as("node"), col("label"))
         .agg(count(lit(1)).as("n"))
       // argmax as one struct max: (n, −label) picks the highest count,
@@ -412,6 +419,9 @@ object Graph {
       val lab = (if (small) broadcast(labels) else labels)
         .select(col("node").as("__n"), col("label"))
       val counts = und.join(lab, und("dst") === col("__n"))
+        // hash(src) satisfies both this agg and the argmax (see
+        // [[labelPropagation]]) — one exchange, not two
+        .repartition(und("src"))
         .groupBy(und("src").as("node"), col("label"))
         .agg(count(lit(1)).as("n"))
       // probe folded into the materialization, like [[pageRankConverge]]:
@@ -582,13 +592,17 @@ object Graph {
 
   /** The co-purchase edge/orientation caches shared by the census,
     * clustering, and embeddedness keys. */
-  private def copurchase(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** Edge artifact only — for consumers (the k-core peel) that never
+    * touch triangles: getOrCheckpoint is EAGER, so routing them through
+    * [[copurchase]] used to materialize the wedge pass they throw away
+    * (guide §1.2: don't compute things you discard; r17 round). */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val items = Tables.table(s, d, "lineitem").select("l_orderkey", "l_partkey")
       .join(broadcast(Tables.table(s, d, "part")
         .filter(col("p_size") <= 10).select("p_partkey")),
         col("l_partkey") === col("p_partkey"))
       .select("l_orderkey", "l_partkey")
-    val edges = graft.CacheRegistry.getOrCheckpoint("graph_copurchase_edges", d,
+    graft.CacheRegistry.getOrCheckpoint("graph_copurchase_edges", d,
       items.groupBy("l_orderkey")
         .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
         .select(col("parts"), posexplode(col("parts")))
@@ -596,6 +610,10 @@ object Graph {
           explode(slice(col("parts"), col("pos") + lit(2),
             size(col("parts")))).as("b"))
         .distinct())
+  }
+
+  private def copurchase(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val edges = copurchaseEdges(s, d)
     val oriented = graft.CacheRegistry.getOrCheckpoint(
       "graph_copurchase_oriented", d, orientEdges(edges))
     // the triangle FRAME is the third shared artifact (14k rows at
@@ -1093,7 +1111,7 @@ object Graph {
     // ALGORITHM; the round count is the documented knob).
     QueryDef("q_graph_kcore",
       (s, d) => {
-        val (edges, _) = copurchase(s, d)
+        val edges = copurchaseEdges(s, d)
         kCorePeel(edges, k = 4, rounds = 3)
           .select(col("n").as("p_partkey"), col("dg").as("core_degree"))
           .orderBy("p_partkey")

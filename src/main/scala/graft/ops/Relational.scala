@@ -114,7 +114,8 @@ object Relational {
     */
   private[graft] def histQuantiles(df: DataFrame, valueCol: String,
       groupCols: Seq[String], ps: Seq[(Double, String)],
-      totalAs: Option[String] = None, buckets: Int = 1024): DataFrame = {
+      totalAs: Option[String] = None, buckets: Int = 1024,
+      bucketDriverMaxRows: Int = BucketDriverMaxRows): DataFrame = {
     // the value-grain histogram is read THREE times (rank totals, the
     // bucket pass, the level-2 scan) — materialize + cut it once so the
     // corpus pass runs once, not three times (disk-backed partitions,
@@ -124,8 +125,16 @@ object Relational {
       .groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
       .localCheckpoint(true)
-    histQuantilesFromHist(hist, valueCol, groupCols, ps, totalAs, buckets)
+    histQuantilesFromHist(hist, valueCol, groupCols, ps, totalAs, buckets,
+      bucketDriverMaxRows)
   }
+
+  /** Row cap for [[localized]] — far above every current caller (frames
+    * are one row per group / per (group, probe); group cardinalities are
+    * single digits) and far below driver-memory risk. Above it the frame
+    * stays distributed, so a future high-cardinality caller degrades to
+    * the plain broadcast-join path instead of OOMing the driver. */
+  private[graft] val LocalizeMaxRows = 4096
 
   /** Transport a GROUP-COUNT-BOUNDED frame to the driver and back as a
     * LocalRelation: values are collected once (bit-identical — nothing is
@@ -134,10 +143,21 @@ object Relational {
     * its own serialized query-stage chain. Only for frames the caller
     * already treats as broadcast-safe (histQuantiles outputs: one row
     * per group / per (group, probe)); the collect is the same volume
-    * the broadcast would pin on the driver anyway. */
-  private def localized(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(df.collect(): _*), df.schema)
+    * the broadcast would pin on the driver anyway.
+    *
+    * MEASURED dispatch (r16 verdict item 5): the collect is capped by
+    * probing `take(LocalizeMaxRows + 1)` — when the frame fits, those
+    * rows ARE the full collect (one job, same partition-order rows);
+    * when it does not, the frame is returned unchanged and downstream
+    * joins keep their distributed plan. Both arms produce the same row
+    * multiset (RelationalLocalizeSpec pins it). */
+  private[graft] def localized(df: DataFrame): DataFrame = {
+    val rows = df.take(LocalizeMaxRows + 1)
+    if (rows.length <= LocalizeMaxRows)
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), df.schema)
+    else df
+  }
 
   /** [[histQuantiles]] starting from an ALREADY-COUNTED value-grain
     * histogram `(groupCols…, valueCol, __cnt)` — the entry point for
@@ -146,9 +166,18 @@ object Relational {
     * maps the value histogram through `|x − med|` and re-aggregates, so
     * the MAD's second quantile pass never touches the orders table).
     * `hist` must already be materialized (it is read three times). */
+  /** Driver-row cap for the bucket-count collect in
+    * [[histQuantilesFromHist]]: ≤ |groups|·buckets rows of
+    * (groupCols…, long, long) — 2²⁰ rows ≈ tens of MB, the bounded-
+    * collect class of the measured dispatches elsewhere. Above it (or
+    * when the rank frame itself did not localize) the needed-bucket
+    * selection stays the distributed window + join arm. */
+  private[graft] val BucketDriverMaxRows: Int = 1 << 20
+
   private[graft] def histQuantilesFromHist(hist: DataFrame, valueCol: String,
       groupCols: Seq[String], ps: Seq[(Double, String)],
-      totalAs: Option[String] = None, buckets: Int = 1024): DataFrame = {
+      totalAs: Option[String] = None, buckets: Int = 1024,
+      bucketDriverMaxRows: Int = BucketDriverMaxRows): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     val gc = groupCols.map(col)
     val ranks0 = hist.groupBy(gc: _*).agg(sum(col("__cnt")).as("__tot"),
@@ -158,7 +187,7 @@ object Relational {
     // aggregation as its own serialized query-stage chain (r16
     // optimization round: measured ~0.5 s per rebuild per consumer at
     // sf0.1, the dominant cost of every histQuantiles call)
-    val ranks = localized(
+    val ranksDf =
       ps.zipWithIndex.foldLeft(ranks0) { case (r, ((p, _), i)) =>
         val h = (col("__tot") - 1).cast(DoubleType) * lit(p)
         r.withColumn(s"__rlo$i", floor(h).cast(LongType) + 1)
@@ -167,7 +196,14 @@ object Relational {
           .withColumn(s"__rhi$i",
             least(floor(h).cast(LongType) + 2, col("__tot")))
           .withColumn(s"__frac$i", h - floor(h))
-      })
+      }
+    val ranksRows = ranksDf.take(LocalizeMaxRows + 1)
+    val ranksLocal = ranksRows.length <= LocalizeMaxRows
+    val ranks =
+      if (ranksLocal)
+        hist.sparkSession.createDataFrame(
+          java.util.Arrays.asList(ranksRows: _*), ranksDf.schema)
+      else ranksDf
     // group-key joins are NULL-SAFE (<=> per column): groupBy treats a
     // NULL key as a real group, so the rank attach must too — a plain
     // equi-join would silently drop every NULL-keyed group
@@ -191,22 +227,69 @@ object Relational {
     val hb = joined.withColumn("__b", bCol)
     val bsum = hb.groupBy((gc :+ col("__b")): _*)
       .agg(sum(col("__cnt")).as("__bc"))
-    val wB = Window.partitionBy(gc: _*).orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val boff = bJoin(
-      bsum.withColumn("__base", sum(col("__bc")).over(wB) - col("__bc")),
-      ranks)
-    // a rank r lives in a bucket iff base < r ≤ base + count
-    def inBucket(r: Column) =
-      col("__base") < r && r <= col("__base") + col("__bc")
-    val neededCond = ps.indices.map { i =>
-      inBucket(col(s"__rlo$i")) || inBucket(col(s"__rhi$i"))
-    }.reduce(_ || _)
-    // ≤ 2·|ps| rows per group, but its broadcast build would otherwise
-    // re-run the bucket aggregation + running-sum window pipeline —
-    // localize so the level-2 scan's broadcast builds from memory
-    val needed = localized(boff.filter(neededCond)
-      .select((gc :+ col("__b") :+ col("__base")): _*))
+    // a rank r lives in a bucket iff base < r ≤ base + count.
+    // The rank-bearing-bucket selection dispatches on MEASURED volume
+    // (r17 optimization round): the bucket-count frame is ≤
+    // |groups|·buckets rows of (group, long, long) — when it fits the
+    // driver cap, ONE collect replaces the running-sum window exchange,
+    // its AQE stage round and the second driver round-trip the
+    // distributed arm pays (guide §2.4; the per-call stage-job count is
+    // the dominant cost of every histQuantiles consumer at bench
+    // scale). The driver replay is the same exact integer arithmetic —
+    // sort buckets by __b per group, running base, (base, base+bc]
+    // containment — so both arms emit the identical needed-bucket set
+    // (HistQuantilesSpec pins arm equality; the oracle hash-gates all
+    // nine consumer keys).
+    def distributedNeeded(): DataFrame = {
+      val wB = Window.partitionBy(gc: _*).orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val boff = bJoin(
+        bsum.withColumn("__base", sum(col("__bc")).over(wB) - col("__bc")),
+        ranks)
+      def inBucket(r: Column) =
+        col("__base") < r && r <= col("__base") + col("__bc")
+      val neededCond = ps.indices.map { i =>
+        inBucket(col(s"__rlo$i")) || inBucket(col(s"__rhi$i"))
+      }.reduce(_ || _)
+      // ≤ 2·|ps| rows per group, but its broadcast build would
+      // otherwise re-run the bucket aggregation + running-sum window
+      // pipeline — localize so the level-2 scan's broadcast builds
+      // from memory
+      localized(boff.filter(neededCond)
+        .select((gc :+ col("__b") :+ col("__base")): _*))
+    }
+    val needed: DataFrame = {
+      val bsumRows =
+        if (ranksLocal) bsum.take(bucketDriverMaxRows + 1) else Array.empty[org.apache.spark.sql.Row]
+      if (ranksLocal && bsumRows.length <= bucketDriverMaxRows) {
+        val nG = groupCols.length
+        val rankByG = ranksRows
+          .map(r => Seq.tabulate(nG)(r.get(_)) -> r).toMap
+        val rloIdx = ps.indices.map(i => ranksDf.schema.fieldIndex(s"__rlo$i"))
+        val rhiIdx = ps.indices.map(i => ranksDf.schema.fieldIndex(s"__rhi$i"))
+        val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        bsumRows.groupBy(r => Seq.tabulate(nG)(r.get(_))).foreach {
+          case (gk, rows) =>
+            rankByG.get(gk).foreach { rk =>
+              var base = 0L
+              rows.sortBy(_.getLong(nG)).foreach { br =>
+                val bc = br.getLong(nG + 1)
+                def in(idx: Int): Boolean = !rk.isNullAt(idx) && {
+                  val r = rk.getLong(idx); base < r && r <= base + bc
+                }
+                if (ps.indices.exists(i => in(rloIdx(i)) || in(rhiIdx(i))))
+                  out += org.apache.spark.sql.Row.fromSeq(
+                    Seq.tabulate[Any](nG)(br.get(_)) :+ br.getLong(nG) :+ base)
+                base += bc
+              }
+            }
+        }
+        val schema = StructType(bsum.schema.fields.take(nG) ++ Seq(
+          StructField("__b", LongType), StructField("__base", LongType)))
+        hist.sparkSession.createDataFrame(
+          java.util.Arrays.asList(out.toSeq: _*), schema)
+      } else distributedNeeded()
+    }
     // level-2 scan: only the rank-bearing buckets, partitioned per
     // (group, bucket) — ≤ 2·|ps| buckets per group ever sort; the
     // group-key part of the join is null-safe like bJoin
@@ -1275,12 +1358,17 @@ object Relational {
     // within 5% (k=800 ⇒ ~0.4% rank error), DuckDB its own t-digest.
     QueryDef("q_agg_sketch_quantile",
       (s, d) => {
-        val cutoff = lit("1997-01-01").cast("timestamp")
         val li = t(s, d, "lineitem")
-        def sk(f: org.apache.spark.sql.Column) = li.filter(f)
-          .agg(expr("kll_sketch_agg_double(l_extendedprice, 800)").as("sk"))
-        val merged = sk(col("l_shipdate") < cutoff)
-          .unionAll(sk(col("l_shipdate") >= cutoff))
+        // both partition sketches from ONE fact scan (r17 optimization
+        // round; was two filtered scans): the KLL aggregate ignores
+        // NULLs, so the CASE-gated columns feed each sketch exactly the
+        // rows its filter selected, in the same scan order — the merged
+        // sketch is built from the identical two inputs.
+        def sk(cmp: String) = expr(
+          s"kll_sketch_agg_double(CASE WHEN l_shipdate $cmp " +
+            "TIMESTAMP '1997-01-01' THEN l_extendedprice END, 800)")
+        val merged = li.agg(sk("<").as("ska"), sk(">=").as("skb"))
+          .select(explode(array(col("ska"), col("skb"))).as("sk"))
           .agg(expr("kll_merge_agg_double(sk, 800)").as("skm"))
           .select(expr("kll_sketch_get_quantile_double(skm, 0.5)")
             .as("est_p50"))

@@ -312,18 +312,47 @@ object Text {
     * makes the call, and both arms are pinned identical by TextSpec.
     * Semantics unchanged from the keyed contract (see the QueryDef
     * note). */
-  private[graft] def dsirSelect(
+  /** Shared per-document term-frequency artifact: ONE documents scan +
+    * explode + (doc, token) hash-agg, materialized once per (session,
+    * sf dir) and consumed by every corpus-statistics key that needs the
+    * (doc_id, token, tf) grain (DSIR, the log-prob bucketing). `lang`
+    * rides along (functionally dependent on doc_id — one row per doc in
+    * the documents table, so the grain is unchanged) because the DSIR
+    * target-vocabulary side filters on it. r17 optimization round: the
+    * explode pipeline used to re-run per consumer — 3× inside
+    * `q_select_dsir` alone (raw-vocab build, target-vocab build, per-doc
+    * join), once more per other key (guide §2.4: the fact is scanned
+    * once, every derived frequency re-aggregates the bounded
+    * (doc, token) frame instead). */
+  /** The artifact's build plan, exposed un-checkpointed so PlanSpec can
+    * pin the scan pruning and map-side combine that the checkpoint
+    * otherwise hides behind a LogicalRDD. */
+  private[ops] def docTermFreqBuild(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.table(s, d, "documents")
+      .select(col("doc_id"), col("lang"), explode(toks).as("token"))
+      .groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("tf"))
+
+  private[ops] def docTermFreq(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.getOrCheckpoint("text_doc_tf", d,
+      docTermFreqBuild(s, d))
+
+  /** The per-doc scored frame BEFORE its registry checkpoint, plus the
+    * measured-dispatch arm tag — split out so the plan pins (vocabulary
+    * broadcasts, lang slice, no early sort) can see the pipeline. */
+  private[ops] def dsirScoredBuild(
       s: org.apache.spark.sql.SparkSession, d: String,
-      broadcastMaxVocab: Long = DsirBroadcastMaxVocab): DataFrame = {
-    val docs = Tables.table(s, d, "documents")
-    val term = docs.select(col("doc_id"), col("lang"),
-      explode(toks).as("token"))
-    val tf = term.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      broadcastMaxVocab: Long = DsirBroadcastMaxVocab): (DataFrame, String) = {
+    val tf = docTermFreq(s, d)
+    // rcnt ≡ the old count over raw (doc,token) occurrences: sum of the
+    // per-doc tf IS that count, re-aggregated from the shared artifact;
+    // tcnt likewise over the lang = 'en' slice — bit-identical longs.
     val rawFreq = graft.CacheRegistry.getOrPersist("dsir_rawfreq", d,
       tf.groupBy("token").agg(sum("tf").as("rcnt")))
     val tgtFreq = graft.CacheRegistry.getOrPersist("dsir_tgtfreq", d,
-      term.filter(col("lang") === "en")
-        .groupBy("token").agg(count(lit(1)).as("tcnt")))
+      tf.filter(col("lang") === "en")
+        .groupBy("token").agg(sum("tf").as("tcnt")))
     // the measured dispatch: |vocab| is one count over the persisted
     // frame; one decision governs both vocab-grain sides (target
     // vocabulary ⊆ raw vocabulary)
@@ -344,11 +373,27 @@ object Text {
         sum(expr("CAST(tf AS DECIMAL(10,0)) * " +
           "CAST(round(ln(rcnt), 9) AS DECIMAL(20,9))")).as("slpr"),
         sum("tf").as("n_tok"))
-    val scored = perDoc.join(broadcast(scal))
+    val scoredBuild = perDoc.join(broadcast(scal))
       .select(col("doc_id"),
         round((col("slpt") - col("slpr")).cast(DoubleType) / col("n_tok")
           - log((col("ttot") + col("v")).cast(DoubleType))
           + log(col("rtot").cast(DoubleType)), 6).as("dsir_logw"))
+    (scoredBuild, if (nVocab <= broadcastMaxVocab) "bcast" else "join")
+  }
+
+  private[graft] def dsirSelect(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      broadcastMaxVocab: Long = DsirBroadcastMaxVocab): DataFrame = {
+    val (scoredBuild, arm) = dsirScoredBuild(s, d, broadcastMaxVocab)
+    // doc-count-bounded (doc_id, double) — materialized so the max
+    // broadcast's build and the final filter both read the scan instead
+    // of each re-running the per-doc join pipeline (r16 verdict item 4:
+    // the mx broadcast child was a full second execution of perDoc).
+    // The arm rides the cache key (the knnJoinHier precedent): a
+    // forced-arm call (TextSpec's arm-equality pin) must never be
+    // served the other arm's cached frame and silently test nothing.
+    val scored = graft.CacheRegistry.getOrCheckpoint(
+      s"dsir_scored_$arm", d, scoredBuild)
     val mx = scored.agg(max("dsir_logw").as("maxw"))
     scored.join(broadcast(mx))
       .filter(expr("round(ln(((" + md5i("CAST(doc_id AS STRING)") +
@@ -1073,26 +1118,35 @@ object Text {
     // broadcasts; no sort, no single-partition window.
     QueryDef("q_text_logprob_buckets",
       (s, d) => {
-        val docs = Tables.table(s, d, "documents")
-        val term = docs.select(col("doc_id"), explode(toks).as("token"))
-        val tf = term.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        // r17 optimization round: rides the shared [[docTermFreq]]
+        // artifact (ONE explode pipeline per session, was one per
+        // consumer) and checkpoints the doc-grain perDoc frame so the
+        // scored/mean/cut2 consumers read a scan instead of each
+        // re-running the vocabulary join (the broadcast-child
+        // re-execution class of r16's histQuantiles fix). n_total is
+        // DERIVED from perDoc: Σ_docs n_tok ≡ Σ_tokens cnt exactly
+        // (the same tf multiset summed in a different grouping — exact
+        // integer arithmetic), so the old freq→totals aggregation chain
+        // is gone entirely.
+        val tf = docTermFreq(s, d)
         val freq = tf.groupBy("token").agg(sum("tf").as("cnt"))
-        val totals = freq.agg(sum("cnt").as("n_total"))
-        val perDoc = tf.join(broadcast(freq), "token")
-          .groupBy("doc_id")
-          .agg(
-            sum(expr("CAST(tf AS DECIMAL(10,0)) * " +
-              "CAST(round(ln(cnt), 9) AS DECIMAL(20,9))")).as("slp"),
-            sum("tf").as("n_tok"))
-        val scored = perDoc.join(broadcast(totals))
+        val perDoc = graft.CacheRegistry.getOrCheckpoint(
+          "text_logprob_perdoc", d,
+          tf.join(broadcast(freq), "token")
+            .groupBy("doc_id")
+            .agg(
+              sum(expr("CAST(tf AS DECIMAL(10,0)) * " +
+                "CAST(round(ln(cnt), 9) AS DECIMAL(20,9))")).as("slp"),
+              sum("tf").as("n_tok")))
+        val tot = perDoc.agg(
+          sum("slp").as("slp_all"), sum("n_tok").as("n_total"))
+        val scored = perDoc.join(broadcast(tot))
           .select(col("doc_id"),
             round(col("slp").cast(DoubleType) / col("n_tok")
               - log(col("n_total").cast(DoubleType)), 6).as("logp"))
         // corpus mean in the SAME exact-decimal space: Σslp/Σn_tok
-        val mean = perDoc.agg(
-            sum("slp").as("slp_all"), sum("n_tok").as("tok_all"))
-          .crossJoin(broadcast(totals))
-          .select(round(col("slp_all").cast(DoubleType) / col("tok_all")
+        val mean = tot
+          .select(round(col("slp_all").cast(DoubleType) / col("n_total")
             - log(col("n_total").cast(DoubleType)), 6).as("mean_logp"))
         val withMean = scored.join(broadcast(mean))
         val cut2 = withMean.filter(col("logp") < col("mean_logp"))

@@ -295,15 +295,22 @@ object Vector {
     * never desynchronize between paths. `dot/(qn·cn)` is bit-identical to
     * the fused cosine (independent sequential folds either way) but does
     * one multiply-add per element of PAIR-sized work instead of three. */
-  private def topK(cand: org.apache.spark.sql.DataFrame, k: Int = 5) = {
+  private def topK(cand: org.apache.spark.sql.DataFrame, k: Int = 5,
+      ordered: Boolean = true) = {
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
-    cand
+    val cut = cand
       .withColumn("cosine",
         round(expr("dot_product(qv, cv)") / (col("qn") * col("cn")), 6))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select("qid", "rank", "cid", "cosine")
-      .orderBy("qid", "rank")
+    // the total ORDER BY is presentation only — the NN-Descent refine
+    // loop consumes the seed as an unordered SET (its first move is a
+    // union + window re-sort), so the seed path skips the range
+    // exchange + global sort (r16 verdict item 2: §2.3, don't sort what
+    // nobody consumes). Every DECLARED query keeps ordered = true; the
+    // row set is identical either way.
+    if (ordered) cut.orderBy("qid", "rank") else cut
   }
 
   /** band values from the signature array column `sig` (1-indexed both) */
@@ -445,7 +452,7 @@ object Vector {
   private[graft] def knnJoin(
       s: org.apache.spark.sql.SparkSession, d: String,
       cents: Array[Array[Double]], nprobe: Int = 2, k: Int = 3,
-      cellCap: Int = 4096): org.apache.spark.sql.DataFrame = {
+      cellCap: Int = 4096, ordered: Boolean = true): org.apache.spark.sql.DataFrame = {
     graft.functions.IvfNearestCells.register(s, cents, nprobe)
     // the cache key carries the assignment's free parameters (centroids,
     // nprobe) so a facade call with different settings can never read a
@@ -454,7 +461,7 @@ object Vector {
     cellKnnJoin(s, d,
       s"knn_cell_assign_${nprobe}_${java.util.Arrays.deepHashCode(
         cents.asInstanceOf[Array[AnyRef]])}", k, cellCap,
-      nCells = cents.length.toLong)(
+      nCells = cents.length.toLong, ordered = ordered)(
       vecs(s, d).withColumn("cells", expr("ivf_cells(v)")))
   }
 
@@ -465,7 +472,8 @@ object Vector {
     * cells replicate-salt at `cellCap`, shared [[topK]] tail. */
   private def cellKnnJoin(
       s: org.apache.spark.sql.SparkSession, d: String,
-      assignKey: String, k: Int, cellCap: Int, nCells: Long)(
+      assignKey: String, k: Int, cellCap: Int, nCells: Long,
+      ordered: Boolean = true)(
       assign: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     require(cellCap >= 1, s"cellCap must be >= 1, got $cellCap")
     // ONE cell-ranking pass over the corpus, registry-shared: the corpus
@@ -504,7 +512,7 @@ object Vector {
     // n^(2/3) quantizers — the scale designs) an explicit repartition to
     // the session's shuffle parallelism spreads the exploding join
     // (conf-driven, so it scales with the deployment); with FEW cells
-    // (the frozen-16-cell key) the same repartition is the §2.5
+    // (the frozen 8-centroid key) the same repartition is the §2.5
     // too-few-distinct-keys trap — it collides the handful of
     // (cell, salt) keys into a fraction of the partitions AND strips
     // AQE's runtime skew-split, measured 41 → 252 s at the 10× replica —
@@ -519,7 +527,7 @@ object Vector {
     topK(qSide
       .join(corpusSalted, Seq("cell", "salt"))
       .filter(col("cid") =!= col("qid"))
-      .select("qid", "qv", "qn", "cid", "cv", "cn"), k)
+      .select("qid", "qv", "qn", "cid", "cv", "cn"), k, ordered)
   }
 
   /** SCALE-ADAPTIVE IVF coarse quantizer — the production default for
@@ -686,7 +694,8 @@ object Vector {
   private[graft] def knnJoinHier(
       s: org.apache.spark.sql.SparkSession, d: String,
       nprobe: Int = 2, k: Int = 3, cellCap: Int = 4096,
-      fitDriverMaxFine: Long = HierFitDriverMaxFine): org.apache.spark.sql.DataFrame = {
+      fitDriverMaxFine: Long = HierFitDriverMaxFine,
+      ordered: Boolean = true): org.apache.spark.sql.DataFrame = {
     val n = vecs(s, d).count()
     require(n > 0, "hierarchical IVF fit over an empty corpus")
     val strideF = smallestRoot(n, 3)
@@ -712,10 +721,12 @@ object Vector {
       // the expression's range require — the engines stay in lockstep
       graft.functions.HierIvfCells.register(s, coarse, fine, owned,
         nprobeCoarse = math.min(2, coarse.length), nprobe = nprobe)
-      cellKnnJoin(s, d, assignKey, k, cellCap, nCells = fine.length.toLong)(
+      cellKnnJoin(s, d, assignKey, k, cellCap,
+        nCells = fine.length.toLong, ordered = ordered)(
         vecs(s, d).withColumn("cells", expr("hier_cells(v)")))
     } else {
-      cellKnnJoin(s, d, assignKey, k, cellCap, nCells = kfEst)(
+      cellKnnJoin(s, d, assignKey, k, cellCap, nCells = kfEst,
+        ordered = ordered)(
         hierAssignFrame(s, d, n, strideF, nprobe))
     }
   }
@@ -867,7 +878,8 @@ object Vector {
       cap: Int = 40,
       bcastMaxVecs: Long = RefineBroadcastMaxVecs): org.apache.spark.sql.DataFrame =
     knnRefineFrom(s, d, "adaptive",
-      () => knnJoin(s, d, adaptiveCenters(s, d), nprobe = 2, k = workK),
+      () => knnJoin(s, d, adaptiveCenters(s, d), nprobe = 2, k = workK,
+        ordered = false),
       rounds, k, workK, cap, bcastMaxVecs)
 
   /** [[knnRefine]] seeded by the HIERARCHICAL join instead of the flat
@@ -881,7 +893,7 @@ object Vector {
       rounds: Int = 4, k: Int = 3, workK: Int = 20,
       cap: Int = 40): org.apache.spark.sql.DataFrame =
     knnRefineFrom(s, d, "hier",
-      () => knnJoinHier(s, d, nprobe = 2, k = workK),
+      () => knnJoinHier(s, d, nprobe = 2, k = workK, ordered = false),
       rounds, k, workK, cap)
 
   /** Corpus size at or below which the NN-Descent RESCORE joins ship the
@@ -923,11 +935,16 @@ object Vector {
     // served the OTHER arm's cached rounds and silently test nothing
     val arm = if (smallCorpus) "expr" else "join"
     if (smallCorpus) {
-      val rows = side.select("vec_id", "v", "nrm").collect()
-      graft.functions.PairCosine.register(s,
-        rows.map(_.getLong(0)),
-        rows.map(_.getSeq[Double](1).toArray),
-        rows.map(_.getDouble(2)))
+      // memoized per (session, corpus): the 4 refine-family keys share
+      // one collect + one broadcast instead of re-shipping the identical
+      // table per call and leaking the superseded broadcasts (r16
+      // advice item 3)
+      graft.functions.PairCosine.registerOnce(s, s"knn_refine_vecs:$d") {
+        val rows = side.select("vec_id", "v", "nrm").collect()
+        (rows.map(_.getLong(0)),
+          rows.map(_.getSeq[Double](1).toArray),
+          rows.map(_.getDouble(2)))
+      }
     }
     // getOrCheckpoint, not getOrPersist: each round reads the previous
     // graph TWICE (fwd ∪ reversed), so a lazy persist leaves a logical
@@ -943,6 +960,12 @@ object Vector {
     // every qid-keyed step below reuses the same hash(qid) exchange.
     val wCap = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("cid"))
+    // restore the CALLER's description on every exit path (r16 advice
+    // item 4: a mid-loop failure used to leak the knn_refine label onto
+    // unrelated subsequent jobs on this thread, and the non-exception
+    // path clobbered any prior label with null)
+    val prevDesc = s.sparkContext.getLocalProperty("spark.job.description")
+    try {
     for (r <- 1 to rounds) {
       val e = g.union(g.select(col("cid").as("qid"), col("qid").as("cid"),
         col("cosine")))
@@ -1009,7 +1032,7 @@ object Vector {
           .filter(col("rk") <= workK)
           .select("qid", "cid", "cosine"))
     }
-    s.sparkContext.setJobDescription(null)
+    } finally s.sparkContext.setJobDescription(prevDesc)
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
     g.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)

@@ -154,4 +154,28 @@ class HistQuantilesSpec extends SparkSpec {
         == render(Relational.histQuantiles(df, "v", Seq("g"), named)),
       "pre-counted-histogram path diverged from the raw-row path")
   }
+
+  test("driver-replayed needed-bucket arm equals the distributed " +
+      "window arm (r17: the bucket-count collect dispatch)") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 2500).map { _ =>
+      (s"g${rnd.nextInt(4)}", math.floor(rnd.nextDouble() * 500) / 7.0)
+    }
+    val df = rows.toDF("g", "v")
+    val named = ps.zipWithIndex.map { case (p, i) => p -> s"q$i" }
+    def render(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("g").collect()
+        .map(r => (r.getString(0),
+          (1 to ps.length).map(i => r.getDouble(i)).toSeq)).toSeq
+    for (b <- Seq(1, 16, 1024)) {
+      // bucketDriverMaxRows = 0 forces the distributed window arm;
+      // the default takes the driver-replay arm on this volume
+      val driverArm = Relational.histQuantiles(df, "v", Seq("g"), named,
+        buckets = b)
+      val windowArm = Relational.histQuantiles(df, "v", Seq("g"), named,
+        buckets = b, bucketDriverMaxRows = 0)
+      assert(render(driverArm) == render(windowArm),
+        s"needed-bucket arms diverged at buckets=$b")
+    }
+  }
 }
