@@ -115,18 +115,20 @@ object Relational {
   private[graft] def histQuantiles(df: DataFrame, valueCol: String,
       groupCols: Seq[String], ps: Seq[(Double, String)],
       totalAs: Option[String] = None, buckets: Int = 1024,
-      bucketDriverMaxRows: Int = BucketDriverMaxRows): DataFrame = {
+      bucketDriverMaxRows: Int = BucketDriverMaxRows,
+      histDriverMaxRows: Int = HistDriverMaxRows): DataFrame = {
     // the value-grain histogram is read THREE times (rank totals, the
     // bucket pass, the level-2 scan) — materialize + cut it once so the
     // corpus pass runs once, not three times (disk-backed partitions,
     // |distinct|-bounded; this makes the call eager, like the measured
-    // dispatches elsewhere)
+    // dispatches elsewhere). The driver arm reads it once, but the
+    // checkpoint stays: the over-cap fallback must not rescan the fact.
     val hist = df.filter(col(valueCol).isNotNull)
       .groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
       .localCheckpoint(true)
     histQuantilesFromHist(hist, valueCol, groupCols, ps, totalAs, buckets,
-      bucketDriverMaxRows)
+      bucketDriverMaxRows, histDriverMaxRows)
   }
 
   /** Row cap for [[localized]] — far above every current caller (frames
@@ -174,11 +176,142 @@ object Relational {
     * selection stays the distributed window + join arm. */
   private[graft] val BucketDriverMaxRows: Int = 1 << 20
 
+  /** The driver arm of [[histQuantilesFromHist]]: exact replay of the
+    * distributed rank arithmetic over the collected histogram. Every
+    * step mirrors the SQL expressions in type and operation order —
+    * rank formulas in double, (vhi − vlo) in the VALUE's own type
+    * first (integral subtraction wraps like the engine's, decimal
+    * subtraction exact) with only the result cast to double, and the
+    * same BigDecimal.valueOf/HALF_UP round-6 Spark's `round` applies —
+    * so the emitted rows are bit-identical to the distributed arm's
+    * (HistQuantilesSpec pins the three arms against each other and
+    * against Spark's own exact `percentile`). */
+  private def driverQuantiles(hist: DataFrame,
+      rows: Array[org.apache.spark.sql.Row], valueCol: String,
+      groupCols: Seq[String], ps: Seq[(Double, String)],
+      totalAs: Option[String]): DataFrame = {
+    val sch = hist.schema
+    val vIdx = sch.fieldIndex(valueCol)
+    val cIdx = sch.fieldIndex("__cnt")
+    val gIdx = groupCols.map(sch.fieldIndex)
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+      case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
+      case (x: java.lang.Double, y: java.lang.Double) =>
+        java.lang.Double.compare(x, y)
+      case (x: java.lang.Float, y: java.lang.Float) =>
+        java.lang.Float.compare(x, y)
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+      case (x: java.lang.Short, y: java.lang.Short) => x.compareTo(y)
+      case (x: java.lang.Byte, y: java.lang.Byte) => x.compareTo(y)
+      case _ => sys.error(
+        s"histQuantiles driver arm: unsupported value type ${a.getClass}")
+    }
+    def toD(v: Any): Double = v match {
+      case l: java.lang.Long => l.toDouble
+      case i: java.lang.Integer => i.toDouble
+      case d: java.lang.Double => d
+      case f: java.lang.Float => f.toDouble
+      case b: java.math.BigDecimal => b.doubleValue
+      case s: java.lang.Short => s.toDouble
+      case b: java.lang.Byte => b.toDouble
+      case other => sys.error(
+        s"histQuantiles driver arm: unsupported value type ${other.getClass}")
+    }
+    def delta(hi: Any, lo: Any): Double = (hi, lo) match {
+      case (x: java.lang.Long, y: java.lang.Long) =>
+        (x.longValue - y.longValue).toDouble
+      case (x: java.lang.Integer, y: java.lang.Integer) =>
+        (x.intValue - y.intValue).toDouble
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+        x.subtract(y).doubleValue
+      case (x: java.lang.Short, y: java.lang.Short) =>
+        (x.shortValue - y.shortValue).toDouble
+      case (x: java.lang.Byte, y: java.lang.Byte) =>
+        (x.byteValue - y.byteValue).toDouble
+      case _ => toD(hi) - toD(lo)
+    }
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    rows.groupBy(r => gIdx.map(r.get(_))).foreach { case (gk, grows) =>
+      val sorted = grows.sortWith((a, b) => cmp(a.get(vIdx), b.get(vIdx)) < 0)
+      val tot = sorted.iterator.map(_.getLong(cIdx)).sum
+      // same rank formulas as the SQL: h = (tot−1)·p in double,
+      // rlo = ⌊h⌋+1, rhi = min(⌊h⌋+2, tot), frac = h − ⌊h⌋
+      val rlo = new Array[Long](ps.length)
+      val rhi = new Array[Long](ps.length)
+      val frac = new Array[Double](ps.length)
+      ps.zipWithIndex.foreach { case ((p, _), i) =>
+        val h = (tot - 1).toDouble * p
+        rlo(i) = math.floor(h).toLong + 1
+        rhi(i) = math.min(math.floor(h).toLong + 2, tot)
+        frac(i) = h - math.floor(h)
+      }
+      // value v covers rank r iff cum−cnt < r ≤ cum — one ascending walk
+      val vlo = new Array[Any](ps.length)
+      val vhi = new Array[Any](ps.length)
+      var cum = 0L
+      sorted.foreach { r =>
+        val lo = cum
+        cum += r.getLong(cIdx)
+        var i = 0
+        while (i < ps.length) {
+          if (lo < rlo(i) && rlo(i) <= cum) vlo(i) = r.get(vIdx)
+          if (lo < rhi(i) && rhi(i) <= cum) vhi(i) = r.get(vIdx)
+          i += 1
+        }
+      }
+      val qs = ps.indices.map { i =>
+        if (vlo(i) == null || vhi(i) == null) null
+        else java.lang.Double.valueOf(
+          round6(toD(vlo(i)) + frac(i) * delta(vhi(i), vlo(i))))
+      }
+      out += org.apache.spark.sql.Row.fromSeq(
+        gk ++ totalAs.map(_ => tot) ++ qs)
+    }
+    // empty-input contract of the distributed arm: the global (no-group)
+    // path still returns one row — count 0, quantiles NULL
+    if (groupCols.isEmpty && out.isEmpty)
+      out += org.apache.spark.sql.Row.fromSeq(
+        totalAs.map(_ => 0L).toSeq ++ ps.map(_ => null))
+    val schema = StructType(
+      gIdx.map(sch.fields(_)) ++
+        totalAs.map(n => StructField(n, LongType)) ++
+        ps.map { case (_, name) => StructField(name, DoubleType) })
+    hist.sparkSession.createDataFrame(
+      java.util.Arrays.asList(out.toSeq: _*), schema)
+  }
+
+  /** Histogram row count at or below which the WHOLE quantile
+    * computation runs as driver arithmetic over one bounded collect
+    * (2¹⁸ rows ≈ 10–20 MB — the bounded-collect class of
+    * `connectedComponents`' driver union-find and the IVF list heads).
+    * Above it the distributed rank/bucket machinery runs unchanged; the
+    * driver arm replays the IDENTICAL arithmetic (same rank formulas,
+    * same type-coercion order in the interpolation, same HALF_UP
+    * round-6), pinned three-way by HistQuantilesSpec and by the oracle
+    * hash on every consumer key. */
+  private[graft] val HistDriverMaxRows: Int = 1 << 18
+
   private[graft] def histQuantilesFromHist(hist: DataFrame, valueCol: String,
       groupCols: Seq[String], ps: Seq[(Double, String)],
       totalAs: Option[String] = None, buckets: Int = 1024,
-      bucketDriverMaxRows: Int = BucketDriverMaxRows): DataFrame = {
+      bucketDriverMaxRows: Int = BucketDriverMaxRows,
+      histDriverMaxRows: Int = HistDriverMaxRows): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    if (histDriverMaxRows > 0) {
+      // measured dispatch on the histogram itself: |distinct values| is
+      // the machinery's whole input — when it fits the driver cap, ONE
+      // collect replaces the rank probe, the bucket pass and the
+      // level-2 scan (≈7 sequential AQE stage-jobs per call at bench
+      // scale, the dominant cost of every consumer key). The take is
+      // incremental, so the over-cap fallback stops after ~cap rows.
+      val rows = hist.take(histDriverMaxRows + 1)
+      if (rows.length <= histDriverMaxRows)
+        return driverQuantiles(hist, rows, valueCol, groupCols, ps, totalAs)
+    }
     val gc = groupCols.map(col)
     val ranks0 = hist.groupBy(gc: _*).agg(sum(col("__cnt")).as("__tot"),
       min(col(valueCol)).as("__glo"), max(col(valueCol)).as("__ghi"))

@@ -980,6 +980,16 @@ object Vector {
       // union); without the persist each consumer re-runs the union +
       // window pipeline as its own AQE stage chain — measured ~0.7 s of
       // single-task stage per re-read per round at sf0.1.
+      // r17 note (verdict item 8, second fuse attempt, MEASURED and
+      // rejected): inlining adj into the round query — its three
+      // consumers are canonically identical, so ReuseExchange serves
+      // them from one hash(qid) shuffle — read 8.9/8.9/9.5 s on
+      // q_similarity_knn_refine_hier vs 8.1/8.5 s for this checkpointed
+      // shape in an interleaved A/B at sf0.1 (refine: a wash). The
+      // reused exchange still recomputes the dedupe window per consumer
+      // and grows the round's AQE plan; the checkpoint also sorts the
+      // symmetrized list ONCE at any scale. Two materializations per
+      // round stay.
       s.sparkContext.setJobDescription(s"knn_refine[$initTag] r$r adj")
       val adj = graft.CacheRegistry.getOrCheckpoint(
         s"knn_refine_adj_${initTag}_${workK}_${cap}_${arm}_r$r", d,

@@ -155,8 +155,8 @@ class HistQuantilesSpec extends SparkSpec {
       "pre-counted-histogram path diverged from the raw-row path")
   }
 
-  test("driver-replayed needed-bucket arm equals the distributed " +
-      "window arm (r17: the bucket-count collect dispatch)") {
+  test("the three execution arms agree: full-driver, driver-needed-" +
+      "bucket, distributed-window (r17 measured dispatches)") {
     val rnd = new scala.util.Random(13)
     val rows = (1 to 2500).map { _ =>
       (s"g${rnd.nextInt(4)}", math.floor(rnd.nextDouble() * 500) / 7.0)
@@ -168,14 +168,50 @@ class HistQuantilesSpec extends SparkSpec {
         .map(r => (r.getString(0),
           (1 to ps.length).map(i => r.getDouble(i)).toSeq)).toSeq
     for (b <- Seq(1, 16, 1024)) {
-      // bucketDriverMaxRows = 0 forces the distributed window arm;
-      // the default takes the driver-replay arm on this volume
-      val driverArm = Relational.histQuantiles(df, "v", Seq("g"), named,
+      // defaults → full-driver arm on this volume; histDriverMaxRows=0
+      // forces the distributed machinery, whose needed-bucket selection
+      // then runs on the driver (default) or distributed (bucket cap 0)
+      val fullDriver = Relational.histQuantiles(df, "v", Seq("g"), named,
         buckets = b)
-      val windowArm = Relational.histQuantiles(df, "v", Seq("g"), named,
-        buckets = b, bucketDriverMaxRows = 0)
-      assert(render(driverArm) == render(windowArm),
+      val bucketDriver = Relational.histQuantiles(df, "v", Seq("g"), named,
+        buckets = b, histDriverMaxRows = 0)
+      val window = Relational.histQuantiles(df, "v", Seq("g"), named,
+        buckets = b, histDriverMaxRows = 0, bucketDriverMaxRows = 0)
+      assert(render(fullDriver) == render(bucketDriver),
+        s"full-driver vs driver-needed-bucket diverged at buckets=$b")
+      assert(render(bucketDriver) == render(window),
         s"needed-bucket arms diverged at buckets=$b")
     }
+  }
+
+  test("full-driver arm is bit-identical across value types " +
+      "(long, double, decimal) and honors the empty-global contract") {
+    def pin(df: org.apache.spark.sql.DataFrame): Unit = {
+      val named = ps.zipWithIndex.map { case (p, i) => p -> s"q$i" }
+      val a = Relational.histQuantiles(df, "v", Seq("g"), named,
+        totalAs = Some("n"))
+      val b = Relational.histQuantiles(df, "v", Seq("g"), named,
+        totalAs = Some("n"), histDriverMaxRows = 0)
+      assertSameRows(a, b)
+    }
+    val rnd = new scala.util.Random(99)
+    val longs = (1 to 800).map(_ => (s"g${rnd.nextInt(3)}",
+      rnd.nextInt(200).toLong)).toDF("g", "v")
+    pin(longs)
+    val doubles = (1 to 800).map(_ => (s"g${rnd.nextInt(3)}",
+      math.floor(rnd.nextDouble() * 900) / 11.0)).toDF("g", "v")
+    pin(doubles)
+    val decimals = (1 to 800).map(_ => (s"g${rnd.nextInt(3)}",
+      BigDecimal(rnd.nextInt(500000)) / 100)).toDF("g", "v")
+    pin(decimals.select(col("g"),
+      col("v").cast("decimal(15,2)").as("v")))
+    // empty global input: one row, count 0, quantiles NULL — both arms
+    val empty = Seq.empty[(String, Double)].toDF("g", "v")
+    val ga = Relational.histQuantiles(empty, "v", Nil,
+      Seq(0.5 -> "med"), totalAs = Some("n"))
+    val gb = Relational.histQuantiles(empty, "v", Nil,
+      Seq(0.5 -> "med"), totalAs = Some("n"), histDriverMaxRows = 0)
+    assertSameRows(ga, gb)
+    assert(ga.count() == 1 && ga.head.getLong(0) == 0L)
   }
 }
